@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join and positional (horizontal) concat — the two benchmark
+  * alignment modes of the reference (join_asof at alphastats/stats.py:444-449;
+  * horizontal concat at alphastats/stats.py:451).
+  *
+  * Spark has no native as-of join; this uses the classic union + running
+  * `last(ignoreNulls)` window: one shuffle on (keys, ts), O(n log n), scales
+  * to arbitrarily many rows and — with `partitionKeys` — arbitrarily many
+  * series. No driver-side materialization.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest right `valueCols` with
+    * rightTs <= leftTs (backward semantics, ties include equal timestamps).
+    */
+  def backward(left: DataFrame, right: DataFrame, leftTs: String, rightTs: String,
+      valueCols: Seq[String], partitionKeys: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val passThrough = leftCols.filterNot(c => c == leftTs || partitionKeys.contains(c))
+    // side 0 = right, 1 = left: at equal ts the right row sorts first, so the
+    // running last() sees it — backward as-of includes exact matches.
+    val lTagged = left.select(
+      (partitionKeys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        passThrough.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      (partitionKeys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        passThrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged).select(
+      (partitionKeys.map(col) :+ col("__ts") :+ col("__side")) ++
+        passThrough.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__side") === 1)
+      .select((partitionKeys.map(col) :+ col("__ts").as(leftTs)) ++
+        passThrough.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Row-position zip of two frames (no time axis). Driver-scale utility —
+    * global row_number over ingestion order, as in the reference's
+    * horizontal concat path.
+    */
+  def positional(left: DataFrame, right: DataFrame): DataFrame = {
+    def indexed(df: DataFrame): DataFrame =
+      df.withColumn("__rn",
+        row_number().over(Window.orderBy(monotonically_increasing_id())))
+    indexed(left).join(indexed(right), Seq("__rn"), "full_outer")
+      .orderBy("__rn").drop("__rn")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.stats
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exprs, ReturnsFrame}
+
+/** Calendar bucketing (`_simple_returns`) and trailing/period windows
+  * (reference: alphastats/stats.py:736-774, 1650-1738).
+  */
+object Calendar {
+
+  sealed trait Period
+  case object Mtd extends Period
+  case object Ytd extends Period
+  final case class Months(n: Int) extends Period
+  final case class Years(n: Int) extends Period
+  case object All extends Period
+
+  /** Re-bucket per-period returns into calendar buckets, comp-or-sum per
+    * column; bucket keys ordered (chronological for date-sorted input, which
+    * stands in for Polars' maintain_order first-appearance semantics) and
+    * then dropped (reference: alphastats/stats.py:736-774).
+    */
+  def simpleReturns(rfm: ReturnsFrame, aggregate: Option[String],
+      compounded: Boolean): DataFrame = {
+    val numericSel = rfm.numericCols.map(col)
+    aggregate.map(_.toLowerCase) match {
+      case None => rfm.df.select(numericSel: _*)
+      case Some(k) if k.contains("day") => rfm.df.select(numericSel: _*)
+      case Some(k) =>
+        val t = col(rfm.requireTemporal)
+        val groupCols: Option[Seq[Column]] =
+          if (k.contains("week") || Set("w", "eow")(k)) Some(Seq(year(t), weekofyear(t)))
+          else if (k.contains("month") || Set("m", "me", "eom")(k)) Some(Seq(year(t), month(t)))
+          else if (k.contains("quarter") || Set("q", "qe", "eoq")(k)) Some(Seq(year(t), quarter(t)))
+          else if (Set("y", "ye", "eoy", "year", "yearly", "annual")(k)) Some(Seq(year(t)))
+          else None
+        groupCols match {
+          case None => rfm.df.select(numericSel: _*)
+          case Some(gc) =>
+            val keyNames = gc.indices.map(i => s"__bucket_$i")
+            val keyed = rfm.df.select(
+              gc.zip(keyNames).map { case (c, n) => c.as(n) } ++ numericSel: _*)
+            val aggExprs = rfm.numericCols.map { c =>
+              (if (compounded) Exprs.comp(col(c)) else sum(col(c))).as(c)
+            }
+            keyed.groupBy(keyNames.map(col): _*)
+              .agg(aggExprs.head, aggExprs.tail: _*)
+              .orderBy(keyNames.map(col): _*)
+              .select(numericSel: _*)
+        }
+    }
+  }
+
+  /** Date-filter the frame relative to max(temporal) (reference `_date_filtered_returns`,
+    * alphastats/stats.py:1650-1674). Calendar arithmetic happens driver-side on
+    * the collected max — one tiny scalar job, then a pushable filter.
+    */
+  private[graft] def dateFiltered(rfm: ReturnsFrame, period: Period): DataFrame = {
+    val tName = rfm.requireTemporal
+    val t = col(tName)
+    if (period == All) return rfm.df
+    val maxVal = rfm.df.agg(max(t)).head().get(0)
+    if (maxVal == null) return rfm.df
+    period match {
+      case Mtd =>
+        val (y, m) = maxVal match {
+          case d: Date => (d.toLocalDate.getYear, d.toLocalDate.getMonthValue)
+          case ts: Timestamp => (ts.toLocalDateTime.getYear, ts.toLocalDateTime.getMonthValue)
+          case ldt: LocalDateTime => (ldt.getYear, ldt.getMonthValue)
+        }
+        rfm.df.filter(year(t) === y && month(t) === m)
+      case Ytd =>
+        val y = maxVal match {
+          case d: Date => d.toLocalDate.getYear
+          case ts: Timestamp => ts.toLocalDateTime.getYear
+          case ldt: LocalDateTime => ldt.getYear
+        }
+        rfm.df.filter(year(t) === y)
+      case Months(n) => rfm.df.filter(t >= lit(shift(maxVal, -n, 0)))
+      case Years(n) => rfm.df.filter(t >= lit(shift(maxVal, 0, -n)))
+      case All => rfm.df
+    }
+  }
+
+  /** Calendar-aware shift matching Polars `offset_by("-Nmo"/"-Ny")` (clamps
+    * to end of month, keeps time-of-day).
+    */
+  private def shift(v: Any, months: Int, years: Int): Any = v match {
+    case d: Date => Date.valueOf(d.toLocalDate.plusMonths(months).plusYears(years))
+    case ts: Timestamp => Timestamp.valueOf(ts.toLocalDateTime.plusMonths(months).plusYears(years))
+    case ldt: LocalDateTime => ldt.plusMonths(months).plusYears(years)
+  }
+
+  def periodComp(returns: DataFrame, period: Period): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    ReturnsFrame(dateFiltered(rfm, period)).aggAll(Exprs.comp)
+  }
+
+  def periodCagr(returns: DataFrame, period: Period, periods: Int): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    rfm.requireTemporal
+    ReturnsFrame(dateFiltered(rfm, period))
+      .aggAll(r => Exprs.cagr(r, 0.0, compound = true, periods))
+  }
+}

@@ -1,0 +1,360 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dist, Exprs, ReturnsFrame}
+import graft.core.Exprs.fdiv
+import graft.functions.GraftProduct.product
+
+/** The reference's public metric API (SURVEY.md §2.b), Spark-first.
+  *
+  * Contract: every function takes a DataFrame whose numeric columns are
+  * return series (plus at most one temporal column) and returns a 1-row
+  * DataFrame keyed by the original column names — the reference's shape
+  * contract (alphastats/stats.py:120-121). `Stats.scalar` collapses a 1-row
+  * 1-col result to Double for series-style use.
+  *
+  * Each scalar metric is a single wide aggregation (one scan, map-side
+  * partials, no row shuffle). Drawdown/streak metrics add ordered window
+  * passes. This wide API mirrors the reference's one-column-per-asset model;
+  * the scale path for many assets is [[graft.api.GroupedStats]] (long format,
+  * partitioned by asset key).
+  */
+object Stats {
+
+  def scalar(res: DataFrame): Double = {
+    val row = res.head()
+    row.get(0) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case null => Double.NaN
+    }
+  }
+
+  def scalarLong(res: DataFrame): Long = res.head().getLong(0)
+
+  // ---- core return / risk -------------------------------------------------
+
+  /** Total compounded return Π(1+r) − 1 (reference: alphastats/stats.py:29-50). */
+  def comp(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.comp)
+
+  /** CAGR; requires a temporal column (reference: alphastats/stats.py:53-89). */
+  def cagr(returns: DataFrame, rf: Double = 0.0, compound: Boolean = true,
+      periods: Int = 252): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    rfm.requireTemporal
+    rfm.aggAll(r => Exprs.cagr(r, rf, compound, periods))
+  }
+
+  def sharpe(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.sharpe(_, rf, periods, annualize))
+
+  def sortino(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.sortino(_, rf, periods, annualize))
+
+  /** Jack Schwager's Sortino / √2 (reference: alphastats/stats.py:1364-1380). */
+  def adjustedSortino(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true, smart: Boolean = false): DataFrame = {
+    val base =
+      if (smart) smartSortino(returns, rf, periods, annualize)
+      else sortino(returns, rf, periods, annualize)
+    base.select(base.columns.map(c => (col(c) / math.sqrt(2.0)).as(c)): _*)
+  }
+
+  def smartAdjustedSortino(returns: DataFrame, rf: Double = 0.0,
+      periods: Int = 252, annualize: Boolean = true): DataFrame =
+    adjustedSortino(returns, rf, periods, annualize, smart = true)
+
+  def volatility(returns: DataFrame, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.volatility(_, periods, annualize))
+
+  def valueAtRisk(returns: DataFrame, sigma: Double = 1.0,
+      confidence: Double = 0.95): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.valueAtRisk(_, sigma, confidence))
+
+  /** CVaR / expected shortfall with VaR fallback when no returns fall below
+    * VaR (reference: alphastats/stats.py:1223-1246). The per-column VaR is an
+    * aggregate needed inside a row-level predicate, so it is broadcast back
+    * over an unbounded window first, then the conditional mean is one agg.
+    */
+  def conditionalValueAtRisk(returns: DataFrame, sigma: Double = 1.0,
+      confidence: Double = 0.95): DataFrame = {
+    val conf = if (confidence > 1) confidence / 100 else confidence
+    val z = Dist.invCdf(1 - conf)
+    val rfm = ReturnsFrame(returns)
+    val whole = Window.partitionBy()
+    val withVar = rfm.df.select(rfm.numericCols.flatMap { c =>
+      val varC = (avg(col(c)).over(whole) +
+        lit(z * sigma) * stddev_samp(col(c)).over(whole)).as("__var_" + c)
+      Seq(col(c), varC)
+    }: _*)
+    withVar.select(rfm.numericCols.map { c =>
+      coalesce(avg(when(col(c) < col("__var_" + c), col(c))),
+        first(col("__var_" + c))).as(c)
+    }: _*)
+  }
+
+  // ---- trade stats --------------------------------------------------------
+
+  def winRate(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(Exprs.winRate)
+
+  def avgReturn(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(Exprs.avgReturn)
+
+  def avgWin(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(Exprs.avgWin)
+
+  def avgLoss(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(Exprs.avgLoss)
+
+  def best(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(max)
+
+  def worst(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(min)
+
+  def expectedReturn(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    aggregated(returns, aggregate, compounded).aggAll(Exprs.expectedReturn)
+
+  def payoffRatio(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.payoffRatio)
+
+  def profitFactor(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.profitFactor)
+
+  def cpcIndex(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.cpcIndex)
+
+  def commonSenseRatio(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.commonSenseRatio)
+
+  def tailRatio(returns: DataFrame, cutoff: Double = 0.95): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.tailRatio(_, cutoff))
+
+  def outlierWinRatio(returns: DataFrame, quantile: Double = 0.99): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.outlierWinRatio(_, quantile))
+
+  def outlierLossRatio(returns: DataFrame, quantile: Double = 0.01): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.outlierLossRatio(_, quantile))
+
+  def kellyCriterion(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.kellyCriterion)
+
+  def riskOfRuin(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.riskOfRuin)
+
+  def gainToPainRatio(returns: DataFrame, rf: Double = 0.0): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.gainToPain(_, rf))
+
+  /** Gain-to-pain over month-SUMMED returns (reference: alphastats/stats.py:1038-1048). */
+  def gainToPainRatio1m(returns: DataFrame, rf: Double = 0.0): DataFrame =
+    aggregated(returns, Some("month"), compounded = false)
+      .aggAll(Exprs.gainToPain(_, rf))
+
+  def exposure(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.exposure)
+
+  def omega(returns: DataFrame, threshold: Double = 0.0): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.omega(_, threshold))
+
+  def skew(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.skew)
+
+  def kurtosis(returns: DataFrame): DataFrame =
+    ReturnsFrame(returns).aggAll(Exprs.kurtosis)
+
+  /** Annual → per-period risk-free rate (reference: alphastats/stats.py:1645-1647). */
+  def riskFreeRate(rf: Double, periods: Int = 252): Double =
+    math.pow(1 + rf, 1.0 / periods) - 1
+
+  // ---- drawdowns ----------------------------------------------------------
+
+  /** Shape-preserving returns→drawdowns transform (reference: alphastats/stats.py:388-416). */
+  def toDrawdowns(returns: DataFrame): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    ddDf.select(rfm.df.columns.map { c =>
+      if (rfm.numericCols.contains(c)) col(ddName(c)).as(c) else col(c)
+    }.toSeq: _*)
+  }
+
+  def maxDrawdown(returns: DataFrame): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    ddDf.select(rfm.numericCols.map(c => min(col(ddName(c))).as(c)): _*)
+  }
+
+  /** CAGR / |maxDD|; one aggregation over the dd-augmented frame
+    * (reference: alphastats/stats.py:474-506).
+    */
+  def calmar(returns: DataFrame, periods: Int = 252): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    rfm.requireTemporal
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    ddDf.select(rfm.numericCols.map { c =>
+      fdiv(Exprs.cagr(col(c), 0.0, compound = true, periods), abs(min(col(ddName(c))))).as(c)
+    }: _*)
+  }
+
+  def ulcerIndex(returns: DataFrame): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    ddDf.select(rfm.numericCols.map(c =>
+      Exprs.ulcerIndex(col(ddName(c)), col(c)).as(c)): _*)
+  }
+
+  def recoveryFactor(returns: DataFrame, rf: Double = 0.0): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    ddDf.select(rfm.numericCols.map(c =>
+      Exprs.recoveryFactor(col(c), col(ddName(c)), rf).as(c)): _*)
+  }
+
+  /** Serenity = (Σr − rf) / (ulcer · pitfall), pitfall = −CVaR(dd)/σ(r)
+    * (reference: alphastats/stats.py:1549-1567).
+    */
+  def serenityIndex(returns: DataFrame, rf: Double = 0.0): DataFrame = {
+    val z = Dist.invCdf(0.05)
+    val rfm = ReturnsFrame(returns)
+    val (ddDf, ddName) = withDrawdownCols(rfm)
+    val whole = Window.partitionBy()
+    val withVar = ddDf.select(ddDf.columns.map(col) ++ rfm.numericCols.map { c =>
+      val dd = col(ddName(c))
+      (avg(dd).over(whole) + lit(z) * stddev_samp(dd).over(whole)).as("__ddvar_" + c)
+    }: _*)
+    withVar.select(rfm.numericCols.map { c =>
+      val dd = col(ddName(c))
+      val ddVar = col("__ddvar_" + c)
+      val ddCvar = coalesce(avg(when(dd < ddVar, dd)), first(ddVar))
+      val pitfall = fdiv(-ddCvar, stddev_samp(col(c)))
+      val ulcer = Exprs.ulcerIndex(dd, col(c))
+      fdiv(sum(col(c)) - lit(rf), ulcer * pitfall).as(c)
+    }: _*)
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  /** Appends `__dd_<c>` drawdown columns for every numeric column, ordered by
+    * the temporal column (or ingestion order when absent). All window specs
+    * share one global sort; the many-asset scale path lives in GroupedStats
+    * with key-partitioned windows (SURVEY.md §7.4 risk 6).
+    */
+  private[graft] def withDrawdownCols(rfm: ReturnsFrame): (DataFrame, String => String) = {
+    val (odf, ord) = rfm.withOrder
+    val w = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val step1 = odf.select(odf.columns.map(col) ++ rfm.numericCols.map(c =>
+      product(col(c) + lit(1.0)).over(w).as("__wealth_" + c)): _*)
+    val step2 = step1.select(step1.columns.map(col) ++ rfm.numericCols.map { c =>
+      val wl = col("__wealth_" + c)
+      when(col(c).isNull, lit(null))
+        .otherwise(least(wl / max(wl).over(w) - lit(1.0), lit(0.0)))
+        .as("__dd_" + c)
+    }: _*)
+    (step2, (c: String) => "__dd_" + c)
+  }
+
+  /** Calendar-bucket pre-aggregation (reference `_simple_returns`,
+    * alphastats/stats.py:736-774). Returns a ReturnsFrame over the bucketed
+    * per-column comp-or-sum returns; bucket keys are dropped.
+    */
+  private[graft] def aggregated(returns: DataFrame, aggregate: Option[String],
+      compounded: Boolean): ReturnsFrame =
+    ReturnsFrame(Calendar.simpleReturns(ReturnsFrame(returns), aggregate, compounded))
+
+  // Implemented in sibling files, re-exported here for one API surface:
+  def consecutiveWins(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    Streaks.consecutive(returns, winning = true, aggregate, compounded)
+
+  def consecutiveLosses(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame =
+    Streaks.consecutive(returns, winning = false, aggregate, compounded)
+
+  def autocorrPenalty(returns: DataFrame): DataFrame = Smart.autocorrPenalty(returns)
+
+  def smartSharpe(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    Smart.scaleByPenalty(sharpe(returns, rf, periods, annualize), returns)
+
+  def smartSortino(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    Smart.scaleByPenalty(sortino(returns, rf, periods, annualize), returns)
+
+  def probabilisticSharpeRatio(returns: DataFrame, rf: Double = 0.0,
+      periods: Int = 252, annualize: Boolean = false,
+      smart: Boolean = false): DataFrame =
+    Smart.psr(returns, rf, periods, annualize, smart)
+
+  def longestDrawdownDays(returns: DataFrame): DataFrame =
+    DrawdownEpisodes.longestDays(returns)
+
+  def avgDrawdownDays(returns: DataFrame): DataFrame =
+    DrawdownEpisodes.avgDays(returns)
+
+  def avgDrawdown(returns: DataFrame): DataFrame =
+    DrawdownEpisodes.avgDepth(returns)
+
+  def greeks(returns: DataFrame, benchmark: DataFrame, periods: Int = 252): DataFrame =
+    Benchmarked.greeks(returns, benchmark, periods)
+
+  def informationRatio(returns: DataFrame, benchmark: DataFrame,
+      periods: Int = 252, annualize: Boolean = false): DataFrame =
+    Benchmarked.informationRatio(returns, benchmark, periods, annualize)
+
+  def correlation(returns: DataFrame, benchmark: DataFrame): DataFrame =
+    Benchmarked.correlation(returns, benchmark)
+
+  def rSquared(returns: DataFrame, benchmark: DataFrame): DataFrame =
+    Benchmarked.rSquared(returns, benchmark)
+
+  def treynorRatio(returns: DataFrame, benchmark: DataFrame, rf: Double = 0.0): DataFrame =
+    Benchmarked.treynorRatio(returns, benchmark, rf)
+
+  // ---- trailing / fixed-period wrappers (reference: alphastats/stats.py:1650-1817) ----
+
+  def mtd(returns: DataFrame): DataFrame = Calendar.periodComp(returns, Calendar.Mtd)
+  def ytd(returns: DataFrame): DataFrame = Calendar.periodComp(returns, Calendar.Ytd)
+  def threeMonth(returns: DataFrame): DataFrame = Calendar.periodComp(returns, Calendar.Months(3))
+  def sixMonth(returns: DataFrame): DataFrame = Calendar.periodComp(returns, Calendar.Months(6))
+  def oneYear(returns: DataFrame): DataFrame = Calendar.periodComp(returns, Calendar.Years(1))
+  def threeYear(returns: DataFrame, periods: Int = 252): DataFrame =
+    Calendar.periodCagr(returns, Calendar.Years(3), periods)
+  def fiveYear(returns: DataFrame, periods: Int = 252): DataFrame =
+    Calendar.periodCagr(returns, Calendar.Years(5), periods)
+  def tenYear(returns: DataFrame, periods: Int = 252): DataFrame =
+    Calendar.periodCagr(returns, Calendar.Years(10), periods)
+  def allTime(returns: DataFrame, periods: Int = 252): DataFrame =
+    Calendar.periodCagr(returns, Calendar.All, periods)
+
+  def expectedDaily(returns: DataFrame): DataFrame = expectedReturn(returns, Some("day"))
+  def expectedMonthly(returns: DataFrame): DataFrame = expectedReturn(returns, Some("month"))
+  def expectedYearly(returns: DataFrame): DataFrame = expectedReturn(returns, Some("year"))
+  def bestDay(returns: DataFrame): DataFrame = best(returns, Some("day"))
+  def worstDay(returns: DataFrame): DataFrame = worst(returns, Some("day"))
+  def bestMonth(returns: DataFrame): DataFrame = best(returns, Some("month"))
+  def worstMonth(returns: DataFrame): DataFrame = worst(returns, Some("month"))
+  def bestYear(returns: DataFrame): DataFrame = best(returns, Some("year"))
+  def worstYear(returns: DataFrame): DataFrame = worst(returns, Some("year"))
+  def avgUpMonth(returns: DataFrame): DataFrame = avgWin(returns, Some("month"))
+  def avgDownMonth(returns: DataFrame): DataFrame = avgLoss(returns, Some("month"))
+  def winDays(returns: DataFrame): DataFrame = winRate(returns, Some("day"))
+  def winMonth(returns: DataFrame): DataFrame = winRate(returns, Some("month"))
+  def winQuarter(returns: DataFrame): DataFrame = winRate(returns, Some("quarter"))
+  def winYear(returns: DataFrame): DataFrame = winRate(returns, Some("year"))
+}
