@@ -1,0 +1,162 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exprs
+import graft.core.Exprs.fdiv
+import graft.functions.GraftProduct.product
+
+/** Long-format (asset-keyed) series frame: `keys` identify a series, `ts`
+  * orders it, `value` is the per-period return/measure.
+  *
+  * This is the 100-TB shape of the engine (SURVEY.md §7.1 design rules):
+  * metrics become `groupBy(keys)` aggregations and windows partition by
+  * `keys`, so work distributes across executors instead of the reference's
+  * one-column-per-asset wide frames. The wide [[graft.stats.Stats]] API is
+  * the reference-parity edge; this is the scale core.
+  */
+final case class SeriesFrame(df: DataFrame, keys: Seq[String], ts: String, value: String) {
+  def keyCols: Seq[Column] = keys.map(col)
+  def r: Column = col(value)
+
+  /** Running (unbounded-preceding) window per series. */
+  def runWindow: WindowSpec =
+    Window.partitionBy(keyCols: _*).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Whole-series window (for broadcasting a per-key aggregate to rows). */
+  def wholeWindow: WindowSpec = Window.partitionBy(keyCols: _*)
+}
+
+/** Per-key metric computation over a [[SeriesFrame]]. One `aggregate` call =
+  * one shuffle on the keys; window passes reuse the same hash partitioning,
+  * so multi-stage metrics (drawdowns, CVaR, episodes) stay at a single
+  * exchange under AQE.
+  */
+object GroupedStats {
+
+  /** One row per key with the given named metric expressions. */
+  def aggregate(sf: SeriesFrame, metrics: Seq[(String, Column => Column)]): DataFrame = {
+    val exprs = metrics.map { case (n, f) => f(sf.r).as(n) }
+    sf.df.groupBy(sf.keyCols: _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Appends `__wealth` and `__dd` (clipped drawdown) per series. */
+  def withDrawdown(sf: SeriesFrame): SeriesFrame = {
+    val w = sf.runWindow
+    val step1 = sf.df.withColumn("__wealth", product(sf.r + lit(1.0)).over(w))
+    val step2 = step1.withColumn("__dd",
+      when(sf.r.isNull, lit(null))
+        .otherwise(least(fdiv(col("__wealth"), max("__wealth").over(w)) - lit(1.0), lit(0.0))))
+    sf.copy(df = step2)
+  }
+
+  /** max_drawdown / ulcer_index / recovery_factor (+ any extra metric
+    * expressions over the raw returns) in ONE aggregation over the
+    * dd-augmented frame.
+    */
+  def drawdownStats(sf: SeriesFrame, extra: Seq[(String, Column => Column)] = Nil): DataFrame = {
+    val dd = withDrawdown(sf)
+    val ddCol = col("__dd")
+    val exprs = Seq(
+      min(ddCol).as("max_drawdown"),
+      sqrt(sum(ddCol * ddCol) / (count(dd.r) - lit(1))).as("ulcer_index"),
+      fdiv(abs(sum(dd.r)), abs(min(ddCol))).as("recovery_factor")
+    ) ++ extra.map { case (n, f) => f(dd.r).as(n) }
+    dd.df.groupBy(sf.keyCols: _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Parametric VaR + conditional VaR per key. The per-key VaR is broadcast
+    * to rows via a whole-partition window (same shuffle key as the final
+    * groupBy → one exchange), then CVaR is a conditional mean with VaR
+    * fallback (reference: alphastats/stats.py:1223-1246).
+    */
+  def varCvar(sf: SeriesFrame, sigma: Double = 1.0, confidence: Double = 0.95): DataFrame = {
+    val conf = if (confidence > 1) confidence / 100 else confidence
+    val z = graft.core.Dist.invCdf(1 - conf)
+    val whole = sf.wholeWindow
+    val withVar = sf.df.withColumn("__var",
+      avg(sf.r).over(whole) + lit(z * sigma) * stddev_samp(sf.r).over(whole))
+    withVar.groupBy(sf.keyCols: _*).agg(
+      first(col("__var")).as("value_at_risk"),
+      coalesce(avg(when(sf.r < col("__var"), sf.r)), first(col("__var"))).as("cvar"))
+  }
+
+  /** Longest win and loss streaks per key via gaps-and-islands — fully
+    * distributed replacement for the reference's driver loop
+    * (alphastats/stats.py:1249-1289).
+    */
+  def streaks(sf: SeriesFrame): DataFrame = {
+    val sgn = when(sf.r.isNull, lit(2))
+      .when(sf.r > 0, lit(1)).when(sf.r < 0, lit(-1)).otherwise(lit(0))
+    val w = Window.partitionBy(sf.keyCols: _*).orderBy(col(sf.ts))
+    val ws = Window.partitionBy(sf.keyCols :+ col("__sgn"): _*).orderBy(col(sf.ts))
+    val islands = sf.df.withColumn("__sgn", sgn)
+      .withColumn("__island", row_number().over(w) - row_number().over(ws))
+    val runs = islands.filter(col("__sgn") === 1 || col("__sgn") === -1)
+      .groupBy(sf.keyCols :+ col("__sgn") :+ col("__island"): _*)
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(sf.keyCols: _*).agg(
+      coalesce(max(when(col("__sgn") === 1, col("__len"))), lit(0L)).as("consecutive_wins"),
+      coalesce(max(when(col("__sgn") === -1, col("__len"))), lit(0L)).as("consecutive_losses"))
+  }
+
+  /** Drawdown-episode metrics per key (longest/avg duration in calendar days
+    * for date-typed ts, plus mean episode depth) via gaps-and-islands
+    * (reference: alphastats/stats.py:1570-1642).
+    */
+  def drawdownEpisodes(sf: SeriesFrame): DataFrame = {
+    val dd = withDrawdown(sf)
+    val inDd = col("__dd").isNotNull && col("__dd") < 0
+    val w = Window.partitionBy(sf.keyCols: _*).orderBy(col(sf.ts))
+    val wf = Window.partitionBy(sf.keyCols :+ col("__in"): _*).orderBy(col(sf.ts))
+    val islands = dd.df.withColumn("__in", inDd)
+      .withColumn("__island", row_number().over(w) - row_number().over(wf))
+      .filter(col("__in"))
+    val eps = islands.groupBy(sf.keyCols :+ col("__island"): _*).agg(
+      (datediff(max(col(sf.ts)), min(col(sf.ts))) + 1).cast("long").as("__len"),
+      min(col("__dd")).as("__depth"))
+    eps.groupBy(sf.keyCols: _*).agg(
+      coalesce(max(col("__len")), lit(0L)).as("longest_dd_days"),
+      coalesce(avg(col("__len")), lit(0.0)).as("avg_dd_days"),
+      coalesce(avg(col("__depth")), lit(0.0)).as("avg_drawdown"))
+  }
+
+  /** Benchmark-relative metrics per key against a (date, benchmark-return)
+    * frame, joined by equality on ts. The benchmark is tiny relative to the
+    * series data → broadcast join, no shuffle of the big side.
+    */
+  def benchmarked(sf: SeriesFrame, bench: DataFrame, benchTs: String, benchVal: String,
+      periods: Int = 252): DataFrame = {
+    val b = broadcast(bench.select(col(benchTs).as(sf.ts), col(benchVal).as("__b")))
+    val j = sf.df.join(b, sf.ts)
+    val beta = fdiv(covar_samp(sf.r, col("__b")), var_samp(col("__b")))
+    val corrC = corr(sf.r, col("__b"))
+    val active = sf.r - col("__b")
+    j.groupBy(sf.keyCols: _*).agg(
+      ((avg(sf.r) - beta * avg(col("__b"))) * periods).as("alpha"),
+      beta.as("beta"),
+      corrC.as("correlation"),
+      (corrC * corrC).as("r_squared"),
+      fdiv(Exprs.comp(sf.r), beta).as("treynor_ratio"),
+      fdiv(avg(active), stddev_samp(active)).as("information_ratio"))
+  }
+
+  /** Calendar re-bucketing in long format: one row per (keys, bucket) with
+    * comp-or-sum of the value — the scalable `_simple_returns`.
+    */
+  def calendarReturns(sf: SeriesFrame, bucket: Seq[Column => Column],
+      compounded: Boolean = true): SeriesFrame = {
+    val bucketCols = bucket.zipWithIndex.map { case (f, i) => f(col(sf.ts)).as(s"__b$i") }
+    val bucketNames = bucket.indices.map(i => s"__b$i")
+    val aggExpr = (if (compounded) Exprs.comp(sf.r) else sum(sf.r)).as(sf.value)
+    val grouped = sf.df.select(sf.keyCols ++ bucketCols :+ sf.r: _*)
+      .groupBy((sf.keys ++ bucketNames).map(col): _*)
+      .agg(aggExpr)
+      .withColumn("__bucket_ord",
+        concat_ws("-", bucketNames.map(n => lpad(col(n).cast("string"), 6, "0")): _*))
+    SeriesFrame(grouped, sf.keys, "__bucket_ord", sf.value)
+  }
+}

@@ -1,0 +1,438 @@
+package graft.queries
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.api.{GroupedStats, SeriesFrame}
+import graft.core.{AsOfJoin, Dist, Exprs}
+import graft.core.Exprs.fdiv
+import graft.functions.GraftProduct.product
+
+/** The driver-facing query suite: every entry is a library-API Spark query
+  * over `/root/testdata` parquet plus an equivalent ANSI SQL oracle for
+  * DuckDB.
+  *
+  * Returns derivation (shared): daily revenue per `l_returnflag` asset,
+  * cents-rounded so both engines see bit-identical revenue, then day-over-day
+  * fractional return via a lag window (FIXTURES.md §B). Final metrics are
+  * rounded to 6 decimals on BOTH sides to bridge last-ulp aggregation-order
+  * differences between Spark partial aggregation and DuckDB sequential
+  * execution.
+  */
+object Queries {
+
+  private val Z05: String = Dist.invCdf(0.05).toString // -1.6448536269514726...
+  private val S252: String = math.sqrt(252.0).toString
+
+  // ---- shared derivations (Spark) ----------------------------------------
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  /** (d, asset, r): per-returnflag daily returns. Filter + projection reach
+    * the parquet scan; the lag window partitions by asset.
+    */
+  def assetReturns(spark: SparkSession, sfDir: String): SeriesFrame = {
+    val rev = lineitem(spark, sfDir)
+      .groupBy(to_date(col("l_shipdate")).as("d"), col("l_returnflag").as("asset"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
+    val w = Window.partitionBy(col("asset")).orderBy(col("d"))
+    val ret = rev
+      .select(col("d"), col("asset"), (col("rev") / lag("rev", 1).over(w) - lit(1.0)).as("r"))
+      .filter(col("r").isNotNull)
+    SeriesFrame(ret, Seq("asset"), "d", "r")
+  }
+
+  /** (d, b): whole-market daily returns (benchmark). */
+  def marketReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = lineitem(spark, sfDir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
+    rev.select(col("d"), (col("rev") / lag("rev", 1).over(Window.orderBy(col("d"))) - lit(1.0)).as("b"))
+      .filter(col("b").isNotNull)
+  }
+
+  // ---- shared derivations (DuckDB SQL) ------------------------------------
+
+  private val RetCte =
+    """WITH rev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT d, asset, r FROM (
+      |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
+      |    FROM rev) WHERE r IS NOT NULL)""".stripMargin
+
+  private val BenchCte =
+    """brev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |bret AS (
+      |  SELECT d, b FROM (
+      |    SELECT d, rev / LAG(rev) OVER (ORDER BY d) - 1 AS b FROM brev)
+      |  WHERE b IS NOT NULL)""".stripMargin
+
+  /** Round a metric column to 6 decimals (cross-engine float bridging). */
+  private def r6(c: Column): Column = round(c, 6)
+
+  private def finish(df: DataFrame, metrics: Seq[String]): DataFrame =
+    df.select(col("asset") +: metrics.map(m => r6(col(m)).as(m)): _*).orderBy("asset")
+
+  // ---- queries ------------------------------------------------------------
+
+  def q01Comp(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.aggregate(sf, Seq("comp" -> Exprs.comp)), Seq("comp"))
+  }
+
+  val q01Sql: String =
+    s"""$RetCte
+       |SELECT asset, ROUND(PRODUCT(1 + r) - 1, 6) AS comp
+       |FROM ret GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q02Ratios(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.aggregate(sf, Seq(
+      "sharpe" -> (r => Exprs.sharpe(r, 0.0, 252, annualize = true)),
+      "sortino" -> (r => Exprs.sortino(r, 0.0, 252, annualize = true)),
+      "volatility" -> (r => Exprs.volatility(r, 252, annualize = true)))),
+      Seq("sharpe", "sortino", "volatility"))
+  }
+
+  val q02Sql: String =
+    s"""$RetCte
+       |SELECT asset,
+       |  ROUND(AVG(r) / STDDEV_SAMP(r) * $S252, 6) AS sharpe,
+       |  ROUND(AVG(r) / SQRT(AVG(POWER(CASE WHEN r < 0 THEN r ELSE 0 END, 2))) * $S252, 6) AS sortino,
+       |  ROUND(STDDEV_SAMP(r) * $S252, 6) AS volatility
+       |FROM ret GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q03TradeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.aggregate(sf, Seq(
+      "win_rate" -> Exprs.winRate,
+      "avg_return" -> Exprs.avgReturn,
+      "avg_win" -> Exprs.avgWin,
+      "avg_loss" -> Exprs.avgLoss,
+      "payoff_ratio" -> Exprs.payoffRatio,
+      "profit_factor" -> Exprs.profitFactor,
+      "gain_to_pain" -> (r => Exprs.gainToPain(r, 0.0)))),
+      Seq("win_rate", "avg_return", "avg_win", "avg_loss", "payoff_ratio",
+        "profit_factor", "gain_to_pain"))
+  }
+
+  val q03Sql: String =
+    s"""$RetCte
+       |SELECT asset,
+       |  ROUND(CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END), 6) AS win_rate,
+       |  ROUND(AVG(CASE WHEN r <> 0 THEN r END), 6) AS avg_return,
+       |  ROUND(AVG(CASE WHEN r > 0 THEN r END), 6) AS avg_win,
+       |  ROUND(AVG(CASE WHEN r < 0 THEN r END), 6) AS avg_loss,
+       |  ROUND(AVG(CASE WHEN r > 0 THEN r END) / ABS(AVG(CASE WHEN r < 0 THEN r END)), 6) AS payoff_ratio,
+       |  ROUND(SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)), 6) AS profit_factor,
+       |  ROUND(SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)), 6) AS gain_to_pain
+       |FROM ret GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q04VarCvar(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.varCvar(sf), Seq("value_at_risk", "cvar"))
+  }
+
+  val q04Sql: String =
+    s"""$RetCte,
+       |v AS (
+       |  SELECT asset, r,
+       |         AVG(r) OVER (PARTITION BY asset)
+       |           + ($Z05) * STDDEV_SAMP(r) OVER (PARTITION BY asset) AS var
+       |  FROM ret)
+       |SELECT asset,
+       |  ROUND(ANY_VALUE(var), 6) AS value_at_risk,
+       |  ROUND(COALESCE(AVG(CASE WHEN r < var THEN r END), ANY_VALUE(var)), 6) AS cvar
+       |FROM v GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q05Distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.aggregate(sf, Seq(
+      "skew" -> Exprs.skew,
+      "kurtosis" -> Exprs.kurtosis,
+      "tail_ratio" -> (r => Exprs.tailRatio(r, 0.95)),
+      "outlier_win_ratio" -> (r => Exprs.outlierWinRatio(r, 0.99)),
+      "outlier_loss_ratio" -> (r => Exprs.outlierLossRatio(r, 0.01)),
+      "common_sense_ratio" -> Exprs.commonSenseRatio)),
+      Seq("skew", "kurtosis", "tail_ratio", "outlier_win_ratio",
+        "outlier_loss_ratio", "common_sense_ratio"))
+  }
+
+  val q05Sql: String =
+    s"""$RetCte,
+       |mom AS (
+       |  SELECT asset, CAST(COUNT(r) AS DOUBLE) AS n, AVG(r) AS m,
+       |         AVG(r * r) AS p2, AVG(r * r * r) AS p3, AVG(r * r * r * r) AS p4,
+       |         quantile_cont(r, 0.95) AS q95, quantile_cont(r, 0.05) AS q05,
+       |         quantile_cont(r, 0.99) AS q99, quantile_cont(r, 0.01) AS q01,
+       |         AVG(CASE WHEN r >= 0 THEN r END) AS pos_mean,
+       |         AVG(CASE WHEN r < 0 THEN r END) AS neg_mean,
+       |         SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) AS gains,
+       |         ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) AS losses
+       |  FROM ret GROUP BY asset)
+       |SELECT asset,
+       |  ROUND(SQRT(n * (n - 1)) / (n - 2) * ((p3 - 3 * m * p2 + 2 * m * m * m) / POWER(p2 - m * m, 1.5)), 6) AS skew,
+       |  ROUND((n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * ((p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m) / ((p2 - m * m) * (p2 - m * m)) - 3) + 6), 6) AS kurtosis,
+       |  ROUND(ABS(q95) / ABS(q05), 6) AS tail_ratio,
+       |  ROUND(q99 / pos_mean, 6) AS outlier_win_ratio,
+       |  ROUND(q01 / neg_mean, 6) AS outlier_loss_ratio,
+       |  ROUND(gains / losses * (ABS(q95) / ABS(q05)), 6) AS common_sense_ratio
+       |FROM mom ORDER BY asset""".stripMargin
+
+  def q06Kelly(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    finish(GroupedStats.aggregate(sf, Seq(
+      "kelly_criterion" -> Exprs.kellyCriterion,
+      "risk_of_ruin" -> Exprs.riskOfRuin,
+      "cpc_index" -> Exprs.cpcIndex,
+      "exposure" -> Exprs.exposure,
+      "omega" -> (r => Exprs.omega(r, 0.0)))),
+      Seq("kelly_criterion", "risk_of_ruin", "cpc_index", "exposure", "omega"))
+  }
+
+  val q06Sql: String =
+    s"""$RetCte,
+       |t AS (
+       |  SELECT asset,
+       |         AVG(CASE WHEN r > 0 THEN r END) AS aw,
+       |         ABS(AVG(CASE WHEN r < 0 THEN r END)) AS al,
+       |         CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS wins,
+       |         CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS losses,
+       |         CAST(SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nonzero,
+       |         CAST(COUNT(r) AS DOUBLE) AS n,
+       |         SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) AS gains,
+       |         ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) AS lsum,
+       |         SUM(GREATEST(r, 0)) AS og, SUM(GREATEST(-r, 0)) AS ol
+       |  FROM ret GROUP BY asset)
+       |SELECT asset,
+       |  ROUND(((aw / al) * (wins / nonzero) - (1 - wins / nonzero)) / (aw / al), 6) AS kelly_criterion,
+       |  ROUND(POWER((1 - wins / nonzero) / (1 + wins / nonzero), n), 6) AS risk_of_ruin,
+       |  ROUND((gains / lsum) * ((gains / wins) / (lsum / losses)) * (wins / nonzero), 6) AS cpc_index,
+       |  ROUND(nonzero / n, 6) AS exposure,
+       |  ROUND(og / ol, 6) AS omega
+       |FROM t ORDER BY asset""".stripMargin
+
+  def q07Drawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val dd = GroupedStats.withDrawdown(sf)
+    val ddc = col("__dd")
+    val cagrE = Exprs.cagr(dd.r, 0.0, compound = true, 252)
+    val out = dd.df.groupBy(col("asset")).agg(
+      cagrE.as("cagr"),
+      fdiv(cagrE, abs(min(ddc))).as("calmar"),
+      min(ddc).as("max_drawdown"),
+      sqrt(sum(ddc * ddc) / (count(dd.r) - lit(1))).as("ulcer_index"),
+      fdiv(abs(sum(dd.r)), abs(min(ddc))).as("recovery_factor"))
+    finish(out, Seq("cagr", "calmar", "max_drawdown", "ulcer_index", "recovery_factor"))
+  }
+
+  private val DdCte =
+    s"""wl AS (
+       |  SELECT asset, d, r,
+       |         PRODUCT(1 + r) OVER (PARTITION BY asset ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wealth
+       |  FROM ret),
+       |dd AS (
+       |  SELECT asset, d, r,
+       |         LEAST(wealth / MAX(wealth) OVER (PARTITION BY asset ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 0) AS ddv
+       |  FROM wl)""".stripMargin
+
+  val q07Sql: String =
+    s"""$RetCte,
+       |$DdCte
+       |SELECT asset,
+       |  ROUND(POWER(PRODUCT(1 + r), 252.0 / COUNT(r)) - 1, 6) AS cagr,
+       |  ROUND((POWER(PRODUCT(1 + r), 252.0 / COUNT(r)) - 1) / ABS(MIN(ddv)), 6) AS calmar,
+       |  ROUND(MIN(ddv), 6) AS max_drawdown,
+       |  ROUND(SQRT(SUM(ddv * ddv) / (COUNT(r) - 1)), 6) AS ulcer_index,
+       |  ROUND(ABS(SUM(r)) / ABS(MIN(ddv)), 6) AS recovery_factor
+       |FROM dd GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q08Episodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val out = GroupedStats.drawdownEpisodes(sf)
+    out.select(col("asset"), col("longest_dd_days"),
+      r6(col("avg_dd_days")).as("avg_dd_days"),
+      r6(col("avg_drawdown")).as("avg_drawdown")).orderBy("asset")
+  }
+
+  val q08Sql: String =
+    s"""$RetCte,
+       |$DdCte,
+       |fl AS (
+       |  SELECT asset, d, ddv, (ddv < 0) AS ind,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY d)
+       |           - ROW_NUMBER() OVER (PARTITION BY asset, (ddv < 0) ORDER BY d) AS island
+       |  FROM dd),
+       |ep AS (
+       |  SELECT asset, island,
+       |         CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT) AS len,
+       |         MIN(ddv) AS depth
+       |  FROM fl WHERE ind GROUP BY asset, island)
+       |SELECT asset,
+       |  CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_dd_days,
+       |  ROUND(COALESCE(AVG(len), 0), 6) AS avg_dd_days,
+       |  ROUND(COALESCE(AVG(depth), 0), 6) AS avg_drawdown
+       |FROM ep GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q09Streaks(spark: SparkSession, sfDir: String): DataFrame =
+    GroupedStats.streaks(assetReturns(spark, sfDir)).orderBy("asset")
+
+  val q09Sql: String =
+    s"""$RetCte,
+       |s AS (
+       |  SELECT asset, d,
+       |         CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END AS sgn
+       |  FROM ret),
+       |i AS (
+       |  SELECT asset, sgn,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY d)
+       |           - ROW_NUMBER() OVER (PARTITION BY asset, sgn ORDER BY d) AS island
+       |  FROM s),
+       |runs AS (SELECT asset, sgn, island, COUNT(*) AS len FROM i GROUP BY 1, 2, 3)
+       |SELECT asset,
+       |  CAST(COALESCE(MAX(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT) AS consecutive_wins,
+       |  CAST(COALESCE(MAX(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT) AS consecutive_losses
+       |FROM runs GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q10Monthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val monthly = GroupedStats.calendarReturns(sf,
+      Seq(t => year(t), t => month(t)), compounded = true)
+    finish(GroupedStats.aggregate(monthly, Seq(
+      "best_month" -> (r => max(r)),
+      "worst_month" -> (r => min(r)),
+      "win_month" -> Exprs.winRate,
+      "expected_monthly" -> Exprs.expectedReturn)),
+      Seq("best_month", "worst_month", "win_month", "expected_monthly"))
+  }
+
+  val q10Sql: String =
+    s"""$RetCte,
+       |mret AS (
+       |  SELECT asset, YEAR(d) AS y, MONTH(d) AS mo, PRODUCT(1 + r) - 1 AS mr
+       |  FROM ret GROUP BY asset, YEAR(d), MONTH(d))
+       |SELECT asset,
+       |  ROUND(MAX(mr), 6) AS best_month,
+       |  ROUND(MIN(mr), 6) AS worst_month,
+       |  ROUND(CAST(SUM(CASE WHEN mr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / SUM(CASE WHEN mr <> 0 THEN 1 ELSE 0 END), 6) AS win_month,
+       |  ROUND(POWER(PRODUCT(1 + mr), 1.0 / COUNT(mr)) - 1, 6) AS expected_monthly
+       |FROM mret GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q11Trailing(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val maxD = sf.df.agg(max(col("d"))).head().getDate(0).toLocalDate
+    val t = col("d")
+    def condProd(cond: Column): Column =
+      product(when(cond, sf.r + lit(1.0)).otherwise(lit(1.0)))
+    def condCagr(cond: Column): Column =
+      pow(condProd(cond), lit(252.0) / sum(when(cond, 1).otherwise(0))) - lit(1.0)
+    val out = sf.df.groupBy(col("asset")).agg(
+      (condProd(year(t) === maxD.getYear) - 1).as("ytd"),
+      (condProd(year(t) === maxD.getYear && month(t) === maxD.getMonthValue) - 1).as("mtd"),
+      (condProd(t >= lit(Date.valueOf(maxD.minusYears(1)))) - 1).as("one_year"),
+      condCagr(t >= lit(Date.valueOf(maxD.minusYears(3)))).as("three_year"),
+      (pow(product(sf.r + lit(1.0)), lit(252.0) / count(sf.r)) - lit(1.0)).as("all_time"))
+    finish(out, Seq("ytd", "mtd", "one_year", "three_year", "all_time"))
+  }
+
+  val q11Sql: String =
+    s"""$RetCte,
+       |mx AS (SELECT MAX(d) AS md FROM ret)
+       |SELECT asset,
+       |  ROUND(PRODUCT(CASE WHEN YEAR(d) = YEAR(md) THEN 1 + r ELSE 1 END) - 1, 6) AS ytd,
+       |  ROUND(PRODUCT(CASE WHEN YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md) THEN 1 + r ELSE 1 END) - 1, 6) AS mtd,
+       |  ROUND(PRODUCT(CASE WHEN d >= md - INTERVAL 1 YEAR THEN 1 + r ELSE 1 END) - 1, 6) AS one_year,
+       |  ROUND(POWER(PRODUCT(CASE WHEN d >= md - INTERVAL 3 YEAR THEN 1 + r ELSE 1 END),
+       |        252.0 / SUM(CASE WHEN d >= md - INTERVAL 3 YEAR THEN 1 ELSE 0 END)) - 1, 6) AS three_year,
+       |  ROUND(POWER(PRODUCT(1 + r), 252.0 / COUNT(r)) - 1, 6) AS all_time
+       |FROM ret, mx GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q12Benchmark(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val out = GroupedStats.benchmarked(sf, marketReturns(spark, sfDir), "d", "b", 252)
+    finish(out, Seq("alpha", "beta", "correlation", "r_squared",
+      "treynor_ratio", "information_ratio"))
+  }
+
+  val q12Sql: String =
+    s"""$RetCte,
+       |$BenchCte,
+       |j AS (SELECT ret.asset, ret.r, bret.b FROM ret JOIN bret USING (d))
+       |SELECT asset,
+       |  ROUND((AVG(r) - (COVAR_SAMP(r, b) / VAR_SAMP(b)) * AVG(b)) * 252, 6) AS alpha,
+       |  ROUND(COVAR_SAMP(r, b) / VAR_SAMP(b), 6) AS beta,
+       |  ROUND(CORR(r, b), 6) AS correlation,
+       |  ROUND(CORR(r, b) * CORR(r, b), 6) AS r_squared,
+       |  ROUND((PRODUCT(1 + r) - 1) / (COVAR_SAMP(r, b) / VAR_SAMP(b)), 6) AS treynor_ratio,
+       |  ROUND(AVG(r - b) / STDDEV_SAMP(r - b), 6) AS information_ratio
+       |FROM j GROUP BY asset ORDER BY asset""".stripMargin
+
+  def q13AsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val weekly = marketReturns(spark, sfDir).filter(dayofweek(col("d")) === 2)
+    val j = AsOfJoin.backward(sf.df, weekly, "d", "d", Seq("b"))
+    j.groupBy(col("asset")).agg(
+      r6(corr(col("r"), col("b"))).as("asof_corr"),
+      r6(avg(col("r") - col("b"))).as("avg_spread"),
+      sum(when(col("b").isNull, 1L).otherwise(0L)).as("unmatched"))
+      .orderBy("asset")
+  }
+
+  val q13Sql: String =
+    s"""$RetCte,
+       |$BenchCte,
+       |bw AS (SELECT d, b FROM bret WHERE isodow(d) = 1),
+       |ja AS (SELECT ret.asset, ret.d, ret.r, bw.b
+       |       FROM ret ASOF LEFT JOIN bw ON ret.d >= bw.d)
+       |SELECT asset,
+       |  ROUND(CORR(r, b), 6) AS asof_corr,
+       |  ROUND(AVG(r - b), 6) AS avg_spread,
+       |  CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
+       |FROM ja GROUP BY asset ORDER BY asset""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_comp" -> (q01Comp _),
+    "q02_ratios" -> (q02Ratios _),
+    "q03_trade_stats" -> (q03TradeStats _),
+    "q04_var_cvar" -> (q04VarCvar _),
+    "q05_distribution" -> (q05Distribution _),
+    "q06_kelly" -> (q06Kelly _),
+    "q07_drawdown" -> (q07Drawdown _),
+    "q08_episodes" -> (q08Episodes _),
+    "q09_streaks" -> (q09Streaks _),
+    "q10_monthly" -> (q10Monthly _),
+    "q11_trailing" -> (q11Trailing _),
+    "q12_benchmark" -> (q12Benchmark _),
+    "q13_asof" -> (q13AsOf _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_comp" -> q01Sql,
+    "q02_ratios" -> q02Sql,
+    "q03_trade_stats" -> q03Sql,
+    "q04_var_cvar" -> q04Sql,
+    "q05_distribution" -> q05Sql,
+    "q06_kelly" -> q06Sql,
+    "q07_drawdown" -> q07Sql,
+    "q08_episodes" -> q08Sql,
+    "q09_streaks" -> q09Sql,
+    "q10_monthly" -> q10Sql,
+    "q11_trailing" -> q11Sql,
+    "q12_benchmark" -> q12Sql,
+    "q13_asof" -> q13Sql)
+}

@@ -263,7 +263,7 @@ object Stats {
     val step2 = step1.select(step1.columns.map(col) ++ rfm.numericCols.map { c =>
       val wl = col("__wealth_" + c)
       when(col(c).isNull, lit(null))
-        .otherwise(least(wl / max(wl).over(w) - lit(1.0), lit(0.0)))
+        .otherwise(least(fdiv(wl, max(wl).over(w)) - lit(1.0), lit(0.0)))
         .as("__dd_" + c)
     }: _*)
     (step2, (c: String) => "__dd_" + c)
