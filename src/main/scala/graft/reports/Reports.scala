@@ -1,0 +1,480 @@
+package graft.reports
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.api.{GroupedStats, SeriesFrame}
+import graft.core.{Dist, Exprs, ReturnsFrame}
+import graft.core.Exprs.fdiv
+import graft.functions.GraftProduct.product
+import graft.stats.Smart
+
+/** QuantStats-style metrics table (reference: alphastats/reports.py:22-290).
+  *
+  * Semantics preserved from the reference:
+  *  - strategy columns renamed to titles; benchmark inner/left-joined on the
+  *    temporal column (reports.py:357-371);
+  *  - NaN→null then **null→0** on every metric series (reports.py:376-378) —
+  *    report metrics see zero-filled series, unlike bare Stats calls;
+  *  - duration/streak rows are computed on bare series (no time axis), so
+  *    episode lengths are ROW COUNTS in the report (reports.py:397-414);
+  *  - percent rows ×100; cells rounded to 2, NaN/±Inf → "-", benchmark-only
+  *    cells "-" (reports.py:411, 539-553);
+  *  - exact row orders: basic 36 / full 69 (tests/test_quantstats_parity.py:57-167).
+  *
+  * Execution is restructured Spark-first (SURVEY.md §3 note): instead of the
+  * reference's ~40 sequential one-metric queries per column, metrics are
+  * batched into a handful of wide aggregation passes over a cached frame —
+  * one scan each for: scalar aggregates + trailing windows, drawdown stats,
+  * per-bucket calendar families, benchmark stats; plus per-column episode
+  * and streak passes. Same values, ~6 jobs instead of ~40×N.
+  */
+object Reports {
+
+  def metrics(
+      returns: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      rf: Double = 0.0,
+      mode: String = "basic",
+      sep: Boolean = false,
+      compounded: Boolean = true,
+      periodsPerYear: Int = 252,
+      matchDates: Boolean = true,
+      strategyTitle: Option[Seq[String]] = None,
+      benchmarkTitle: String = "Benchmark",
+      asPct: Boolean = true): DataFrame = {
+
+    val spark = returns.sparkSession
+    val pct: Double = if (asPct) 100.0 else 1.0
+    val full = mode.toLowerCase == "full"
+
+    // ---- prepare frame (reports.py:311-379) ----
+    val rfm = ReturnsFrame(returns)
+    val temporal = rfm.temporalCol
+    val strategyNames = rfm.numericCols
+    require(strategyNames.nonEmpty, "`returns` must contain at least one numeric return column")
+    val strategyOut: Seq[String] = strategyTitle match {
+      case Some(ts) =>
+        require(ts.length == strategyNames.length,
+          "`strategyTitle` must match the number of strategy return columns")
+        ts
+      case None => if (strategyNames.length == 1) Seq("Strategy") else strategyNames
+    }
+    var frame = rfm.df.select(
+      temporal.map(col).toSeq ++
+        strategyNames.zip(strategyOut).map { case (n, o) => col(n).as(o) }: _*)
+
+    var outputNames = strategyOut
+    var benchName: Option[String] = None
+    benchmark.foreach { b =>
+      val bm = ReturnsFrame.prepareBenchmark(b)
+      benchName = Some(benchmarkTitle)
+      val bdf = bm.df.select(
+        bm.temporalCol.map(col).toSeq :+ col(ReturnsFrame.BenchmarkCol).as(benchmarkTitle): _*)
+      frame = (temporal, bm.temporalCol) match {
+        case (Some(lt), Some(rt)) =>
+          val how = if (matchDates) "inner" else "left"
+          frame.join(bdf.withColumnRenamed(rt, lt), Seq(lt), how)
+        case _ => graft.core.AsOfJoin.positional(frame, bdf.select(col(benchmarkTitle)))
+      }
+      outputNames = benchmarkTitle +: strategyOut
+    }
+    frame = frame.cache()
+
+    val ord: Column = temporal.map(col).getOrElse(monotonically_increasing_id())
+    val names = outputNames
+
+    // ---- P0: start/end dates per column + max date ----
+    val (startDates, endDates, maxDateOpt): (Map[String, Any], Map[String, Any], Option[LocalDate]) =
+      temporal match {
+        case None => (Map.empty, Map.empty, None)
+        case Some(t) =>
+          val aggs = names.flatMap(n => Seq(
+            min(when(col(n).isNotNull, col(t))).as(s"__s_$n"),
+            max(when(col(n).isNotNull, col(t))).as(s"__e_$n"))) :+ max(col(t)).as("__mx")
+          val row = frame.agg(aggs.head, aggs.tail: _*).head()
+          val s = names.map(n => n -> row.getAs[Any](s"__s_$n")).toMap
+          val e = names.map(n => n -> row.getAs[Any](s"__e_$n")).toMap
+          val mx = row.getAs[Any]("__mx") match {
+            case d: Date => Some(d.toLocalDate)
+            case ts: Timestamp => Some(ts.toLocalDateTime.toLocalDate)
+            case null => None
+          }
+          (s, e, mx)
+      }
+
+    // ---- zero-filled metric frame (reports.py:378) ----
+    val zf = frame.select(
+      (temporal.map(col).toSeq :+ ord.as("__ord")) ++
+        names.map(n => coalesce(col(n).cast("double"), lit(0.0)).as(n)): _*).cache()
+
+    def dateBoundary(ld: LocalDate): Column = temporal match {
+      case Some(t) if frame.schema(t).dataType == org.apache.spark.sql.types.DateType =>
+        lit(Date.valueOf(ld))
+      case _ => lit(Timestamp.valueOf(ld.atStartOfDay()))
+    }
+
+    // ---- P1: one wide scalar-aggregate pass ----
+    case class P1(n: String) {
+      val c: Column = col(n)
+      def x: Column = Exprs.excess(c, rf)
+      def condProd(cond: Column): Column =
+        product(when(cond, c + lit(1.0)).otherwise(lit(1.0))) - lit(1.0)
+      def condCagr(cond: Column): Column =
+        pow(product(when(cond, c + lit(1.0)).otherwise(lit(1.0))),
+          lit(periodsPerYear.toDouble) / sum(when(cond, 1).otherwise(0))) - lit(1.0)
+      def exprs: Seq[Column] = {
+        val t = temporal.map(col).orNull
+        val base = Seq(
+          Exprs.exposure(c).as(s"exposure__$n"),
+          Exprs.comp(c).as(s"comp__$n"),
+          sum(c).as(s"sum__$n"),
+          Exprs.cagr(c, rf, compounded, periodsPerYear).as(s"cagr__$n"),
+          Exprs.cagr(c, 0.0, compounded, periodsPerYear).as(s"cagr0__$n"),
+          Exprs.sharpe(c, rf, periodsPerYear, annualize = true).as(s"sharpe__$n"),
+          Exprs.sharpe(c, rf, periodsPerYear, annualize = false).as(s"sharpe_na__$n"),
+          Exprs.sortino(c, rf, periodsPerYear, annualize = true).as(s"sortino__$n"),
+          Exprs.omega(c, 0.0).as(s"omega__$n"),
+          Exprs.gainToPain(c, rf).as(s"g2p__$n"),
+          Exprs.payoffRatio(c).as(s"payoff__$n"),
+          Exprs.profitFactor(c).as(s"pf__$n"),
+          Exprs.commonSenseRatio(c).as(s"csr__$n"),
+          Exprs.cpcIndex(c).as(s"cpc__$n"),
+          Exprs.tailRatio(c, 0.95).as(s"tail__$n"),
+          Exprs.outlierWinRatio(c, 0.99).as(s"owr__$n"),
+          Exprs.outlierLossRatio(c, 0.01).as(s"olr__$n"),
+          Exprs.skew(c).as(s"skew__$n"),
+          Exprs.kurtosis(c).as(s"kurt__$n"),
+          Exprs.expectedReturn(c).as(s"expd__$n"),
+          Exprs.kellyCriterion(c).as(s"kelly__$n"),
+          Exprs.riskOfRuin(c).as(s"ror__$n"),
+          Exprs.valueAtRisk(c, 1.0, 0.95).as(s"var__$n"),
+          Exprs.volatility(c, periodsPerYear, annualize = true).as(s"vol__$n"),
+          Exprs.winRate(c).as(s"windays__$n"),
+          max(c).as(s"best__$n"),
+          min(c).as(s"worst__$n"),
+          count(c).as(s"count__$n"))
+        val windows = (temporal, maxDateOpt) match {
+          case (Some(_), Some(mx)) => Seq(
+            condProd(year(t) === mx.getYear && month(t) === mx.getMonthValue).as(s"mtd__$n"),
+            condProd(t >= dateBoundary(mx.minusMonths(3))).as(s"m3__$n"),
+            condProd(t >= dateBoundary(mx.minusMonths(6))).as(s"m6__$n"),
+            condProd(year(t) === mx.getYear).as(s"ytd__$n"),
+            condProd(t >= dateBoundary(mx.minusYears(1))).as(s"y1__$n"),
+            condCagr(t >= dateBoundary(mx.minusYears(3))).as(s"y3__$n"),
+            condCagr(t >= dateBoundary(mx.minusYears(5))).as(s"y5__$n"),
+            condCagr(t >= dateBoundary(mx.minusYears(10))).as(s"y10__$n"))
+          case _ => Nil
+        }
+        base ++ windows
+      }
+    }
+    val p1Exprs = names.flatMap(n => P1(n).exprs)
+    val p1 = zf.agg(p1Exprs.head, p1Exprs.tail: _*).head()
+    def g(k: String, n: String): Double = {
+      val i = p1.fieldIndex(s"${k}__$n")
+      if (p1.isNullAt(i)) Double.NaN else p1.getAs[Any](i) match {
+        case d: Double => d
+        case l: java.lang.Long => l.toDouble
+      }
+    }
+
+    // ---- P2: drawdown pass (max dd, ulcer, recovery, serenity) ----
+    val w = Window.orderBy(col("__ord")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val z05 = Dist.invCdf(0.05)
+    val s1 = zf.select(col("*") +: names.map(n =>
+      product(col(n) + lit(1.0)).over(w).as(s"__w_$n")): _*)
+    val s2 = s1.select(col("*") +: names.map(n =>
+      least(fdiv(col(s"__w_$n"), max(col(s"__w_$n")).over(w)) - lit(1.0), lit(0.0))
+        .as(s"__dd_$n")): _*)
+    val s3 = s2.select(col("*") +:
+      (names.map { n =>
+        val dd = col(s"__dd_$n")
+        (avg(dd).over(whole) + lit(z05) * stddev_samp(dd).over(whole)).as(s"__ddvar_$n")
+      } ++ names.map { n =>
+        (avg(col(n)).over(whole) + lit(z05) * stddev_samp(col(n)).over(whole)).as(s"__rvar_$n")
+      }): _*)
+    val p2Exprs = names.flatMap { n =>
+      val dd = col(s"__dd_$n")
+      val ddVar = col(s"__ddvar_$n")
+      val c = col(n)
+      val ddCvar = coalesce(avg(when(dd < ddVar, dd)), first(ddVar))
+      val ulcer = sqrt(sum(dd * dd) / (count(c) - lit(1)))
+      val rVar = col(s"__rvar_$n")
+      Seq(
+        min(dd).as(s"maxdd__$n"),
+        ulcer.as(s"ulcer__$n"),
+        fdiv(abs(sum(c) - lit(0.0)), abs(min(dd))).as(s"recovery__$n"),
+        fdiv(sum(c) - lit(rf), ulcer * fdiv(-ddCvar, stddev_samp(c))).as(s"serenity__$n"),
+        coalesce(avg(when(c < rVar, c)), first(rVar)).as(s"cvar__$n"))
+    }
+    val p2 = s3.agg(p2Exprs.head, p2Exprs.tail: _*).head()
+    def g2(k: String, n: String): Double = {
+      val i = p2.fieldIndex(s"${k}__$n")
+      if (p2.isNullAt(i)) Double.NaN else p2.getDouble(i)
+    }
+
+    // ---- P3/P4: episodes + streaks per column (row-count semantics,
+    // because the reference passes bare series — reports.py:397-414) ----
+    val episodeRows: Map[String, (Long, Double, Double)] = names.map { n =>
+      val dd = col(s"__dd_$n")
+      val flagged = s2.select(col("__ord"), dd.as("__dd"))
+        .withColumn("__in", col("__dd").isNotNull && col("__dd") < 0)
+      val wAll = Window.orderBy("__ord")
+      val wIn = Window.partitionBy("__in").orderBy("__ord")
+      val eps = flagged
+        .withColumn("__island", row_number().over(wAll) - row_number().over(wIn))
+        .filter(col("__in"))
+        .groupBy("__island")
+        .agg(count(lit(1)).as("__len"), min("__dd").as("__depth"))
+      val r = eps.agg(
+        coalesce(max("__len"), lit(0L)),
+        coalesce(avg("__len"), lit(0.0)),
+        coalesce(avg("__depth"), lit(0.0))).head()
+      n -> ((r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }.toMap
+
+    val streakRows: Map[String, (Long, Long)] =
+      if (!full) Map.empty
+      else names.map { n =>
+        val lf = SeriesFrame(zf.select(lit("k").as("__k"), col("__ord"), col(n)),
+          Seq("__k"), "__ord", n)
+        val r = GroupedStats.streaks(lf).head()
+        n -> ((r.getAs[Long]("consecutive_wins"), r.getAs[Long]("consecutive_losses")))
+      }.toMap
+
+    // ---- P5-7: calendar bucket passes ----
+    def bucketAgg(buckets: => Seq[Column], compoundedBuckets: Boolean,
+        finals: Seq[(String, Column => Column)]): Option[Map[String, Row]] =
+      temporal.map { t =>
+        val keyed = zf.groupBy(buckets: _*).agg(
+          names.map(n => (if (compoundedBuckets) Exprs.comp(col(n)) else sum(col(n))).as(n)).head,
+          names.map(n => (if (compoundedBuckets) Exprs.comp(col(n)) else sum(col(n))).as(n)).tail: _*)
+        val aggExprs = names.flatMap(n => finals.map { case (k, f) => f(col(n)).as(s"${k}__$n") })
+        Map("row" -> keyed.agg(aggExprs.head, aggExprs.tail: _*).head())
+      }
+
+    val t = temporal.map(col).orNull
+    val monthlySum = bucketAgg(Seq(year(t), month(t)), compoundedBuckets = false,
+      Seq("g2p1m" -> (c => Exprs.gainToPain(c, rf))))
+    val monthlyComp = bucketAgg(Seq(year(t), month(t)), compoundedBuckets = true,
+      Seq("expm" -> Exprs.expectedReturn,
+        "bestm" -> (c => max(c)), "worstm" -> (c => min(c)),
+        "avgup" -> Exprs.avgWin, "avgdown" -> Exprs.avgLoss,
+        "winm" -> Exprs.winRate))
+    val yearlyComp = bucketAgg(Seq(year(t)), compoundedBuckets = true,
+      Seq("expy" -> Exprs.expectedReturn,
+        "besty" -> (c => max(c)), "worsty" -> (c => min(c)),
+        "winy" -> Exprs.winRate))
+    val quarterComp = bucketAgg(Seq(year(t), quarter(t)), compoundedBuckets = true,
+      Seq("winq" -> Exprs.winRate))
+
+    def gb(m: Option[Map[String, Row]], k: String, n: String): Any = m match {
+      case None => "-"
+      case Some(rows) =>
+        val row = rows("row")
+        val i = row.fieldIndex(s"${k}__$n")
+        if (row.isNullAt(i)) Double.NaN else row.getAs[Any](i)
+    }
+
+    // ---- P8: benchmark metrics pass ----
+    val benchRow: Option[Row] = benchName.map { bn =>
+      val b = col(bn)
+      val exprs = strategyOut.flatMap { n =>
+        val c = col(n)
+        val beta = fdiv(covar_samp(c, b), var_samp(b))
+        val corrC = corr(c, b)
+        val active = c - b
+        Seq(
+          (corrC * corrC).as(s"r2__$n"),
+          fdiv(avg(active), stddev_samp(active)).as(s"ir__$n"),
+          beta.as(s"beta__$n"),
+          ((avg(c) - beta * avg(b)) * periodsPerYear).as(s"alpha__$n"),
+          corrC.as(s"corr__$n"),
+          fdiv(Exprs.comp(c) - lit(rf), beta).as(s"treynor__$n"))
+      }
+      zf.agg(exprs.head, exprs.tail: _*).head()
+    }
+    def gbm(k: String, n: String): Any =
+      if (benchName.contains(n)) "-"
+      else benchRow.map { row =>
+        val i = row.fieldIndex(s"${k}__$n")
+        if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      }.getOrElse("-")
+
+    // ---- P9: autocorr penalties (full mode) ----
+    val penalties: Map[String, Double] =
+      if (!full) Map.empty
+      else Smart.autocorrPenaltyValues(zf.select(names.map(col): _*)).toMap
+
+    // ---- assemble rows ----
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Any])]
+    def add(label: String, f: String => Any): Unit =
+      rows += label -> names.map(n => n -> f(n)).toMap
+    def addSep(): Unit = if (sep) rows += "" -> names.map(_ -> ("": Any)).toMap
+
+    def fmtDate(v: Any): String = v match {
+      case null => "-"
+      case d: Date => d.toLocalDate.toString
+      case ts: Timestamp => ts.toLocalDateTime.toLocalDate.toString
+      case other => other.toString
+    }
+
+    def psrOf(n: String): Double = {
+      val b = g("sharpe_na", n)
+      val sk = g("skew", n)
+      val ku = g("kurt", n)
+      val cnt = g("count", n)
+      val sigma = math.sqrt((1 + 0.5 * b * b - sk * b + ((ku - 3) / 4) * b * b) / (cnt - 1))
+      Dist.cdf((b - rf) / sigma)
+    }
+
+    add("Start Period", n => fmtDate(startDates.getOrElse(n, null)))
+    add("End Period", n => fmtDate(endDates.getOrElse(n, null)))
+    add("Risk-Free Rate", _ => rf * pct)
+    add("Time in Market", n => g("exposure", n) * pct)
+    addSep()
+    if (compounded) add("Cumulative Return", n => g("comp", n) * pct)
+    else add("Total Return", n => g("sum", n) * pct)
+    add("CAGR﹪", n => g("cagr", n) * pct)
+    addSep()
+    add("Sharpe", n => g("sharpe", n))
+    add("Prob. Sharpe Ratio", n => psrOf(n) * pct)
+    if (full) add("Smart Sharpe", n => g("sharpe", n) / penalties(n))
+    add("Sortino", n => g("sortino", n))
+    if (full) add("Smart Sortino", n => g("sortino", n) / penalties(n))
+    add("Sortino/√2", n => g("sortino", n) / math.sqrt(2.0))
+    if (full) add("Smart Sortino/√2", n => g("sortino", n) / penalties(n) / math.sqrt(2.0))
+    add("Omega", n => g("omega", n))
+    addSep()
+    add("Max Drawdown", n => g2("maxdd", n) * pct)
+    add("Longest DD Days", n => episodeRows(n)._1)
+    if (full) {
+      addSep()
+      add("Volatility (ann.)", n => g("vol", n) * pct)
+      if (benchName.isDefined) {
+        add("R^2", n => gbm("r2", n))
+        add("Information Ratio", n => gbm("ir", n))
+      }
+      add("Calmar", n => {
+        val mdd = math.abs(g2("maxdd", n))
+        if (mdd == 0) Double.NaN else g("cagr0", n) / mdd
+      })
+      add("Skew", n => g("skew", n))
+      add("Kurtosis", n => g("kurt", n))
+      add("Expected Daily", n => g("expd", n) * pct)
+      add("Expected Monthly", n => numOrDash(gb(monthlyComp, "expm", n), pct))
+      add("Expected Yearly", n => numOrDash(gb(yearlyComp, "expy", n), pct))
+      add("Kelly Criterion", n => g("kelly", n) * pct)
+      add("Risk of Ruin", n => g("ror", n))
+      add("Daily Value-at-Risk", n => g("var", n) * pct)
+      add("Expected Shortfall (cVaR)", n => g2("cvar", n) * pct)
+      add("Max Consecutive Wins", n => streakRows(n)._1)
+      add("Max Consecutive Losses", n => streakRows(n)._2)
+    }
+    addSep()
+    add("Gain/Pain Ratio", n => g("g2p", n))
+    add("Gain/Pain (1M)", n => numOrDash(gb(monthlySum, "g2p1m", n), 1.0))
+    addSep()
+    add("Payoff Ratio", n => g("payoff", n))
+    add("Profit Factor", n => g("pf", n))
+    add("Common Sense Ratio", n => g("csr", n))
+    add("CPC Index", n => g("cpc", n))
+    add("Tail Ratio", n => g("tail", n))
+    add("Outlier Win Ratio", n => g("owr", n))
+    add("Outlier Loss Ratio", n => g("olr", n))
+    addSep()
+    def windowRow(k: String, n: String): Any =
+      if (temporal.isEmpty || maxDateOpt.isEmpty) "-" else g(k, n) * pct
+    add("MTD", n => windowRow("mtd", n))
+    add("3M", n => windowRow("m3", n))
+    add("6M", n => windowRow("m6", n))
+    add("YTD", n => windowRow("ytd", n))
+    add("1Y", n => windowRow("y1", n))
+    add("3Y (ann.)", n => windowRow("y3", n))
+    add("5Y (ann.)", n => windowRow("y5", n))
+    add("10Y (ann.)", n => windowRow("y10", n))
+    add("All-time (ann.)", n => g("cagr0", n) * pct)
+    if (full) {
+      addSep()
+      add("Best Day", n => g("best", n) * pct)
+      add("Worst Day", n => g("worst", n) * pct)
+      add("Best Month", n => numOrDash(gb(monthlyComp, "bestm", n), pct))
+      add("Worst Month", n => numOrDash(gb(monthlyComp, "worstm", n), pct))
+      add("Best Year", n => numOrDash(gb(yearlyComp, "besty", n), pct))
+      add("Worst Year", n => numOrDash(gb(yearlyComp, "worsty", n), pct))
+    }
+    addSep()
+    add("Avg. Drawdown", n => episodeRows(n)._3 * pct)
+    add("Avg. Drawdown Days", n => episodeRows(n)._2)
+    add("Recovery Factor", n => g2("recovery", n))
+    add("Ulcer Index", n => g2("ulcer", n))
+    add("Serenity Index", n => g2("serenity", n))
+    if (full) {
+      addSep()
+      add("Avg. Up Month", n => numOrDash(gb(monthlyComp, "avgup", n), pct))
+      add("Avg. Down Month", n => numOrDash(gb(monthlyComp, "avgdown", n), pct))
+      add("Win Days", n => g("windays", n) * pct)
+      add("Win Month", n => numOrDash(gb(monthlyComp, "winm", n), pct))
+      add("Win Quarter", n => numOrDash(gb(quarterComp, "winq", n), pct))
+      add("Win Year", n => numOrDash(gb(yearlyComp, "winy", n), pct))
+      if (benchName.isDefined) {
+        addSep()
+        add("Beta", n => gbm("beta", n))
+        add("Alpha", n => gbm("alpha", n))
+        add("Correlation", n => gbm("corr", n) match {
+          case d: Double => d * pct
+          case other => other
+        })
+        add("Treynor Ratio", n => gbm("treynor", n) match {
+          case d: Double => d * pct
+          case other => other
+        })
+      }
+    }
+
+    frame.unpersist()
+    zf.unpersist()
+    buildOutput(spark, rows.toSeq, names)
+  }
+
+  private def numOrDash(v: Any, mult: Double): Any = v match {
+    case d: Double => d * mult
+    case other => other
+  }
+
+  /** Python-parity cell formatting (reports.py:539-553). */
+  def formatValue(v: Any): String = v match {
+    case null => "-"
+    case s: String => s
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) "-"
+      else {
+        val rounded = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+        if (rounded == 0.0) "0" else {
+          // match Python str(): integral floats keep ".0", others shortest repr
+          val s = rounded.toString
+          s
+        }
+      }
+    case other => other.toString
+  }
+
+  private def buildOutput(spark: SparkSession, rows: Seq[(String, Map[String, Any])],
+      names: Seq[String]): DataFrame = {
+    val schema = StructType(StructField("Metric", StringType, nullable = false) +:
+      names.map(n => StructField(n, StringType, nullable = false)))
+    val data = rows.map { case (label, values) =>
+      Row.fromSeq(label +: names.map(n => formatValue(values.getOrElse(n, "-"))))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+}

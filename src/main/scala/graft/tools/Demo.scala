@@ -55,6 +55,10 @@ object Demo {
     show("beta_self", Stats.greeks(returns, bench).head().getStruct(0).getDouble(1))
     show("corr_self", Stats.scalar(Stats.correlation(returns, bench)))
 
+    println("\n== full metrics report (vs benchmark) ==")
+    graft.reports.Reports.metrics(returns, benchmark = Some(bench), mode = "full")
+      .show(80, truncate = false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.reports.Reports
+
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val basicRows = Seq(
+    "Start Period", "End Period", "Risk-Free Rate", "Time in Market",
+    "Cumulative Return", "CAGR﹪", "Sharpe", "Prob. Sharpe Ratio", "Sortino",
+    "Sortino/√2", "Omega", "Max Drawdown", "Longest DD Days", "Gain/Pain Ratio",
+    "Gain/Pain (1M)", "Payoff Ratio", "Profit Factor", "Common Sense Ratio",
+    "CPC Index", "Tail Ratio", "Outlier Win Ratio", "Outlier Loss Ratio",
+    "MTD", "3M", "6M", "YTD", "1Y", "3Y (ann.)", "5Y (ann.)", "10Y (ann.)",
+    "All-time (ann.)", "Avg. Drawdown", "Avg. Drawdown Days", "Recovery Factor",
+    "Ulcer Index", "Serenity Index")
+
+  private val fullRows = Seq(
+    "Start Period", "End Period", "Risk-Free Rate", "Time in Market",
+    "Cumulative Return", "CAGR﹪", "Sharpe", "Prob. Sharpe Ratio", "Smart Sharpe",
+    "Sortino", "Smart Sortino", "Sortino/√2", "Smart Sortino/√2", "Omega",
+    "Max Drawdown", "Longest DD Days", "Volatility (ann.)", "R^2",
+    "Information Ratio", "Calmar", "Skew", "Kurtosis", "Expected Daily",
+    "Expected Monthly", "Expected Yearly", "Kelly Criterion", "Risk of Ruin",
+    "Daily Value-at-Risk", "Expected Shortfall (cVaR)", "Max Consecutive Wins",
+    "Max Consecutive Losses", "Gain/Pain Ratio", "Gain/Pain (1M)", "Payoff Ratio",
+    "Profit Factor", "Common Sense Ratio", "CPC Index", "Tail Ratio",
+    "Outlier Win Ratio", "Outlier Loss Ratio", "MTD", "3M", "6M", "YTD", "1Y",
+    "3Y (ann.)", "5Y (ann.)", "10Y (ann.)", "All-time (ann.)", "Best Day",
+    "Worst Day", "Best Month", "Worst Month", "Best Year", "Worst Year",
+    "Avg. Drawdown", "Avg. Drawdown Days", "Recovery Factor", "Ulcer Index",
+    "Serenity Index", "Avg. Up Month", "Avg. Down Month", "Win Days",
+    "Win Month", "Win Quarter", "Win Year", "Beta", "Alpha", "Correlation",
+    "Treynor Ratio")
+
+  // 10-row daily fixture (reference: tests/test_quantstats_parity.py:20-54)
+  private def parityReturns = {
+    val vals = Seq(0.01, -0.02, 0.03, -0.01, 0.02, 0.0, 0.015, -0.005, 0.01, -0.015)
+    (2 to 11).map(d => java.sql.Date.valueOf(f"2023-01-$d%02d")).zip(vals)
+      .toDF("date", "asset")
+  }
+
+  private def parityBenchmark = {
+    val vals = Seq(0.005, -0.01, 0.015, -0.005, 0.01, 0.0, 0.007, -0.002, 0.004, -0.006)
+    (2 to 11).map(d => java.sql.Date.valueOf(f"2023-01-$d%02d")).zip(vals)
+      .toDF("date", "benchmark")
+  }
+
+  test("basic report has the exact 36-row order (reference row list)") {
+    val rep = Reports.metrics(parityReturns, mode = "basic")
+    assert(rep.columns.toSeq == Seq("Metric", "Strategy"))
+    assert(rep.select("Metric").collect().map(_.getString(0)).toSeq == basicRows)
+  }
+
+  test("full report with benchmark has the exact 69-row order") {
+    val rep = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark), mode = "full")
+    assert(rep.columns.toSeq == Seq("Metric", "Benchmark", "Strategy"))
+    assert(rep.select("Metric").collect().map(_.getString(0)).toSeq == fullRows)
+  }
+
+  test("report cell sanity: dates, rf, exposure, formatting") {
+    val rep = Reports.metrics(parityReturns, mode = "basic")
+    val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cells("Start Period") == "2023-01-02")
+    assert(cells("End Period") == "2023-01-11")
+    assert(cells("Risk-Free Rate") == "0")
+    assert(cells("Time in Market") == "90.0") // 9 of 10 non-zero
+    // cumulative return: comp of the series ×100 rounded to 2
+    val comp = Seq(0.01, -0.02, 0.03, -0.01, 0.02, 0.0, 0.015, -0.005, 0.01, -0.015)
+      .map(1 + _).product - 1
+    assert(cells("Cumulative Return") ==
+      Reports.formatValue(comp * 100))
+    // benchmark-only rows absent in basic; MTD exists and is numeric or "-"
+    assert(cells.contains("MTD"))
+  }
+
+  test("benchmark column gets '-' for strategy-only rows and values for shared rows") {
+    val rep = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark), mode = "full")
+    val byMetric = rep.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byMetric("Beta")._1 == "-") // benchmark col
+    assert(byMetric("Beta")._2 != "-") // strategy col has a beta
+    assert(byMetric("Sharpe")._1 != "-") // shared rows computed for benchmark too
+    assert(byMetric("R^2")._1 == "-")
+  }
+
+  test("no-temporal returns: window rows are '-'") {
+    val rep = Reports.metrics(Seq(0.01, -0.02, 0.03).toDF("returns"), mode = "basic")
+    val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cells("MTD") == "-")
+    assert(cells("Start Period") == "-")
+    assert(cells("Gain/Pain (1M)") == "-")
+  }
+}
