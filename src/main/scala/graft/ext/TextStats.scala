@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language ID, document fingerprinting. All column expressions —
+  * codegen'd, no UDFs, no shuffles beyond the caller's aggregations.
+  *
+  * Two tokenizers on purpose: `tokenCount` (regex, robust) and
+  * `tokenCountSimple` (space-split arithmetic that is bit-identical across
+  * engines — used by the DuckDB oracle queries).
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** (len − len(without spaces)) + 1: exact parity formula shared with SQL. */
+  def tokenCountSimple(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", "")) + lit(1)
+
+  /** BPE-ish subword estimate: word tokens + one extra per 4 chars of long
+    * words (common ~4 chars/token heuristic for byte-pair vocabularies).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1.0)).cast("long"))
+
+  def avgWordLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCountSimple(text)
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Fraction of tokens found in the stopword list (repeats counted). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Heuristic quality score in [0,1]: length sweet-spot, average word length
+    * sanity, low punctuation noise. Deterministic, tunable weights.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val awl = avgWordLength(text)
+    val wordScore = when(awl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2
+  }
+
+  /** Language marker lexicons (tiny common-word sets; public knowledge). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "de", "que", "los", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
+
+  /** Predicted language = argmax marker count (first wins ties, "und"
+    * — undetermined — when nothing matches). N-gram-free heuristic that
+    * degrades gracefully on synthetic text.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Order-sensitive rolling-hash fingerprint of the token stream
+    * (polynomial accumulate over xxhash64'd tokens): robust doc identity for
+    * shift-invariant near-dup grouping upstream of MinHash.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Events, Similarity, TextStats}
+
+/** Extension query suite over `documents` / `embeddings` / `events` — the
+  * training-data-pipeline operators (dedup, similarity, text analysis,
+  * sessionization) with DuckDB oracles where ANSI-SQL-expressible; MinHash /
+  * SimHash summaries are registered without oracles (driver rows-only check).
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (with
+    * spark.sql.legacy.parquet.nanosAsLong=true) and we truncate to
+    * microsecond timestamps — second-level session/window semantics are
+    * unaffected.
+    */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  // ---- q14 exact dedup -----------------------------------------------------
+
+  def q14DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactStats(docs(spark, sfDir), "text")
+
+  val q14Sql: String =
+    """SELECT COUNT(*) AS n_docs,
+      |       COUNT(DISTINCT md5(text)) AS n_distinct,
+      |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  // ---- q15 text stats per language ----------------------------------------
+
+  def q15TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val tok = length(t) - length(regexp_replace(t, " ", "")) + lit(1)
+    docs(spark, sfDir).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("n_chars")), 6).as("avg_chars"),
+      round(avg(tok), 6).as("avg_tokens"),
+      round(avg(length(regexp_replace(t, " ", "")).cast("double") / tok), 6)
+        .as("avg_word_len"))
+      .orderBy("lang")
+  }
+
+  val q15Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(n_chars), 6) AS avg_chars,
+      |  ROUND(AVG(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS avg_tokens,
+      |  ROUND(AVG(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |        / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)), 6) AS avg_word_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q16 quality + token estimates per source ---------------------------
+
+  def q16Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, sfDir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(TextStats.qualityScore(t)), 6).as("avg_quality"),
+      round(avg(TextStats.bpeTokenEstimate(t)), 6).as("avg_bpe_tokens"))
+      .orderBy("source")
+  }
+
+  val q16Sql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |    LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2 AS quality,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |         t -> GREATEST(CEIL(LENGTH(t) / 4.0), 1.0))) AS BIGINT) AS bpe
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(quality), 6) AS avg_quality,
+      |  ROUND(AVG(bpe), 6) AS avg_bpe_tokens
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q17 language-ID confusion ------------------------------------------
+
+  def q17LangId(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), TextStats.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val q17Sql: String = {
+    def score(markers: Seq[String]): String =
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val marks = TextStats.LangMarkers.toMap
+    s"""WITH sc AS (
+       |  SELECT lang,
+       |    ${score(marks("en"))} AS s_en,
+       |    ${score(marks("de"))} AS s_de,
+       |    ${score(marks("fr"))} AS s_fr,
+       |    ${score(marks("es"))} AS s_es,
+       |    ${score(marks("zh"))} AS s_zh
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, CASE
+       |    WHEN s_en = g AND s_en > 0 THEN 'en'
+       |    WHEN s_de = g AND s_de > 0 THEN 'de'
+       |    WHEN s_fr = g AND s_fr > 0 THEN 'fr'
+       |    WHEN s_es = g AND s_es > 0 THEN 'es'
+       |    WHEN s_zh = g AND s_zh > 0 THEN 'zh'
+       |    ELSE 'und' END AS predicted
+       |  FROM (SELECT *, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS g FROM sc))
+       |SELECT lang, predicted, COUNT(*) AS n
+       |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---- q18/q19 MinHash + SimHash summaries (rows-only; no ANSI oracle) ----
+
+  def q18Minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      coalesce(round(avg(col("jaccard")), 6), lit(0.0)).as("avg_jaccard"),
+      coalesce(round(max(col("jaccard")), 6), lit(0.0)).as("max_jaccard"),
+      coalesce(sum((col("jaccard") >= 0.5).cast("long")), lit(0L)).as("n_near_dups"))
+  }
+
+  def q19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docs(spark, sfDir), "doc_id", "text",
+      maxHamming = 16)
+    sh.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct_simhash"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs_h16")))
+  }
+
+  // ---- q20 brute-force cosine top-k ---------------------------------------
+
+  def q20AnnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  val q20Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROUND(list_dot_product(qv, cv)
+      |      / (SQRT(list_sum(list_transform(qv, x -> x * x)))
+      |         * SQRT(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+      |  FROM q JOIN c ON neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM s)
+      |WHERE rn <= 5 ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
+  // ---- q21 sessionization --------------------------------------------------
+
+  def q21Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Events.sessionStats(events(spark, sfDir))
+    s.select(col("user_id"), col("n_sessions"),
+      round(col("avg_events"), 6).as("avg_events"),
+      round(col("avg_duration_s"), 6).as("avg_duration_s"),
+      col("max_duration_s")).orderBy("user_id")
+  }
+
+  val q21Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM e),
+      |c AS (
+      |  SELECT user_id, ts,
+      |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM n),
+      |ps AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |         date_diff('second', MIN(ts), MAX(ts)) AS dur
+      |  FROM c GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  ROUND(AVG(n_events), 6) AS avg_events,
+      |  ROUND(AVG(dur), 6) AS avg_duration_s,
+      |  CAST(MAX(dur) AS BIGINT) AS max_duration_s
+      |FROM ps GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q22 tumbling windows ------------------------------------------------
+
+  def q22EventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Events.tumblingStats(events(spark, sfDir))
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val q22Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q23 embedding norm stats -------------------------------------------
+
+  def q23EmbeddingNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Similarity.normStats(emb(spark, sfDir), "label", "embedding")
+    s.select(col("label"), col("n"),
+      round(col("avg_norm"), 6).as("avg_norm"),
+      round(col("min_norm"), 6).as("min_norm"),
+      round(col("max_norm"), 6).as("max_norm")).orderBy("label")
+  }
+
+  val q23Sql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n,
+      |  ROUND(AVG(nrm), 6) AS avg_norm,
+      |  ROUND(MIN(nrm), 6) AS min_norm,
+      |  ROUND(MAX(nrm), 6) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_dedup_exact" -> (q14DedupExact _),
+    "q15_text_stats" -> (q15TextStats _),
+    "q16_quality" -> (q16Quality _),
+    "q17_langid" -> (q17LangId _),
+    "q18_minhash" -> (q18Minhash _),
+    "q19_simhash" -> (q19Simhash _),
+    "q20_ann_cosine" -> (q20AnnCosine _),
+    "q21_sessions" -> (q21Sessions _),
+    "q22_event_windows" -> (q22EventWindows _),
+    "q23_embedding_norms" -> (q23EmbeddingNorms _))
+
+  val oracles: Map[String, String] = Map(
+    "q14_dedup_exact" -> q14Sql,
+    "q15_text_stats" -> q15Sql,
+    "q16_quality" -> q16Sql,
+    "q17_langid" -> q17Sql,
+    "q20_ann_cosine" -> q20Sql,
+    "q21_sessions" -> q21Sql,
+    "q22_event_windows" -> q22Sql,
+    "q23_embedding_norms" -> q23Sql)
+}

@@ -419,7 +419,7 @@ object Queries {
     "q10_monthly" -> (q10Monthly _),
     "q11_trailing" -> (q11Trailing _),
     "q12_benchmark" -> (q12Benchmark _),
-    "q13_asof" -> (q13AsOf _))
+    "q13_asof" -> (q13AsOf _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -434,5 +434,5 @@ object Queries {
     "q10_monthly" -> q10Sql,
     "q11_trailing" -> q11Sql,
     "q12_benchmark" -> q12Sql,
-    "q13_asof" -> q13Sql)
+    "q13_asof" -> q13Sql) ++ ExtQueries.oracles
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform takes a (possibly streaming) DataFrame from `readStream`
+  * and returns the windowed/stateful aggregation; callers attach
+  * `writeStream`. Watermarks bound state: late rows beyond the watermark are
+  * dropped, which is what makes these plans runnable over unbounded 100-TB/day
+  * feeds with finite executor state.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type, watermarked. */
+  def tumblingStats(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window distinct-ish user activity (approx at stream scale). */
+  def slidingUserActivity(events: DataFrame, window: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("approx_users"), col("n_events"))
+
+  /** Session windows via the built-in session_window (gap-based), the
+    * streaming twin of [[graft.ext.Events.sessionize]].
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Exactly-once-style stream dedup on event_id within the watermark. */
+  def dedupeEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: per-user running counters via flatMapGroupsWithState --
+
+  case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserState(nEvents: Long, totalValue: Double, lastTs: Long)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: running per-user totals, emitted on every
+    * update — the mapGroupsWithState pattern for state Spark's windowed aggs
+    * can't express (e.g. cross-window lifetime counters).
+    */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          var last = prev.lastTs
+          rows.foreach { e =>
+            n += 1; tot += e.value; last = math.max(last, e.ts.getTime)
+          }
+          state.update(UserState(n, tot, last))
+          Iterator.single(UserSnapshot(userId, n, tot))
+      }
+  }
+}

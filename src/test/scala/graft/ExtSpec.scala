@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely different content about spark query engines and column pruning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "unrelated text with no overlap whatsoever in any shingle of three words"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup finds identical texts") {
+    val stats = Dedup.exactStats(docsDf, "text").head()
+    assert(stats.getLong(0) == 5L && stats.getLong(1) == 4L && stats.getLong(2) == 1L)
+    val groups = Dedup.exactDuplicateGroups(docsDf, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 4L))
+  }
+
+  test("minhash LSH finds near-duplicate pair and exact pair") {
+    val pairs = Dedup.nearDuplicatePairs(docsDf, "doc_id", "text",
+      threshold = 0.5, numHashes = 16, shingleSize = 3, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)), s"exact dup pair missing: $pairs")
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L)),
+      s"near dup pair missing: $pairs")
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L)).get
+    assert(exact._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc matched")
+  }
+
+  test("simhash: identical docs collide, near docs within small hamming") {
+    val sh = Dedup.simhash(docsDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val near = Dedup.simhashNearDuplicates(docsDf, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 4L)))
+  }
+
+  test("cosine + brute force top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val self = vecs.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assertApprox(c, 1.0))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.head._1 == 1L) // closest is the nearly-parallel vector
+    assertApprox(top.head._2, 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1), tol = 1e-6)
+  }
+
+  test("srp bucketed top-k finds identical vector") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vecs = (0L to 20L).map { i =>
+      if (i == 7L) (i, base.map(x => x * 2.0f)) // parallel to base → same bucket
+      else (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq((100L, base)).toDF("vec_id", "embedding")
+    val res = Similarity.srpBucketTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", dims = 8, k = 3, planes = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty && res.head._1 == 7L, s"expected parallel vec first: ${res.toSeq}")
+    assertApprox(res.head._2, 1.0, tol = 1e-6)
+  }
+
+  test("text stats: tokens, stopwords, quality, lang id, fingerprint") {
+    val df = Seq(
+      "the cat and the dog sat in the garden of the house",
+      "der hund und die katze sind nicht in das haus gegangen").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("tc"),
+      TextStats.stopwordRatio(col("text"), Seq("the", "and", "of", "in")).as("sw"),
+      TextStats.langId(col("text")).as("lang"),
+      TextStats.qualityScore(col("text")).as("q"),
+      TextStats.fingerprint(col("text")).as("fp")).collect()
+    assert(r(0).getAs[Int]("tc") == 12)
+    assertApprox(r(0).getAs[Double]("sw"), 7.0 / 12) // the×4 + and + in + of
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(1).getAs[String]("lang") == "de")
+    assert(r(0).getAs[Double]("q") > 0 && r(0).getAs[Double]("q") <= 1)
+    assert(r(0).getAs[Long]("fp") != r(1).getAs[Long]("fp"))
+    // fingerprint is order-sensitive
+    val fp2 = Seq("cat the and the dog sat in the garden of the house")
+      .toDF("text").select(TextStats.fingerprint(col("text"))).head().getLong(0)
+    assert(fp2 != r(0).getAs[Long]("fp"))
+  }
+
+  test("sessionize splits on gap and stats aggregate per user") {
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 7L), (2L, ts(5), 7L), (3L, ts(50), 7L), // user 7: 2 sessions
+      (4L, ts(1), 8L)) // user 8: 1 session
+      .toDF("event_id", "ts", "user_id")
+    val s = Events.sessionStats(ev, gapSeconds = 1800).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(1 + 1))).toMap
+    assert(s(7L)._1 == 2L)
+    assert(s(8L)._1 == 1L)
+  }
+
+  test("multimodal stub pipeline: schema, determinism, frames") {
+    val media = Multimodal.withSyntheticMedia(docsDf, "doc_id", "text")
+    val decoded = Multimodal.decodeImages(media, featureDim = 4)
+    val rows = decoded.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.feature.length == 4))
+    // identical bytes → identical decode (docs 1 and 4 share text)
+    val byId = rows.map(r => r.id -> r).toMap
+    assert(byId(1L).width == byId(4L).width && byId(1L).feature.sameElements(byId(4L).feature))
+    val resized = Multimodal.resize(decoded, 224, 224).collect()
+    assert(resized.forall(r => r.width == 224 && r.height == 224))
+    val frames = Multimodal.sampleFrames(media, nFrames = 3, featureDim = 4)
+    assert(frames.count() == 15)
+    val stats = Multimodal.mediaStats(media).head()
+    assert(stats.getLong(1) == 5L)
+  }
+}

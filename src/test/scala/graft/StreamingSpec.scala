@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.EventRow
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append")(feed: => Unit): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    feed
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("streaming tumbling window counts with watermark") {
+    val input = MemoryStream[EventRow](1, spark, None)
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(2, ts(10), 7, "click", 2.0),
+      EventRow(3, ts(61), 8, "view", 3.0),
+      // far-future row advances the watermark so the 10:00 window closes
+      EventRow(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "x", 0.0))
+    val out = runToMemory(
+      StreamOps.tumblingStats(input.toDF(), window = "1 hour", watermark = "10 minutes"),
+      "tumbling") {}
+    // complete via AvailableNow: append mode emits only closed windows; check table rows
+    val rows = out.collect()
+    // the 10:00 hour window closes once the 11:01 event advances the watermark
+    assert(rows.exists(r => r.getAs[Long]("n") == 2 && r.getAs[String]("event_type") == "click"),
+      s"got ${rows.toSeq}")
+  }
+
+  test("streaming session windows aggregate per user") {
+    val input = MemoryStream[EventRow](2, spark, None)
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(2, ts(5), 7, "click", 2.0),
+      EventRow(3, ts(50), 7, "view", 4.0),
+      EventRow(4, ts(59, 59), 9, "view", 0.5))
+    // a far-future event to push the watermark past all sessions
+    input.addData(EventRow(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "x", 0.0))
+    val out = runToMemory(
+      StreamOps.sessionStats(input.toDF(), gap = "30 minutes", watermark = "1 minute"),
+      "sessions") {}
+    val rows = out.collect()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 2, s"user 7 should have 2 closed sessions: ${rows.toSeq}")
+    assert(u7.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming dedup within watermark") {
+    val input = MemoryStream[EventRow](3, spark, None)
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(1, ts(0), 7, "click", 1.0), // duplicate id
+      EventRow(2, ts(1), 7, "view", 2.0))
+    val out = runToMemory(
+      StreamOps.dedupeEvents(input.toDF(), watermark = "10 minutes"), "dedup") {}
+    assert(out.count() == 2)
+  }
+
+  test("flatMapGroupsWithState running totals") {
+    val input = MemoryStream[EventRow](4, spark, None)
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.5),
+      EventRow(2, ts(1), 7, "click", 2.5),
+      EventRow(3, ts(2), 8, "view", 1.0))
+    val out = runToMemory(
+      StreamOps.runningUserTotals(input.toDS()).toDF(), "totals", mode = "append") {}
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("user_id") -> (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(rows(7L) == ((2L, 4.0)))
+    assert(rows(8L) == ((1L, 1.0)))
+  }
+}
