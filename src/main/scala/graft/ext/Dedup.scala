@@ -46,6 +46,21 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("cnt") > 1)
 
+  /** Shingle hashes straight from per-token hashes (no n-gram string
+    * building): hash each token once, combine n consecutive hashes with
+    * distinct odd multipliers. ~5× cheaper than string shingles on the hot
+    * explode path; collision probability is negligible for dedup purposes.
+    * Pass a column that already holds `transform(tokens, xxhash64)`.
+    */
+  def shingleHashesFromTokenHashes(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(th) - n),
+        i => (0 until n).map(j =>
+          element_at(th, i + lit(j + 1)) * lit(0x9E3779B97F4A7C15L * (2L * j + 1)))
+          .reduce(_ + _)))
+
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Deterministic affine permutations of a 64-bit base hash (mod 2^64 wrap). */
@@ -61,9 +76,11 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleSize)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    // materialize token hashes in their own projection (CollapseProject
+    // keeps multi-referenced non-cheap aliases), then explode shingle hashes
+    val withTh = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+    val sh = withTh.select(col("id"),
+      explode(shingleHashesFromTokenHashes(col("__th"), shingleSize)).as("h"))
     val mins = (0 until numHashes).map(i => min(permuted(col("h"), i)).as(s"m$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -98,8 +115,9 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val cands = lshCandidatePairs(sig, bands)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sset"))
+    val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"),
+        array_distinct(shingleHashesFromTokenHashes(col("__th"), shingleSize)).as("sset"))
     cands
       .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sset", "s1"), "id1")
       .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sset", "s2"), "id2")
@@ -140,8 +158,14 @@ object Dedup {
     * bands by pigeonhole) then popcount verification.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDuplicatesFromHashes(simhash(df, idCol, textCol), maxHamming)
+
+  /** Same, over an already-computed (id, simhash) frame — reuse the hash
+    * pass when callers also need the signatures.
+    */
+  def simhashNearDuplicatesFromHashes(sh: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))

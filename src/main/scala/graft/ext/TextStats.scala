@@ -67,17 +67,46 @@ object TextStats {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
 
-  /** Predicted language = argmax marker count (first wins ties, "und"
-    * — undetermined — when nothing matches). N-gram-free heuristic that
-    * degrades gracefully on synthetic text.
+  /** All language marker counts in ONE pass over the token array (struct
+    * accumulator) — one split per row instead of one per (language ×
+    * reference in the argmax tree).
     */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
+  def langScoresStruct(text: Column): Column = {
+    val zero = struct(LangMarkers.map { case (l, _) => lit(0).as(l) }: _*)
+    aggregate(tokens(lower(text)), zero, (acc, t) =>
+      struct(LangMarkers.map { case (l, m) =>
+        (acc.getItem(l) + when(t.isin(m: _*), 1).otherwise(0)).as(l)
+      }: _*))
+  }
+
+  /** Predicted language from per-language score columns (first wins ties,
+    * "und" when nothing matches).
+    */
+  def langIdFromCols(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && s > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** Predicted language from a precomputed score struct. */
+  def langIdFromScores(scores: Column): Column =
+    langIdFromCols(LangMarkers.map { case (l, _) => l -> scores.getItem(l) })
+
+  /** Aggregate-side language scores for an EXPLODED token column — the fast
+    * path: conditional sums are whole-stage-codegen'd, vs interpreted
+    * higher-order lambdas on the array form.
+    */
+  def langScoreAggs(token: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, m) =>
+      l -> sum(when(token.isin(m: _*), 1).otherwise(0))
+    }
+
+  /** Predicted language = argmax marker count. N-gram-free heuristic that
+    * degrades gracefully on synthetic text. (For hot paths, materialize
+    * `langScoresStruct` in a projection first — see langIdFromScores.)
+    */
+  def langId(text: Column): Column = langIdFromScores(langScoresStruct(text))
 
   /** Order-sensitive rolling-hash fingerprint of the token stream
     * (polynomial accumulate over xxhash64'd tokens): robust doc identity for

@@ -92,11 +92,21 @@ object ExtQueries {
 
   // ---- q17 language-ID confusion ------------------------------------------
 
-  def q17LangId(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("lang"), TextStats.langId(col("text")).as("predicted"))
+  def q17LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    // explode + codegen'd conditional sums; partial aggregation means only
+    // ~one row per (doc, lang) reaches the shuffle
+    val ex = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      explode(TextStats.tokens(lower(col("text")))).as("t"))
+    val aggs = TextStats.langScoreAggs(col("t"))
+    val scores = ex.groupBy("doc_id", "lang")
+      .agg(aggs.head._2.as(s"s_${aggs.head._1}"),
+        aggs.tail.map { case (l, c) => c.as(s"s_$l") }: _*)
+    scores
+      .select(col("lang"), TextStats.langIdFromCols(
+        aggs.map { case (l, _) => l -> col(s"s_$l") }).as("predicted"))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
 
   val q17Sql: String = {
     def score(markers: Seq[String]): String =
@@ -136,9 +146,8 @@ object ExtQueries {
   }
 
   def q19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
-    val pairs = Dedup.simhashNearDuplicates(docs(spark, sfDir), "doc_id", "text",
-      maxHamming = 16)
+    val sh = Dedup.simhash(docs(spark, sfDir), "doc_id", "text").cache()
+    val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 16)
     sh.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct_simhash"))
       .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs_h16")))
   }
@@ -147,12 +156,15 @@ object ExtQueries {
 
   def q20AnnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
+    // norms precomputed once per vector, not once per (query, candidate) pair
     val q = broadcast(e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(Similarity.norm2(col("embedding"))).as("qn")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      sqrt(Similarity.norm2(col("embedding"))).as("cn"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
