@@ -37,6 +37,23 @@ final case class SeriesFrame(df: DataFrame, keys: Seq[String], ts: String, value
   */
 object GroupedStats {
 
+  /** Melt a reference-style wide frame (one numeric column per asset, one
+    * temporal column) into the long scale format: (asset, ts, r). This is
+    * the bridge from the reference's data model to the partition-by-key
+    * engine core — at 100 TB, N assets become N window partitions instead
+    * of N columns.
+    */
+  def fromWide(df: DataFrame, tsCol: String, assetCol: String = "asset",
+      valueCol: String = "r"): SeriesFrame = {
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    val stacked = df.select(col(tsCol), explode(map(
+      numeric.flatMap(c => Seq(lit(c), col(c).cast("double"))): _*))
+      .as(Seq(assetCol, valueCol)))
+    SeriesFrame(stacked, Seq(assetCol), tsCol, valueCol)
+  }
+
   /** One row per key with the given named metric expressions. */
   def aggregate(sf: SeriesFrame, metrics: Seq[(String, Column => Column)]): DataFrame = {
     val exprs = metrics.map { case (n, f) => f(sf.r).as(n) }

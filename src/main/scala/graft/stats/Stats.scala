@@ -357,4 +357,48 @@ object Stats {
   def winMonth(returns: DataFrame): DataFrame = winRate(returns, Some("month"))
   def winQuarter(returns: DataFrame): DataFrame = winRate(returns, Some("quarter"))
   def winYear(returns: DataFrame): DataFrame = winRate(returns, Some("year"))
+
+  // ---- reference aliases (alphastats/stats.py alias bindings) -------------
+
+  /** Alias for probabilisticSharpeRatio (reference: psr). */
+  def psr(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = false, smart: Boolean = false): DataFrame =
+    probabilisticSharpeRatio(returns, rf, periods, annualize, smart)
+
+  /** Alias for valueAtRisk (reference: var). */
+  def varRatio(returns: DataFrame, sigma: Double = 1.0, confidence: Double = 0.95): DataFrame =
+    valueAtRisk(returns, sigma, confidence)
+
+  /** Alias for conditionalValueAtRisk (reference: cvar). */
+  def cvar(returns: DataFrame, sigma: Double = 1.0, confidence: Double = 0.95): DataFrame =
+    conditionalValueAtRisk(returns, sigma, confidence)
+
+  /** Alias for conditionalValueAtRisk (reference: expected_shortfall). */
+  def expectedShortfall(returns: DataFrame, sigma: Double = 1.0,
+      confidence: Double = 0.95): DataFrame =
+    conditionalValueAtRisk(returns, sigma, confidence)
+
+  /** Alias for riskOfRuin (reference: ror). */
+  def ror(returns: DataFrame): DataFrame = riskOfRuin(returns)
+
+  /** Alias for rSquared (reference: r2). */
+  def r2(returns: DataFrame, benchmark: DataFrame): DataFrame = rSquared(returns, benchmark)
+
+  /** Alias for expectedReturn (reference: geometric_mean). */
+  def geometricMean(returns: DataFrame, aggregate: Option[String] = None,
+      compounded: Boolean = true): DataFrame = expectedReturn(returns, aggregate, compounded)
+
+  /** Alias for adjustedSortino (reference: sortino_sqrt2). */
+  def sortinoSqrt2(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true, smart: Boolean = false): DataFrame =
+    adjustedSortino(returns, rf, periods, annualize, smart)
+
+  /** Alias for smartAdjustedSortino (reference: smart_sortino_sqrt2). */
+  def smartSortinoSqrt2(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame =
+    smartAdjustedSortino(returns, rf, periods, annualize)
+
+  /** Alias for gainToPainRatio1m (reference: gain_to_pain_ratio_monthly). */
+  def gainToPainRatioMonthly(returns: DataFrame, rf: Double = 0.0): DataFrame =
+    gainToPainRatio1m(returns, rf)
 }

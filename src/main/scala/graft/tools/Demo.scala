@@ -56,6 +56,11 @@ object Demo {
     show("beta_self", Stats.greeks(returns, bench).head().getStruct(0).getDouble(1))
     show("corr_self", Stats.scalar(Stats.correlation(returns, bench)))
 
+    graft.Graft.register(spark)
+    returns.createOrReplaceTempView("returns")
+    println("== SQL via graft_product ==")
+    spark.sql("SELECT graft_product(1 + market) - 1 AS comp FROM returns").show()
+
     println("\n== full metrics report (vs benchmark) ==")
     graft.reports.Reports.metrics(returns, benchmark = Some(bench), mode = "full")
       .show(80, truncate = false)

@@ -29,7 +29,10 @@ abstract class SparkSpec extends AnyFunSuite {
     Seq(Some(0.01), None, Some(0.03), Some(-0.01), None).toDF("returns")
   def extremeSeries: DataFrame = Seq(0.5, -0.8, 1.2, -0.9, 0.3).toDF("returns")
 
-  def dates(n: Int): Seq[Date] = (1 to n).map(d => Date.valueOf(f"2023-01-$d%02d"))
+  def dates(n: Int): Seq[Date] = {
+    val start = java.time.LocalDate.of(2023, 1, 1)
+    (0 until n).map(d => Date.valueOf(start.plusDays(d)))
+  }
 
   def simpleDf: DataFrame = {
     val a = Seq(0.01, -0.02, 0.03, -0.01, 0.02)
