@@ -234,6 +234,27 @@ object ExtQueries {
       |  COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q24 sliding windows -------------------------------------------------
+
+  def q24SlidingUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Events.slidingDistinctUsers(events(spark, sfDir),
+      window = "1 hour", slide = "30 minutes")
+      .select(col("window_start"), col("window_end"), col("users"))
+      .orderBy("window_start")
+
+  /** Spark `window(ts, 1h, 30m)` ≡ each event in the two epoch-aligned
+    * 30-minute-slide windows containing it.
+    */
+  val q24Sql: String =
+    """WITH wins AS (
+      |  SELECT user_id,
+      |    unnest([make_timestamp(CAST(floor(epoch(ts)/1800)*1800*1000000 AS BIGINT)),
+      |            make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - 1800)*1000000 AS BIGINT))]) AS ws
+      |  FROM events)
+      |SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+      |       COUNT(DISTINCT user_id) AS users
+      |FROM wins GROUP BY ws ORDER BY ws""".stripMargin
+
   // ---- q23 embedding norm stats -------------------------------------------
 
   def q23EmbeddingNorms(spark: SparkSession, sfDir: String): DataFrame = {
@@ -265,7 +286,8 @@ object ExtQueries {
     "q20_ann_cosine" -> (q20AnnCosine _),
     "q21_sessions" -> (q21Sessions _),
     "q22_event_windows" -> (q22EventWindows _),
-    "q23_embedding_norms" -> (q23EmbeddingNorms _))
+    "q23_embedding_norms" -> (q23EmbeddingNorms _),
+    "q24_sliding_users" -> (q24SlidingUsers _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact" -> q14Sql,
@@ -275,5 +297,6 @@ object ExtQueries {
     "q20_ann_cosine" -> q20Sql,
     "q21_sessions" -> q21Sql,
     "q22_event_windows" -> q22Sql,
-    "q23_embedding_norms" -> q23Sql)
+    "q23_embedding_norms" -> q23Sql,
+    "q24_sliding_users" -> q24Sql)
 }
