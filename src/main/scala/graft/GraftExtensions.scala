@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.GraftProduct
+import graft.functions.{GraftProduct, VectorDot, VectorNorm2}
 
 /** Spark session extension: registers graft's custom Catalyst functions for
   * SQL use. Attach at session build time with
@@ -15,25 +15,32 @@ import graft.functions.GraftProduct
   *  - `graft_product(x)`: exact multiplicative aggregate (Π x over non-null
   *    x, null on empty) — the compounding primitive; usable as a plain
   *    aggregate and as a running window function.
+  *  - `graft_dot(a, b)` / `graft_norm2(a)`: codegen'd double-precision
+  *    vector math over array<float|double> embedding columns.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.productDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[graft] val productDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_product"),
-    new ExpressionInfo(classOf[GraftProduct].getName, "graft_product"),
-    (children: Seq[Expression]) => GraftProduct(children.head))
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_product"),
+      new ExpressionInfo(classOf[GraftProduct].getName, "graft_product"),
+      (children: Seq[Expression]) => GraftProduct(children.head)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))),
+    (FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[VectorNorm2].getName, "graft_norm2"),
+      (children: Seq[Expression]) => VectorNorm2(children.head)))
 }
 
 /** Imperative registration for sessions built without the extension. */
 object Graft {
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = GraftExtensions.productDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, e) => acc + e)
+  /** Codegen'd tight-loop vector math (graft.functions.VectorExprs) — the
+    * HOF formulation (`aggregate(zip_with(...))`) pays an interpreted lambda
+    * call per element; these generate straight Java loops.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, e) => acc + e.cast("double") * e.cast("double"))
+  def norm2(a: Column): Column = graft.functions.VectorExprs.norm2(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
@@ -56,8 +57,7 @@ object Similarity {
   def srpBucket(vec: Column, dims: Int, planes: Int = 8): Column = {
     val hp = hyperplanes(dims, planes)
     val bits = hp.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(zip_with(vec, typedLit(plane),
-        (x, h) => x.cast("double") * h), lit(0.0), (acc, e) => acc + e)
+      val proj = dot(vec, typedLit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
