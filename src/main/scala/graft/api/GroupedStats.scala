@@ -161,6 +161,26 @@ object GroupedStats {
       fdiv(avg(active), stddev_samp(active)).as("information_ratio"))
   }
 
+  /** Two-stage salted aggregation for skewed keys: rows are pre-aggregated
+    * on (keys, salt) — bounding the hottest reduce task to ~1/salts of the
+    * key's rows — then the per-salt partials merge in a second (tiny)
+    * aggregation. Valid for semigroup metrics where the metric applied to
+    * partial results equals the metric over raw rows (sum, count-sums, min,
+    * max, product — NOT avg/stddev directly; decompose those into sums
+    * first). AQE's skew handling covers joins; this covers aggregations
+    * with pathological key cardinality.
+    */
+  def saltedSemigroupAgg(sf: SeriesFrame, salts: Int,
+      metrics: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = sf.df.withColumn("__salt",
+      pmod(hash(col(sf.ts)), lit(salts)))
+    val partials = metrics.map { case (n, f) => f(sf.r).as(n) }
+    val stage1 = salted.groupBy((sf.keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val merged = metrics.map { case (n, f) => f(col(n)).as(n) }
+    stage1.groupBy(sf.keyCols: _*).agg(merged.head, merged.tail: _*)
+  }
+
   /** Calendar re-bucketing in long format: one row per (keys, bucket) with
     * comp-or-sum of the value — the scalable `_simple_returns`.
     */

@@ -97,6 +97,106 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- IVF-style ANN -------------------------------------------------------
+
+  /** Deterministic driver-side k-means over a small ordered sample — the
+    * coarse-quantizer training step of an IVF index. The sample is bounded
+    * (`sampleSize` rows), everything else stays distributed.
+    */
+  private[ext] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, sampleSize: Int, iterations: Int = 5): Array[Array[Double]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nLists, s"need >= $nLists sample vectors")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // deterministic farthest-point init (k-means++-style, no randomness):
+    // start from the first sample, repeatedly take the point farthest from
+    // its nearest chosen centroid — robust to clustered sample ordering.
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    while (chosen.length < nLists) {
+      val next = sample.maxBy(v => chosen.map(c => d2(v, c)).min)
+      chosen += next.clone()
+    }
+    var centroids = chosen.toArray
+    for (_ <- 1 to iterations) {
+      val sums = Array.fill(nLists)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nLists)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Distance ranking to every centroid: ‖cᵢ‖² − 2·v·cᵢ (the ‖v‖² term is
+    * constant per row and cannot change the argmin/ordering, so it is
+    * dropped), using the codegen'd dot product against literal centroid
+    * arrays.
+    */
+  private def centroidDists(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * dot(vec, typedLit(c.toSeq))
+    }: _*)
+
+  /** Index of the nearest centroid (list assignment). */
+  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val d = centroidDists(vec, centroids)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** IVF-style approximate top-k: corpus rows are bucketed by nearest
+    * centroid; each query probes its `nProbe` nearest lists only —
+    * candidates shrink by ~nLists/nProbe versus brute force, and the
+    * centroid set is tiny + broadcast, so the corpus is touched in one
+    * pass. The classic inverted-file ANN layout expressed as joins.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+      sampleSize: Int = 256): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nLists, sampleSize)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      ivfListId(col(vecCol), centroids).as("__list"))
+    // per query: the nProbe closest lists, via sorting (dist, idx) structs
+    val qd = centroidDists(col(queryVecCol), centroids)
+    val probes = transform(
+      slice(array_sort(zip_with(qd,
+        transform(sequence(lit(0), lit(nLists - 1)), i => i),
+        (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe),
+      s => s.getField("i"))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"), explode(probes).as("__list")))
+    val scored = c.join(q, Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv")) /
+          (sqrt(norm2(col("__qv"))) * sqrt(norm2(col("__cv"))))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("rank").orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
   /** Per-label embedding statistics (norm distribution) — sanity panel. */
   def normStats(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
     corpus.groupBy(col(labelCol))

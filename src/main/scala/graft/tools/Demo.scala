@@ -56,6 +56,12 @@ object Demo {
     show("beta_self", Stats.greeks(returns, bench).head().getStruct(0).getDouble(1))
     show("corr_self", Stats.scalar(Stats.correlation(returns, bench)))
 
+    println("\n== IVF ANN over embeddings ==")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 3, sampleSize = 200).show(6, truncate = false)
+
     graft.Graft.register(spark)
     returns.createOrReplaceTempView("returns")
     println("== SQL via graft_product ==")

@@ -78,6 +78,33 @@ class ExtSpec extends SparkSpec {
     assertApprox(res.head._2, 1.0, tol = 1e-6)
   }
 
+  test("IVF top-k finds in-cluster neighbors") {
+    // three tight clusters on orthogonal axes
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 90).map { i =>
+      val axis = i % 3
+      val base = Array.fill(8)(0.05f * rnd.nextGaussian().toFloat)
+      base(axis) = 1.0f + 0.05f * rnd.nextGaussian().toFloat
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3) // one per cluster
+    val res = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nLists = 3, nProbe = 1, sampleSize = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    // every returned neighbor shares the query's cluster (axis = id mod 3)
+    res.foreach { case (q, n, cos) =>
+      assert(n % 3 == q % 3, s"cross-cluster neighbor $n for query $q")
+      assert(cos > 0.9, s"low cosine $cos inside cluster")
+    }
+    // compare against brute force: top-1 must agree
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop1 = res.groupBy(_._1).map { case (q, rs) => q -> rs.maxBy(_._3)._2 }
+    ivfTop1.foreach { case (q, n) => assert(bf(q) == n, s"ivf top1 $n != bf ${bf(q)}") }
+  }
+
   test("text stats: tokens, stopwords, quality, lang id, fingerprint") {
     val df = Seq(
       "the cat and the dog sat in the garden of the house",

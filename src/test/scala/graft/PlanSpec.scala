@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GroupedStats, SeriesFrame}
+import graft.core.Exprs
+import graft.functions.GraftProduct.product
+
+/** Physical-plan regression guards: the properties that make the engine
+  * scale must stay visible in explain output (SURVEY.md "optimize for
+  * scale" checklist).
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def explainString(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("lineitem scan is pruned to the needed columns") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val rev = li.groupBy(to_date(col("l_shipdate")).as("d"), col("l_returnflag").as("asset"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val plan = explainString(rev)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_quantity"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("filter on scan column is pushed to parquet") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0).select("l_orderkey")
+    val plan = explainString(li)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity"), s"no pushdown in: $plan")
+  }
+
+  test("benchmark join broadcasts the small side") {
+    val big = (1 to 1000).map(i => (i % 50, i.toDouble)).toDF("d", "r")
+    val small = (0 until 50).map(i => (i, i * 0.1)).toDF("d", "b")
+    val sf = SeriesFrame(big.withColumn("asset", lit("x")), Seq("asset"), "d", "r")
+    val plan = explainString(GroupedStats.benchmarked(sf, small, "d", "b"))
+    assert(plan.contains("BroadcastHashJoin"), "benchmark join is not broadcast")
+  }
+
+  test("grouped aggregation has map-side partial aggregation") {
+    val sf = SeriesFrame((1 to 100).map(i => (i % 3, i, i * 0.01)).toDF("a", "t", "r"),
+      Seq("a"), "t", "r")
+    val plan = explainString(GroupedStats.aggregate(sf, Seq("s" -> (c => sum(c)))))
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("salted aggregation matches direct aggregation for semigroup metrics") {
+    val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
+      .toDF("a", "t", "r"), Seq("a"), "t", "r")
+    val direct = GroupedStats.aggregate(sf, Seq(
+      "p" -> (c => product(c)), "mx" -> (c => max(c)), "sm" -> (c => sum(c))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val salted = GroupedStats.saltedSemigroupAgg(sf, salts = 8, Seq(
+      "p" -> (c => product(c)), "mx" -> (c => max(c)), "sm" -> (c => sum(c))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    direct.keys.foreach { k =>
+      assertApprox(salted(k)._1, direct(k)._1, 1e-9)
+      assertApprox(salted(k)._2, direct(k)._2, 1e-12)
+    }
+  }
+}
