@@ -418,6 +418,35 @@ object Queries {
        |  CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
        |FROM ja GROUP BY asset ORDER BY asset""".stripMargin
 
+  /** The wide (reference-shaped) API through the driver gate: pivot the long
+    * returns into one column per asset and run Stats.sharpe/volatility —
+    * proves the wide edge computes the same numbers the long engine does.
+    */
+  def q25WideRatios(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val wide = sf.df.groupBy(col("d")).pivot("asset", Seq("A", "N", "R"))
+      .agg(first(col("r")))
+    val sharpeRow = graft.stats.Stats.sharpe(wide).head()
+    val volRow = graft.stats.Stats.volatility(wide).head()
+    import spark.implicits._
+    Seq((sharpeRow.getDouble(0), sharpeRow.getDouble(1),
+      volRow.getDouble(0), volRow.getDouble(1)))
+      .toDF("sharpe_a", "sharpe_n", "vol_a", "vol_n")
+      .select(Seq("sharpe_a", "sharpe_n", "vol_a", "vol_n")
+        .map(c => round(col(c), 6).as(c)): _*)
+  }
+
+  val q25Sql: String =
+    s"""$RetCte,
+       |s AS (SELECT asset, AVG(r) / STDDEV_SAMP(r) * $S252 AS sh,
+       |             STDDEV_SAMP(r) * $S252 AS vol
+       |      FROM ret GROUP BY asset)
+       |SELECT ROUND(MAX(CASE WHEN asset = 'A' THEN sh END), 6) AS sharpe_a,
+       |       ROUND(MAX(CASE WHEN asset = 'N' THEN sh END), 6) AS sharpe_n,
+       |       ROUND(MAX(CASE WHEN asset = 'A' THEN vol END), 6) AS vol_a,
+       |       ROUND(MAX(CASE WHEN asset = 'N' THEN vol END), 6) AS vol_n
+       |FROM s""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -433,7 +462,8 @@ object Queries {
     "q10_monthly" -> (q10Monthly _),
     "q11_trailing" -> (q11Trailing _),
     "q12_benchmark" -> (q12Benchmark _),
-    "q13_asof" -> (q13AsOf _)) ++ ExtQueries.all
+    "q13_asof" -> (q13AsOf _),
+    "q25_wide_ratios" -> (q25WideRatios _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -448,5 +478,6 @@ object Queries {
     "q10_monthly" -> q10Sql,
     "q11_trailing" -> q11Sql,
     "q12_benchmark" -> q12Sql,
-    "q13_asof" -> q13Sql) ++ ExtQueries.oracles
+    "q13_asof" -> q13Sql,
+    "q25_wide_ratios" -> q25Sql) ++ ExtQueries.oracles
 }

@@ -50,6 +50,27 @@ class StatsGoldenSpec extends SparkSpec {
     assert(scalar(Stats.sharpe(Seq(0.0, 0.0, 0.0, 0.0).toDF("returns"))).isNaN)
   }
 
+  test("extreme / periods golden values (sharpe, sortino, volatility)") {
+    assertApprox(scalar(Stats.sharpe(extremeSeries)), 1.0629032821934614)
+    assertApprox(scalar(Stats.sortino(simpleSeries, periods = 12)), 2.0784609690826525)
+    assertApprox(scalar(Stats.sortino(extremeSeries)), 1.7686932639858621)
+    assertApprox(scalar(Stats.volatility(simpleSeries, periods = 12)), 0.07183313998427189)
+    assertApprox(scalar(Stats.volatility(extremeSeries)), 14.225188926689164)
+    assertApprox(scalar(Stats.maxDrawdown(Seq(0.0, 0.0, 0.0, 0.0).toDF("returns"))), 0.0)
+    val ddZeros = Stats.toDrawdowns(Seq(0.0, 0.0, 0.0, 0.0).toDF("returns"))
+      .collect().map(_.getDouble(0))
+    assert(ddZeros.forall(_ == 0.0))
+  }
+
+  test("greeks with temporal columns on extreme values") {
+    val rets = dates(5).zip(Seq(0.5, -0.8, 1.2, -0.9, 0.3)).toDF("date", "asset")
+    val bench = dates(5).zip(Seq(0.1, -0.2, 0.3, -0.15, 0.05))
+      .toDF("date", "_benchmark_returns")
+    val g = Stats.greeks(rets, bench).head().getStruct(0)
+    assertApprox(g.getDouble(0), -6.957055214723923, tol = 1e-9, clue = "alpha")
+    assertApprox(g.getDouble(1), 4.380368098159508, tol = 1e-9, clue = "beta")
+  }
+
   test("probabilistic sharpe ratio golden value") {
     assertApprox(scalar(Stats.probabilisticSharpeRatio(simpleSeries)),
       0.7180057951953357, tol = 1e-9)
