@@ -276,6 +276,29 @@ object ExtQueries {
       |  ROUND(MAX(nrm), 6) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q26 JSON props extraction ------------------------------------------
+
+  /** Semi-structured props column: JSON scalar extraction + aggregation —
+    * get_json_object is codegen'd; no UDF JSON parsing.
+    */
+  def q26EventProps(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q26Sql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -287,7 +310,8 @@ object ExtQueries {
     "q21_sessions" -> (q21Sessions _),
     "q22_event_windows" -> (q22EventWindows _),
     "q23_embedding_norms" -> (q23EmbeddingNorms _),
-    "q24_sliding_users" -> (q24SlidingUsers _))
+    "q24_sliding_users" -> (q24SlidingUsers _),
+    "q26_event_props" -> (q26EventProps _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact" -> q14Sql,
@@ -298,5 +322,6 @@ object ExtQueries {
     "q21_sessions" -> q21Sql,
     "q22_event_windows" -> q22Sql,
     "q23_embedding_norms" -> q23Sql,
-    "q24_sliding_users" -> q24Sql)
+    "q24_sliding_users" -> q24Sql,
+    "q26_event_props" -> q26Sql)
 }

@@ -447,6 +447,56 @@ object Queries {
        |       ROUND(MAX(CASE WHEN asset = 'N' THEN vol END), 6) AS vol_n
        |FROM s""".stripMargin
 
+  /** Star-schema path: monthly revenue returns per customer market segment
+    * (lineitem ⋈ orders ⋈ broadcast customer), then per-segment metrics at
+    * monthly frequency. Exercises multi-table joins feeding the metric
+    * algebra; the big fact side shuffles once on the join key, dimensions
+    * broadcast.
+    */
+  def q27SegmentReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"),
+        col("c_mktsegment").as("segment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("y"), col("mo"))
+    val ret = rev.select(col("segment"),
+      (col("rev") / lag("rev", 1).over(w) - lit(1.0)).as("r"))
+      .filter(col("r").isNotNull)
+    ret.groupBy("segment").agg(
+      round(Exprs.comp(col("r")), 6).as("comp"),
+      round(Exprs.sharpe(col("r"), 0.0, 12, annualize = true), 6).as("sharpe_m"),
+      round(max(col("r")), 6).as("best_month"),
+      round(min(col("r")), 6).as("worst_month"))
+      .orderBy("segment")
+  }
+
+  private val S12: String = math.sqrt(12.0).toString
+
+  val q27Sql: String =
+    s"""WITH rev AS (
+       |  SELECT YEAR(o.o_orderdate) AS y, MONTH(o.o_orderdate) AS mo,
+       |         c.c_mktsegment AS segment,
+       |         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2, 3),
+       |ret AS (
+       |  SELECT segment, r FROM (
+       |    SELECT segment,
+       |           rev / LAG(rev) OVER (PARTITION BY segment ORDER BY y, mo) - 1 AS r
+       |    FROM rev) WHERE r IS NOT NULL)
+       |SELECT segment,
+       |  ROUND(PRODUCT(1 + r) - 1, 6) AS comp,
+       |  ROUND(AVG(r) / STDDEV_SAMP(r) * $S12, 6) AS sharpe_m,
+       |  ROUND(MAX(r), 6) AS best_month,
+       |  ROUND(MIN(r), 6) AS worst_month
+       |FROM ret GROUP BY segment ORDER BY segment""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -463,7 +513,8 @@ object Queries {
     "q11_trailing" -> (q11Trailing _),
     "q12_benchmark" -> (q12Benchmark _),
     "q13_asof" -> (q13AsOf _),
-    "q25_wide_ratios" -> (q25WideRatios _)) ++ ExtQueries.all
+    "q25_wide_ratios" -> (q25WideRatios _),
+    "q27_segment_returns" -> (q27SegmentReturns _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -479,5 +530,6 @@ object Queries {
     "q11_trailing" -> q11Sql,
     "q12_benchmark" -> q12Sql,
     "q13_asof" -> q13Sql,
-    "q25_wide_ratios" -> q25Sql) ++ ExtQueries.oracles
+    "q25_wide_ratios" -> q25Sql,
+    "q27_segment_returns" -> q27Sql) ++ ExtQueries.oracles
 }

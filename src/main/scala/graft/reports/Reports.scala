@@ -25,7 +25,7 @@ import graft.stats.Smart
   *    episode lengths are ROW COUNTS in the report (reports.py:397-414);
   *  - percent rows ×100; cells rounded to 2, NaN/±Inf → "-", benchmark-only
   *    cells "-" (reports.py:411, 539-553);
-  *  - exact row orders: basic 36 / full 69 (tests/test_quantstats_parity.py:57-167).
+  *  - exact row orders: basic 36 / full 70 (tests/test_quantstats_parity.py:57-167).
   *
   * Execution is restructured Spark-first (SURVEY.md §3 note): instead of the
   * reference's ~40 sequential one-metric queries per column, metrics are
@@ -458,12 +458,14 @@ object Reports {
     case d: Double =>
       if (d.isNaN || d.isInfinite) "-"
       else {
-        val rounded = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-        if (rounded == 0.0) "0" else {
-          // match Python str(): integral floats keep ".0", others shortest repr
-          val s = rounded.toString
-          s
-        }
+        // Python round() operates on the EXACT binary expansion of the
+        // double (12.345 is stored as 12.34500000000000064 → "12.35");
+        // java BigDecimal.valueOf / scala BigDecimal(Double) would use the
+        // shortest repr and round the other way.
+        val rounded = new java.math.BigDecimal(d)
+          .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
+        if (rounded == 0.0) "0"
+        else rounded.toString // matches Python str(): ".0" kept, shortest repr
       }
     case other => other.toString
   }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.reports.Reports
 
 class ReportsSpec extends SparkSpec {
@@ -52,7 +54,7 @@ class ReportsSpec extends SparkSpec {
     assert(rep.select("Metric").collect().map(_.getString(0)).toSeq == basicRows)
   }
 
-  test("full report with benchmark has the exact 69-row order") {
+  test("full report with benchmark has the exact 70-row order (FIXTURES.md says 69; the reference list has 70 entries)") {
     val rep = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark), mode = "full")
     assert(rep.columns.toSeq == Seq("Metric", "Benchmark", "Strategy"))
     assert(rep.select("Metric").collect().map(_.getString(0)).toSeq == fullRows)
@@ -81,6 +83,44 @@ class ReportsSpec extends SparkSpec {
     assert(byMetric("Beta")._2 != "-") // strategy col has a beta
     assert(byMetric("Sharpe")._1 != "-") // shared rows computed for benchmark too
     assert(byMetric("R^2")._1 == "-")
+  }
+
+  test("full report without benchmark drops the 6 benchmark-only rows") {
+    val rep = Reports.metrics(parityReturns, mode = "full")
+    val rows = rep.select("Metric").collect().map(_.getString(0)).toSeq
+    val expected = fullRows.filterNot(Set("R^2", "Information Ratio",
+      "Beta", "Alpha", "Correlation", "Treynor Ratio"))
+    assert(rows == expected)
+    assert(rows.length == fullRows.length - 6)
+  }
+
+  test("formatValue matches Python str(round(x, 2)) semantics") {
+    assert(Reports.formatValue(12.345) == "12.35")
+    assert(Reports.formatValue(12.0) == "12.0")
+    assert(Reports.formatValue(-0.004) == "0") // rounds to -0.0 → "0"
+    assert(Reports.formatValue(0.005) == "0.01") // 0.005 stored above half
+    assert(Reports.formatValue(2.675) == "2.67") // 2.675 stored below half
+    assert(Reports.formatValue(0.015) == "0.01") // 0.015 stored below half
+    assert(Reports.formatValue(Double.NaN) == "-")
+    assert(Reports.formatValue(Double.PositiveInfinity) == "-")
+    assert(Reports.formatValue(null) == "-")
+    assert(Reports.formatValue(7L) == "7")
+    assert(Reports.formatValue("x") == "x")
+    assert(Reports.formatValue(-3.456) == "-3.46")
+  }
+
+  test("matchDates=false keeps unmatched strategy rows (left join)") {
+    val shortBench = (2 to 6).map(d => java.sql.Date.valueOf(f"2023-01-$d%02d"))
+      .zip(Seq(0.005, -0.01, 0.015, -0.005, 0.01)).toDF("date", "benchmark")
+    val inner = Reports.metrics(parityReturns, benchmark = Some(shortBench),
+      mode = "basic", matchDates = true)
+    val left = Reports.metrics(parityReturns, benchmark = Some(shortBench),
+      mode = "basic", matchDates = false)
+    def cell(rep: org.apache.spark.sql.DataFrame, m: String): String =
+      rep.filter(col("Metric") === m).head().getString(2)
+    // inner join truncates the strategy series to 5 rows; left join keeps 10
+    assert(cell(inner, "End Period") == "2023-01-06")
+    assert(cell(left, "End Period") == "2023-01-11")
   }
 
   test("no-temporal returns: window rows are '-'") {
