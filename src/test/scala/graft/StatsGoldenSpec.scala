@@ -173,6 +173,41 @@ class StatsGoldenSpec extends SparkSpec {
     assertApprox(scalar(Stats.avgDrawdownDays(noDd)), 0.0)
   }
 
+  test("calendar aggregation buckets (reference calendar fixture)") {
+    // FIXTURES.md A.1 calendar frame: spans year/month/quarter buckets
+    val ds = Seq("2022-12-30", "2023-01-02", "2023-01-31", "2023-02-01",
+      "2023-03-01", "2023-06-01", "2023-12-29").map(java.sql.Date.valueOf)
+    val vs = Seq(0.01, 0.02, -0.01, 0.03, -0.02, 0.04, 0.01)
+    val df = ds.zip(vs).toDF("date", "asset")
+    // monthly comps: 2022-12: 0.01; 2023-01: 1.02*0.99-1; 2023-02: 0.03;
+    // 2023-03: -0.02; 2023-06: 0.04; 2023-12: 0.01
+    val jan = 1.02 * 0.99 - 1
+    assertApprox(scalar(Stats.bestMonth(df)), 0.04)
+    assertApprox(scalar(Stats.worstMonth(df)), -0.02)
+    assertApprox(scalar(Stats.winRate(df, Some("month"))), 5.0 / 6)
+    val monthly = Seq(0.01, jan, 0.03, -0.02, 0.04, 0.01)
+    val expMonthly = math.pow(monthly.map(1 + _).product, 1.0 / 6) - 1
+    assertApprox(scalar(Stats.expectedMonthly(df)), expMonthly)
+    // yearly: 2022: 0.01; 2023: comp of the six 2023 returns
+    val y2023 = Seq(0.02, -0.01, 0.03, -0.02, 0.04, 0.01).map(1 + _).product - 1
+    assertApprox(scalar(Stats.bestYear(df)), math.max(0.01, y2023))
+    assertApprox(scalar(Stats.worstYear(df)), math.min(0.01, y2023))
+    // weekly: ISO week keeps 2022-12-30 in (2022, wk52), 2023-01-02 in (2023, wk1)
+    // → no bucket merges across the year boundary; 7 rows → 7 distinct buckets?
+    // 2023-01-31 (wk5) and 2023-02-01 (wk5!) share an ISO week → 6 buckets
+    val weekly = graft.stats.Calendar.simpleReturns(
+      graft.core.ReturnsFrame(df), Some("week"), compounded = true)
+    assert(weekly.count() == 6)
+    val wk5 = 0.99 * 1.03 - 1 // Jan 31 + Feb 1 compound within ISO week 5
+    val weeklyVals = weekly.collect().map(_.getDouble(0))
+    assert(weeklyVals.exists(v => math.abs(v - wk5) < 1e-12),
+      s"missing merged ISO week: ${weeklyVals.toSeq}")
+    // quarterly: Q4-2022: 0.01; Q1-2023: comp(0.02,-0.01,0.03,-0.02); Q2: 0.04; Q4-2023: 0.01
+    val q1 = Seq(0.02, -0.01, 0.03, -0.02).map(1 + _).product - 1
+    assertApprox(scalar(Stats.winQuarter(df)), 1.0) // all quarter comps positive? q1>0
+    assert(q1 > 0)
+  }
+
   test("multiple temporal columns rejected") {
     val df = Seq((java.sql.Date.valueOf("2023-01-01"),
       java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 0.01))
