@@ -79,6 +79,48 @@ class ParitySpec extends SparkSpec {
     assertApprox(scalar(Stats.threeMonth(rets)), 0.03434821143070521, tol)
   }
 
+  test("timestamp temporal column takes the same code paths as dates") {
+    val vals = Seq(0.01, -0.02, 0.03, -0.01, 0.02, 0.0, 0.015, -0.005, 0.01, -0.015)
+    val tsDf = (2 to 11).map(d =>
+      java.sql.Timestamp.valueOf(f"2023-01-$d%02d 15:30:00")).zip(vals)
+      .toDF("dt", "asset")
+    assertApprox(scalar(Stats.cagr(tsDf)), 1.342084440788959, tol)
+    assertApprox(scalar(Stats.mtd(tsDf)), 0.03434821143070521, tol)
+    assertApprox(scalar(Stats.ytd(tsDf)), 0.03434821143070521, tol)
+    // drawdown episodes on timestamps use the floor-seconds day arithmetic
+    val epTs = (1 to 7).map(d =>
+      java.sql.Timestamp.valueOf(f"2023-01-$d%02d 09:00:00"))
+      .zip(Seq(0.02, -0.01, -0.02, 0.05, -0.01, -0.01, 0.03)).toDF("dt", "asset")
+    assert(Stats.longestDrawdownDays(epTs).head().getLong(0) == 2L)
+    assertApprox(scalar(Stats.avgDrawdownDays(epTs)), 2.0, tol)
+    // monthly bucket on timestamps
+    assertApprox(scalar(Stats.bestMonth(tsDf)), 0.03434821143070521, tol)
+  }
+
+  test("monthly-frequency metrics on the month-end fixture (periods=12)") {
+    // reference monthly fixture (tests/test_quantstats_parity.py:20-54)
+    val vals = Seq(0.01, -0.02, 0.03, -0.015, 0.02, -0.01, 0.025, -0.02, 0.015, 0.01)
+    val ends = Seq("2023-01-31", "2023-02-28", "2023-03-31", "2023-04-30",
+      "2023-05-31", "2023-06-30", "2023-07-31", "2023-08-31", "2023-09-30",
+      "2023-10-31").map(java.sql.Date.valueOf)
+    val df = ends.zip(vals).toDF("date", "asset")
+    val n = vals.length
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    def std(xs: Seq[Double]) = {
+      val m = mean(xs); math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    assertApprox(scalar(Stats.sharpe(df, periods = 12)),
+      mean(vals) / std(vals) * math.sqrt(12.0), tol)
+    assertApprox(scalar(Stats.volatility(df, periods = 12)),
+      std(vals) * math.sqrt(12.0), tol)
+    val comp = vals.map(1 + _).product - 1
+    assertApprox(scalar(Stats.cagr(df, periods = 12)),
+      math.pow(comp + 1, 12.0 / n) - 1, tol)
+    // each row is its own month bucket → monthly best == plain best
+    assertApprox(scalar(Stats.bestMonth(df)), vals.max, tol)
+    assertApprox(scalar(Stats.winMonth(df)), 6.0 / 10, tol)
+  }
+
   test("benchmark-relative metrics match independent oracle") {
     val g = Stats.greeks(rets, bench).head().getStruct(0)
     assertApprox(g.getDouble(0), -0.05568298027757443, tol, "alpha")
