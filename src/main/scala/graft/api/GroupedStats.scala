@@ -161,6 +161,33 @@ object GroupedStats {
       fdiv(avg(active), stddev_samp(active)).as("information_ratio"))
   }
 
+  /** Trailing-window (rolling) metrics per series: the last `n` rows at
+    * every point. Key-partitioned sliding frames — each series' windows
+    * evaluate within its partition, no cross-key traffic. Beyond the
+    * reference surface (QuantStats' rolling_* family analog) — a pipeline
+    * monitoring staple.
+    */
+  def rolling(sf: SeriesFrame, n: Int,
+      metrics: Seq[(String, (Column, WindowSpec) => Column)]): DataFrame = {
+    val w = Window.partitionBy(sf.keyCols: _*).orderBy(col(sf.ts))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    sf.df.select(sf.keyCols ++ Seq(col(sf.ts)) ++
+      metrics.map { case (name, f) => f(sf.r, w).as(name) }: _*)
+  }
+
+  /** Window-aware metric builders for [[rolling]] (each aggregate gets its
+    * own `.over`).
+    */
+  object Rolling {
+    def sharpe(periods: Int): (Column, WindowSpec) => Column = (r, w) =>
+      fdiv(avg(r).over(w), stddev_samp(r).over(w)) * math.sqrt(periods.toDouble)
+    def volatility(periods: Int): (Column, WindowSpec) => Column = (r, w) =>
+      stddev_samp(r).over(w) * math.sqrt(periods.toDouble)
+    def comp: (Column, WindowSpec) => Column = (r, w) =>
+      product(r + lit(1.0)).over(w) - lit(1.0)
+    def mean: (Column, WindowSpec) => Column = (r, w) => avg(r).over(w)
+  }
+
   /** Two-stage salted aggregation for skewed keys: rows are pre-aggregated
     * on (keys, salt) — bounding the hottest reduce task to ~1/salts of the
     * key's rows — then the per-salt partials merge in a second (tiny)

@@ -13,21 +13,32 @@ import graft.ext.{Dedup, Events, Similarity, TextStats}
   */
 object ExtQueries {
 
+  // cached per (session, sf) like the returns derivation — several queries
+  // re-read each table
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def cached(spark: SparkSession, sfDir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    tableCache.getOrElseUpdate((spark, sfDir, name), build.cache())
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    cached(spark, sfDir, "documents")(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    cached(spark, sfDir, "embeddings")(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
   /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (with
     * spark.sql.legacy.parquet.nanosAsLong=true) and we truncate to
     * microsecond timestamps — second-level session/window semantics are
     * unaffected.
     */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "events") {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
 
   // ---- q14 exact dedup -----------------------------------------------------
 

@@ -497,6 +497,38 @@ object Queries {
        |  ROUND(MIN(r), 6) AS worst_month
        |FROM ret GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** 63-row rolling sharpe per asset (full windows only), summarized per
+    * asset — key-partitioned sliding frames, no cross-key traffic.
+    */
+  def q28RollingSharpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val rolled = GroupedStats.rolling(sf, 63,
+      Seq("rs" -> GroupedStats.Rolling.sharpe(252)))
+    val wRn = Window.partitionBy(col("asset")).orderBy(col("d"))
+    rolled.withColumn("__rn", row_number().over(wRn))
+      .filter(col("__rn") >= 63)
+      .groupBy("asset")
+      .agg(round(avg(col("rs")), 6).as("avg_rolling_sharpe"),
+        round(max(col("rs")), 6).as("max_rolling_sharpe"),
+        round(min(col("rs")), 6).as("min_rolling_sharpe"))
+      .orderBy("asset")
+  }
+
+  val q28Sql: String =
+    s"""$RetCte,
+       |roll AS (
+       |  SELECT asset,
+       |         AVG(r) OVER w / STDDEV_SAMP(r) OVER w * $S252 AS rs,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY d) AS rn
+       |  FROM ret
+       |  WINDOW w AS (PARTITION BY asset ORDER BY d
+       |               ROWS BETWEEN 62 PRECEDING AND CURRENT ROW))
+       |SELECT asset,
+       |  ROUND(AVG(rs), 6) AS avg_rolling_sharpe,
+       |  ROUND(MAX(rs), 6) AS max_rolling_sharpe,
+       |  ROUND(MIN(rs), 6) AS min_rolling_sharpe
+       |FROM roll WHERE rn >= 63 GROUP BY asset ORDER BY asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -514,7 +546,8 @@ object Queries {
     "q12_benchmark" -> (q12Benchmark _),
     "q13_asof" -> (q13AsOf _),
     "q25_wide_ratios" -> (q25WideRatios _),
-    "q27_segment_returns" -> (q27SegmentReturns _)) ++ ExtQueries.all
+    "q27_segment_returns" -> (q27SegmentReturns _),
+    "q28_rolling_sharpe" -> (q28RollingSharpe _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -531,5 +564,6 @@ object Queries {
     "q12_benchmark" -> q12Sql,
     "q13_asof" -> q13Sql,
     "q25_wide_ratios" -> q25Sql,
-    "q27_segment_returns" -> q27Sql) ++ ExtQueries.oracles
+    "q27_segment_returns" -> q27Sql,
+    "q28_rolling_sharpe" -> q28Sql) ++ ExtQueries.oracles
 }
