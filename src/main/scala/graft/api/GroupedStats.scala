@@ -79,7 +79,7 @@ object GroupedStats {
     val ddCol = col("__dd")
     val exprs = Seq(
       min(ddCol).as("max_drawdown"),
-      sqrt(sum(ddCol * ddCol) / (count(dd.r) - lit(1))).as("ulcer_index"),
+      sqrt(fdiv(sum(ddCol * ddCol), count(dd.r) - lit(1))).as("ulcer_index"),
       fdiv(abs(sum(dd.r)), abs(min(ddCol))).as("recovery_factor")
     ) ++ extra.map { case (n, f) => f(dd.r).as(n) }
     dd.df.groupBy(sf.keyCols: _*).agg(exprs.head, exprs.tail: _*)
@@ -112,7 +112,9 @@ object GroupedStats {
     val ws = Window.partitionBy(sf.keyCols :+ col("__sgn"): _*).orderBy(col(sf.ts))
     val islands = sf.df.withColumn("__sgn", sgn)
       .withColumn("__island", row_number().over(w) - row_number().over(ws))
-    val runs = islands.filter(col("__sgn") === 1 || col("__sgn") === -1)
+    // keep zero/null islands too: a key with no wins/losses must still get a
+    // row (0, 0) — filtering to ±1 here would drop all-flat series entirely
+    val runs = islands
       .groupBy(sf.keyCols :+ col("__sgn") :+ col("__island"): _*)
       .agg(count(lit(1)).as("__len"))
     runs.groupBy(sf.keyCols: _*).agg(

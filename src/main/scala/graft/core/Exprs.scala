@@ -156,7 +156,7 @@ object Exprs {
     val p3 = avg(r * r * r)
     val m2 = p2 - m * m
     val m3 = p3 - lit(3.0) * m * p2 + lit(2.0) * m * m * m
-    sqrt(n * (n - 1)) / (n - 2) * fdiv(m3, pow(m2, 1.5))
+    fdiv(sqrt(n * (n - 1)), n - 2) * fdiv(m3, pow(m2, 1.5))
   }
 
   /** G2 bias-corrected excess kurtosis (reference: alphastats/stats.py:880-891). */
@@ -169,13 +169,13 @@ object Exprs {
     val m2 = p2 - m * m
     val m4 = p4 - lit(4.0) * m * p3 + lit(6.0) * m * m * p2 - lit(3.0) * m * m * m * m
     val g2 = fdiv(m4, m2 * m2) - lit(3.0)
-    (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + lit(6.0))
+    fdiv(n - 1, (n - 2) * (n - 3)) * ((n + 1) * g2 + lit(6.0))
   }
 
   // --- drawdown aggregates over a precomputed dd column ---
 
   def ulcerIndex(dd: Column, r: Column): Column =
-    sqrt(sum(dd * dd) / (count(r) - lit(1)))
+    sqrt(fdiv(sum(dd * dd), count(r) - lit(1)))
 
   def recoveryFactor(r: Column, dd: Column, rf: Double): Column =
     fdiv(abs(sum(r) - lit(rf)), abs(min(dd)))

@@ -91,7 +91,6 @@ object Dedup {
     * to bound the pair blow-up at scale.
     */
   def lshCandidatePairs(sig: DataFrame, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
-    val k = bands // rows per band = numHashes / bands, derived from array size
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",

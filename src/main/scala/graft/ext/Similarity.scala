@@ -107,7 +107,7 @@ object Similarity {
       nLists: Int, sampleSize: Int, iterations: Int = 5): Array[Array[Double]] = {
     val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray) // float OR double arrays
     require(sample.length >= nLists, s"need >= $nLists sample vectors")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

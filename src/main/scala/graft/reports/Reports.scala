@@ -89,8 +89,9 @@ object Reports {
     val ord: Column = temporal.map(col).getOrElse(monotonically_increasing_id())
     val names = outputNames
 
-    // ---- P0: start/end dates per column + max date ----
-    val (startDates, endDates, maxDateOpt): (Map[String, Any], Map[String, Any], Option[LocalDate]) =
+    // ---- P0: start/end dates per column + max date (raw temporal scalar:
+    // time-of-day must survive for the trailing-window boundaries) ----
+    val (startDates, endDates, maxRawOpt): (Map[String, Any], Map[String, Any], Option[Any]) =
       temporal match {
         case None => (Map.empty, Map.empty, None)
         case Some(t) =>
@@ -100,12 +101,7 @@ object Reports {
           val row = frame.agg(aggs.head, aggs.tail: _*).head()
           val s = names.map(n => n -> row.getAs[Any](s"__s_$n")).toMap
           val e = names.map(n => n -> row.getAs[Any](s"__e_$n")).toMap
-          val mx = row.getAs[Any]("__mx") match {
-            case d: Date => Some(d.toLocalDate)
-            case ts: Timestamp => Some(ts.toLocalDateTime.toLocalDate)
-            case null => None
-          }
-          (s, e, mx)
+          (s, e, Option(row.getAs[Any]("__mx")))
       }
 
     // ---- zero-filled metric frame (reports.py:378) ----
@@ -113,11 +109,11 @@ object Reports {
       (temporal.map(col).toSeq :+ ord.as("__ord")) ++
         names.map(n => coalesce(col(n).cast("double"), lit(0.0)).as(n)): _*).cache()
 
-    def dateBoundary(ld: LocalDate): Column = temporal match {
-      case Some(t) if frame.schema(t).dataType == org.apache.spark.sql.types.DateType =>
-        lit(Date.valueOf(ld))
-      case _ => lit(Timestamp.valueOf(ld.atStartOfDay()))
-    }
+    /** max(ts) shifted by calendar months/years, same temporal type —
+      * matches the reference's offset_by (keeps time-of-day on timestamps).
+      */
+    def boundary(mx: Any, months: Int, years: Int): Column =
+      lit(graft.stats.Calendar.shift(mx, months, years))
 
     // ---- P1: one wide scalar-aggregate pass ----
     case class P1(n: String) {
@@ -137,7 +133,10 @@ object Reports {
           Exprs.cagr(c, rf, compounded, periodsPerYear).as(s"cagr__$n"),
           Exprs.cagr(c, 0.0, compounded, periodsPerYear).as(s"cagr0__$n"),
           Exprs.sharpe(c, rf, periodsPerYear, annualize = true).as(s"sharpe__$n"),
-          Exprs.sharpe(c, rf, periodsPerYear, annualize = false).as(s"sharpe_na__$n"),
+          // PSR base: NO rf here — the reference's probabilistic_sharpe_ratio
+          // uses a no-rf Sharpe and subtracts rf once in the CDF argument
+          // (alphastats/stats.py:277,295)
+          Exprs.sharpe(c, 0.0, periodsPerYear, annualize = false).as(s"sharpe_na__$n"),
           Exprs.sortino(c, rf, periodsPerYear, annualize = true).as(s"sortino__$n"),
           Exprs.omega(c, 0.0).as(s"omega__$n"),
           Exprs.gainToPain(c, rf).as(s"g2p__$n"),
@@ -159,16 +158,18 @@ object Reports {
           max(c).as(s"best__$n"),
           min(c).as(s"worst__$n"),
           count(c).as(s"count__$n"))
-        val windows = (temporal, maxDateOpt) match {
-          case (Some(_), Some(mx)) => Seq(
-            condProd(year(t) === mx.getYear && month(t) === mx.getMonthValue).as(s"mtd__$n"),
-            condProd(t >= dateBoundary(mx.minusMonths(3))).as(s"m3__$n"),
-            condProd(t >= dateBoundary(mx.minusMonths(6))).as(s"m6__$n"),
-            condProd(year(t) === mx.getYear).as(s"ytd__$n"),
-            condProd(t >= dateBoundary(mx.minusYears(1))).as(s"y1__$n"),
-            condCagr(t >= dateBoundary(mx.minusYears(3))).as(s"y3__$n"),
-            condCagr(t >= dateBoundary(mx.minusYears(5))).as(s"y5__$n"),
-            condCagr(t >= dateBoundary(mx.minusYears(10))).as(s"y10__$n"))
+        val windows = (temporal, maxRawOpt) match {
+          case (Some(_), Some(mx)) =>
+            val (my, mm) = graft.stats.Calendar.yearMonth(mx)
+            Seq(
+              condProd(year(t) === my && month(t) === mm).as(s"mtd__$n"),
+              condProd(t >= boundary(mx, -3, 0)).as(s"m3__$n"),
+              condProd(t >= boundary(mx, -6, 0)).as(s"m6__$n"),
+              condProd(year(t) === my).as(s"ytd__$n"),
+              condProd(t >= boundary(mx, 0, -1)).as(s"y1__$n"),
+              condCagr(t >= boundary(mx, 0, -3)).as(s"y3__$n"),
+              condCagr(t >= boundary(mx, 0, -5)).as(s"y5__$n"),
+              condCagr(t >= boundary(mx, 0, -10)).as(s"y10__$n"))
           case _ => Nil
         }
         base ++ windows
@@ -295,7 +296,10 @@ object Reports {
           (corrC * corrC).as(s"r2__$n"),
           fdiv(avg(active), stddev_samp(active)).as(s"ir__$n"),
           beta.as(s"beta__$n"),
-          ((avg(c) - beta * avg(b)) * periodsPerYear).as(s"alpha__$n"),
+          // the reference's Alpha row calls stats.greeks with its DEFAULT
+          // periods=252 regardless of periods_per_year (reports.py _greek) —
+          // preserve the quirk
+          ((avg(c) - beta * avg(b)) * 252).as(s"alpha__$n"),
           corrC.as(s"corr__$n"),
           fdiv(Exprs.comp(c) - lit(rf), beta).as(s"treynor__$n"))
       }
@@ -391,7 +395,7 @@ object Reports {
     add("Outlier Loss Ratio", n => g("olr", n))
     addSep()
     def windowRow(k: String, n: String): Any =
-      if (temporal.isEmpty || maxDateOpt.isEmpty) "-" else g(k, n) * pct
+      if (temporal.isEmpty || maxRawOpt.isEmpty) "-" else g(k, n) * pct
     add("MTD", n => windowRow("mtd", n))
     add("3M", n => windowRow("m3", n))
     add("6M", n => windowRow("m6", n))

@@ -68,32 +68,39 @@ object Calendar {
     if (maxVal == null) return rfm.df
     period match {
       case Mtd =>
-        val (y, m) = maxVal match {
-          case d: Date => (d.toLocalDate.getYear, d.toLocalDate.getMonthValue)
-          case ts: Timestamp => (ts.toLocalDateTime.getYear, ts.toLocalDateTime.getMonthValue)
-          case ldt: LocalDateTime => (ldt.getYear, ldt.getMonthValue)
-        }
+        val (y, m) = yearMonth(maxVal)
         rfm.df.filter(year(t) === y && month(t) === m)
-      case Ytd =>
-        val y = maxVal match {
-          case d: Date => d.toLocalDate.getYear
-          case ts: Timestamp => ts.toLocalDateTime.getYear
-          case ldt: LocalDateTime => ldt.getYear
-        }
-        rfm.df.filter(year(t) === y)
+      case Ytd => rfm.df.filter(year(t) === yearMonth(maxVal)._1)
       case Months(n) => rfm.df.filter(t >= lit(shift(maxVal, -n, 0)))
       case Years(n) => rfm.df.filter(t >= lit(shift(maxVal, 0, -n)))
       case All => rfm.df
     }
   }
 
-  /** Calendar-aware shift matching Polars `offset_by("-Nmo"/"-Ny")` (clamps
-    * to end of month, keeps time-of-day).
+  /** (year, month) of a collected temporal scalar — handles both the legacy
+    * java.sql types and the java8 datetime API types.
     */
-  private def shift(v: Any, months: Int, years: Int): Any = v match {
+  private[graft] def yearMonth(v: Any): (Int, Int) = v match {
+    case d: Date => (d.toLocalDate.getYear, d.toLocalDate.getMonthValue)
+    case ts: Timestamp => (ts.toLocalDateTime.getYear, ts.toLocalDateTime.getMonthValue)
+    case ldt: LocalDateTime => (ldt.getYear, ldt.getMonthValue)
+    case ld: java.time.LocalDate => (ld.getYear, ld.getMonthValue)
+    case i: java.time.Instant =>
+      val ldt = LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      (ldt.getYear, ldt.getMonthValue)
+  }
+
+  /** Calendar-aware shift matching Polars `offset_by("-Nmo"/"-Ny")` (clamps
+    * to end of month, keeps time-of-day). Returns the same temporal type.
+    */
+  private[graft] def shift(v: Any, months: Int, years: Int): Any = v match {
     case d: Date => Date.valueOf(d.toLocalDate.plusMonths(months).plusYears(years))
     case ts: Timestamp => Timestamp.valueOf(ts.toLocalDateTime.plusMonths(months).plusYears(years))
     case ldt: LocalDateTime => ldt.plusMonths(months).plusYears(years)
+    case ld: java.time.LocalDate => ld.plusMonths(months).plusYears(years)
+    case i: java.time.Instant =>
+      LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        .plusMonths(months).plusYears(years).toInstant(java.time.ZoneOffset.UTC)
   }
 
   def periodComp(returns: DataFrame, period: Period): DataFrame = {

@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("streaks keep keys with no wins/losses (review fix)") {
+    val sf = SeriesFrame(
+      (Seq(("up", 1, 0.1), ("up", 2, 0.2), ("flat", 1, 0.0), ("flat", 2, 0.0)))
+        .toDF("a", "t", "r"), Seq("a"), "t", "r")
+    val rows = GroupedStats.streaks(sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("flat") == ((0L, 0L)))
+    assert(rows("up") == ((2L, 0L)))
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")

@@ -123,6 +123,34 @@ class ReportsSpec extends SparkSpec {
     assert(cell(left, "End Period") == "2023-01-11")
   }
 
+  test("PSR row with nonzero rf subtracts rf exactly once (review fix)") {
+    val rep = Reports.metrics(parityReturns, rf = 0.02, mode = "basic")
+    val cell = rep.filter(col("Metric") === "Prob. Sharpe Ratio").head().getString(1)
+    // expected: reference semantics — no-rf Sharpe base, rf subtracted in the CDF
+    val want = graft.stats.Stats.scalar(
+      graft.stats.Stats.probabilisticSharpeRatio(parityReturns, rf = 0.02))
+    assert(cell == Reports.formatValue(want * 100), s"cell $cell want ${want * 100}")
+  }
+
+  test("all-flat strategy column survives full mode with zero streaks (review fix)") {
+    val flat = (2 to 11).map(d => (java.sql.Date.valueOf(f"2023-01-$d%02d"), 0.0))
+      .toDF("date", "cash")
+    val rep = Reports.metrics(flat, mode = "full")
+    val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cells("Max Consecutive Wins") == "0")
+    assert(cells("Max Consecutive Losses") == "0")
+  }
+
+  test("Alpha row uses the reference's fixed 252 scaling regardless of periodsPerYear") {
+    val rep252 = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark),
+      mode = "full", periodsPerYear = 252)
+    val rep12 = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark),
+      mode = "full", periodsPerYear = 12)
+    def alpha(rep: org.apache.spark.sql.DataFrame): String =
+      rep.filter(col("Metric") === "Alpha").head().getString(2)
+    assert(alpha(rep252) == alpha(rep12)) // reference quirk: always ×252
+  }
+
   test("no-temporal returns: window rows are '-'") {
     val rep = Reports.metrics(Seq(0.01, -0.02, 0.03).toDF("returns"), mode = "basic")
     val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
