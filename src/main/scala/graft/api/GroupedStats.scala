@@ -143,6 +143,29 @@ object GroupedStats {
       coalesce(avg(col("__depth")), lit(0.0)).as("avg_drawdown"))
   }
 
+  /** Per-episode drawdown table: one row per drawdown episode per key with
+    * start/end timestamps, calendar-day duration, and depth (min drawdown) —
+    * the inspectable form behind [[drawdownEpisodes]]' aggregates.
+    */
+  def drawdownDetails(sf: SeriesFrame): DataFrame = {
+    val dd = withDrawdown(sf)
+    val inDd = col("__dd").isNotNull && col("__dd") < 0
+    val w = Window.partitionBy(sf.keyCols: _*).orderBy(col(sf.ts))
+    val wf = Window.partitionBy(sf.keyCols :+ col("__in"): _*).orderBy(col(sf.ts))
+    dd.df.withColumn("__in", inDd)
+      .withColumn("__island", row_number().over(w) - row_number().over(wf))
+      .filter(col("__in"))
+      .groupBy(sf.keyCols :+ col("__island"): _*)
+      .agg(
+        min(col(sf.ts)).as("start"),
+        max(col(sf.ts)).as("end"),
+        (datediff(max(col(sf.ts)), min(col(sf.ts))) + 1).cast("long").as("days"),
+        min(col("__dd")).as("depth"),
+        count(lit(1)).as("n_periods"))
+      .drop("__island")
+      .orderBy(sf.keyCols :+ col("start"): _*)
+  }
+
   /** Benchmark-relative metrics per key against a (date, benchmark-return)
     * frame, joined by equality on ts. The benchmark is tiny relative to the
     * series data → broadcast join, no shuffle of the big side.

@@ -529,6 +529,41 @@ object Queries {
        |  ROUND(MIN(rs), 6) AS min_rolling_sharpe
        |FROM roll WHERE rn >= 63 GROUP BY asset ORDER BY asset""".stripMargin
 
+  /** Top-5 deepest drawdown episodes per asset, as an inspectable table —
+    * the episode segmentation made user-facing (start/end/days/depth).
+    */
+  def q29DrawdownDetails(spark: SparkSession, sfDir: String): DataFrame = {
+    val details = GroupedStats.drawdownDetails(assetReturns(spark, sfDir))
+    val w = Window.partitionBy(col("asset"))
+      .orderBy(col("depth").asc, col("start").asc)
+    details.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= 5)
+      .select(col("asset"),
+        col("start").cast("string").as("start"),
+        col("end").cast("string").as("end"),
+        col("days"), r6(col("depth")).as("depth"), col("n_periods"))
+      .orderBy(col("asset"), col("depth").asc, col("start").asc)
+  }
+
+  val q29Sql: String =
+    s"""$RetCte,
+       |$DdCte,
+       |fl AS (
+       |  SELECT asset, d, ddv, (ddv < 0) AS ind,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY d)
+       |           - ROW_NUMBER() OVER (PARTITION BY asset, (ddv < 0) ORDER BY d) AS island
+       |  FROM dd),
+       |ep AS (
+       |  SELECT asset, MIN(d) AS start, MAX(d) AS "end",
+       |         CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT) AS days,
+       |         MIN(ddv) AS depth, COUNT(*) AS n_periods
+       |  FROM fl WHERE ind GROUP BY asset, island),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY asset ORDER BY depth ASC, start ASC) AS rkn
+       |  FROM ep)
+       |SELECT asset, CAST(start AS VARCHAR) AS start, CAST("end" AS VARCHAR) AS "end",
+       |       days, ROUND(depth, 6) AS depth, n_periods
+       |FROM rk WHERE rkn <= 5 ORDER BY asset, depth ASC, start ASC""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -547,7 +582,8 @@ object Queries {
     "q13_asof" -> (q13AsOf _),
     "q25_wide_ratios" -> (q25WideRatios _),
     "q27_segment_returns" -> (q27SegmentReturns _),
-    "q28_rolling_sharpe" -> (q28RollingSharpe _)) ++ ExtQueries.all
+    "q28_rolling_sharpe" -> (q28RollingSharpe _),
+    "q29_drawdown_details" -> (q29DrawdownDetails _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -565,5 +601,6 @@ object Queries {
     "q13_asof" -> q13Sql,
     "q25_wide_ratios" -> q25Sql,
     "q27_segment_returns" -> q27Sql,
-    "q28_rolling_sharpe" -> q28Sql) ++ ExtQueries.oracles
+    "q28_rolling_sharpe" -> q28Sql,
+    "q29_drawdown_details" -> q29Sql) ++ ExtQueries.oracles
 }
