@@ -151,6 +151,52 @@ class ReportsSpec extends SparkSpec {
     assert(alpha(rep252) == alpha(rep12)) // reference quirk: always ×252
   }
 
+  test("full report: every Strategy cell matches the independent oracle (70 cells)") {
+    // expected cells computed by a from-scratch stdlib-Python implementation
+    // of the reference formulas + formatting over the parity fixture
+    val expected = Seq(
+      ("Start Period", "2023-01-02"), ("End Period", "2023-01-11"),
+      ("Risk-Free Rate", "0"), ("Time in Market", "90.0"),
+      ("Cumulative Return", "3.43"), ("CAGR﹪", "134.21"),
+      ("Sharpe", "3.44"), ("Prob. Sharpe Ratio", "74.66"),
+      ("Smart Sharpe", "1.47"), ("Sortino", "6.42"),
+      ("Smart Sortino", "2.74"), ("Sortino/√2", "4.54"),
+      ("Smart Sortino/√2", "1.94"), ("Omega", "1.7"),
+      ("Max Drawdown", "-2.0"), ("Longest DD Days", "1"),
+      ("Volatility (ann.)", "25.67"), ("R^2", "0.99"),
+      ("Information Ratio", "0.2"), ("Calmar", "67.1"),
+      ("Skew", "0.09"), ("Kurtosis", "-0.99"),
+      ("Expected Daily", "0.34"), ("Expected Monthly", "3.43"),
+      ("Expected Yearly", "3.43"), ("Kelly Criterion", "22.88"),
+      ("Risk of Ruin", "0"), ("Daily Value-at-Risk", "-2.31"),
+      ("Expected Shortfall (cVaR)", "-2.31"), ("Max Consecutive Wins", "1"),
+      ("Max Consecutive Losses", "1"), ("Gain/Pain Ratio", "0.7"),
+      ("Gain/Pain (1M)", "-"), ("Payoff Ratio", "1.36"),
+      ("Profit Factor", "1.7"), ("Common Sense Ratio", "2.44"),
+      ("CPC Index", "1.28"), ("Tail Ratio", "1.44"),
+      ("Outlier Win Ratio", "2.05"), ("Outlier Loss Ratio", "1.56"),
+      ("MTD", "3.43"), ("3M", "3.43"), ("6M", "3.43"), ("YTD", "3.43"),
+      ("1Y", "3.43"), ("3Y (ann.)", "134.21"), ("5Y (ann.)", "134.21"),
+      ("10Y (ann.)", "134.21"), ("All-time (ann.)", "134.21"),
+      ("Best Day", "3.0"), ("Worst Day", "-2.0"),
+      ("Best Month", "3.43"), ("Worst Month", "3.43"),
+      ("Best Year", "3.43"), ("Worst Year", "3.43"),
+      ("Avg. Drawdown", "-1.25"), ("Avg. Drawdown Days", "1.0"),
+      ("Recovery Factor", "1.75"), ("Ulcer Index", "0.01"),
+      ("Serenity Index", "3.1"), ("Avg. Up Month", "3.43"),
+      ("Avg. Down Month", "-"), ("Win Days", "55.56"),
+      ("Win Month", "100.0"), ("Win Quarter", "100.0"), ("Win Year", "100.0"),
+      ("Beta", "2.07"), ("Alpha", "-0.06"),
+      ("Correlation", "99.74"), ("Treynor Ratio", "1.66"))
+    val rep = Reports.metrics(parityReturns, benchmark = Some(parityBenchmark), mode = "full")
+    val got = rep.collect().map(r => r.getString(0) -> r.getString(2)).toSeq
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gm, gv), (em, ev)) =>
+      assert(gm == em, s"row order: got $gm want $em")
+      assert(gv == ev, s"cell $gm: got $gv want $ev")
+    }
+  }
+
   test("no-temporal returns: window rows are '-'") {
     val rep = Reports.metrics(Seq(0.01, -0.02, 0.03).toDF("returns"), mode = "basic")
     val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
