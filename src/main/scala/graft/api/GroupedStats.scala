@@ -186,6 +186,24 @@ object GroupedStats {
       fdiv(avg(active), stddev_samp(active)).as("information_ratio"))
   }
 
+  /** Weighted portfolio returns from a long multi-asset frame: one output
+    * row per ts with r_p = Σ wᵢ·rᵢ (weights of missing assets contribute
+    * nothing that period; absent weights default 0). The result is a
+    * single-series frame usable with every metric in this API — the standard
+    * asset→portfolio rollup, one shuffle on ts.
+    */
+  def portfolioReturns(sf: SeriesFrame, weights: Map[String, Double],
+      keyCol: String): SeriesFrame = {
+    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (k, wt)) =>
+      when(col(keyCol) === k, lit(wt)).otherwise(acc)
+    }
+    val out = sf.df
+      .withColumn("__w", wExpr)
+      .groupBy(col(sf.ts))
+      .agg(sum(col("__w") * sf.r).as(sf.value))
+    SeriesFrame(out.withColumn("__k", lit("portfolio")), Seq("__k"), sf.ts, sf.value)
+  }
+
   /** Trailing-window (rolling) metrics per series: the last `n` rows at
     * every point. Key-partitioned sliding frames — each series' windows
     * evaluate within its partition, no cross-key traffic. Beyond the

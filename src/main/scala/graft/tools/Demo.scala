@@ -56,6 +56,15 @@ object Demo {
     show("beta_self", Stats.greeks(returns, bench).head().getStruct(0).getDouble(1))
     show("corr_self", Stats.scalar(Stats.correlation(returns, bench)))
 
+    println("\n== weighted portfolio over per-flag returns ==")
+    val assets = graft.queries.Queries.assetReturns(spark, sfDir)
+    val port = graft.api.GroupedStats.portfolioReturns(assets,
+      Map("A" -> 0.5, "N" -> 0.3, "R" -> 0.2), "asset")
+    graft.api.GroupedStats.aggregate(port, Seq(
+      "comp" -> graft.core.Exprs.comp,
+      "sharpe" -> (c => graft.core.Exprs.sharpe(c, 0.0, 252, annualize = true))))
+      .show(truncate = false)
+
     println("\n== IVF ANN over embeddings ==")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",

@@ -54,6 +54,31 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("portfolio rollup: weighted sum per period, metric-ready") {
+    val sf = SeriesFrame(Seq(
+      ("a", 1, 0.10), ("b", 1, -0.02),
+      ("a", 2, 0.04), ("b", 2, 0.06)).toDF("k", "t", "r"), Seq("k"), "t", "r")
+    val port = GroupedStats.portfolioReturns(sf, Map("a" -> 0.6, "b" -> 0.4), "k")
+    val rows = port.df.orderBy("t").collect().map(_.getDouble(1))
+    assertApprox(rows(0), 0.6 * 0.10 + 0.4 * -0.02, 1e-12)
+    assertApprox(rows(1), 0.6 * 0.04 + 0.4 * 0.06, 1e-12)
+    // metric-ready: comp over the portfolio series
+    val comp = GroupedStats.aggregate(port, Seq("c" -> Exprs.comp)).head().getDouble(1)
+    assertApprox(comp, (1 + rows(0)) * (1 + rows(1)) - 1, 1e-12)
+  }
+
+  test("as-of join preserves every left row and backward semantics") {
+    val left = Seq((1, "x"), (5, "y"), (9, "z"), (0, "w")).toDF("t", "v")
+    val right = Seq((2, 20.0), (5, 50.0), (8, 80.0)).toDF("t", "b")
+    val j = graft.core.AsOfJoin.backward(left, right, "t", "t", Seq("b"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(j.size == 4) // all left rows survive
+    assert(j(0).isEmpty) // before first right row
+    assert(j(1).isEmpty)
+    assert(j(5).contains(50.0)) // equal ts matches
+    assert(j(9).contains(80.0)) // latest earlier
+  }
+
   test("streaks keep keys with no wins/losses (review fix)") {
     val sf = SeriesFrame(
       (Seq(("up", 1, 0.1), ("up", 2, 0.2), ("flat", 1, 0.0), ("flat", 2, 0.0)))
