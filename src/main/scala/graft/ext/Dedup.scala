@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   *
   * Everything is built from codegen'd builtins (split, xxhash64, higher-order
   * array functions, bit ops) — no UDFs, no driver-side loops. Hot-band skew
-  * at scale: salt the band join or cap band bucket size (see
-  * `lshCandidatePairs(maxBucket)`).
+  * at scale: buckets larger than `maxBucket` are routed through a distributed
+  * self-join (never collected into a single `collect_list` row, never
+  * dropped); `lshBucketStats` surfaces the oversized-bucket volume.
   */
 object Dedup {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Cross-engine-reproducible 60-bit token hash: the first 15 hex digits of
+    * md5, parsed base-16. Slower than xxhash64 (crypto hash) but computable
+    * bit-for-bit by any engine with md5 — used by the oracle-verified
+    * portable SimHash; prefer `xxhash64` paths for pure-Spark pipelines.
+    */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles; empty array when the document is shorter than n. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -86,25 +95,61 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Candidate near-dup pairs from banded signatures: docs agreeing on any
-    * band collide. `maxBucket` caps pathological buckets (constant shingles)
-    * to bound the pair blow-up at scale.
+  /** (id, band, bh) banded-signature rows: one row per (doc, band), keyed by
+    * the hash of that band's signature slice.
     */
-  def lshCandidatePairs(sig: DataFrame, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
-    val banded = sig.select(col("id"),
+  private def bandedSignatures(sig: DataFrame, bands: Int): DataFrame =
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * (size(col("sig")) / bands) + 1,
             size(col("sig")) / bands).cast("array<string>")), b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-    val capped = banded.groupBy("band", "bh")
-      .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-    capped.select(explode(expr(
-      "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as id1, y as id2))))"))
-      .as("p"))
-      .select(col("p.id1"), col("p.id2")).distinct()
+
+  /** Candidate near-dup pairs from banded signatures: docs agreeing on any
+    * band collide. NOTHING is dropped: buckets of size ≤ `maxBucket` use the
+    * cheap collect_list pair expansion; larger (pathological) buckets are
+    * routed through a distributed self-join so a mega-bucket never has to fit
+    * in one aggregation row — AQE skew handling splits the hot key. The pair
+    * OUTPUT of a mega-bucket is inherently quadratic; callers that only need
+    * connectivity should dedup via components instead. `lshBucketStats`
+    * reports the oversized volume (no silent caps).
+    */
+  def lshCandidatePairs(sig: DataFrame, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val banded = bandedSignatures(sig, bands)
+    // bucket sizes first (map-side combine → tiny), so collect_list only ever
+    // sees buckets already known to be small
+    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val keyed = banded.join(sizes, Seq("band", "bh"))
+    val small = keyed.filter(col("n") <= maxBucket)
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as id1, y as id2))))"))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    val bigIds = keyed.filter(col("n") > maxBucket).select("band", "bh", "id")
+    val big = bigIds.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(bigIds.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    small.union(big).distinct()
   }
+
+  /** One-row audit of LSH bucket skew: total/oversized bucket counts and the
+    * row volume routed to the distributed-join path. Surfaces what a silent
+    * cap would hide; an oversized count > 0 means the corpus has degenerate
+    * near-constant content worth investigating upstream.
+    */
+  def lshBucketStats(sig: DataFrame, bands: Int = 4, maxBucket: Int = 64): DataFrame =
+    bandedSignatures(sig, bands)
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum((col("n") > 1).cast("long")).as("n_colliding_buckets"),
+        sum((col("n") > maxBucket).cast("long")).as("n_oversized_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0L)).as("n_oversized_rows"),
+        max(col("n")).as("max_bucket"))
 
   /** Verified near-duplicate pairs: LSH candidates + exact shingle-set
     * Jaccard ≥ threshold. Joins shingle sets only for candidates.
@@ -135,46 +180,66 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** (id, simhash: long). 64-bit SimHash: per token-hash bit, +1/−1 vote;
-    * sign of the vote sum sets the bit. Explode + one groupBy; the 64 votes
-    * are plain conditional sums (fully codegen).
+  /** Shared SimHash core over (id, h) token-hash rows: per bit, +1/−1 vote;
+    * sign of the vote sum sets the bit. One groupBy; the votes are plain
+    * conditional sums (fully codegen).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { b =>
+  private def simhashFromTokenHashes(tok: DataFrame, bits: Int): DataFrame = {
+    val votes = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(b =>
+    val bitCols = (0 until bits).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-    agg.select(col("id"), bits.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    agg.select(col("id"), bitCols.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
+  /** (id, simhash: long). 64-bit SimHash over xxhash64 token hashes — the
+    * fast pure-Spark variant.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromTokenHashes(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+        .select(col("id"), xxhash64(col("t")).as("h")), bits = 64)
+
+  /** 60-bit SimHash over the md5-derived [[portableTokenHash]] — bit-for-bit
+    * reproducible in any engine with md5 (DuckDB, Trino, …), which is what
+    * makes the q19 driver oracle possible. 60 bits so the value fits a signed
+    * long in engines without wrapping 64-bit arithmetic.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromTokenHashes(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+        .select(col("id"), portableTokenHash(col("t")).as("h")), bits = 60)
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming, using
-    * 16-bit band collision (any identical quarter ⇒ candidate, guaranteed to
-    * catch all pairs with ≤ 3 differing bits... for maxHamming ≤ 3 with 4
-    * bands by pigeonhole) then popcount verification.
+    * band collision (any identical `bits/bands`-wide chunk ⇒ candidate) then
+    * popcount verification. EXACT for maxHamming < bands: by pigeonhole, a
+    * pair differing in ≤ bands−1 bits must agree on at least one band.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     simhashNearDuplicatesFromHashes(simhash(df, idCol, textCol), maxHamming)
 
   /** Same, over an already-computed (id, simhash) frame — reuse the hash
-    * pass when callers also need the signatures.
+    * pass when callers also need the signatures. `bits`/`bands` must match
+    * the simhash variant (64/4 for [[simhash]], 60/4 for [[simhashPortable]]).
     */
   def simhashNearDuplicatesFromHashes(sh: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
     val banded = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until bands).map(q =>
+        shiftright(col("simhash"), q * width).bitwiseAND(mask)): _*)))
       .select(col("id"), col("simhash"), col("pos").as("q"), col("col").as("chunk"))
     val l = banded.select(col("q"), col("chunk"), col("id").as("id1"), col("simhash").as("h1"))
     val r = banded.select(col("q"), col("chunk"), col("id").as("id2"), col("simhash").as("h2"))
     l.join(r, Seq("q", "chunk")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .distinct()
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -8,8 +8,9 @@ import graft.ext.{Dedup, Events, Similarity, TextStats}
 
 /** Extension query suite over `documents` / `embeddings` / `events` — the
   * training-data-pipeline operators (dedup, similarity, text analysis,
-  * sessionization) with DuckDB oracles where ANSI-SQL-expressible; MinHash /
-  * SimHash summaries are registered without oracles (driver rows-only check).
+  * sessionization), every one carrying a DuckDB oracle — including MinHash
+  * (exact-Jaccard brute force) and SimHash (portable md5-based hash the
+  * oracle recomputes bit-for-bit).
   */
 object ExtQueries {
 
@@ -144,23 +145,72 @@ object ExtQueries {
        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
 
-  // ---- q18/q19 MinHash + SimHash summaries (rows-only; no ANSI oracle) ----
+  // ---- q18/q19 MinHash + SimHash near-dup pairs (DuckDB-verified) ----------
 
-  def q18Minhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text",
-      shingleSize = 3, numHashes = 16, bands = 8)
-    pairs.agg(
-      count(lit(1)).as("n_candidate_pairs"),
-      coalesce(round(avg(col("jaccard")), 6), lit(0.0)).as("avg_jaccard"),
-      coalesce(round(max(col("jaccard")), 6), lit(0.0)).as("max_jaccard"),
-      coalesce(sum((col("jaccard") >= 0.5).cast("long")), lit(0L)).as("n_near_dups"))
-  }
+  /** All near-duplicate pairs with exact 3-gram Jaccard ≥ 0.5, found via
+    * MinHash LSH (32 hashes, 16 bands of 2 rows) + exact verification of the
+    * candidates. The compared quantity is deterministic: the oracle
+    * brute-forces exact Jaccard over a shingle inverted index. LSH recall for
+    * these params: a J=0.8 pair (fixture minimum) misses all 16 bands with
+    * probability (1−0.8²)¹⁶ ≈ 8e-8 — empirically recall 1 on both SFs.
+    */
+  def q18Minhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDuplicatePairs(docs(spark, sfDir), "doc_id", "text",
+      threshold = 0.5, numHashes = 32, shingleSize = 3, bands = 16)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
 
-  def q19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.simhash(docs(spark, sfDir), "doc_id", "text").cache()
-    val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 16)
-    sh.agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct_simhash"))
-      .crossJoin(pairs.agg(count(lit(1)).as("n_near_pairs_h16")))
+  /** Exact brute-force oracle: pairs sharing ≥1 distinct 3-gram shingle get
+    * |A∩B| from an inverted-index self-join; J = inter / (|A|+|B|−inter).
+    * Pairs with J ≥ 0.5 necessarily share shingles, so recall is total.
+    */
+  val q18Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+      |         any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard
+      |FROM pairs
+      |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
+  /** All pairs with portable-SimHash Hamming distance ≤ 3 — EXACT by
+    * pigeonhole (4 bands of 15 bits; a pair differing in ≤ 3 bits agrees on
+    * ≥ 1 band), and cross-engine deterministic because the 60-bit simhash is
+    * built from md5-derived token hashes the oracle recomputes bit-for-bit.
+    */
+  def q19Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDuplicatesFromHashes(
+      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"),
+      maxHamming = 3, bits = 60, bands = 4)
+      .orderBy("id1", "id2")
+
+  /** DuckDB recomputes the identical 60-bit simhash (md5 token hashes → 60
+    * vote sums → sign bits) and brute-forces all-pairs Hamming distance.
+    */
+  val q19Sql: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents),
+       |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM p WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
   }
 
   // ---- q20 brute-force cosine top-k ---------------------------------------
@@ -325,6 +375,8 @@ object ExtQueries {
     "q26_event_props" -> (q26EventProps _))
 
   val oracles: Map[String, String] = Map(
+    "q18_minhash" -> q18Sql,
+    "q19_simhash" -> q19Sql,
     "q14_dedup_exact" -> q14Sql,
     "q15_text_stats" -> q15Sql,
     "q16_quality" -> q16Sql,

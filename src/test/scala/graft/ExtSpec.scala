@@ -38,6 +38,42 @@ class ExtSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc matched")
   }
 
+  test("LSH oversized buckets route through distributed join, nothing dropped") {
+    // pathological corpus: 40 identical docs → every band bucket holds all 40
+    // ids, far over maxBucket=8; the distributed-join path must still emit
+    // all C(40,2) = 780 pairs
+    val constant = (1L to 40L).map(i => (i, "same exact text repeated " * 5)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(constant, "doc_id", "text", threshold = 0.5)
+    // nearDuplicatePairs defaults bands=4; re-check candidates with tiny cap
+    val sig = Dedup.minhashSignatures(constant, "doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(sig, bands = 4, maxBucket = 8).count()
+    assert(cands == 780L, s"expected all 780 candidate pairs, got $cands")
+    assert(pairs.count() == 780L)
+    val stats = Dedup.lshBucketStats(sig, bands = 4, maxBucket = 8).head()
+    assert(stats.getAs[Long]("n_oversized_buckets") > 0L)
+    assert(stats.getAs[Long]("max_bucket") == 40L)
+    // and on a benign corpus the oversized volume reports zero
+    val benign = Dedup.lshBucketStats(
+      Dedup.minhashSignatures(docsDf, "doc_id", "text"), bands = 4, maxBucket = 8).head()
+    assert(benign.getAs[Long]("n_oversized_buckets") == 0L)
+    assert(benign.getAs[Long]("n_oversized_rows") == 0L)
+  }
+
+  test("portable simhash near-dup pairs: exact for hamming <= bands-1") {
+    val sh = Dedup.simhashPortable(docsDf, "doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 3, bits = 60, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 0L),
+      s"identical docs must be hamming 0: ${pairs.toSeq}")
+    // brute-force cross-check: band join found exactly the all-pairs answer
+    val hashes = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b, h.toLong)
+    assert(pairs.toSet == brute.toSet)
+  }
+
   test("simhash: identical docs collide, near docs within small hamming") {
     val sh = Dedup.simhash(docsDf, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
