@@ -101,6 +101,30 @@ object GroupedStats {
       coalesce(avg(when(sf.r < col("__var"), sf.r)), first(col("__var"))).as("cvar"))
   }
 
+  /** Per-key smart Sharpe: sharpe ÷ autocorrelation penalty, fully
+    * distributed (reference: alphastats/stats.py:1334-1346). The lag pairs
+    * come from a key-partitioned window (previous NON-NULL value, matching
+    * the wide API's null-filtered lag), the lag-1 correlation and base
+    * sharpe share one aggregation, and the geometric-decay sum evaluates in
+    * closed form as a column expression — no driver loop, scales to any
+    * number of keys.
+    */
+  def smartSharpe(sf: SeriesFrame, rf: Double = 0.0, periods: Int = 252,
+      annualize: Boolean = true): DataFrame = {
+    val prevW = Window.partitionBy(sf.keyCols: _*).orderBy(col(sf.ts))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = sf.df.withColumn("__prev", last(sf.r, ignoreNulls = true).over(prevW))
+    val agg = lagged.groupBy(sf.keyCols: _*).agg(
+      count(sf.r).as("__n"),
+      corr(col("__prev"), sf.r).as("__rho"),
+      Exprs.sharpe(sf.r, rf, periods, annualize).as("sharpe"))
+    val pen = Exprs.autocorrPenalty(col("__rho"), col("__n"))
+    agg.select(sf.keyCols ++ Seq(
+      col("sharpe"),
+      pen.as("autocorr_penalty"),
+      (col("sharpe") / pen).as("smart_sharpe")): _*)
+  }
+
   /** Longest win and loss streaks per key via gaps-and-islands — fully
     * distributed replacement for the reference's driver loop
     * (alphastats/stats.py:1249-1289).

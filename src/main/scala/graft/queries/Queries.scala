@@ -418,22 +418,21 @@ object Queries {
        |  CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
        |FROM ja GROUP BY asset ORDER BY asset""".stripMargin
 
-  /** The wide (reference-shaped) API through the driver gate: pivot the long
-    * returns into one column per asset and run Stats.sharpe/volatility —
-    * proves the wide edge computes the same numbers the long engine does.
+  /** The wide (reference-shaped) column exprs through the driver gate: pivot
+    * the long returns into one column per asset and compute sharpe+volatility
+    * for every asset in ONE distributed aggregation — same numbers the
+    * `Stats.sharpe`/`Stats.volatility` entry points produce, but a single
+    * job, no driver round-trips, no unpartitioned windows.
     */
   def q25WideRatios(spark: SparkSession, sfDir: String): DataFrame = {
     val sf = assetReturns(spark, sfDir)
     val wide = sf.df.groupBy(col("d")).pivot("asset", Seq("A", "N", "R"))
       .agg(first(col("r")))
-    val sharpeRow = graft.stats.Stats.sharpe(wide).head()
-    val volRow = graft.stats.Stats.volatility(wide).head()
-    import spark.implicits._
-    Seq((sharpeRow.getDouble(0), sharpeRow.getDouble(1),
-      volRow.getDouble(0), volRow.getDouble(1)))
-      .toDF("sharpe_a", "sharpe_n", "vol_a", "vol_n")
-      .select(Seq("sharpe_a", "sharpe_n", "vol_a", "vol_n")
-        .map(c => round(col(c), 6).as(c)): _*)
+    wide.agg(
+      round(Exprs.sharpe(col("A"), 0.0, 252, annualize = true), 6).as("sharpe_a"),
+      round(Exprs.sharpe(col("N"), 0.0, 252, annualize = true), 6).as("sharpe_n"),
+      round(Exprs.volatility(col("A"), 252, annualize = true), 6).as("vol_a"),
+      round(Exprs.volatility(col("N"), 252, annualize = true), 6).as("vol_n"))
   }
 
   val q25Sql: String =
@@ -564,6 +563,40 @@ object Queries {
        |       days, ROUND(depth, 6) AS depth, n_periods
        |FROM rk WHERE rkn <= 5 ORDER BY asset, depth ASC, start ASC""".stripMargin
 
+  /** Smart family through the driver gate: per-asset autocorr penalty +
+    * smart sharpe, fully distributed via `GroupedStats.smartSharpe` (the
+    * closed-form decay sum as a column expression — no driver loop). The
+    * oracle evaluates the identical closed form in DuckDB.
+    */
+  def q30SmartSharpe(spark: SparkSession, sfDir: String): DataFrame =
+    finish(GroupedStats.smartSharpe(assetReturns(spark, sfDir)),
+      Seq("sharpe", "autocorr_penalty", "smart_sharpe"))
+
+  val q30Sql: String =
+    s"""$RetCte,
+       |lagd AS (
+       |  SELECT asset, r, LAG(r) OVER (PARTITION BY asset ORDER BY d) AS p FROM ret),
+       |s AS (
+       |  SELECT asset, COUNT(r) AS n, CORR(p, r) AS rho,
+       |         AVG(r) / STDDEV_SAMP(r) * $S252 AS sh
+       |  FROM lagd GROUP BY asset),
+       |pen AS (
+       |  SELECT asset, sh,
+       |    SQRT(1.0 + 2.0 * (CASE
+       |      WHEN ABS(rho) = 0 THEN 0.0
+       |      WHEN ABS(1.0 - ABS(rho)) < 1e-12
+       |        THEN (n - 1.0) - (n - 1.0) * ((n - 1.0) + 1.0) / (2.0 * n)
+       |      ELSE ABS(rho) * (1.0 - POW(ABS(rho), n - 1.0)) / (1.0 - ABS(rho))
+       |           - (ABS(rho) * (1.0 - ((n - 1.0) + 1.0) * POW(ABS(rho), n - 1.0)
+       |                          + (n - 1.0) * POW(ABS(rho), n - 1.0) * ABS(rho))
+       |              / ((1.0 - ABS(rho)) * (1.0 - ABS(rho)))) / n
+       |      END)) AS penalty
+       |  FROM s)
+       |SELECT asset, ROUND(sh, 6) AS sharpe,
+       |       ROUND(penalty, 6) AS autocorr_penalty,
+       |       ROUND(sh / penalty, 6) AS smart_sharpe
+       |FROM pen ORDER BY asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,7 +616,8 @@ object Queries {
     "q25_wide_ratios" -> (q25WideRatios _),
     "q27_segment_returns" -> (q27SegmentReturns _),
     "q28_rolling_sharpe" -> (q28RollingSharpe _),
-    "q29_drawdown_details" -> (q29DrawdownDetails _)) ++ ExtQueries.all
+    "q29_drawdown_details" -> (q29DrawdownDetails _),
+    "q30_smart_sharpe" -> (q30SmartSharpe _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -602,5 +636,6 @@ object Queries {
     "q25_wide_ratios" -> q25Sql,
     "q27_segment_returns" -> q27Sql,
     "q28_rolling_sharpe" -> q28Sql,
-    "q29_drawdown_details" -> q29Sql) ++ ExtQueries.oracles
+    "q29_drawdown_details" -> q29Sql,
+    "q30_smart_sharpe" -> q30Sql) ++ ExtQueries.oracles
 }

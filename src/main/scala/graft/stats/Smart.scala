@@ -1,42 +1,64 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
-import graft.core.{Dist, ReturnsFrame}
+import graft.core.{Dist, Exprs, ReturnsFrame}
 
 /** Autocorrelation penalty, smart ratios and the probabilistic Sharpe ratio
   * (reference: alphastats/stats.py:255-336, 1292-1361).
   *
-  * The lag-1 correlation is computed distributed (lag window + corr — the
-  * reference's hand-rolled covariance/variance sums over (head, tail) slices
-  * are exactly Pearson correlation of the lag pairs); only the O(n)
-  * geometric-decay sum Σ((n−x)/n)·ρˣ is driver-side, in closed form.
+  * Everything here runs in ONE Spark job per call: a single ordered window
+  * pass materializes each column's previous non-null value, and the lag-1
+  * correlations, counts, and any base-ratio aggregates all evaluate in the
+  * same wide aggregation. Only the O(n) geometric-decay sum
+  * Σ((n−x)/n)·ρˣ is driver-side, in closed form. (The per-key distributed
+  * formulation of the same closed form is `Exprs.autocorrPenalty`, used by
+  * `GroupedStats.smartSharpe` — the scale path.)
   */
 object Smart {
+
+  /** One job: per-column (count, lag-1 corr) plus any caller-supplied
+    * aggregates, over a frame extended with each column's previous non-null
+    * value. The lag-pair correlation matches the reference's hand-rolled
+    * covariance/variance sums over (head, tail) slices of the non-null
+    * values (alphastats/stats.py:1292-1315).
+    */
+  private def penaltyRow(returns: DataFrame, extra: Seq[Column]): (Seq[String], Row) = {
+    val rfm = ReturnsFrame(returns)
+    val cols = rfm.numericCols
+    val (odf, ord) = rfm.withOrder
+    // previous NON-NULL value per column: equivalent to lag(1) over the
+    // column's null-filtered slice, but computable for all columns in one
+    // unpartitioned window pass (the documented wide-API reference edge)
+    val w = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = odf.select(cols.map(col) ++
+      cols.map(c => last(col(c), ignoreNulls = true).over(w).as(s"__p_$c")): _*)
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      corr(col(s"__p_$c"), col(c)).as(s"__r_$c"))) ++ extra
+    (cols, withPrev.agg(aggs.head, aggs.tail: _*).head())
+  }
+
+  private def penaltiesFrom(cols: Seq[String], row: Row): Map[String, Double] =
+    cols.map { c =>
+      val n = row.getAs[Long](s"__n_$c")
+      val i = row.fieldIndex(s"__r_$c")
+      val penalty =
+        if (n < 2 || row.isNullAt(i) || row.getDouble(i).isNaN) Double.NaN
+        else math.sqrt(1 + 2 * decaySum(math.abs(row.getDouble(i)), n))
+      c -> penalty
+    }.toMap
 
   /** Per-column penalty √(1 + 2·Σ_{x=1}^{n-1} ((n−x)/n)·ρˣ), ρ = |lag-1 corr|;
     * NaN when n < 2 or a slice variance is 0 (alphastats/stats.py:1292-1315).
     */
   def autocorrPenaltyValues(returns: DataFrame): Seq[(String, Double)] = {
-    val rfm = ReturnsFrame(returns)
-    val (odf, ord) = rfm.withOrder
-    rfm.numericCols.map { c =>
-      val nn = odf.select(ord.as("__ord"), col(c).as("__v")).filter(col("__v").isNotNull)
-      val w = Window.orderBy("__ord")
-      val row = nn.withColumn("__prev", lag("__v", 1).over(w))
-        .agg(count("__v"), corr("__prev", "__v")).head()
-      val n = row.getLong(0)
-      val penalty =
-        if (n < 2 || row.isNullAt(1) || row.getDouble(1).isNaN) Double.NaN
-        else {
-          val coef = math.abs(row.getDouble(1))
-          math.sqrt(1 + 2 * decaySum(coef, n))
-        }
-      c -> penalty
-    }
+    val (cols, row) = penaltyRow(returns, Nil)
+    val p = penaltiesFrom(cols, row)
+    cols.map(c => c -> p(c))
   }
 
   /** Σ_{x=1}^{n-1} ((n−x)/n)·cˣ in closed form:
@@ -57,7 +79,20 @@ object Smart {
   def autocorrPenalty(returns: DataFrame): DataFrame =
     localRow(returns, autocorrPenaltyValues(returns).map(_._2))
 
-  /** base ratio ÷ penalty, per column (alphastats/stats.py:1334-1361). */
+  /** base-metric aggregate ÷ penalty per column, ONE job: the base exprs ride
+    * along in the penalty aggregation (alphastats/stats.py:1334-1361).
+    */
+  def scaledByPenalty(returns: DataFrame, base: Column => Column): DataFrame = {
+    val rfm = ReturnsFrame(returns)
+    val cols = rfm.numericCols
+    val (allCols, row) = penaltyRow(returns, cols.map(c => base(col(c)).as(s"__b_$c")))
+    val pen = penaltiesFrom(allCols, row)
+    localRow(returns, cols.map(c => dblName(row, s"__b_$c") / pen(c)), cols)
+  }
+
+  /** Pre-computed 1-row base frame ÷ penalty — kept for callers that already
+    * hold a base result; prefer [[scaledByPenalty]] (single job).
+    */
   def scaleByPenalty(base: DataFrame, returns: DataFrame): DataFrame = {
     val penalties = autocorrPenaltyValues(returns).toMap
     val row = base.head()
@@ -71,26 +106,35 @@ object Smart {
     localRow(returns, vals, base.columns.toSeq)
   }
 
-  /** QuantStats-compatible PSR (alphastats/stats.py:255-336). Note the
-    * preserved quirks: the collected kurtosis is ALREADY excess yet still has
-    * 3 subtracted again, and `annualize` multiplies the probability by √252
+  /** QuantStats-compatible PSR (alphastats/stats.py:255-336), one job (two
+    * when smart: the penalty window pass joins in). Note the preserved
+    * quirks: the collected kurtosis is ALREADY excess yet still has 3
+    * subtracted again, and `annualize` multiplies the probability by √252
     * (hard-coded) — both QuantStats behaviors.
     */
   def psr(returns: DataFrame, rf: Double, periods: Int, annualize: Boolean,
       smart: Boolean): DataFrame = {
-    val base =
-      if (smart) Stats.smartSharpe(returns, 0.0, periods, annualize = false)
-      else Stats.sharpe(returns, 0.0, periods, annualize = false)
-    val cols = base.columns.toSeq
-    val baseRow = base.head()
-    val skewRow = Stats.skew(returns).head()
-    val kurtRow = Stats.kurtosis(returns).head()
-    val countRow = ReturnsFrame(returns).aggAll(count).head()
-    val vals = cols.indices.map { i =>
-      val b = dbl(baseRow, i)
-      val sk = dbl(skewRow, i)
-      val ku = dbl(kurtRow, i)
-      val n = countRow.getLong(i)
+    val rfm = ReturnsFrame(returns)
+    val cols = rfm.numericCols
+    val extras = cols.flatMap(c => Seq(
+      Exprs.sharpe(col(c), 0.0, periods, annualize = false).as(s"__b_$c"),
+      Exprs.skew(col(c)).as(s"__sk_$c"),
+      Exprs.kurtosis(col(c)).as(s"__ku_$c")))
+    val (row, pen) =
+      if (smart) {
+        val (allCols, r) = penaltyRow(returns, extras)
+        (r, penaltiesFrom(allCols, r))
+      } else {
+        // no penalty needed → skip the window pass entirely, pure aggregation
+        val aggs = extras ++ cols.map(c => count(col(c)).as(s"__n_$c"))
+        (rfm.df.agg(aggs.head, aggs.tail: _*).head(), Map.empty[String, Double])
+      }
+    val vals = cols.map { c =>
+      val b0 = dblName(row, s"__b_$c")
+      val b = if (smart) b0 / pen(c) else b0
+      val sk = dblName(row, s"__sk_$c")
+      val ku = dblName(row, s"__ku_$c")
+      val n = row.getAs[Long](s"__n_$c")
       val sigma = math.sqrt(
         (1 + 0.5 * b * b - sk * b + ((ku - 3) / 4) * b * b) / (n - 1))
       val p = Dist.cdf((b - rf) / sigma)
@@ -99,8 +143,10 @@ object Smart {
     localRow(returns, vals, cols)
   }
 
-  private def dbl(r: Row, i: Int): Double =
+  private def dblName(r: Row, name: String): Double = {
+    val i = r.fieldIndex(name)
     if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+  }
 
   private def localRow(returns: DataFrame, vals: Seq[Double]): DataFrame =
     localRow(returns, vals, ReturnsFrame(returns).numericCols)

@@ -290,11 +290,11 @@ object Stats {
 
   def smartSharpe(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
       annualize: Boolean = true): DataFrame =
-    Smart.scaleByPenalty(sharpe(returns, rf, periods, annualize), returns)
+    Smart.scaledByPenalty(returns, Exprs.sharpe(_, rf, periods, annualize))
 
   def smartSortino(returns: DataFrame, rf: Double = 0.0, periods: Int = 252,
       annualize: Boolean = true): DataFrame =
-    Smart.scaleByPenalty(sortino(returns, rf, periods, annualize), returns)
+    Smart.scaledByPenalty(returns, Exprs.sortino(_, rf, periods, annualize))
 
   def probabilisticSharpeRatio(returns: DataFrame, rf: Double = 0.0,
       periods: Int = 252, annualize: Boolean = false,

@@ -62,6 +62,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wide and long paths agree on smart sharpe and autocorr penalty") {
+    cases(6).foreach { rs =>
+      val wide = dates(rs.length).zip(rs).toDF("date", "a1")
+      val long = GroupedStats.fromWide(wide, "date")
+      val wideSmart = scalar(Stats.smartSharpe(wide))
+      val widePen = scalar(Stats.autocorrPenalty(wide))
+      val row = GroupedStats.smartSharpe(long).head()
+      val longPen = row.getAs[Double]("autocorr_penalty")
+      val longSmart = row.getAs[Double]("smart_sharpe")
+      if (!(widePen.isNaN && longPen.isNaN)) assertApprox(longPen, widePen, 1e-9)
+      if (!(wideSmart.isNaN && longSmart.isNaN)) assertApprox(longSmart, wideSmart, 1e-9)
+    }
+  }
+
   test("exposure is within [0, 1]") {
     cases(8).foreach { rs =>
       val e = scalar(Stats.exposure(rs.toDF("r")))
