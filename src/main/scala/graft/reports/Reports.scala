@@ -29,10 +29,12 @@ import graft.stats.Smart
   *
   * Execution is restructured Spark-first (SURVEY.md §3 note): instead of the
   * reference's ~40 sequential one-metric queries per column, metrics are
-  * batched into a handful of wide aggregation passes over a cached frame —
-  * one scan each for: scalar aggregates + trailing windows, drawdown stats,
-  * per-bucket calendar families, benchmark stats; plus per-column episode
-  * and streak passes. Same values, ~6 jobs instead of ~40×N.
+  * batched into a fixed number of aggregation passes whose count does NOT
+  * grow with the column count: one wide scalar pass, one stacked long-format
+  * pass each for drawdown stats (+ autocorr penalties), episodes, and
+  * streaks — all with windows partitioned by asset, never a global
+  * single-partition window — plus one calendar-bucket pass per bucket
+  * granularity and one benchmark pass. A full 10-asset report is ~9 jobs.
   */
 object Reports {
 
@@ -47,7 +49,8 @@ object Reports {
       matchDates: Boolean = true,
       strategyTitle: Option[Seq[String]] = None,
       benchmarkTitle: String = "Benchmark",
-      asPct: Boolean = true): DataFrame = {
+      asPct: Boolean = true,
+      display: Boolean = false): DataFrame = {
 
     val spark = returns.sparkSession
     val pct: Double = if (asPct) 100.0 else 1.0
@@ -185,101 +188,114 @@ object Reports {
       }
     }
 
-    // ---- P2: drawdown pass (max dd, ulcer, recovery, serenity) ----
-    val w = Window.orderBy(col("__ord")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy()
+    // ---- stacked long format: the multi-pass families (drawdown stats +
+    // autocorr penalties, episodes, streaks) melt the zero-filled frame ONCE
+    // into (asset, __ord, r) and run key-partitioned windows — one
+    // aggregation per family for ALL columns, no per-column jobs and no
+    // global single-partition windows (this is Reports' internal use of the
+    // GroupedStats scale core).
+    val stacked = zf.select(col("__ord"), explode(map(
+      names.flatMap(n => Seq(lit(n), zf(n))): _*)).as(Seq("__asset", "__r")))
+    val ddf = GroupedStats.withDrawdown(
+      SeriesFrame(stacked, Seq("__asset"), "__ord", "__r")).df.cache()
+    val rr = col("__r")
+    val ddc = col("__dd")
+
+    // ---- P2: drawdown pass (max dd, ulcer, recovery, serenity, cvar) for
+    // all columns in one aggregation; in full mode the smart-ratio lag pairs
+    // ride along on the same asset partitioning ----
     val z05 = Dist.invCdf(0.05)
-    val s1 = zf.select(col("*") +: names.map(n =>
-      product(col(n) + lit(1.0)).over(w).as(s"__w_$n")): _*)
-    val s2 = s1.select(col("*") +: names.map(n =>
-      least(fdiv(col(s"__w_$n"), max(col(s"__w_$n")).over(w)) - lit(1.0), lit(0.0))
-        .as(s"__dd_$n")): _*)
-    val s3 = s2.select(col("*") +:
-      (names.map { n =>
-        val dd = col(s"__dd_$n")
-        (avg(dd).over(whole) + lit(z05) * stddev_samp(dd).over(whole)).as(s"__ddvar_$n")
-      } ++ names.map { n =>
-        (avg(col(n)).over(whole) + lit(z05) * stddev_samp(col(n)).over(whole)).as(s"__rvar_$n")
-      }): _*)
-    val p2Exprs = names.flatMap { n =>
-      val dd = col(s"__dd_$n")
-      val ddVar = col(s"__ddvar_$n")
-      val c = col(n)
-      val ddCvar = coalesce(avg(when(dd < ddVar, dd)), first(ddVar))
-      val ulcer = sqrt(sum(dd * dd) / (count(c) - lit(1)))
-      val rVar = col(s"__rvar_$n")
-      Seq(
-        min(dd).as(s"maxdd__$n"),
-        ulcer.as(s"ulcer__$n"),
-        fdiv(abs(sum(c) - lit(0.0)), abs(min(dd))).as(s"recovery__$n"),
-        fdiv(sum(c) - lit(rf), ulcer * fdiv(-ddCvar, stddev_samp(c))).as(s"serenity__$n"),
-        coalesce(avg(when(c < rVar, c)), first(rVar)).as(s"cvar__$n"))
-    }
-    val p2 = s3.agg(p2Exprs.head, p2Exprs.tail: _*).head()
+    val wholeA = Window.partitionBy(col("__asset"))
+    val prevW = Window.partitionBy(col("__asset")).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s3 = ddf
+      .withColumn("__ddvar", avg(ddc).over(wholeA) + lit(z05) * stddev_samp(ddc).over(wholeA))
+      .withColumn("__rvar", avg(rr).over(wholeA) + lit(z05) * stddev_samp(rr).over(wholeA))
+      .withColumn("__prev",
+        if (full) last(rr, ignoreNulls = true).over(prevW) else lit(null))
+    val ddCvar = coalesce(avg(when(ddc < col("__ddvar"), ddc)), first(col("__ddvar")))
+    val ulcer = sqrt(sum(ddc * ddc) / (count(rr) - lit(1)))
+    val p2df = s3.groupBy(col("__asset")).agg(
+      min(ddc).as("maxdd"),
+      ulcer.as("ulcer"),
+      fdiv(abs(sum(rr) - lit(0.0)), abs(min(ddc))).as("recovery"),
+      fdiv(sum(rr) - lit(rf), ulcer * fdiv(-ddCvar, stddev_samp(rr))).as("serenity"),
+      coalesce(avg(when(rr < col("__rvar"), rr)), first(col("__rvar"))).as("cvar"),
+      count(rr).as("n"),
+      corr(col("__prev"), rr).as("rho"))
+    val p2rows: Map[String, Row] =
+      p2df.collect().map(r => r.getAs[String]("__asset") -> r).toMap
     def g2(k: String, n: String): Double = {
-      val i = p2.fieldIndex(s"${k}__$n")
-      if (p2.isNullAt(i)) Double.NaN else p2.getDouble(i)
+      val row = p2rows(n)
+      val i = row.fieldIndex(k)
+      if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
     }
 
-    // ---- P3/P4: episodes + streaks per column (row-count semantics,
-    // because the reference passes bare series — reports.py:397-414) ----
-    val episodeRows: Map[String, (Long, Double, Double)] = names.map { n =>
-      val dd = col(s"__dd_$n")
-      val flagged = s2.select(col("__ord"), dd.as("__dd"))
-        .withColumn("__in", col("__dd").isNotNull && col("__dd") < 0)
-      val wAll = Window.orderBy("__ord")
-      val wIn = Window.partitionBy("__in").orderBy("__ord")
-      val eps = flagged
-        .withColumn("__island", row_number().over(wAll) - row_number().over(wIn))
-        .filter(col("__in"))
-        .groupBy("__island")
-        .agg(count(lit(1)).as("__len"), min("__dd").as("__depth"))
-      val r = eps.agg(
-        coalesce(max("__len"), lit(0L)),
-        coalesce(avg("__len"), lit(0.0)),
-        coalesce(avg("__depth"), lit(0.0))).head()
-      n -> ((r.getLong(0), r.getDouble(1), r.getDouble(2)))
-    }.toMap
+    // ---- P3/P4: episodes + streaks, all columns per pass (row-count
+    // semantics, because the reference passes bare series — reports.py:397-414) ----
+    val wA = Window.partitionBy(col("__asset")).orderBy(col("__ord"))
+    val wIn = Window.partitionBy(col("__asset"), col("__in")).orderBy(col("__ord"))
+    val episodeRows: Map[String, (Long, Double, Double)] = ddf
+      .withColumn("__in", ddc.isNotNull && ddc < 0)
+      .withColumn("__island", row_number().over(wA) - row_number().over(wIn))
+      .filter(col("__in"))
+      .groupBy(col("__asset"), col("__island"))
+      .agg(count(lit(1)).as("__len"), min(ddc).as("__depth"))
+      .groupBy(col("__asset"))
+      .agg(max("__len").as("maxlen"), avg("__len").as("avglen"),
+        avg("__depth").as("avgdepth"))
+      .collect()
+      .map(r => r.getAs[String]("__asset") ->
+        ((r.getAs[Long]("maxlen"), r.getAs[Double]("avglen"), r.getAs[Double]("avgdepth"))))
+      .toMap
+    // an asset with no drawdown episodes has no aggregate row — zeros, as the
+    // reference's empty-episode frame yields
+    def episode(n: String): (Long, Double, Double) =
+      episodeRows.getOrElse(n, (0L, 0.0, 0.0))
 
     val streakRows: Map[String, (Long, Long)] =
       if (!full) Map.empty
-      else names.map { n =>
-        val lf = SeriesFrame(zf.select(lit("k").as("__k"), col("__ord"), col(n)),
-          Seq("__k"), "__ord", n)
-        val r = GroupedStats.streaks(lf).head()
-        n -> ((r.getAs[Long]("consecutive_wins"), r.getAs[Long]("consecutive_losses")))
-      }.toMap
+      else GroupedStats.streaks(SeriesFrame(ddf, Seq("__asset"), "__ord", "__r"))
+        .collect()
+        .map(r => r.getAs[String]("__asset") ->
+          ((r.getAs[Long]("consecutive_wins"), r.getAs[Long]("consecutive_losses"))))
+        .toMap
 
-    // ---- P5-7: calendar bucket passes ----
-    def bucketAgg(buckets: => Seq[Column], compoundedBuckets: Boolean,
-        finals: Seq[(String, Column => Column)]): Option[Map[String, Row]] =
-      temporal.map { t =>
-        val keyed = zf.groupBy(buckets: _*).agg(
-          names.map(n => (if (compoundedBuckets) Exprs.comp(col(n)) else sum(col(n))).as(n)).head,
-          names.map(n => (if (compoundedBuckets) Exprs.comp(col(n)) else sum(col(n))).as(n)).tail: _*)
-        val aggExprs = names.flatMap(n => finals.map { case (k, f) => f(col(n)).as(s"${k}__$n") })
-        Map("row" -> keyed.agg(aggExprs.head, aggExprs.tail: _*).head())
+    // ---- P5-7: calendar bucket passes — one job per bucket granularity
+    // (sum- and comp-bucket finals share the monthly groupBy) ----
+    def bucketAgg(buckets: => Seq[Column],
+        finals: Seq[(String, Column => Column, Boolean)]): Option[Row] =
+      temporal.map { _ =>
+        val bucketVals =
+          (if (finals.exists(_._3)) names.map(n => Exprs.comp(zf(n)).as(s"__c__$n")) else Nil) ++
+            (if (finals.exists(!_._3)) names.map(n => sum(zf(n)).as(s"__s__$n")) else Nil)
+        val keyed = zf.groupBy(buckets: _*).agg(bucketVals.head, bucketVals.tail: _*)
+        val aggExprs = names.flatMap(n => finals.map { case (k, f, compounded) =>
+          f(keyed(if (compounded) s"__c__$n" else s"__s__$n")).as(s"${k}__$n")
+        })
+        keyed.agg(aggExprs.head, aggExprs.tail: _*).head()
       }
 
     val t = temporal.map(col).orNull
-    val monthlySum = bucketAgg(Seq(year(t), month(t)), compoundedBuckets = false,
-      Seq("g2p1m" -> (c => Exprs.gainToPain(c, rf))))
-    val monthlyComp = bucketAgg(Seq(year(t), month(t)), compoundedBuckets = true,
-      Seq("expm" -> Exprs.expectedReturn,
-        "bestm" -> (c => max(c)), "worstm" -> (c => min(c)),
-        "avgup" -> Exprs.avgWin, "avgdown" -> Exprs.avgLoss,
-        "winm" -> Exprs.winRate))
-    val yearlyComp = bucketAgg(Seq(year(t)), compoundedBuckets = true,
-      Seq("expy" -> Exprs.expectedReturn,
-        "besty" -> (c => max(c)), "worsty" -> (c => min(c)),
-        "winy" -> Exprs.winRate))
-    val quarterComp = bucketAgg(Seq(year(t), quarter(t)), compoundedBuckets = true,
-      Seq("winq" -> Exprs.winRate))
+    val monthly = bucketAgg(Seq(year(t), month(t)),
+      ("g2p1m", (c: Column) => Exprs.gainToPain(c, rf), false) +: (if (full) Seq(
+        ("expm", Exprs.expectedReturn: Column => Column, true),
+        ("bestm", (c: Column) => max(c), true),
+        ("worstm", (c: Column) => min(c), true),
+        ("avgup", Exprs.avgWin: Column => Column, true),
+        ("avgdown", Exprs.avgLoss: Column => Column, true),
+        ("winm", Exprs.winRate: Column => Column, true)) else Nil))
+    val yearly = if (!full) None else bucketAgg(Seq(year(t)), Seq(
+      ("expy", Exprs.expectedReturn: Column => Column, true),
+      ("besty", (c: Column) => max(c), true),
+      ("worsty", (c: Column) => min(c), true),
+      ("winy", Exprs.winRate: Column => Column, true)))
+    val quarterly = if (!full) None else bucketAgg(Seq(year(t), quarter(t)), Seq(
+      ("winq", Exprs.winRate: Column => Column, true)))
 
-    def gb(m: Option[Map[String, Row]], k: String, n: String): Any = m match {
+    def gb(m: Option[Row], k: String, n: String): Any = m match {
       case None => "-"
-      case Some(rows) =>
-        val row = rows("row")
+      case Some(row) =>
         val i = row.fieldIndex(s"${k}__$n")
         if (row.isNullAt(i)) Double.NaN else row.getAs[Any](i)
     }
@@ -312,10 +328,14 @@ object Reports {
         if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       }.getOrElse("-")
 
-    // ---- P9: autocorr penalties (full mode) ----
-    val penalties: Map[String, Double] =
-      if (!full) Map.empty
-      else Smart.autocorrPenaltyValues(zf.select(names.map(col): _*)).toMap
+    // ---- autocorr penalties (full mode): the lag-1 corr was collected in
+    // the P2 aggregation; only the closed-form decay sum runs driver-side ----
+    def penalty(n: String): Double = {
+      val row = p2rows(n)
+      val i = row.fieldIndex("rho")
+      Smart.penaltyOf(row.getAs[Long]("n"),
+        if (row.isNullAt(i)) None else Some(row.getDouble(i)))
+    }
 
     // ---- assemble rows ----
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, Any])]
@@ -350,15 +370,15 @@ object Reports {
     addSep()
     add("Sharpe", n => g("sharpe", n))
     add("Prob. Sharpe Ratio", n => psrOf(n) * pct)
-    if (full) add("Smart Sharpe", n => g("sharpe", n) / penalties(n))
+    if (full) add("Smart Sharpe", n => g("sharpe", n) / penalty(n))
     add("Sortino", n => g("sortino", n))
-    if (full) add("Smart Sortino", n => g("sortino", n) / penalties(n))
+    if (full) add("Smart Sortino", n => g("sortino", n) / penalty(n))
     add("Sortino/√2", n => g("sortino", n) / math.sqrt(2.0))
-    if (full) add("Smart Sortino/√2", n => g("sortino", n) / penalties(n) / math.sqrt(2.0))
+    if (full) add("Smart Sortino/√2", n => g("sortino", n) / penalty(n) / math.sqrt(2.0))
     add("Omega", n => g("omega", n))
     addSep()
     add("Max Drawdown", n => g2("maxdd", n) * pct)
-    add("Longest DD Days", n => episodeRows(n)._1)
+    add("Longest DD Days", n => episode(n)._1)
     if (full) {
       addSep()
       add("Volatility (ann.)", n => g("vol", n) * pct)
@@ -373,8 +393,8 @@ object Reports {
       add("Skew", n => g("skew", n))
       add("Kurtosis", n => g("kurt", n))
       add("Expected Daily", n => g("expd", n) * pct)
-      add("Expected Monthly", n => numOrDash(gb(monthlyComp, "expm", n), pct))
-      add("Expected Yearly", n => numOrDash(gb(yearlyComp, "expy", n), pct))
+      add("Expected Monthly", n => numOrDash(gb(monthly, "expm", n), pct))
+      add("Expected Yearly", n => numOrDash(gb(yearly, "expy", n), pct))
       add("Kelly Criterion", n => g("kelly", n) * pct)
       add("Risk of Ruin", n => g("ror", n))
       add("Daily Value-at-Risk", n => g("var", n) * pct)
@@ -384,7 +404,7 @@ object Reports {
     }
     addSep()
     add("Gain/Pain Ratio", n => g("g2p", n))
-    add("Gain/Pain (1M)", n => numOrDash(gb(monthlySum, "g2p1m", n), 1.0))
+    add("Gain/Pain (1M)", n => numOrDash(gb(monthly, "g2p1m", n), 1.0))
     addSep()
     add("Payoff Ratio", n => g("payoff", n))
     add("Profit Factor", n => g("pf", n))
@@ -409,25 +429,25 @@ object Reports {
       addSep()
       add("Best Day", n => g("best", n) * pct)
       add("Worst Day", n => g("worst", n) * pct)
-      add("Best Month", n => numOrDash(gb(monthlyComp, "bestm", n), pct))
-      add("Worst Month", n => numOrDash(gb(monthlyComp, "worstm", n), pct))
-      add("Best Year", n => numOrDash(gb(yearlyComp, "besty", n), pct))
-      add("Worst Year", n => numOrDash(gb(yearlyComp, "worsty", n), pct))
+      add("Best Month", n => numOrDash(gb(monthly, "bestm", n), pct))
+      add("Worst Month", n => numOrDash(gb(monthly, "worstm", n), pct))
+      add("Best Year", n => numOrDash(gb(yearly, "besty", n), pct))
+      add("Worst Year", n => numOrDash(gb(yearly, "worsty", n), pct))
     }
     addSep()
-    add("Avg. Drawdown", n => episodeRows(n)._3 * pct)
-    add("Avg. Drawdown Days", n => episodeRows(n)._2)
+    add("Avg. Drawdown", n => episode(n)._3 * pct)
+    add("Avg. Drawdown Days", n => episode(n)._2)
     add("Recovery Factor", n => g2("recovery", n))
     add("Ulcer Index", n => g2("ulcer", n))
     add("Serenity Index", n => g2("serenity", n))
     if (full) {
       addSep()
-      add("Avg. Up Month", n => numOrDash(gb(monthlyComp, "avgup", n), pct))
-      add("Avg. Down Month", n => numOrDash(gb(monthlyComp, "avgdown", n), pct))
+      add("Avg. Up Month", n => numOrDash(gb(monthly, "avgup", n), pct))
+      add("Avg. Down Month", n => numOrDash(gb(monthly, "avgdown", n), pct))
       add("Win Days", n => g("windays", n) * pct)
-      add("Win Month", n => numOrDash(gb(monthlyComp, "winm", n), pct))
-      add("Win Quarter", n => numOrDash(gb(quarterComp, "winq", n), pct))
-      add("Win Year", n => numOrDash(gb(yearlyComp, "winy", n), pct))
+      add("Win Month", n => numOrDash(gb(monthly, "winm", n), pct))
+      add("Win Quarter", n => numOrDash(gb(quarterly, "winq", n), pct))
+      add("Win Year", n => numOrDash(gb(yearly, "winy", n), pct))
       if (benchName.isDefined) {
         addSep()
         add("Beta", n => gbm("beta", n))
@@ -445,7 +465,16 @@ object Reports {
 
     frame.unpersist()
     zf.unpersist()
-    buildOutput(spark, rows.toSeq, names)
+    ddf.unpersist()
+    val out = buildOutput(spark, rows.toSeq, names)
+    if (!display) out
+    else {
+      // reference parity: display=True PRINTS the table and returns None
+      // (alphastats/reports.py:287-290) — here, an empty frame of the same
+      // schema as the None-equivalent
+      out.show(rows.size, truncate = false)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
+    }
   }
 
   private def numOrDash(v: Any, mult: Double): Any = v match {

@@ -52,6 +52,15 @@ object Smart {
       c -> penalty
     }.toMap
 
+  /** Penalty from an already-aggregated (count, lag-1 corr) pair — the entry
+    * point for callers that computed the corr in their own (e.g. long-format
+    * key-partitioned) aggregation, like Reports' stacked drawdown pass.
+    */
+  def penaltyOf(n: Long, rho: Option[Double]): Double = rho match {
+    case Some(r) if n >= 2 && !r.isNaN => math.sqrt(1 + 2 * decaySum(math.abs(r), n))
+    case _ => Double.NaN
+  }
+
   /** Per-column penalty √(1 + 2·Σ_{x=1}^{n-1} ((n−x)/n)·ρˣ), ρ = |lag-1 corr|;
     * NaN when n < 2 or a slice variance is 0 (alphastats/stats.py:1292-1315).
     */

@@ -197,6 +197,56 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  // n-asset wide frame for the pass-structure guards
+  private def wideReturns(nAssets: Int) = {
+    val rnd = new scala.util.Random(7)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType) +:
+        (1 to nAssets).map(i => org.apache.spark.sql.types.StructField(
+          s"a$i", org.apache.spark.sql.types.DoubleType)))
+    val rows = (2 to 21).map { d =>
+      org.apache.spark.sql.Row.fromSeq(
+        java.sql.Date.valueOf(f"2023-01-$d%02d") +:
+          Seq.fill(nAssets)(rnd.nextGaussian() / 100))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("full-report job count does not grow with column count (long-format passes)") {
+    def run(n: Int): Long =
+      Instrument.jobCount(spark) { Reports.metrics(wideReturns(n), mode = "full").collect() }
+    run(2) // warm-up: codegen + cache machinery off the measurement
+    val j2 = run(2)
+    val j10 = run(10)
+    info(s"full-report jobs: 2 assets -> $j2, 10 assets -> $j10")
+    assert(j10 <= j2, s"job count grew with column count: $j2 -> $j10")
+    // ~9 actions; AQE materializes each shuffle stage as its own job → 21
+    // observed. Before the long-format refactor a 10-asset full report was
+    // ~26+ ACTIONS (episodes + streaks per column), far more jobs.
+    assert(j10 <= 24, s"full report should stay a fixed handful of jobs, got $j10")
+  }
+
+  test("no unpartitioned (single-partition) windows anywhere in a full report") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plans = Instrument.optimizedPlans(spark) {
+      Reports.metrics(wideReturns(10), mode = "full").collect()
+    }
+    assert(plans.nonEmpty)
+    val bad = plans.flatMap(_.collect { case w: LWindow if w.partitionSpec.isEmpty => w })
+    assert(bad.isEmpty, s"found ${bad.size} global windows: ${bad.headOption}")
+  }
+
+  test("display=true prints the table and returns the None-equivalent empty frame") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val rep = Console.withOut(new java.io.PrintStream(buf)) {
+      Reports.metrics(parityReturns, mode = "basic", display = true)
+    }
+    assert(rep.columns.toSeq == Seq("Metric", "Strategy"))
+    assert(rep.count() == 0, "display=true must return the None-equivalent (reports.py:287-290)")
+    val printed = buf.toString
+    assert(printed.contains("Sharpe") && printed.contains("Max Drawdown"))
+  }
+
   test("no-temporal returns: window rows are '-'") {
     val rep = Reports.metrics(Seq(0.01, -0.02, 0.03).toDF("returns"), mode = "basic")
     val cells = rep.collect().map(r => r.getString(0) -> r.getString(1)).toMap
