@@ -1,5 +1,11 @@
 package graft.ext
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -10,18 +16,24 @@ import org.apache.spark.sql.functions._
   * a vectorized `mapInPandas` stage: one JVM call per batch of rows, no
   * per-row driver involvement, schema known to Catalyst on both sides).
   *
-  * The codec layer is STUBBED: this container has no image/audio libraries,
-  * so `decodeStub` derives deterministic fake pixels/features from the bytes
-  * (length + rolling hash). The Spark-side contracts — schema, partitioning,
-  * batch shape, binary handling — are real and tested; swapping in a real
-  * decoder replaces only the body of the partition function.
+  * The IMAGE codec layer is REAL: PNG/JPEG/GIF/BMP decode, bilinear resize,
+  * and re-encode go through the JDK-builtin `javax.imageio` — no external
+  * native libraries, works headless on executors. Bytes no installed reader
+  * understands fall back to a deterministic byte-hash fake (clearly marked in
+  * the output `decoded=false`) so curation pipelines can quarantine rather
+  * than crash. Only VIDEO demux ([[sampleFrames]]) remains a declared stub:
+  * the JDK has no container demuxer.
   */
 object Multimodal {
 
   case class MediaItem(id: Long, media: Array[Byte], format: String)
   case class DecodedImage(id: Long, width: Int, height: Int, channels: Int,
-      feature: Array[Float])
+      decoded: Boolean, feature: Array[Float])
   case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
+
+  // ImageIO's default disk-backed stream cache would add a tmp-file write
+  // per image per task — pure-memory streams keep the decode stage IO-free.
+  ImageIO.setUseCache(false)
 
   /** Attach a binary media column synthesized from a string column — lets the
     * pipeline be exercised on the text testdata until real media lands.
@@ -32,35 +44,92 @@ object Multimodal {
       lit("synthetic/raw").as("format")).as[MediaItem]
   }
 
-  /** STUB decode: a real implementation would decode JPEG/PNG bytes here
-    * (e.g. via a native codec per partition). The fake is deterministic in
-    * the bytes so downstream stages are testable.
+  /** Encode a BufferedImage as PNG bytes (test fixtures + resize re-encode). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** `featureDim`-bin normalized luminance histogram — a real, deterministic
+    * pixel-derived feature (the shape any learned embedding would flow
+    * through; swap the body, keep the schema).
+    */
+  private def luminanceHistogram(img: BufferedImage, featureDim: Int): Array[Float] = {
+    val counts = new Array[Long](featureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        counts(math.min(lum * featureDim / 256, featureDim - 1)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (img.getWidth.toLong * img.getHeight).toFloat
+    counts.map(_ / n)
+  }
+
+  private def fakeDecode(m: MediaItem, featureDim: Int): DecodedImage = {
+    // deterministic byte-hash fake for undecodable bytes (FNV-1a over media)
+    val h = m.media.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L)
+    val width = 16 + math.floorMod(h, 16).toInt
+    val height = 16 + math.floorMod(h >> 8, 16).toInt
+    val feat = Array.tabulate(featureDim)(i => math.floorMod(h >> (i * 4), 1024) / 1024.0f)
+    DecodedImage(m.id, width, height, 3, decoded = false, feat)
+  }
+
+  /** Real image decode: PNG/JPEG/GIF/BMP via `javax.imageio`, true
+    * width/height/channel-count plus a luminance-histogram feature; bytes
+    * with no reader yield a `decoded=false` fallback row.
     */
   def decodeImages(items: Dataset[MediaItem], featureDim: Int = 8): Dataset[DecodedImage] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        // ??? real codec goes here — deterministic fake below
-        val h = m.media.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L)
-        val width = 16 + math.floorMod(h, 16).toInt
-        val height = 16 + math.floorMod(h >> 8, 16).toInt
-        val feat = Array.tabulate(featureDim)(i =>
-          (math.floorMod(h >> (i * 4), 1024) / 1024.0f))
-        DecodedImage(m.id, width, height, 3, feat)
+        tryDecode(m.media) match {
+          case Some(img) =>
+            DecodedImage(m.id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, decoded = true,
+              luminanceHistogram(img, featureDim))
+          case None => fakeDecode(m, featureDim)
+        }
       }
     }
   }
 
-  /** STUB resize: recomputes metadata; a real impl transforms pixel buffers
-    * partition-locally with identical schema flow.
+  /** Real resize: decode → bilinear rescale to (w, h) → re-encode PNG,
+    * partition-locally. Undecodable items pass through unchanged (same
+    * quarantine contract as [[decodeImages]]).
     */
-  def resize(images: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] = {
-    import images.sparkSession.implicits._
-    images.mapPartitions(_.map(img => img.copy(width = w, height = h)))
+  def resizeImages(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        tryDecode(m.media) match {
+          case Some(img) =>
+            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            MediaItem(m.id, encodePng(out), "image/png")
+          case None => m
+        }
+      }
+    }
   }
 
   /** STUB frame sampling for video bytes: emits every `stride`-th fake frame;
-    * the real impl would demux + decode keyframes per partition.
+    * the JDK ships no container demuxer, so a real impl needs a native codec
+    * per partition — the schema/batch contract here is what it would target.
     */
   def sampleFrames(items: Dataset[MediaItem], nFrames: Int = 4,
       featureDim: Int = 8): Dataset[FrameSample] = {

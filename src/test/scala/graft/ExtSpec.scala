@@ -175,17 +175,53 @@ class ExtSpec extends SparkSpec {
     assert(s(8L)._1 == 1L)
   }
 
-  test("multimodal stub pipeline: schema, determinism, frames") {
+  test("multimodal: real PNG decode → true dims/channels, resize round-trip") {
+    // generate real PNGs: a 32×20 gradient and a 7×5 all-white image
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      Multimodal.encodePng(img)
+    }
+    val gradient = png(32, 20, (x, y) => (x * 8 << 16) | (y * 12 << 8) | 128)
+    val white = png(7, 5, (_, _) => 0xffffff)
+    val media = Seq(
+      Multimodal.MediaItem(1L, gradient, "image/png"),
+      Multimodal.MediaItem(2L, white, "image/png"),
+      Multimodal.MediaItem(3L, "not an image at all".getBytes, "application/junk"))
+      .toDS()
+
+    val decoded = Multimodal.decodeImages(media, featureDim = 8).collect()
+      .map(d => d.id -> d).toMap
+    assert(decoded(1L).decoded && decoded(1L).width == 32 && decoded(1L).height == 20
+      && decoded(1L).channels == 3)
+    assert(decoded(2L).decoded && decoded(2L).width == 7 && decoded(2L).height == 5)
+    // all-white → all luminance mass in the top histogram bin
+    assert(math.abs(decoded(2L).feature.last - 1.0f) < 1e-6)
+    assert(math.abs(decoded(1L).feature.sum - 1.0f) < 1e-5) // normalized
+    // junk bytes quarantine through the deterministic fallback, don't crash
+    assert(!decoded(3L).decoded)
+
+    // real resize: bytes out are a decodable PNG with the target dims
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    val redecoded = Multimodal.decodeImages(resized, featureDim = 8).collect()
+      .map(d => d.id -> d).toMap
+    assert(redecoded(1L).decoded && redecoded(1L).width == 8 && redecoded(1L).height == 8)
+    assert(redecoded(2L).decoded && redecoded(2L).width == 8 && redecoded(2L).height == 8)
+    // resized all-white stays all-white (bilinear of constant field)
+    assert(math.abs(redecoded(2L).feature.last - 1.0f) < 1e-6)
+    assert(!redecoded(3L).decoded) // junk passed through unchanged
+  }
+
+  test("multimodal stub pipeline: synthetic media, frames, stats") {
     val media = Multimodal.withSyntheticMedia(docsDf, "doc_id", "text")
     val decoded = Multimodal.decodeImages(media, featureDim = 4)
     val rows = decoded.collect()
     assert(rows.length == 5)
     assert(rows.forall(_.feature.length == 4))
-    // identical bytes → identical decode (docs 1 and 4 share text)
+    // identical bytes → identical fallback decode (docs 1 and 4 share text)
     val byId = rows.map(r => r.id -> r).toMap
     assert(byId(1L).width == byId(4L).width && byId(1L).feature.sameElements(byId(4L).feature))
-    val resized = Multimodal.resize(decoded, 224, 224).collect()
-    assert(resized.forall(r => r.width == 224 && r.height == 224))
     val frames = Multimodal.sampleFrames(media, nFrames = 3, featureDim = 4)
     assert(frames.count() == 15)
     val stats = Multimodal.mediaStats(media).head()
