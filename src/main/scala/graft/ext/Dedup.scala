@@ -146,13 +146,20 @@ object Dedup {
     bandedSignatures(sig, bands)
       .groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
-        sum((col("n") > 1).cast("long")).as("n_colliding_buckets"),
-        sum((col("n") > maxBucket).cast("long")).as("n_oversized_buckets"),
+        // every aggregate coalesced: on an empty signature frame sum()/max()
+        // are NULL and audit readers would NPE on getAs[Long]
+        coalesce(sum((col("n") > 1).cast("long")), lit(0L)).as("n_colliding_buckets"),
+        coalesce(sum((col("n") > maxBucket).cast("long")), lit(0L)).as("n_oversized_buckets"),
         coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0L)).as("n_oversized_rows"),
-        max(col("n")).as("max_bucket"))
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
 
   /** Verified near-duplicate pairs: LSH candidates + exact shingle-set
     * Jaccard ≥ threshold. Joins shingle sets only for candidates.
+    *
+    * Note: Jaccard here is over combined 64-bit shingle TOKEN-HASHES while
+    * the DuckDB q18 oracle uses distinct shingle strings — an (astronomically
+    * unlikely) additive-hash collision would shift this side's Jaccard.
+    * If a q18 hash_match investigation ever starts, start at the hashing.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 16, shingleSize: Int = 3,

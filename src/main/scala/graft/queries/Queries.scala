@@ -572,6 +572,10 @@ object Queries {
     finish(GroupedStats.smartSharpe(assetReturns(spark, sfDir)),
       Seq("sharpe", "autocorr_penalty", "smart_sharpe"))
 
+  // NOTE: plain LAG(r) (consecutive rows) matches the engine's
+  // previous-NON-NULL lag ONLY because RetCte/assetReturns filter null
+  // returns; reusing this oracle pattern on a frame with interior nulls
+  // would diverge from both the engine and the reference semantics.
   val q30Sql: String =
     s"""$RetCte,
        |lagd AS (
