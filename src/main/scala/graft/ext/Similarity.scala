@@ -64,17 +64,25 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates limited to the query's SRP
-    * bucket. Trades recall for a ~2^planes candidate reduction; callers pick
-    * `planes` by corpus size (coarse IVF analog). Returns the same schema as
-    * bruteForceTopK.
+    * bucket, plus — multi-probe LSH — every bucket within Hamming distance
+    * `probeHamming` of it (probing C(planes, ≤h) buckets recovers neighbors
+    * that flipped a few sign bits; the standard recall knob that avoids
+    * building multiple hash tables). Candidate reduction is
+    * ~2^planes / Σ C(planes, ≤h). Returns the same schema as bruteForceTopK.
     */
   def srpBucketTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      dims: Int, k: Int = 10, planes: Int = 8): DataFrame = {
+      dims: Int, k: Int = 10, planes: Int = 8, probeHamming: Int = 0): DataFrame = {
+    require(planes <= 20, "srpBucketTopK supports at most 20 planes")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       srpBucket(col(vecCol), dims, planes).as("__bucket"))
+    val base = srpBucket(col(queryVecCol), dims, planes)
+    // XOR masks with popcount ≤ probeHamming enumerate the probe set; the
+    // query side stays tiny (rows × probes) and broadcast
+    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeHamming)
+    val probeBuckets = array(masks.map(m => base.bitwiseXOR(lit(m.toLong))): _*)
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qv"), srpBucket(col(queryVecCol), dims, planes).as("__bucket")))
+      col(queryVecCol).as("__qv"), explode(probeBuckets).as("__bucket")))
     val scored = c.join(q, Seq("__bucket")).filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__qv"), col("__cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

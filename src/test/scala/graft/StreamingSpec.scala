@@ -70,6 +70,58 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("streaming session_window ≡ batch sessionization on the events fixture") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+
+    // The two formulations diverge ONLY at a gap of exactly 1800 s (batch
+    // merges on diff <= gap; session_window starts a new session at
+    // diff >= gap). Assert the fixture has no boundary tie → parity is exact.
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ties = ev
+      .withColumn("d", col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .filter(col("d") === 1800).count()
+    assert(ties == 0, "fixture has an exact-gap tie; parity undefined at the boundary")
+
+    val batch = graft.ext.Events.sessionStats(ev, gapSeconds = 1800).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"),
+        r.getAs[Double]("avg_events"), r.getAs[Double]("avg_duration_s"),
+        r.getAs[Long]("max_duration_s")))
+      .sortBy(_._1)
+
+    val rows = ev.as[EventRow].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val input = MemoryStream[EventRow](5, spark, None)
+    input.addData(rows)
+    // far-future sentinel (excluded below) closes every session via watermark
+    input.addData(EventRow(-1L, new Timestamp(maxTs + 86400000L), -1L, "sentinel", 0.0))
+    val out = runToMemory(
+      StreamOps.sessionStats(input.toDF(), gap = "30 minutes", watermark = "1 minute"),
+      "sess_parity") {}
+
+    // session_window end = last event + gap → duration = end − start − gap
+    val stream = out.filter(col("user_id") >= 0)
+      .withColumn("dur_s",
+        col("session_end").cast("long") - col("session_start").cast("long") - 1800)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), avg(col("n_events")).as("avg_events"),
+        avg(col("dur_s")).as("avg_duration_s"), max(col("dur_s")).as("max_duration_s"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"),
+        r.getAs[Double]("avg_events"), r.getAs[Double]("avg_duration_s"),
+        r.getAs[Long]("max_duration_s")))
+      .sortBy(_._1)
+
+    assert(stream.length == batch.length,
+      s"user counts differ: stream ${stream.length} vs batch ${batch.length}")
+    // counts/durations are integers, averages are exact in double → row-for-row
+    stream.zip(batch).foreach { case (s, b) => assert(s == b, s"stream $s vs batch $b") }
+  }
+
   test("flatMapGroupsWithState running totals") {
     val input = MemoryStream[EventRow](4, spark, None)
     input.addData(
