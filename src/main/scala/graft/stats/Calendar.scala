@@ -21,9 +21,11 @@ object Calendar {
   case object All extends Period
 
   /** Re-bucket per-period returns into calendar buckets, comp-or-sum per
-    * column; bucket keys ordered (chronological for date-sorted input, which
-    * stands in for Polars' maintain_order first-appearance semantics) and
-    * then dropped (reference: alphastats/stats.py:736-774).
+    * column; buckets emit in FIRST-APPEARANCE order of the input rows —
+    * Polars' `maintain_order=True` semantics (reference:
+    * alphastats/stats.py:745) — via a carried min(row-ordinal) per bucket,
+    * correct for unsorted input too; bucket keys are then dropped
+    * (reference: alphastats/stats.py:736-774).
     */
   def simpleReturns(rfm: ReturnsFrame, aggregate: Option[String],
       compounded: Boolean): DataFrame = {
@@ -43,14 +45,17 @@ object Calendar {
           case None => rfm.df.select(numericSel: _*)
           case Some(gc) =>
             val keyNames = gc.indices.map(i => s"__bucket_$i")
-            val keyed = rfm.df.select(
-              gc.zip(keyNames).map { case (c, n) => c.as(n) } ++ numericSel: _*)
-            val aggExprs = rfm.numericCols.map { c =>
+            // physical-row ordinal (partition-ordered monotonic id): its
+            // per-bucket minimum IS the first-appearance index
+            val keyed = rfm.df.withColumn("__appear", monotonically_increasing_id())
+              .select(gc.zip(keyNames).map { case (c, n) => c.as(n) } ++
+                numericSel :+ col("__appear"): _*)
+            val aggExprs = (rfm.numericCols.map { c =>
               (if (compounded) Exprs.comp(col(c)) else sum(col(c))).as(c)
-            }
+            }) :+ min(col("__appear")).as("__first")
             keyed.groupBy(keyNames.map(col): _*)
               .agg(aggExprs.head, aggExprs.tail: _*)
-              .orderBy(keyNames.map(col): _*)
+              .orderBy(col("__first"))
               .select(numericSel: _*)
         }
     }

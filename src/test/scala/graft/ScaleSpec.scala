@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.functions._
+
+import graft.api.{GroupedStats, SeriesFrame}
+import graft.core.Exprs
+
+/** Many-key scale demonstration: the long-format engine at 10,000 series —
+  * the 100×-keys evidence the wide reference API structurally cannot give
+  * (it would need 10,000 columns). Asserts the properties that make the
+  * plans survive a real cluster: every window partitioned by key, results
+  * complete per key, and cost roughly linear (not quadratic) in key count.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def series(nKeys: Int, perKey: Int) = {
+    // deterministic pseudo-returns; date-typed ts so episode day math works
+    val df = spark.range(nKeys.toLong * perKey).select(
+      concat(lit("k"), (col("id") % nKeys)).as("asset"),
+      date_add(to_date(lit("2020-01-01")), (col("id") / nKeys).cast("int")).as("d"),
+      ((pmod(hash(col("id")), lit(1000)) - lit(480)) / 10000.0).as("r"))
+    SeriesFrame(df, Seq("asset"), "d", "r")
+  }
+
+  private def assertPartitionedWindows(df: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"plan contains ${bad.size} single-partition window(s)")
+  }
+
+  test("10k keys: aggregate + drawdown + episodes + smart sharpe, all partitioned") {
+    val sf = series(10000, 20)
+
+    val agg = GroupedStats.aggregate(sf, Seq(
+      "comp" -> (r => Exprs.comp(r)),
+      "sharpe" -> (r => Exprs.sharpe(r, 0.0, 252, annualize = true))))
+    assert(agg.count() == 10000)
+
+    val dd = GroupedStats.drawdownStats(sf)
+    assertPartitionedWindows(dd)
+    assert(dd.count() == 10000)
+
+    val eps = GroupedStats.drawdownEpisodes(sf)
+    assertPartitionedWindows(eps)
+    assert(eps.count() == 10000)
+
+    val smart = GroupedStats.smartSharpe(sf)
+    assertPartitionedWindows(smart)
+    assert(smart.count() == 10000)
+
+    val streaks = GroupedStats.streaks(sf)
+    assertPartitionedWindows(streaks)
+    assert(streaks.count() == 10000)
+  }
+
+  test("cost scales roughly linearly in key count (no quadratic collapse)") {
+    def time(nKeys: Int): Double = {
+      val t0 = System.nanoTime()
+      val d = GroupedStats.drawdownStats(series(nKeys, 20))
+      assert(d.count() == nKeys)
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(1000) // JIT/codegen warm-up
+    val t1k = time(1000)
+    val t10k = time(10000)
+    info(f"drawdownStats wall: 1k keys $t1k%.2f s, 10k keys $t10k%.2f s")
+    // linear in rows would be ≤10×; quadratic-in-keys would be ~100×.
+    // generous slack for shared-machine noise:
+    assert(t10k <= math.max(t1k, 0.5) * 20,
+      f"10k-key run $t10k%.2f s vs 1k-key $t1k%.2f s — worse than linear-with-slack")
+  }
+}

@@ -208,6 +208,25 @@ class StatsGoldenSpec extends SparkSpec {
     assert(q1 > 0)
   }
 
+  test("calendar buckets emit in first-appearance order on unsorted input (maintain_order parity)") {
+    // input deliberately NOT date-sorted: first-appearance month order is
+    // [Mar, Jan, Feb] while key order would be [Jan, Feb, Mar] — the Polars
+    // maintain_order=True semantics of the reference (stats.py:745)
+    val df = Seq(
+      (java.sql.Date.valueOf("2023-03-05"), 0.01),
+      (java.sql.Date.valueOf("2023-01-10"), 0.02),
+      (java.sql.Date.valueOf("2023-03-20"), 0.03),
+      (java.sql.Date.valueOf("2023-02-15"), 0.04)).toDF("date", "asset")
+    val monthly = graft.stats.Calendar.simpleReturns(
+      graft.core.ReturnsFrame(df), Some("month"), compounded = true)
+    val got = monthly.collect().map(_.getDouble(0)).toSeq
+    val mar = 1.01 * 1.03 - 1
+    assert(got.length == 3)
+    assertApprox(got(0), mar, clue = "first bucket must be March (first appearance)")
+    assertApprox(got(1), 0.02, clue = "second bucket must be January")
+    assertApprox(got(2), 0.04, clue = "third bucket must be February")
+  }
+
   test("multiple temporal columns rejected") {
     val df = Seq((java.sql.Date.valueOf("2023-01-01"),
       java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 0.01))
