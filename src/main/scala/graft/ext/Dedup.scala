@@ -70,6 +70,29 @@ object Dedup {
 
   def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
 
+  /** Order-sensitive token-stream fingerprint, cross-engine portable:
+    * modular polynomial rolling hash over portable token hashes. The modulus
+    * (1e9+7) keeps every intermediate in non-overflowing BIGINT range —
+    * DuckDB ERRORS on 64-bit overflow where Spark wraps, so the full-width
+    * xxhash64 variant ([[graft.ext.TextStats.fingerprint]]) is NOT oracle
+    * computable; this one is. Documents equal up to whitespace runs collapse
+    * to the same fingerprint (tokenizer-normalized identity).
+    */
+  def portableFingerprint(text: Column): Column = {
+    val m = lit(1000000007L)
+    aggregate(transform(tokens(text), t => pmod(portableTokenHash(t), m)),
+      lit(0L), (acc, h) => pmod(acc * lit(1000003L) + h, m))
+  }
+
+  /** 1-row whitespace-robust dedup summary over a precomputed fingerprint
+    * column — the token-stream analog of [[exactStats]].
+    */
+  def fingerprintStats(fps: DataFrame, fpCol: String = "fp"): DataFrame =
+    fps.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(fpCol)).as("n_fingerprints"),
+      (count(lit(1)) - countDistinct(col(fpCol))).as("n_dup_rows"))
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Deterministic affine permutations of a 64-bit base hash (mod 2^64 wrap). */

@@ -51,6 +51,25 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic small PNG from (id, w, h): an RGB gradient tile with an
+    * id-tinted blue channel — turns tabular testdata into a REAL image corpus
+    * whose geometry is known arithmetically, so an encode→decode round trip
+    * is verifiable by an engine that cannot decode images (the q31 oracle).
+    */
+  def synthesizePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | (id & 0xffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException | _: RuntimeException => None }

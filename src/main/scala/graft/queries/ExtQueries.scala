@@ -372,6 +372,76 @@ object ExtQueries {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q31 real image encode→decode round-trip ------------------------------
+
+  /** Multimodal in the correctness gate: every document is rendered to an
+    * ACTUAL PNG whose dimensions are an arithmetic function of n_chars
+    * (w = 16 + n_chars mod 32, h = 16 + (n_chars div 32) mod 32), ImageIO-
+    * decoded back, and the per-language aggregates of the DECODED pixel
+    * geometry must match the oracle's direct arithmetic — DuckDB cannot
+    * decode a PNG, but it can verify that our decoder reports exactly the
+    * geometry that was encoded. n_decoded == n_docs pins zero fallbacks.
+    */
+  def q31MediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val w = 16 + (nc % 32).toInt
+        val h = 16 + ((nc / 32) % 32).toInt
+        graft.ext.Multimodal.MediaItem(id, graft.ext.Multimodal.synthesizePng(id, w, h),
+          "image/png")
+      })
+    val decoded = graft.ext.Multimodal.decodeImages(items, featureDim = 4).toDF()
+    decoded
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("lang")), "id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("width")), 6).as("avg_width"),
+        round(avg(col("height")), 6).as("avg_height"),
+        max(col("channels")).cast("long").as("channels"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+      .orderBy("lang")
+  }
+
+  val q31Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(16 + n_chars % 32), 6) AS avg_width,
+      |  ROUND(AVG(16 + (n_chars // 32) % 32), 6) AS avg_height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  COUNT(*) AS n_decoded
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q32 portable fingerprint dedup ---------------------------------------
+
+  /** Whitespace-robust exact dedup over the portable rolling-hash
+    * fingerprint; the md5-derived signature column is cached per
+    * (session, sf) like the q19 simhash (crypto hash exists for oracle
+    * portability; production fingerprints use xxhash64).
+    */
+  def q32FingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = cached(spark, sfDir, "fingerprints")(
+      docs(spark, sfDir).select(col("doc_id"),
+        Dedup.portableFingerprint(col("text")).as("fp")))
+    Dedup.fingerprintStats(fps)
+  }
+
+  /** DuckDB recomputes the identical modular polynomial: list_reduce with a
+    * prepended 0 as the init accumulator (list_reduce seeds from the first
+    * element).
+    */
+  val q32Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      string_split_regex(lower(text), '\s+'),
+      |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fp
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fingerprints,
+      |       COUNT(*) - COUNT(DISTINCT fp) AS n_dup_rows
+      |FROM f""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -384,7 +454,9 @@ object ExtQueries {
     "q22_event_windows" -> (q22EventWindows _),
     "q23_embedding_norms" -> (q23EmbeddingNorms _),
     "q24_sliding_users" -> (q24SlidingUsers _),
-    "q26_event_props" -> (q26EventProps _))
+    "q26_event_props" -> (q26EventProps _),
+    "q31_media_decode" -> (q31MediaDecode _),
+    "q32_fingerprint_dedup" -> (q32FingerprintDedup _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -398,5 +470,7 @@ object ExtQueries {
     "q22_event_windows" -> q22Sql,
     "q23_embedding_norms" -> q23Sql,
     "q24_sliding_users" -> q24Sql,
-    "q26_event_props" -> q26Sql)
+    "q26_event_props" -> q26Sql,
+    "q31_media_decode" -> q31Sql,
+    "q32_fingerprint_dedup" -> q32Sql)
 }
