@@ -57,7 +57,12 @@ object Queries {
       SeriesFrame(ret, Seq("asset"), "d", "r")
     })
 
-  /** (d, b): whole-market daily returns (benchmark). */
+  /** (d, b): whole-market daily returns (benchmark). The lag window here is
+    * deliberately unpartitioned: it runs AFTER the group-by-day aggregation,
+    * on one row per calendar day — a bounded (~10³ rows/decade) single
+    * ordered sequence regardless of input scale, not a scale hazard. This is
+    * the only unpartitioned window left in the query suite.
+    */
   def marketReturns(spark: SparkSession, sfDir: String): DataFrame =
     mktCache.getOrElseUpdate((spark, sfDir), {
       val rev = lineitem(spark, sfDir)

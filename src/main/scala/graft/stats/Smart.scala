@@ -21,36 +21,39 @@ import graft.core.{Dist, Exprs, ReturnsFrame}
 object Smart {
 
   /** One job: per-column (count, lag-1 corr) plus any caller-supplied
-    * aggregates, over a frame extended with each column's previous non-null
-    * value. The lag-pair correlation matches the reference's hand-rolled
-    * covariance/variance sums over (head, tail) slices of the non-null
-    * values (alphastats/stats.py:1292-1315).
+    * aggregates, computed over the MELTED frame — each column becomes an
+    * asset partition, so the previous-non-null window partitions by asset
+    * (no single-partition global window) and the extras ride along in the
+    * same per-asset aggregation. The lag-pair correlation matches the
+    * reference's hand-rolled covariance/variance sums over (head, tail)
+    * slices of the non-null values (alphastats/stats.py:1292-1315).
     */
-  private def penaltyRow(returns: DataFrame, extra: Seq[Column]): (Seq[String], Row) = {
+  private def penaltyRows(returns: DataFrame,
+      extra: Seq[(String, Column => Column)]): (Seq[String], Map[String, Row]) = {
     val rfm = ReturnsFrame(returns)
-    val cols = rfm.numericCols
-    val (odf, ord) = rfm.withOrder
-    // previous NON-NULL value per column: equivalent to lag(1) over the
-    // column's null-filtered slice, but computable for all columns in one
-    // unpartitioned window pass (the documented wide-API reference edge)
-    val w = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
-    val withPrev = odf.select(cols.map(col) ++
-      cols.map(c => last(col(c), ignoreNulls = true).over(w).as(s"__p_$c")): _*)
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__n_$c"),
-      corr(col(s"__p_$c"), col(c)).as(s"__r_$c"))) ++ extra
-    (cols, withPrev.agg(aggs.head, aggs.tail: _*).head())
+    val sf = Stats.melted(rfm)
+    val prevW = Window.partitionBy(col("__asset")).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = sf.df.withColumn("__prev",
+      last(col("__r"), ignoreNulls = true).over(prevW))
+    val aggs = Seq(
+      count(col("__r")).as("__n"),
+      corr(col("__prev"), col("__r")).as("__rho")) ++
+      extra.map { case (n, f) => f(col("__r")).as(n) }
+    val rows = withPrev.groupBy(col("__asset")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getAs[String]("__asset") -> r).toMap
+    (rfm.numericCols, rows)
   }
 
-  private def penaltiesFrom(cols: Seq[String], row: Row): Map[String, Double] =
-    cols.map { c =>
-      val n = row.getAs[Long](s"__n_$c")
-      val i = row.fieldIndex(s"__r_$c")
+  private def penaltiesFrom(rows: Map[String, Row]): Map[String, Double] =
+    rows.map { case (c, row) =>
+      val n = row.getAs[Long]("__n")
+      val i = row.fieldIndex("__rho")
       val penalty =
         if (n < 2 || row.isNullAt(i) || row.getDouble(i).isNaN) Double.NaN
         else math.sqrt(1 + 2 * decaySum(math.abs(row.getDouble(i)), n))
       c -> penalty
-    }.toMap
+    }
 
   /** Penalty from an already-aggregated (count, lag-1 corr) pair — the entry
     * point for callers that computed the corr in their own (e.g. long-format
@@ -65,8 +68,8 @@ object Smart {
     * NaN when n < 2 or a slice variance is 0 (alphastats/stats.py:1292-1315).
     */
   def autocorrPenaltyValues(returns: DataFrame): Seq[(String, Double)] = {
-    val (cols, row) = penaltyRow(returns, Nil)
-    val p = penaltiesFrom(cols, row)
+    val (cols, rows) = penaltyRows(returns, Nil)
+    val p = penaltiesFrom(rows)
     cols.map(c => c -> p(c))
   }
 
@@ -92,11 +95,9 @@ object Smart {
     * along in the penalty aggregation (alphastats/stats.py:1334-1361).
     */
   def scaledByPenalty(returns: DataFrame, base: Column => Column): DataFrame = {
-    val rfm = ReturnsFrame(returns)
-    val cols = rfm.numericCols
-    val (allCols, row) = penaltyRow(returns, cols.map(c => base(col(c)).as(s"__b_$c")))
-    val pen = penaltiesFrom(allCols, row)
-    localRow(returns, cols.map(c => dblName(row, s"__b_$c") / pen(c)), cols)
+    val (cols, rows) = penaltyRows(returns, Seq("__b" -> base))
+    val pen = penaltiesFrom(rows)
+    localRow(returns, cols.map(c => dblName(rows(c), "__b") / pen(c)), cols)
   }
 
   /** Pre-computed 1-row base frame ÷ penalty — kept for callers that already
@@ -125,25 +126,31 @@ object Smart {
       smart: Boolean): DataFrame = {
     val rfm = ReturnsFrame(returns)
     val cols = rfm.numericCols
-    val extras = cols.flatMap(c => Seq(
-      Exprs.sharpe(col(c), 0.0, periods, annualize = false).as(s"__b_$c"),
-      Exprs.skew(col(c)).as(s"__sk_$c"),
-      Exprs.kurtosis(col(c)).as(s"__ku_$c")))
-    val (row, pen) =
+    // per column: (base sharpe, skew, kurtosis, n, penalty)
+    val perCol: Map[String, (Double, Double, Double, Long, Double)] =
       if (smart) {
-        val (allCols, r) = penaltyRow(returns, extras)
-        (r, penaltiesFrom(allCols, r))
+        val (_, rows) = penaltyRows(returns, Seq(
+          ("__b", (r: Column) => Exprs.sharpe(r, 0.0, periods, annualize = false)),
+          ("__sk", (r: Column) => Exprs.skew(r)),
+          ("__ku", (r: Column) => Exprs.kurtosis(r))))
+        val pen = penaltiesFrom(rows)
+        rows.map { case (c, r) => c -> ((dblName(r, "__b"), dblName(r, "__sk"),
+          dblName(r, "__ku"), r.getAs[Long]("__n"), pen(c)))
+        }
       } else {
         // no penalty needed → skip the window pass entirely, pure aggregation
-        val aggs = extras ++ cols.map(c => count(col(c)).as(s"__n_$c"))
-        (rfm.df.agg(aggs.head, aggs.tail: _*).head(), Map.empty[String, Double])
+        val aggs = cols.flatMap(c => Seq(
+          Exprs.sharpe(col(c), 0.0, periods, annualize = false).as(s"__b_$c"),
+          Exprs.skew(col(c)).as(s"__sk_$c"),
+          Exprs.kurtosis(col(c)).as(s"__ku_$c"),
+          count(col(c)).as(s"__n_$c")))
+        val row = rfm.df.agg(aggs.head, aggs.tail: _*).head()
+        cols.map(c => c -> ((dblName(row, s"__b_$c"), dblName(row, s"__sk_$c"),
+          dblName(row, s"__ku_$c"), row.getAs[Long](s"__n_$c"), 1.0))).toMap
       }
     val vals = cols.map { c =>
-      val b0 = dblName(row, s"__b_$c")
-      val b = if (smart) b0 / pen(c) else b0
-      val sk = dblName(row, s"__sk_$c")
-      val ku = dblName(row, s"__ku_$c")
-      val n = row.getAs[Long](s"__n_$c")
+      val (b0, sk, ku, n, pen) = perCol(c)
+      val b = if (smart) b0 / pen else b0
       val sigma = math.sqrt(
         (1 + 0.5 * b * b - sk * b + ((ku - 3) / 4) * b * b) / (n - 1))
       val p = Dist.cdf((b - rf) / sigma)

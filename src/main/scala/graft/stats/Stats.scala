@@ -90,16 +90,14 @@ object Stats {
     val conf = if (confidence > 1) confidence / 100 else confidence
     val z = Dist.invCdf(1 - conf)
     val rfm = ReturnsFrame(returns)
-    val whole = Window.partitionBy()
-    val withVar = rfm.df.select(rfm.numericCols.flatMap { c =>
-      val varC = (avg(col(c)).over(whole) +
-        lit(z * sigma) * stddev_samp(col(c)).over(whole)).as("__var_" + c)
-      Seq(col(c), varC)
-    }: _*)
-    withVar.select(rfm.numericCols.map { c =>
-      coalesce(avg(when(col(c) < col("__var_" + c), col(c))),
-        first(col("__var_" + c))).as(c)
-    }: _*)
+    val r = col("__r")
+    val withVar = melted(rfm).df.withColumn("__var",
+      avg(r).over(Window.partitionBy(col("__asset"))) +
+        lit(z * sigma) * stddev_samp(r).over(Window.partitionBy(col("__asset"))))
+    val piv = withVar.groupBy(col("__asset"))
+      .agg(coalesce(avg(when(r < col("__var"), r)), first(col("__var"))).as("__v"))
+      .groupBy().pivot("__asset", rfm.numericCols).agg(first(col("__v")))
+    piv.select(rfm.numericCols.map(c => piv(c).as(c)): _*)
   }
 
   // ---- trade stats --------------------------------------------------------
@@ -189,7 +187,7 @@ object Stats {
   def toDrawdowns(returns: DataFrame): DataFrame = {
     val rfm = ReturnsFrame(returns)
     val (ddDf, ddName) = withDrawdownCols(rfm)
-    ddDf.select(rfm.df.columns.map { c =>
+    ddDf.orderBy(col("__ord")).select(rfm.df.columns.map { c =>
       if (rfm.numericCols.contains(c)) col(ddName(c)).as(c) else col(c)
     }.toSeq: _*)
   }
@@ -227,46 +225,61 @@ object Stats {
   }
 
   /** Serenity = (Σr − rf) / (ulcer · pitfall), pitfall = −CVaR(dd)/σ(r)
-    * (reference: alphastats/stats.py:1549-1567).
+    * (reference: alphastats/stats.py:1549-1567). Computed over the melted
+    * frame: the per-column dd-VaR threshold broadcasts via an asset-
+    * partitioned window, never a global one.
     */
   def serenityIndex(returns: DataFrame, rf: Double = 0.0): DataFrame = {
     val z = Dist.invCdf(0.05)
     val rfm = ReturnsFrame(returns)
-    val (ddDf, ddName) = withDrawdownCols(rfm)
-    val whole = Window.partitionBy()
-    val withVar = ddDf.select(ddDf.columns.map(col) ++ rfm.numericCols.map { c =>
-      val dd = col(ddName(c))
-      (avg(dd).over(whole) + lit(z) * stddev_samp(dd).over(whole)).as("__ddvar_" + c)
-    }: _*)
-    withVar.select(rfm.numericCols.map { c =>
-      val dd = col(ddName(c))
-      val ddVar = col("__ddvar_" + c)
-      val ddCvar = coalesce(avg(when(dd < ddVar, dd)), first(ddVar))
-      val pitfall = fdiv(-ddCvar, stddev_samp(col(c)))
-      val ulcer = Exprs.ulcerIndex(dd, col(c))
-      fdiv(sum(col(c)) - lit(rf), ulcer * pitfall).as(c)
-    }: _*)
+    val dd = graft.api.GroupedStats.withDrawdown(melted(rfm)).df
+    val wholeA = Window.partitionBy(col("__asset"))
+    val r = col("__r")
+    val ddc = col("__dd")
+    val withVar = dd.withColumn("__ddvar",
+      avg(ddc).over(wholeA) + lit(z) * stddev_samp(ddc).over(wholeA))
+    val ddCvar = coalesce(avg(when(ddc < col("__ddvar"), ddc)), first(col("__ddvar")))
+    val pitfall = fdiv(-ddCvar, stddev_samp(r))
+    val serenity = fdiv(sum(r) - lit(rf), Exprs.ulcerIndex(ddc, r) * pitfall)
+    val piv = withVar.groupBy(col("__asset")).agg(serenity.as("__v"))
+      .groupBy().pivot("__asset", rfm.numericCols).agg(first(col("__v")))
+    piv.select(rfm.numericCols.map(c => piv(c).as(c)): _*)
   }
 
   // ---- internals ----------------------------------------------------------
 
-  /** Appends `__dd_<c>` drawdown columns for every numeric column, ordered by
-    * the temporal column (or ingestion order when absent). All window specs
-    * share one global sort; the many-asset scale path lives in GroupedStats
-    * with key-partitioned windows (SURVEY.md §7.4 risk 6).
+  /** Melted (asset, ord, value) view of a wide frame — the internal long
+    * format that turns N columns into N window partitions (the 100-TB shape;
+    * SURVEY.md §7.1). `__ord` is a (order, uid) struct so duplicate
+    * timestamps keep distinct row identity through groupBy/pivot round
+    * trips.
+    */
+  private[graft] def melted(rfm: ReturnsFrame): graft.api.SeriesFrame = {
+    val (odf, ord) = rfm.withOrder
+    val stacked = odf.select(
+      struct(ord.as("o"), monotonically_increasing_id().as("u")).as("__ord"),
+      explode(map(rfm.numericCols.flatMap(c =>
+        Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("__asset", "__r")))
+    graft.api.SeriesFrame(stacked, Seq("__asset"), "__ord", "__r")
+  }
+
+  /** Appends `__dd_<c>` drawdown columns for every numeric column via the
+    * melted frame: per-asset partitioned windows compute the drawdowns (N
+    * columns = N partitions, no single-partition global window), then a
+    * pivot on the row ordinal restores the wide shape.
     */
   private[graft] def withDrawdownCols(rfm: ReturnsFrame): (DataFrame, String => String) = {
-    val (odf, ord) = rfm.withOrder
-    val w = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val step1 = odf.select(odf.columns.map(col) ++ rfm.numericCols.map(c =>
-      product(col(c) + lit(1.0)).over(w).as("__wealth_" + c)): _*)
-    val step2 = step1.select(step1.columns.map(col) ++ rfm.numericCols.map { c =>
-      val wl = col("__wealth_" + c)
-      when(col(c).isNull, lit(null))
-        .otherwise(least(fdiv(wl, max(wl).over(w)) - lit(1.0), lit(0.0)))
-        .as("__dd_" + c)
-    }: _*)
-    (step2, (c: String) => "__dd_" + c)
+    val dd = graft.api.GroupedStats.withDrawdown(melted(rfm)).df
+    val pivoted = dd.groupBy(col("__ord"))
+      .pivot("__asset", rfm.numericCols)
+      .agg(first(col("__r")).as("r"), first(col("__dd")).as("dd"))
+    // __ord kept so order-sensitive consumers (toDrawdowns) can re-sort;
+    // aggregate consumers ignore it
+    val restored = pivoted.select(
+      (col("__ord") +: rfm.temporalCol.map(t => col("__ord").getField("o").as(t)).toSeq) ++
+        rfm.numericCols.map(c => pivoted(s"${c}_r").as(c)) ++
+        rfm.numericCols.map(c => pivoted(s"${c}_dd").as(s"__dd_$c")): _*)
+    (restored, (c: String) => "__dd_" + c)
   }
 
   /** Calendar-bucket pre-aggregation (reference `_simple_returns`,

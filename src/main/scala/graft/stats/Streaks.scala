@@ -14,34 +14,32 @@ import graft.core.ReturnsFrame
   */
 object Streaks {
 
+  /** All columns in ONE melted gaps-and-islands pass: sign islands run over
+    * asset-partitioned windows (no per-column jobs, no single-partition
+    * global window), one per-asset aggregation yields every column's longest
+    * run of the target sign.
+    */
   def consecutive(returns: DataFrame, winning: Boolean,
       aggregate: Option[String], compounded: Boolean): DataFrame = {
     val bucketed = Calendar.simpleReturns(ReturnsFrame(returns), aggregate, compounded)
     val rfm = ReturnsFrame(bucketed)
-    val (odf, ord) = rfm.withOrder
-    val spark = returns.sparkSession
-    val values = rfm.numericCols.map { c =>
-      longestStreak(odf.select(ord.as("__ord"), col(c).as("__v")), winning)
-    }
-    val schema = StructType(rfm.numericCols.map(c => StructField(c, LongType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Collections.singletonList(Row.fromSeq(values)), schema)
-  }
-
-  /** Longest run of >0 (or <0) in a 2-col frame (__ord, __v). */
-  private def longestStreak(df: DataFrame, winning: Boolean): Long = {
-    val sign = when(col("__v").isNull, lit(2))
-      .when(col("__v") > 0, lit(1))
-      .when(col("__v") < 0, lit(-1))
-      .otherwise(lit(0))
     val target = if (winning) 1 else -1
-    val w = Window.orderBy("__ord")
-    val ws = Window.partitionBy("__sign").orderBy("__ord")
-    val islands = df.select(col("__ord"), sign.as("__sign"))
+    val sign = when(col("__r").isNull, lit(2))
+      .when(col("__r") > 0, lit(1))
+      .when(col("__r") < 0, lit(-1))
+      .otherwise(lit(0))
+    val w = Window.partitionBy(col("__asset")).orderBy(col("__ord"))
+    val ws = Window.partitionBy(col("__asset"), col("__sign")).orderBy(col("__ord"))
+    val byAsset = Stats.melted(rfm).df
+      .withColumn("__sign", sign)
       .withColumn("__island", row_number().over(w) - row_number().over(ws))
       .filter(col("__sign") === target)
-    islands.groupBy("__island").count()
-      .agg(coalesce(max("count"), lit(0L)))
-      .head().getLong(0)
+      .groupBy(col("__asset"), col("__island")).agg(count(lit(1)).as("__len"))
+      .groupBy(col("__asset")).agg(max("__len").as("__max"))
+      .collect().map(r => r.getAs[String]("__asset") -> r.getAs[Long]("__max")).toMap
+    val schema = StructType(rfm.numericCols.map(c => StructField(c, LongType, nullable = false)))
+    returns.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(
+        rfm.numericCols.map(c => byAsset.getOrElse(c, 0L): Any))), schema)
   }
 }
