@@ -243,6 +243,21 @@ class ExtSpec extends SparkSpec {
     assert(ivfRecall >= 0.9, f"IVF recall@5 $ivfRecall%.3f below floor on fixture")
   }
 
+  test("portable fingerprint: whitespace-robust, order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  beta   gamma"), // whitespace runs collapse to one fp
+      (3L, "gamma beta alpha")) // token order changes the fp
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Dedup.portableFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "whitespace runs must not change the fingerprint")
+    assert(fps(1L) != fps(3L), "token order must change the fingerprint")
+    val stats = Dedup.fingerprintStats(
+      df.select(Dedup.portableFingerprint(col("text")).as("fp"))).head()
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
   test("multimodal: real PNG decode → true dims/channels, resize round-trip") {
     // generate real PNGs: a 32×20 gradient and a 7×5 all-white image
     def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {

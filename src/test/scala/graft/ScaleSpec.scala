@@ -55,6 +55,24 @@ class ScaleSpec extends SparkSpec {
     assert(streaks.count() == 10000)
   }
 
+  test("wide Stats API computes through asset-partitioned windows (melt guard)") {
+    import graft.stats.Stats
+    // lazily-planned paths: inspect the returned frame's plan directly
+    Seq(Stats.maxDrawdown(simpleDf), Stats.serenityIndex(simpleDf),
+      Stats.conditionalValueAtRisk(simpleDf), Stats.toDrawdowns(simpleDf),
+      Stats.ulcerIndex(simpleDf))
+      .foreach(assertPartitionedWindows)
+    // eagerly-collecting paths: capture every internal query's plan
+    val plans = Instrument.optimizedPlans(spark) {
+      Stats.smartSharpe(simpleDf).collect()
+      Stats.probabilisticSharpeRatio(simpleDf, smart = true).collect()
+      Stats.consecutiveWins(simpleDf).collect()
+      graft.stats.DrawdownEpisodes.longestDays(simpleDf).collect()
+    }
+    val bad = plans.flatMap(_.collect { case w: LWindow if w.partitionSpec.isEmpty => w })
+    assert(bad.isEmpty, s"wide API still plans ${bad.size} single-partition window(s)")
+  }
+
   test("cost scales roughly linearly in key count (no quadratic collapse)") {
     def time(nKeys: Int): Double = {
       val t0 = System.nanoTime()
