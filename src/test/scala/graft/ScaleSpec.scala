@@ -73,6 +73,29 @@ class ScaleSpec extends SparkSpec {
     assert(bad.isEmpty, s"wide API still plans ${bad.size} single-partition window(s)")
   }
 
+  test("smart-ratio family stays a fixed handful of jobs regardless of column count") {
+    import graft.stats.Stats
+    def wide(n: Int) = {
+      val cols = (1 to n).map(i => s"a$i")
+      val rnd = new scala.util.Random(3)
+      val rows = (0 until 30).map { _ =>
+        org.apache.spark.sql.Row.fromSeq(Seq.fill(n)(rnd.nextGaussian() / 100))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType))))
+    }
+    def jobs(n: Int): Long = Instrument.jobCount(spark) {
+      Stats.smartSharpe(wide(n)).collect()
+      Stats.probabilisticSharpeRatio(wide(n), smart = true).collect()
+    }
+    jobs(1) // warm-up
+    val j1 = jobs(1)
+    val j5 = jobs(5)
+    info(s"smart family jobs: 1 col -> $j1, 5 cols -> $j5")
+    assert(j5 <= j1, s"smart family job count grew with column count: $j1 -> $j5")
+  }
+
   test("cost scales roughly linearly in key count (no quadratic collapse)") {
     def time(nKeys: Int): Double = {
       val t0 = System.nanoTime()

@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"stream $s vs batch $b") }
   }
 
+  test("streaming tumbling windows ≡ batch tumbling stats on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val batch = graft.ext.Events.tumblingStats(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val rows = ev.as[EventRow].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val input = MemoryStream[EventRow](6, spark, None)
+    input.addData(rows)
+    input.addData(EventRow(-1L, new Timestamp(maxTs + 86400000L), -1L, "sentinel", 0.0))
+    val out = runToMemory(
+      StreamOps.tumblingStats(input.toDF(), window = "1 hour", watermark = "1 minute"),
+      "tumb_parity") {}
+    val stream = out.filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+
+    assert(stream.keySet == batch.keySet,
+      s"window keys differ: only-stream ${stream.keySet -- batch.keySet}, " +
+        s"only-batch ${batch.keySet -- stream.keySet}")
+    stream.foreach { case (k, (n, tot)) =>
+      assert(n == batch(k)._1, s"$k count: stream $n batch ${batch(k)._1}")
+      // double sums may associate differently between the two engines
+      assertApprox(tot, batch(k)._2, tol = 1e-9, clue = s"$k total_value")
+    }
+  }
+
   test("flatMapGroupsWithState running totals") {
     val input = MemoryStream[EventRow](4, spark, None)
     input.addData(
