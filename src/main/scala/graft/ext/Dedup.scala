@@ -209,11 +209,6 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val cands = lshCandidatePairs(sig, bands, numHashes = numHashes)
-    // shingle sets only for docs that appear in a candidate pair: semi-join
-    // the RAW text first (so the arrays are built after the filter, for
-    // candidates only — at corpus scale this shingles |candidates| docs, not
-    // the whole corpus a second time). cands ends in a distinct() exchange,
-    // so its two uses (id extraction + pair join) compute once via reuse.
     // sets are built for the WHOLE corpus deliberately: restricting them to
     // candidate ids via a semi-join embeds the candidate pipeline into both
     // join branches below, and AQE does not reuse that exchange — measured

@@ -105,17 +105,14 @@ object ExtQueries {
   // ---- q17 language-ID confusion ------------------------------------------
 
   def q17LangId(spark: SparkSession, sfDir: String): DataFrame = {
-    // explode + codegen'd conditional sums; partial aggregation means only
-    // ~one row per (doc, lang) reaches the shuffle
-    val ex = docs(spark, sfDir).select(col("doc_id"), col("lang"),
-      explode(TextStats.tokens(lower(col("text")))).as("t"))
-    val aggs = TextStats.langScoreAggs(col("t"))
-    val scores = ex.groupBy("doc_id", "lang")
-      .agg(aggs.head._2.as(s"s_${aggs.head._1}"),
-        aggs.tail.map { case (l, c) => c.as(s"s_$l") }: _*)
-    scores
-      .select(col("lang"), TextStats.langIdFromCols(
-        aggs.map { case (l, _) => l -> col(s"s_$l") }).as("predicted"))
+    // row-local struct accumulator: per-doc language scores are a pure
+    // projection (no explode, no per-doc shuffle — the only exchange is the
+    // tiny final (lang, predicted) aggregation). Measured at parity with the
+    // exploded conditional-sum formulation at sf0.1 and strictly better at
+    // scale: the exploded form shuffles one row per (doc, lang).
+    docs(spark, sfDir)
+      .select(col("lang"), TextStats.langScoresStruct(lower(col("text"))).as("__s"))
+      .select(col("lang"), TextStats.langIdFromScores(col("__s")).as("predicted"))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
   }
