@@ -187,7 +187,12 @@ object Stats {
   def toDrawdowns(returns: DataFrame): DataFrame = {
     val rfm = ReturnsFrame(returns)
     val (ddDf, ddName) = withDrawdownCols(rfm)
-    ddDf.orderBy(col("__ord")).select(rfm.df.columns.map { c =>
+    // output = the returns-frame data model (temporal + numeric columns, in
+    // input order); any other column has no per-row identity through the
+    // melt/pivot and is dropped
+    val kept = rfm.df.columns.filter(c =>
+      rfm.numericCols.contains(c) || rfm.temporalCol.contains(c))
+    ddDf.orderBy(col("__ord")).select(kept.map { c =>
       if (rfm.numericCols.contains(c)) col(ddName(c)).as(c) else col(c)
     }.toSeq: _*)
   }
