@@ -167,11 +167,12 @@ object Similarity {
       lit(cn) - lit(2.0) * dot(vec, typedLit(c.toSeq))
     }: _*)
 
-  /** Index of the nearest centroid (list assignment). */
-  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val d = centroidDists(vec, centroids)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  /** Index of the nearest centroid (list assignment) — a single fused
+    * codegen expression; see [[graft.functions.NearestCentroid]] for why the
+    * array-of-dots formulation is ~100× slower on wide centroid sets.
+    */
+  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExprs.nearestCentroid(vec, centroids)
 
   /** IVF-style approximate top-k: corpus rows are bucketed by nearest
     * centroid; each query probes its `nProbe` nearest lists only —
