@@ -269,6 +269,21 @@ object Dedup {
       df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
         .select(col("id"), portableTokenHash(col("t")).as("h")), bits = 60)
 
+  /** Row-local 64-bit SimHash COLUMN — no explode, no groupBy, which makes
+    * it legal inside a streaming query before a stateful operator (a
+    * groupBy(id) aggregation would itself be a stateful op on a stream).
+    * One interpreted `aggregate` pass over the token-hash array per bit;
+    * identical bit semantics to [[simhash]].
+    */
+  def simhashCol(text: Column, bits: Int = 64): Column = {
+    val th = tokenHashes(text)
+    (0 until bits).map { b =>
+      val vote = aggregate(th, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming, using
     * band collision (any identical `bits/bands`-wide chunk ⇒ candidate) then
     * popcount verification. EXACT for maxHamming < bands: by pigeonhole, a

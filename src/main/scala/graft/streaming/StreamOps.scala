@@ -60,6 +60,64 @@ object StreamOps {
   case class UserState(nEvents: Long, totalValue: Double, lastTs: Long)
   case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
 
+  // ---- streaming near-duplicate suppression --------------------------------
+
+  case class DocSig(doc_id: Long, ts: Timestamp, simhash: Long, band: Int, key: Long)
+  case class BucketState(seen: List[(Long, Long)]) // (doc_id, simhash), newest first
+  case class DupHit(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming near-duplicate detection over an unbounded document feed —
+    * what a crawl-ingest pipeline runs BEFORE paying for downstream
+    * processing. Each doc's 64-bit SimHash (row-local column, streaming-safe)
+    * is split into `bands` 16-bit band keys; per (band, key) bucket a
+    * flatMapGroupsWithState keeps the last `bucketCap` (doc_id, simhash)
+    * pairs and emits a [[DupHit]] for every stored doc within `maxHamming`.
+    *
+    * Exactness: for maxHamming ≤ bands−1, a pair within the threshold must
+    * share ≥ 1 band (pigeonhole), so — while no bucket overflows its cap —
+    * the DISTINCT (doc_id, dup_of) hits equal the batch
+    * [[graft.ext.Dedup.simhashNearDuplicates]] pair set (a pair colliding in
+    * several bands emits once per shared band; callers dedup). The cap
+    * bounds executor state on degenerate feeds, trading recall only on
+    * near-constant content — the same trade `lshCandidatePairs.maxBucket`
+    * makes in batch.
+    */
+  def streamingNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      tsCol: String = "ts", textCol: String = "text", maxHamming: Int = 3,
+      bands: Int = 4, bucketCap: Int = 64): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    require(maxHamming < bands, "exactness needs maxHamming <= bands - 1 (pigeonhole)")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        graft.ext.Dedup.simhashCol(col(textCol), 64).as("simhash"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[DocSig]
+    sigs.groupByKey(s => (s.band, s.key))
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[DocSig], state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = List.newBuilder[DupHit]
+          // deterministic arrival order within a micro-batch
+          rows.toSeq.sortBy(s => (s.ts.getTime, s.doc_id)).foreach { s =>
+            seen.foreach { case (id, sh) =>
+              val ham = java.lang.Long.bitCount(sh ^ s.simhash)
+              if (ham <= maxHamming) out += DupHit(s.doc_id, id, ham)
+            }
+            seen = ((s.doc_id, s.simhash) :: seen).take(bucketCap)
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful operator: running per-user totals, emitted on every
     * update — the mapGroupsWithState pattern for state Spark's windowed aggs
     * can't express (e.g. cross-window lifetime counters).

@@ -152,6 +152,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup suppression: catches a duplicate from an earlier batch") {
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp, String)](7, spark, None)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    input.addData(
+      (1L, ts(0), base),
+      (2L, ts(1), "completely unrelated text about catalyst optimizer rules and shuffles"))
+    // near-dup of doc 1 arrives later (one word changed)
+    input.addData((3L, ts(30), base.replace("today", "tonight")))
+    val out = runToMemory(
+      StreamOps.streamingNearDuplicates(
+        input.toDF().toDF("doc_id", "ts", "text")).toDF(), "neardup") {}
+    val hits = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).distinct
+    assert(hits.contains((3L, 1L)), s"expected (3,1) dup hit, got ${hits.toSeq}")
+    assert(!hits.exists(h => h._1 == 2L || h._2 == 2L), "unrelated doc must not match")
+  }
+
+  test("streaming near-dup pair set ≡ batch simhash pairs on the documents fixture") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), new Timestamp(1700000000000L + r.getLong(0)), r.getString(1)))
+      .toSeq
+    val batchPairs = graft.ext.Dedup.simhashNearDuplicates(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text",
+      maxHamming = 3).collect()
+      .map(r => (math.min(r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        math.max(r.getAs[Long]("id1"), r.getAs[Long]("id2")))).toSet
+
+    val input = MemoryStream[(Long, Timestamp, String)](8, spark, None)
+    input.addData(docs)
+    val out = runToMemory(
+      StreamOps.streamingNearDuplicates(
+        input.toDF().toDF("doc_id", "ts", "text")).toDF(), "neardup_parity") {}
+    val streamPairs = out.collect().map(r =>
+      (math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))).toSet
+    assert(streamPairs == batchPairs,
+      s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
+  }
+
+  test("row-local simhashCol equals the batch explode+groupBy simhash") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val rowLocal = docs.select(col("doc_id").as("id"),
+      graft.ext.Dedup.simhashCol(col("text"), 64).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ext.Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(rowLocal == batch)
+  }
+
   test("flatMapGroupsWithState running totals") {
     val input = MemoryStream[EventRow](4, spark, None)
     input.addData(
