@@ -52,6 +52,38 @@ object Events {
     events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
+  /** Staged funnel analysis: for each user, the earliest occurrence of
+    * stage 0, then the earliest stage 1 STRICTLY AFTER it, and so on —
+    * the classic product-analytics sequence match. One shuffle on the user
+    * key: every stage timestamp is a conditional-min window over the same
+    * user partition (stage i's condition references stage i−1's column), and
+    * the final count-per-stage is a single aggregation. Returns one row:
+    * `n_<stage>` user counts plus `conv_<stage>` step conversion rates.
+    */
+  def funnel(events: DataFrame, stages: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val wu = Window.partitionBy(col(userCol))
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s && col(tsCol) > col(s"__t${i - 1}")
+      df = df.withColumn(s"__t$i", min(when(cond, col(tsCol))).over(wu))
+    }
+    val perUserAggs = stages.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
+    val perUser = df.groupBy(col(userCol)).agg(perUserAggs.head, perUserAggs.tail: _*)
+    val countAggs = stages.zipWithIndex.map { case (s, i) =>
+      count(col(s"__t$i")).as(s"n_$s")
+    }
+    val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
+    stages.zipWithIndex.drop(1).foldLeft(counts) { case (acc, (s, i)) =>
+      acc.withColumn(s"conv_$s",
+        when(col(s"n_${stages(i - 1)}") > 0,
+          round(col(s"n_$s").cast("double") / col(s"n_${stages(i - 1)}"), 6)))
+    }
+  }
+
   /** Sliding daily-active style metric: distinct users per window. */
   def slidingDistinctUsers(events: DataFrame, tsCol: String = "ts",
       userCol: String = "user_id", window: String = "1 hour",

@@ -444,6 +444,37 @@ object ExtQueries {
       |       COUNT(*) - COUNT(DISTINCT fp) AS n_dup_rows
       |FROM f""".stripMargin
 
+  // ---- q33 funnel analysis --------------------------------------------------
+
+  /** view → click → purchase funnel over the events table: per-user staged
+    * earliest-occurrence matching in one user-partitioned window chain.
+    */
+  def q33Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    Events.funnel(events(spark, sfDir), Seq("view", "click", "purchase"))
+
+  val q33Sql: String =
+    """WITH u0 AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      |  FROM events GROUP BY 1),
+      |u1 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t1
+      |  FROM events e JOIN u0 USING (user_id)
+      |  WHERE e.event_type = 'click' AND u0.t0 IS NOT NULL AND e.ts > u0.t0
+      |  GROUP BY 1),
+      |u2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN u1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > u1.t1
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT (SELECT COUNT(t0) FROM u0) AS n_view,
+      |         (SELECT COUNT(*) FROM u1) AS n_click,
+      |         (SELECT COUNT(*) FROM u2) AS n_purchase)
+      |SELECT n_view, n_click, n_purchase,
+      |  CASE WHEN n_view > 0 THEN ROUND(CAST(n_click AS DOUBLE) / n_view, 6) END AS conv_click,
+      |  CASE WHEN n_click > 0 THEN ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) END AS conv_purchase
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -458,7 +489,8 @@ object ExtQueries {
     "q24_sliding_users" -> (q24SlidingUsers _),
     "q26_event_props" -> (q26EventProps _),
     "q31_media_decode" -> (q31MediaDecode _),
-    "q32_fingerprint_dedup" -> (q32FingerprintDedup _))
+    "q32_fingerprint_dedup" -> (q32FingerprintDedup _),
+    "q33_funnel" -> (q33Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -474,5 +506,6 @@ object ExtQueries {
     "q24_sliding_users" -> q24Sql,
     "q26_event_props" -> q26Sql,
     "q31_media_decode" -> q31Sql,
-    "q32_fingerprint_dedup" -> q32Sql)
+    "q32_fingerprint_dedup" -> q32Sql,
+    "q33_funnel" -> q33Sql)
 }

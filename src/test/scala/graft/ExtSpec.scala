@@ -258,6 +258,22 @@ class ExtSpec extends SparkSpec {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 2L, 1L)))
   }
 
+  test("funnel: stages must occur in strict temporal order per user") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"), // full funnel
+      (2L, t(0), "click"), (2L, t(1), "view"), (2L, t(2), "purchase"), // click BEFORE view → stalls at view
+      (3L, t(0), "view")) // view only
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.funnel(ev, Seq("view", "click", "purchase")).head()
+    assert(r.getAs[Long]("n_view") == 3)
+    assert(r.getAs[Long]("n_click") == 1, "user 2's click precedes their view")
+    assert(r.getAs[Long]("n_purchase") == 1,
+      "user 2's purchase must not count without a qualifying click")
+    assert(r.getAs[Double]("conv_click") == 0.333333) // rounded to 6 decimals
+    assert(r.getAs[Double]("conv_purchase") == 1.0)
+  }
+
   test("multimodal: real PNG decode → true dims/channels, resize round-trip") {
     // generate real PNGs: a 32×20 gradient and a 7×5 all-white image
     def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
