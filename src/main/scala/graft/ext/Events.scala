@@ -84,6 +84,26 @@ object Events {
     }
   }
 
+  /** Weekly cohort retention: users are assigned to the cohort of their
+    * first-ever event week; a row (cohort_week, week_offset, n_users) counts
+    * how many of each cohort's users were active k weeks later. Two shuffles
+    * (cohort assignment on user; final count on cohort/offset) — the cohort
+    * frame is small (one row per user) and broadcast into the activity join.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = (c: Column) => date_trunc("week", c)
+    val cohorts = events.groupBy(col(userCol))
+      .agg(week(min(col(tsCol))).as("cohort_week"))
+    events.select(col(userCol), week(col(tsCol)).as("activity_week"))
+      .join(broadcast(cohorts), userCol)
+      .select(col(userCol), col("cohort_week"),
+        floor(datediff(col("activity_week"), col("cohort_week")) / 7).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Sliding daily-active style metric: distinct users per window. */
   def slidingDistinctUsers(events: DataFrame, tsCol: String = "ts",
       userCol: String = "user_id", window: String = "1 hour",

@@ -475,6 +475,46 @@ object ExtQueries {
       |  CASE WHEN n_click > 0 THEN ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) END AS conv_purchase
       |FROM c""".stripMargin
 
+  // ---- q34 deterministic train/val/test splits ------------------------------
+
+  /** Reproducible dataset partitioning: split membership is a pure md5
+    * function of doc_id (row-local, no RNG, no shuffle), recomputed
+    * bit-for-bit by the oracle.
+    */
+  def q34Splits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Splits.withSplit(docs(spark, sfDir), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang", "split")
+
+  val q34Sql: String =
+    """WITH s AS (
+      |  SELECT lang, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q35 weekly cohort retention ------------------------------------------
+
+  def q35Cohort(spark: SparkSession, sfDir: String): DataFrame =
+    Events.cohortRetention(events(spark, sfDir))
+      .orderBy("cohort_week", "week_offset")
+
+  val q35Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT e.user_id, c.cohort_week,
+      |    CAST(FLOOR(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+      |      AS week_offset
+      |  FROM events e JOIN c USING (user_id))
+      |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -490,7 +530,9 @@ object ExtQueries {
     "q26_event_props" -> (q26EventProps _),
     "q31_media_decode" -> (q31MediaDecode _),
     "q32_fingerprint_dedup" -> (q32FingerprintDedup _),
-    "q33_funnel" -> (q33Funnel _))
+    "q33_funnel" -> (q33Funnel _),
+    "q34_splits" -> (q34Splits _),
+    "q35_cohort" -> (q35Cohort _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -507,5 +549,7 @@ object ExtQueries {
     "q26_event_props" -> q26Sql,
     "q31_media_decode" -> q31Sql,
     "q32_fingerprint_dedup" -> q32Sql,
-    "q33_funnel" -> q33Sql)
+    "q33_funnel" -> q33Sql,
+    "q34_splits" -> q34Sql,
+    "q35_cohort" -> q35Sql)
 }

@@ -258,6 +258,46 @@ class ExtSpec extends SparkSpec {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 2L, 1L)))
   }
 
+  test("deterministic splits: stable, exhaustive, nested when fractions grow") {
+    import graft.ext.Splits
+    val df = spark.range(2000).toDF("id")
+    val s = Splits.withSplit(df, "id").cache()
+    val byId = s.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row assigned; assignment is a pure function of id → rerun equal
+    assert(byId.size == 2000 && byId.values.forall(Set("train", "val", "test")))
+    val again = Splits.withSplit(df, "id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byId)
+    // roughly 80/10/10 (md5 buckets)
+    val frac = byId.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac ${frac("train")}")
+    // nested-sample property: raising a stratum's pct only ADDS rows
+    val labeled = df.withColumn("lang", lit("en"))
+    val keep10 = Splits.stratifiedSample(labeled, "id", "lang", Map("en" -> 10))
+      .collect().map(_.getLong(0)).toSet
+    val keep30 = Splits.stratifiedSample(labeled, "id", "lang", Map("en" -> 30))
+      .collect().map(_.getLong(0)).toSet
+    assert(keep10.subsetOf(keep30))
+    assert(keep10.nonEmpty && keep30.size > keep10.size)
+    s.unpersist()
+  }
+
+  test("cohort retention counts distinct users per (cohort week, offset)") {
+    def t(d: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // 2024-01-01 is a Monday: users 1,2 cohort week 1; user 3 cohort week 2
+    val ev = Seq(
+      (1L, t(1)), (1L, t(2)), (1L, t(9)), // active weeks 0 and 1
+      (2L, t(3)), // week 0 only
+      (3L, t(10)), (3L, t(24))) // cohort wk2, active offsets 0 and 2
+      .toDF("user_id", "ts")
+    val rows = graft.ext.Events.cohortRetention(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows(("2024-01-01", 0L)) == 2) // users 1 and 2
+    assert(rows(("2024-01-01", 1L)) == 1) // user 1 returns
+    assert(rows(("2024-01-08", 0L)) == 1) // user 3's cohort
+    assert(rows(("2024-01-08", 2L)) == 1) // user 3 returns two weeks later
+    assert(rows.size == 4)
+  }
+
   test("funnel: stages must occur in strict temporal order per user") {
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
     val ev = Seq(
