@@ -228,6 +228,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair list (id1, id2) —
+    * dedup GROUPS, the pipeline's end product (keep one doc per group).
+    * Distributed min-label propagation: every node starts labeled with its
+    * own id; each iteration joins labels across edges and keeps the minimum,
+    * until a fixpoint. Iteration count is bounded by the largest component's
+    * diameter (near-dup components are shallow in practice); every step is
+    * joins + aggregation — the driver only checks convergence counts, never
+    * touches graph data. Returns (id, group_id) with group_id = the
+    * component's minimum doc id.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Shiloach-Vishkin-style alternation, O(log n) rounds on any topology:
+    //  hook:     label(x) <- min(label(x), min over neighbors' labels)
+    //  compress: label(x) <- label(label(x))   (pointer jumping)
+    // localCheckpoint truncates lineage each round — without it the logical
+    // plan doubles per iteration and planning time, not data, dominates.
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("group_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    // re-alias = fresh expression ids; a checkpointed frame referenced on
+    // both sides of a union/join otherwise trips Catalyst's constraint
+    // rewrite on duplicate attribute ids
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("b"), col("group_id")), "b")
+        .select(col("a").as("id"), col("group_id"))
+      val hooked = fresh(labels).union(viaNeighbor)
+        .groupBy("id").agg(min("group_id").as("group_id"))
+      val jumped = fresh(hooked).as("x")
+        .join(fresh(hooked).select(col("id").as("gid"), col("group_id").as("g2")).as("y"),
+          col("x.group_id") === col("y.gid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.g2"), col("x.group_id")).as("group_id"))
+        .localCheckpoint()
+      changed = jumped.as("n").join(fresh(labels).as("o"), "id")
+        .filter(col("n.group_id") =!= col("o.group_id")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for all LSH-candidate pairs (no
     * threshold) — building block for similarity-histogram analyses.
     */

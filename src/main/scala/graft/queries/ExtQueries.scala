@@ -515,6 +515,36 @@ object ExtQueries {
       |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q36 duplicate groups (connected components) --------------------------
+
+  /** Near-duplicate GROUP assignment: connected components over the q19
+    * portable-simhash pair graph via distributed min-label propagation; the
+    * oracle computes the same transitive closure with a recursive CTE.
+    *
+    * Bench note: wall time at toy SF is (≈log n fixed-point rounds) ×
+    * scheduler latency — per-round data is a few hundred labels. At real
+    * scale the same round count amortizes over real per-round work; the
+    * iterative cost model is what a 100-TB component step looks like, shrunk.
+    */
+  def q36DupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = cached(spark, sfDir, "simhash_portable")(
+      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
+    val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
+      maxHamming = 3, bits = 60, bands = 4)
+    Dedup.duplicateGroups(pairs.select(col("id1"), col("id2"))).orderBy("id")
+  }
+
+  val q36Sql: String =
+    s"""WITH RECURSIVE pr AS (SELECT id1, id2 FROM (${q19Sql}) q),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+       |          UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+       |SELECT id, LEAST(id, MIN(r)) AS group_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -532,7 +562,8 @@ object ExtQueries {
     "q32_fingerprint_dedup" -> (q32FingerprintDedup _),
     "q33_funnel" -> (q33Funnel _),
     "q34_splits" -> (q34Splits _),
-    "q35_cohort" -> (q35Cohort _))
+    "q35_cohort" -> (q35Cohort _),
+    "q36_dup_groups" -> (q36DupGroups _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -551,5 +582,6 @@ object ExtQueries {
     "q32_fingerprint_dedup" -> q32Sql,
     "q33_funnel" -> q33Sql,
     "q34_splits" -> q34Sql,
-    "q35_cohort" -> q35Sql)
+    "q35_cohort" -> q35Sql,
+    "q36_dup_groups" -> q36Sql)
 }

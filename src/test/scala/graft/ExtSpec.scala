@@ -258,6 +258,20 @@ class ExtSpec extends SparkSpec {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 2L, 1L)))
   }
 
+  test("duplicate groups: transitive closure via label propagation") {
+    // chain 1-2-3 plus pair 10-11 plus a long path 20-21-22-23-24 (needs
+    // several propagation iterations) — groups take the component minimum
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (23L, 24L), (22L, 23L), (21L, 22L), (20L, 21L))
+      .toDF("id1", "id2")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("group_id")).toMap
+    assert(groups == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("deterministic splits: stable, exhaustive, nested when fractions grow") {
     import graft.ext.Splits
     val df = spark.range(2000).toDF("id")
