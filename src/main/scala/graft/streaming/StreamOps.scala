@@ -118,6 +118,41 @@ object StreamOps {
       }
   }
 
+  // ---- streaming funnel ----------------------------------------------------
+
+  case class FunnelState(stageTimes: List[Long])
+  case class FunnelProgress(user_id: Long, stage: Int, ts: Timestamp)
+
+  /** Real-time funnel tracking: per-user state holds the timestamps of
+    * stages attained so far; an event advances the user exactly when it is
+    * the NEXT stage's type and strictly after the previous stage — emitting
+    * a [[FunnelProgress]] row per advancement. For a time-ordered feed the
+    * per-user stage set equals the batch [[graft.ext.Events.funnel]]
+    * earliest-qualifying semantics (greedy-first IS the minimum when events
+    * arrive in order; within a micro-batch rows are sorted).
+    */
+  def streamingFunnel(events: Dataset[EventRow],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.stageTimes).getOrElse(Nil)
+          val out = List.newBuilder[FunnelProgress]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val next = times.length
+            if (next < stages.length && e.event_type == stages(next) &&
+              (times.isEmpty || e.ts.getTime > times.last)) {
+              times = times :+ e.ts.getTime
+              out += FunnelProgress(uid, next, e.ts)
+            }
+          }
+          state.update(FunnelState(times))
+          out.result().iterator
+      }
+  }
+
   /** Custom stateful operator: running per-user totals, emitted on every
     * update — the mapGroupsWithState pattern for state Spark's windowed aggs
     * can't express (e.g. cross-window lifetime counters).

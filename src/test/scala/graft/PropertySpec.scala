@@ -76,6 +76,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel counts narrow monotonically and never decrease when events are added") {
+    import java.sql.Timestamp
+    val stages = Seq("view", "click", "purchase")
+    val typeGen = Gen.oneOf("view", "click", "purchase", "error")
+    def eventsCase(seed: Long, n: Int): Seq[(Long, Timestamp, String)] =
+      (0 until n).map { i =>
+        val u = Gen.chooseNum(1L, 5L).pureApply(Gen.Parameters.default, Seed(seed + i))
+        val t = typeGen.pureApply(Gen.Parameters.default, Seed(seed * 31 + i))
+        (u, new Timestamp(1700000000000L + i * 1000L), t)
+      }
+    (1 to 4).foreach { k =>
+      val evs = eventsCase(100L * k, 60)
+      def counts(rows: Seq[(Long, Timestamp, String)]): Seq[Long] = {
+        val r = graft.ext.Events.funnel(
+          rows.toDF("user_id", "ts", "event_type"), stages).head()
+        stages.map(s => r.getAs[Long](s"n_$s"))
+      }
+      val c = counts(evs)
+      // funnel narrows: each stage's count <= previous stage's
+      assert(c.sliding(2).forall(p => p(0) >= p(1)), s"not narrowing: $c")
+      // adding more events never loses progress (min view time only moves
+      // earlier, widening every later stage's window)
+      val c2 = counts(evs ++ eventsCase(999L * k, 30).map { case (u, t, ty) =>
+        (u, new Timestamp(t.getTime + 100000000L), ty)
+      })
+      assert(c.zip(c2).forall { case (a, b) => b >= a }, s"regressed: $c -> $c2")
+    }
+  }
+
   test("exposure is within [0, 1]") {
     cases(8).foreach { rs =>
       val e = scalar(Stats.exposure(rs.toDF("r")))

@@ -205,6 +205,29 @@ class StreamingSpec extends SparkSpec {
     assert(rowLocal == batch)
   }
 
+  test("streaming funnel ≡ batch funnel stage counts on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val stages = Seq("view", "click", "purchase")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val batch = graft.ext.Events.funnel(ev, stages).head()
+    val batchCounts = stages.map(s => batch.getAs[Long](s"n_$s"))
+
+    val input = MemoryStream[EventRow](9, spark, None)
+    input.addData(ev.as[EventRow].collect().toSeq)
+    val out = runToMemory(
+      StreamOps.streamingFunnel(input.toDS(), stages).toDF(), "funnel_stream") {}
+    val reached = out.groupBy("user_id").agg(max("stage").as("m")).collect()
+      .map(_.getAs[Int]("m"))
+    val streamCounts = stages.indices.map(i => reached.count(_ >= i).toLong)
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts vs batch $batchCounts")
+    // sanity: the funnel narrows
+    assert(batchCounts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("flatMapGroupsWithState running totals") {
     val input = MemoryStream[EventRow](4, spark, None)
     input.addData(
