@@ -249,14 +249,18 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("group_id")).localCheckpoint()
-    var changed = 1L
     var iter = 0
+    // convergence signal: labels only ever DECREASE, so Σ group_id strictly
+    // decreases every round that changes anything — one tiny aggregate on
+    // the already-checkpointed frame instead of a join against last round
+    var prevSum = Long.MaxValue
+    var converged = false
     // re-alias = fresh expression ids; a checkpointed frame referenced on
     // both sides of a union/join otherwise trips Catalyst's constraint
     // rewrite on duplicate attribute ids
     def fresh(df: DataFrame): DataFrame =
       df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("b"), col("group_id")), "b")
         .select(col("a").as("id"), col("group_id"))
@@ -268,8 +272,9 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("y.g2"), col("x.group_id")).as("group_id"))
         .localCheckpoint()
-      changed = jumped.as("n").join(fresh(labels).as("o"), "id")
-        .filter(col("n.group_id") =!= col("o.group_id")).count()
+      val sum = jumped.agg(org.apache.spark.sql.functions.sum("group_id")).head().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
       labels = jumped
       iter += 1
     }
