@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation under a global token budget — the training-data
+  * primitive "fill an N-token budget with the best documents".
+  *
+  * The naive formulation is a cumulative sum over the corpus ordered by
+  * quality, i.e. a single-partition global window — a non-starter at 100 TB.
+  * Instead the selection is computed as:
+  *
+  *   1. quantize quality to a bounded key (caller pre-rounds, e.g. 3 dp),
+  *   2. ONE aggregation: token sum per quality key (≤ a few thousand rows),
+  *   3. a driver-side prefix scan over the sorted histogram finds the cutoff:
+  *      every strictly-better key fits entirely, one boundary key is taken
+  *      partially,
+  *   4. ONE filter pass emits `q > cutoff`, plus an ordered cumulative sum
+  *      over ONLY the boundary key's rows — a window partitioned by the
+  *      quality key, so the single "global" scan is confined to one small
+  *      partition by construction.
+  *
+  * Two passes over the data, a histogram on the driver, no global window.
+  * Result is row-identical to the naive `cum_sum ≤ budget` over
+  * `ORDER BY quality DESC, id` (ties inside the boundary key break by id).
+  */
+object Curation {
+
+  def selectByTokenBudget(df: DataFrame, idCol: String, qualityCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val q = col(qualityCol)
+    val rows = df.filter(q.isNotNull && col(tokenCol).isNotNull)
+    val hist = rows.groupBy(q.as("__q")).agg(sum(col(tokenCol)).as("__t"))
+      .orderBy(col("__q").desc).collect()
+    var acc = 0L
+    var boundaryQ = Double.NaN
+    var rem = 0L
+    var crossed = false
+    val it = hist.iterator
+    while (it.hasNext && !crossed) {
+      val r = it.next()
+      val bq = r.getDouble(0)
+      val t = r.getLong(1)
+      if (acc + t <= budget) acc += t // key fits entirely
+      else { crossed = true; boundaryQ = bq; rem = budget - acc }
+    }
+    if (!crossed) rows // whole corpus fits the budget
+    else {
+      val above = rows.filter(q > lit(boundaryQ))
+      val w = Window.partitionBy(q).orderBy(col(idCol))
+      val partial = rows.filter(q === lit(boundaryQ))
+        .withColumn("__cum", sum(col(tokenCol)).over(w))
+        .filter(col("__cum") <= lit(rem)).drop("__cum")
+      above.unionByName(partial)
+    }
+  }
+}

@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
   * a vectorized `mapInPandas` stage: one JVM call per batch of rows, no
   * per-row driver involvement, schema known to Catalyst on both sides).
   *
-  * The IMAGE codec layer is REAL: PNG/JPEG/GIF/BMP decode, bilinear resize,
-  * and re-encode go through the JDK-builtin `javax.imageio` — no external
-  * native libraries, works headless on executors. Bytes no installed reader
-  * understands fall back to a deterministic byte-hash fake (clearly marked in
-  * the output `decoded=false`) so curation pipelines can quarantine rather
-  * than crash. Only VIDEO demux ([[sampleFrames]]) remains a declared stub:
-  * the JDK has no container demuxer.
+  * The IMAGE and AUDIO codec layers are REAL: PNG/JPEG/GIF/BMP decode,
+  * bilinear resize, and re-encode go through the JDK-builtin `javax.imageio`;
+  * WAV/AIFF/AU decode goes through `javax.sound.sampled` — no external
+  * native libraries, both headless-safe on executors. Bytes no installed
+  * reader understands fall back to a quarantine row (clearly marked
+  * `decoded=false`) so curation pipelines can quarantine rather than crash.
+  * Only VIDEO demux ([[sampleFrames]]) remains a declared stub: the JDK has
+  * no container demuxer.
   */
 object Multimodal {
 
@@ -141,6 +142,84 @@ object Multimodal {
             g.dispose()
             MediaItem(m.id, encodePng(out), "image/png")
           case None => m
+        }
+      }
+    }
+  }
+
+  // ---- audio ---------------------------------------------------------------
+
+  case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
+      nSamples: Long, decoded: Boolean, rms: Double, peak: Double)
+
+  /** Deterministic PCM16 mono WAV from (id, sampleRate, nSamples): a square
+    * wave with an id-derived period and amplitude 8192. Every sample is
+    * ±8192/32768 = ±0.25 — amplitude, its square (0.0625) and the RMS
+    * (√0.0625 = 0.25) are all exact powers of two, so the decoded RMS is
+    * EXACTLY 0.25 in IEEE arithmetic: an invariant an engine that cannot
+    * parse WAV can still verify (the q38 oracle).
+    */
+  def synthesizeWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val amp: Short = 8192
+    val halfPeriod = 2 + math.floorMod(id, 37).toInt // samples per half-cycle
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort(if ((i / halfPeriod) % 2 == 0) amp else (-amp).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real audio decode: WAV/AIFF/AU via the JDK-builtin `javax.sound.sampled`
+    * parser (headless-safe, no native libs), reporting true sample rate /
+    * channel count / sample count plus RMS and peak amplitude over the PCM16
+    * samples. Bytes no installed reader understands yield a zeroed
+    * `decoded=false` quarantine row — same contract as [[decodeImages]].
+    */
+  def decodeAudio(items: Dataset[MediaItem]): Dataset[DecodedAudio] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.media))
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          in.close()
+          val frameBytes = math.max(1, fmt.getFrameSize)
+          val nFrames = pcm.length / frameBytes
+          var rms = 0.0
+          var peak = 0.0
+          if (fmt.getSampleSizeInBits == 16 && pcm.length >= 2) {
+            val bb = java.nio.ByteBuffer.wrap(pcm).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val total = pcm.length / 2
+            var sumSq = 0.0
+            var i = 0
+            while (i < total) {
+              val s = bb.getShort(i * 2) / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            rms = math.sqrt(sumSq / total)
+          }
+          DecodedAudio(m.id, fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
+            decoded = true, rms, peak)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            DecodedAudio(m.id, 0, 0, 0L, decoded = false, 0.0, 0.0)
         }
       }
     }

@@ -54,8 +54,9 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id (0 .. 2^planes − 1) for a vector. */
-  def srpBucket(vec: Column, dims: Int, planes: Int = 8): Column = {
-    val hp = hyperplanes(dims, planes)
+  def srpBucket(vec: Column, dims: Int, planes: Int = 8, seed: Long = 42L): Column = {
+    require(planes <= 62, "srpBucket packs sign bits into one long (<= 62 planes)")
+    val hp = hyperplanes(dims, planes, seed)
     val bits = hp.zipWithIndex.map { case (plane, p) =>
       val proj = dot(vec, typedLit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -90,18 +91,62 @@ object Similarity {
       .drop("rank").orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, via SRP buckets
-    * (both vectors of a near-dup pair land in the same bucket with high
-    * probability when cosine → 1).
+  /** EXACT embedding-cosine pair mining: every (id1 < id2) pair with
+    * cosine ≥ threshold. Quadratic by construction — the verification
+    * baseline (q37 gate, recall truth for the banded path) and the right
+    * tool when the corpus side is small. Norms are computed once per row,
+    * not once per pair; the cosine is the same `dot / (√n1·√n2)` expression
+    * shape the DuckDB oracle evaluates, so unrounded values agree to the
+    * last ulp (a pair landing EXACTLY on the threshold boundary is the one
+    * theoretical divergence — probability ~0 on continuous data).
+    */
+  def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"))
+    val l = c.select(col("id").as("id1"), col("__v").as("__v1"), col("__n").as("__n1"))
+    val r = c.select(col("id").as("id2"), col("__v").as("__v2"), col("__n").as("__n2"))
+    l.join(r, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via BANDED sign-random-projection
+    * — the 100-TB path. A `planes`-bit SRP signature is split into `bands`
+    * bands; vectors agreeing on ANY band become candidates (band equi-join,
+    * never all-pairs), then every candidate is verified with the exact
+    * cosine, so precision is 1.0 and only recall is probabilistic.
+    *
+    * Recall: a sign bit agrees with probability 1 − θ/π; a band of
+    * `planes/bands` bits matches with p^(planes/bands) and any of the
+    * `bands` bands with 1 − (1 − p^b)^bands — at the defaults (48 planes,
+    * 8 bands of 6 bits) that is ≈ 0.998 for cosine 0.95 and ≈ 0.98 for
+    * cosine 0.9. Raising recall further at billion-row scale: union the
+    * candidates of a second signature set (different `seed`) rather than
+    * widening bands (candidate noise per band scales with n²/2^bandBits).
     */
   def cosineNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      srpBucket(col(vecCol), dims, planes).as("__bucket"))
-    val l = c.select(col("__bucket"), col("id").as("id1"), col("__v").as("__v1"))
-    val r = c.select(col("__bucket"), col("id").as("id2"), col("__v").as("__v2"))
-    l.join(r, Seq("__bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("__v1"), col("__v2")).as("cos"))
+      dims: Int, threshold: Double = 0.95, planes: Int = 48, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0, s"planes $planes must divide into $bands bands")
+    val bandBits = planes / bands
+    val banded = corpus
+      .select(col(idCol).as("id"), srpBucket(col(vecCol), dims, planes, seed).as("__sig"))
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = banded.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"))
+    cand
+      .join(vecs.select(col("id").as("id1"), col("__v").as("__v1"), col("__n").as("__n1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("__v").as("__v2"), col("__n").as("__n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -545,6 +545,122 @@ object ExtQueries {
        |SELECT id, LEAST(id, MIN(r)) AS group_id
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- q37 embedding-cosine pair mining -------------------------------------
+
+  /** Embedding-cosine near-dup family in the gate: exact pair mining at a
+    * threshold the fixture's similarity range supports (0.4 — the synthetic
+    * embeddings have no planted near-identical vectors; max pairwise cosine
+    * is ~0.5/0.6 per SF, so 0.4 yields tens-to-hundreds of pairs at every
+    * SF). The gate runs the quadratic exact path — fine at fixture scale and
+    * ulp-identical to the oracle; the 100-TB path is the banded-SRP
+    * [[Similarity.cosineNearDuplicates]], recall-floor-tested in ExtSpec
+    * against this exact truth on planted near-duplicates.
+    */
+  def q37CosinePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .orderBy("id1", "id2")
+
+  /** DuckDB evaluates the same `dot / (√n1·√n2)` shape (sequential folds on
+    * DOUBLE[] both sides); the ≥-threshold filter runs on UNROUNDED values
+    * in both engines, rounding only the reported cosine.
+    */
+  val q37Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.id AS id1, b.id AS id2,
+      |         list_dot_product(a.v, b.v) / (a.n * b.n) AS cos
+      |  FROM v a JOIN v b ON a.id < b.id)
+      |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin
+
+  // ---- q38 real audio encode→decode round-trip -------------------------------
+
+  /** Audio in the correctness gate, mirroring q31's PNG round trip: every
+    * document becomes an ACTUAL PCM16 WAV whose sample count is an arithmetic
+    * function of n_chars (400 + n_chars mod 800 at 8 kHz) and whose square
+    * wave has RMS exactly 0.25 (amplitude 8192/32768 — all powers of two, so
+    * the decoded RMS is IEEE-exact). `javax.sound.sampled` decodes the bytes
+    * back; DuckDB cannot parse WAV but verifies that the decoder reports
+    * exactly the geometry AND sample energy that was encoded.
+    * n_decoded == n_docs pins zero quarantine fallbacks.
+    */
+  def q38AudioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = cached(spark, sfDir, "media_wav") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizeWav(id, 8000, 400 + (nc % 800).toInt),
+            "audio/wav")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+    val decoded = graft.ext.Multimodal.decodeAudio(items).toDF()
+    decoded
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("lang")), "id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("nSamples")), 6).as("avg_samples"),
+        round(avg(col("nSamples")) / 8000.0, 6).as("avg_duration_s"),
+        max(col("sampleRate")).cast("long").as("sample_rate"),
+        max(col("channels")).cast("long").as("channels"),
+        round(avg(col("rms")), 6).as("avg_rms"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+      .orderBy("lang")
+  }
+
+  val q38Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(400 + n_chars % 800), 6) AS avg_samples,
+      |  ROUND(AVG(400 + n_chars % 800) / 8000.0, 6) AS avg_duration_s,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(0.25 AS DOUBLE) AS avg_rms,
+      |  COUNT(*) AS n_decoded
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q39 token-budget curation --------------------------------------------
+
+  /** Fill a 10k-token budget with the highest-quality documents (quality
+    * quantized to 3 dp, ties by doc_id) and report the selected set per
+    * language. Exercises [[graft.ext.Curation.selectByTokenBudget]] — the
+    * histogram + boundary-partition formulation; the oracle is the NAIVE
+    * global `cum_sum ≤ budget` window the operator is proven row-identical
+    * to, so the gate checks the scale-safe plan against the textbook
+    * definition.
+    */
+  def q39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
+      round(TextStats.qualityScore(col("text")), 3).as("q"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    graft.ext.Curation.selectByTokenBudget(d, "doc_id", "q", "tokens", 10000L)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        round(avg(col("q")), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  val q39Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM d)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |  ROUND(AVG(q), 6) AS avg_quality
+      |FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -563,7 +679,10 @@ object ExtQueries {
     "q33_funnel" -> (q33Funnel _),
     "q34_splits" -> (q34Splits _),
     "q35_cohort" -> (q35Cohort _),
-    "q36_dup_groups" -> (q36DupGroups _))
+    "q36_dup_groups" -> (q36DupGroups _),
+    "q37_cosine_pairs" -> (q37CosinePairs _),
+    "q38_audio_decode" -> (q38AudioDecode _),
+    "q39_token_budget" -> (q39TokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -583,5 +702,8 @@ object ExtQueries {
     "q33_funnel" -> q33Sql,
     "q34_splits" -> q34Sql,
     "q35_cohort" -> q35Sql,
-    "q36_dup_groups" -> q36Sql)
+    "q36_dup_groups" -> q36Sql,
+    "q37_cosine_pairs" -> q37Sql,
+    "q38_audio_decode" -> q38Sql,
+    "q39_token_budget" -> q39Sql)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Events, Multimodal, Similarity, TextStats}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -243,6 +243,33 @@ class ExtSpec extends SparkSpec {
     assert(ivfRecall >= 0.9, f"IVF recall@5 $ivfRecall%.3f below floor on fixture")
   }
 
+  test("cosine pair mining: exact baseline correct, banded SRP recall >= 0.9 with precision 1") {
+    // 500 random base vectors (32 dims) + 40 planted near-duplicates
+    // (base + small noise → cosine ≈ 0.999): the near-dup dedup regime.
+    // At 32 dims random-pair cosine is ~N(0, 1/32), so pairs above 0.9
+    // are (essentially) exactly the planted ones.
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 500).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 40).map { j =>
+      val (srcId, v) = base(j * 7)
+      (1000L + srcId, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairsExact(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0 until 40).map(j => ((j * 7).toLong, 1000L + j * 7)).toSet
+    assert(plantedPairs.subsetOf(exact),
+      s"exact mining missed planted pairs: ${plantedPairs -- exact}")
+    val banded = Similarity.cosineNearDuplicates(corpus, "vec_id", "embedding",
+      dims = 32, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction: every candidate is exact-verified
+    assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+    val recall = banded.size.toDouble / exact.size
+    info(f"banded SRP near-dup recall = $recall%.3f (${banded.size}/${exact.size})")
+    assert(recall >= 0.9, f"banded SRP recall $recall%.3f below 0.9 floor")
+  }
+
   test("portable fingerprint: whitespace-robust, order-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
@@ -364,6 +391,44 @@ class ExtSpec extends SparkSpec {
     // resized all-white stays all-white (bilinear of constant field)
     assert(math.abs(redecoded(2L).feature.last - 1.0f) < 1e-6)
     assert(!redecoded(3L).decoded) // junk passed through unchanged
+  }
+
+  test("token-budget curation matches the naive global cumsum selection") {
+    // 300 docs over 21 quantized quality levels → heavy ties, so the
+    // boundary-key partial take is exercised
+    val rnd = new scala.util.Random(5)
+    val d = (0 until 300).map(i =>
+      (i.toLong, math.round(rnd.nextDouble() * 20) / 20.0, 1L + rnd.nextInt(50)))
+      .toDF("id", "q", "tokens")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("q").desc, col("id"))
+    val naive = d.withColumn("cum", sum("tokens").over(w))
+      .filter(col("cum") <= 1000).select("id").collect().map(_.getLong(0)).toSet
+    val got = Curation.selectByTokenBudget(d, "id", "q", "tokens", 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive, s"histogram selection diverged: extra=${got -- naive} missing=${naive -- got}")
+    assert(got.nonEmpty && got.size < 300) // interior budget: a real selection
+    // degenerate budgets
+    assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 1000000L).count() == 300)
+    assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
+  }
+
+  test("multimodal: real WAV decode → true rate/channels/samples, exact RMS") {
+    val media = Seq(
+      Multimodal.MediaItem(1L, Multimodal.synthesizeWav(1L, 8000, 1234), "audio/wav"),
+      Multimodal.MediaItem(2L, Multimodal.synthesizeWav(2L, 16000, 500), "audio/wav"),
+      Multimodal.MediaItem(3L, "definitely not audio".getBytes, "application/junk"))
+      .toDS()
+    val decoded = Multimodal.decodeAudio(media).collect().map(d => d.id -> d).toMap
+    assert(decoded(1L).decoded && decoded(1L).sampleRate == 8000
+      && decoded(1L).channels == 1 && decoded(1L).nSamples == 1234L)
+    assert(decoded(2L).decoded && decoded(2L).sampleRate == 16000
+      && decoded(2L).nSamples == 500L)
+    // square wave at amplitude 8192/32768: RMS and peak are EXACTLY 0.25
+    assert(decoded(1L).rms == 0.25 && decoded(1L).peak == 0.25,
+      s"expected exact 0.25 rms/peak, got ${decoded(1L)}")
+    assert(decoded(2L).rms == 0.25)
+    // junk bytes quarantine, don't crash
+    assert(!decoded(3L).decoded && decoded(3L).nSamples == 0L)
   }
 
   test("multimodal stub pipeline: synthetic media, frames, stats") {
