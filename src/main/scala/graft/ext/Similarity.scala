@@ -251,6 +251,16 @@ object Similarity {
       .drop("rank").orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** Per-label centroid (element-wise mean vector) — class prototypes /
+    * mean pooling. One buffer per (label, partition) via
+    * [[graft.functions.VectorAgg.vectorAvg]]; the exchange carries
+    * labels·dims·partitions doubles, not the exploded corpus.
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    corpus.groupBy(col(labelCol))
+      .agg(graft.functions.VectorAgg.vectorAvg(
+        col(vecCol).cast("array<double>")).as("centroid"))
+
   /** Per-label embedding statistics (norm distribution) — sanity panel. */
   def normStats(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
     corpus.groupBy(col(labelCol))

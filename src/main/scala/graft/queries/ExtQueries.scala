@@ -661,6 +661,28 @@ object ExtQueries {
       |  ROUND(AVG(q), 6) AS avg_quality
       |FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q40 per-label embedding centroids ------------------------------------
+
+  /** Class-prototype centroids (element-wise mean per label), exploded to
+    * (label, dim, value) rows for the gate. The engine path is the custom
+    * vector-mean Aggregator (map-side partial merge — never an exploded
+    * shuffle); the oracle computes the same means from DuckDB's unnested
+    * view, i.e. the formulation the Aggregator exists to avoid.
+    */
+  def q40LabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.labelCentroids(emb(spark, sfDir), "label", "embedding")
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col"), 6).as("c"))
+      .orderBy("label", "dim")
+
+  val q40Sql: String =
+    """WITH u AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(x), 6) AS c
+      |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -682,7 +704,8 @@ object ExtQueries {
     "q36_dup_groups" -> (q36DupGroups _),
     "q37_cosine_pairs" -> (q37CosinePairs _),
     "q38_audio_decode" -> (q38AudioDecode _),
-    "q39_token_budget" -> (q39TokenBudget _))
+    "q39_token_budget" -> (q39TokenBudget _),
+    "q40_label_centroids" -> (q40LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -705,5 +728,6 @@ object ExtQueries {
     "q36_dup_groups" -> q36Sql,
     "q37_cosine_pairs" -> q37Sql,
     "q38_audio_decode" -> q38Sql,
-    "q39_token_budget" -> q39Sql)
+    "q39_token_budget" -> q39Sql,
+    "q40_label_centroids" -> q40Sql)
 }

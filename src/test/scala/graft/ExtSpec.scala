@@ -393,6 +393,32 @@ class ExtSpec extends SparkSpec {
     assert(!redecoded(3L).decoded) // junk passed through unchanged
   }
 
+  test("vector-mean aggregator: exact centroids, null vectors skipped, matches exploded formulation") {
+    val d = Seq(
+      (0, Seq(1.0, 2.0, 4.0)),
+      (0, Seq(3.0, 2.0, 0.0)),
+      (1, Seq(10.0, -2.0, 6.0)),
+      (1, null.asInstanceOf[Seq[Double]]))
+      .toDF("label", "vec")
+    val cent = Similarity.labelCentroids(d, "label", "vec").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cent(0) == Seq(2.0, 2.0, 2.0))
+    assert(cent(1) == Seq(10.0, -2.0, 6.0)) // null vector skipped, not zero-counted
+    // equivalence with the posexplode + groupBy formulation on random data
+    val rnd = new scala.util.Random(9)
+    val big = (0 until 200).map(i => (i % 7, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("label", "vec")
+    val viaAgg = Similarity.labelCentroids(big, "label", "vec")
+      .select(col("label"), posexplode(col("centroid")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val viaExplode = big.select(col("label"), posexplode(col("vec")))
+      .groupBy("label", "pos").agg(avg("col").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(viaAgg == viaExplode)
+  }
+
   test("token-budget curation matches the naive global cumsum selection") {
     // 300 docs over 21 quantized quality levels → heavy ties, so the
     // boundary-key partial take is exercised
