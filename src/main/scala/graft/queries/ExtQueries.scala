@@ -154,7 +154,9 @@ object ExtQueries {
     * true pairs all have J ≥ 0.8; a borderline J≈0.5 pair would be missed
     * with ~1% probability per the 16-band S-curve. If the testdata is ever
     * regenerated with near-threshold pairs, raise numHashes/bands (e.g.
-    * 64/32) before trusting the hash gate again.
+    * 64/32) before trusting the hash gate again. That assumption is now
+    * ASSERTED: ExtSpec "q18 gate precondition" brute-forces (no LSH) the
+    * fixture's true-pair minimum Jaccard and fails if it drops below 0.8.
     */
   def q18Minhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.nearDuplicatePairs(docs(spark, sfDir), "doc_id", "text",

@@ -243,6 +243,31 @@ class ExtSpec extends SparkSpec {
     assert(ivfRecall >= 0.9, f"IVF recall@5 $ivfRecall%.3f below floor on fixture")
   }
 
+  test("q18 gate precondition: fixture true pairs sit at Jaccard >= 0.8, far from the 0.5 threshold") {
+    // The q18 hash gate is LSH + exact verification vs an exact oracle; its
+    // miss bound ((1−J²)¹⁶ ≈ 8e-8) assumes every true pair has J ≥ 0.8. This
+    // asserts that assumption against the CURRENT fixture with a brute-force
+    // (non-LSH) all-pairs Jaccard — if testdata is regenerated with
+    // near-threshold pairs, this fails before the driver gate can go flaky.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
+    val l = sh.select(col("doc_id").as("id1"), col("s").as("s1"))
+    val r = sh.select(col("doc_id").as("id2"), col("s").as("s2"))
+    val j = l.join(r, col("id1") < col("id2"))
+      .select((size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2")))).as("j"))
+      .filter(col("j") >= 0.5)
+    val stats = j.agg(count(lit(1)), min(col("j"))).head()
+    assert(stats.getLong(0) > 0, "fixture has no true near-dup pairs at all")
+    assert(stats.getDouble(1) >= 0.8,
+      f"fixture now has a near-threshold pair (min J = ${stats.getDouble(1)}%.3f); " +
+        "raise q18 numHashes/bands before trusting the hash gate")
+  }
+
   test("cosine pair mining: exact baseline correct, banded SRP recall >= 0.9 with precision 1") {
     // 500 random base vectors (32 dims) + 40 planted near-duplicates
     // (base + small noise → cosine ≈ 0.999): the near-dup dedup regime.

@@ -89,6 +89,26 @@ class PlanSpec extends SparkSpec {
     assert(rows("up") == ((2L, 0L)))
   }
 
+  test("vector-mean aggregation runs with map-side partial merge, not an exploded shuffle") {
+    val d = (1 to 100).map(i => (i % 5, Seq.fill(4)(i * 0.1))).toDF("label", "vec")
+    val plan = explainString(graft.ext.Similarity.labelCentroids(d, "label", "vec"))
+    // Aggregator udaf → ObjectHashAggregate pair (partial + final): the
+    // exchange carries one buffer per (group, partition), never n·dims rows
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Generate"), s"exploded formulation leaked in: $plan")
+  }
+
+  test("token-budget curation plans only partitioned windows") {
+    val d = (1 to 300).map(i => (i.toLong, (i % 10) / 10.0, 5L)).toDF("id", "q", "tokens")
+    val sel = graft.ext.Curation.selectByTokenBudget(d, "id", "q", "tokens", 400L)
+    val plan = explainString(sel)
+    // the boundary cumulative sum must be the (single-key) PARTITIONED window,
+    // never a global Window.orderBy over the corpus — a global window would
+    // plan an Exchange SinglePartition
+    assert(plan.contains("Window"), "expected the boundary-bucket window in the plan")
+    assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
