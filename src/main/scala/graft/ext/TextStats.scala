@@ -108,6 +108,15 @@ object TextStats {
     */
   def langId(text: Column): Column = langIdFromScores(langScoresStruct(text))
 
+  /** Intra-document token repetition: 1 − distinct/total tokens (lowercased)
+    * — the standard "repetitive junk" corpus-quality signal (boilerplate,
+    * keyword stuffing, generation loops). Row-local, no shuffle.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val tok = tokens(lower(text))
+    lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok)
+  }
+
   /** Order-sensitive rolling-hash fingerprint of the token stream
     * (polynomial accumulate over xxhash64'd tokens): robust doc identity for
     * shift-invariant near-dup grouping upstream of MinHash.

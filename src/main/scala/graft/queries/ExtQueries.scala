@@ -685,6 +685,35 @@ object ExtQueries {
       |SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(x), 6) AS c
       |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---- q41 intra-document repetition ----------------------------------------
+
+  /** Per-source repetition panel over [[TextStats.repetitionRatio]] — the
+    * boilerplate/keyword-stuffing quality signal. Pure row-local projection
+    * + one aggregation; the oracle recomputes the identical
+    * 1 − distinct/total ratio from DuckDB's split.
+    */
+  def q41Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"), TextStats.repetitionRatio(col("text")).as("rep"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("rep")), 6).as("avg_repetition"),
+        round(max(col("rep")), 6).as("max_repetition"),
+        sum(when(col("rep") > 0.5, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy("source")
+
+  val q41Sql: String =
+    """WITH r AS (
+      |  SELECT source,
+      |    1.0 - CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+      |        / len(string_split_regex(lower(text), '\s+')) AS rep
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(rep), 6) AS avg_repetition,
+      |  ROUND(MAX(rep), 6) AS max_repetition,
+      |  CAST(SUM(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -707,7 +736,8 @@ object ExtQueries {
     "q37_cosine_pairs" -> (q37CosinePairs _),
     "q38_audio_decode" -> (q38AudioDecode _),
     "q39_token_budget" -> (q39TokenBudget _),
-    "q40_label_centroids" -> (q40LabelCentroids _))
+    "q40_label_centroids" -> (q40LabelCentroids _),
+    "q41_repetition" -> (q41Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -731,5 +761,6 @@ object ExtQueries {
     "q37_cosine_pairs" -> q37Sql,
     "q38_audio_decode" -> q38Sql,
     "q39_token_budget" -> q39Sql,
-    "q40_label_centroids" -> q40Sql)
+    "q40_label_centroids" -> q40Sql,
+    "q41_repetition" -> q41Sql)
 }

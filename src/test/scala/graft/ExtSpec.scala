@@ -161,6 +161,11 @@ class ExtSpec extends SparkSpec {
     val fp2 = Seq("cat the and the dog sat in the garden of the house")
       .toDF("text").select(TextStats.fingerprint(col("text"))).head().getLong(0)
     assert(fp2 != r(0).getAs[Long]("fp"))
+    // repetition: "a a a a" → 3/4 repeated; case-insensitive; no repeats → 0
+    val rep = Seq("a A a a", "all words distinct here").toDF("text")
+      .select(TextStats.repetitionRatio(col("text"))).collect().map(_.getDouble(0))
+    assertApprox(rep(0), 0.75)
+    assertApprox(rep(1), 0.0)
   }
 
   test("sessionize splits on gap and stats aggregate per user") {
@@ -310,18 +315,24 @@ class ExtSpec extends SparkSpec {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((3L, 2L, 1L)))
   }
 
-  test("duplicate groups: transitive closure via label propagation") {
+  test("duplicate groups: transitive closure, driver and distributed paths agree") {
     // chain 1-2-3 plus pair 10-11 plus a long path 20-21-22-23-24 (needs
     // several propagation iterations) — groups take the component minimum
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
       (23L, 24L), (22L, 23L), (21L, 22L), (20L, 21L))
       .toDF("id1", "id2")
-    val groups = Dedup.duplicateGroups(pairs).collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("group_id")).toMap
-    assert(groups == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L)
+    // default: bounded driver union-find fast path
+    val viaDriver = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("group_id")).toMap
+    assert(viaDriver == expected)
+    // threshold 0 forces the distributed fixed-point — must agree exactly
+    val viaFixpoint = Dedup.duplicateGroups(pairs, driverEdgeThreshold = 0).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("group_id")).toMap
+    assert(viaFixpoint == expected)
   }
 
   test("deterministic splits: stable, exhaustive, nested when fractions grow") {
