@@ -29,6 +29,12 @@ object Curation {
 
   def selectByTokenBudget(df: DataFrame, idCol: String, qualityCol: String,
       tokenCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    require(df.schema(qualityCol).dataType == DoubleType,
+      s"quality column $qualityCol must be a (quantized) double")
+    require(Set[org.apache.spark.sql.types.DataType](IntegerType, LongType)
+        .contains(df.schema(tokenCol).dataType),
+      s"token column $tokenCol must be an integral count")
     val q = col(qualityCol)
     val rows = df.filter(q.isNotNull && col(tokenCol).isNotNull)
     val hist = rows.groupBy(q.as("__q")).agg(sum(col(tokenCol)).as("__t"))

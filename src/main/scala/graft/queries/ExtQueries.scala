@@ -726,6 +726,31 @@ object ExtQueries {
       |  CAST(SUM(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q42 stratified rebalancing -------------------------------------------
+
+  /** Deterministic corpus rebalancing: downsample the over-represented
+    * language (en ≈ 44% of docs) to a 30% keep-rate while keeping the rest —
+    * [[graft.ext.Splits.stratifiedSample]]'s hash-threshold sampling, which
+    * the oracle reproduces bit-for-bit from the same md5 bucket as q34.
+    */
+  def q42Rebalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Splits.stratifiedSample(docs(spark, sfDir), "doc_id", "lang",
+      Map("en" -> 30, "de" -> 100, "fr" -> 100, "es" -> 100, "zh" -> 100))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang")
+
+  val q42Sql: String =
+    """WITH s AS (
+      |  SELECT lang, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+      |FROM s
+      |WHERE (lang = 'en' AND b < 30) OR lang IN ('de', 'fr', 'es', 'zh')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -749,7 +774,8 @@ object ExtQueries {
     "q38_audio_decode" -> (q38AudioDecode _),
     "q39_token_budget" -> (q39TokenBudget _),
     "q40_label_centroids" -> (q40LabelCentroids _),
-    "q41_repetition" -> (q41Repetition _))
+    "q41_repetition" -> (q41Repetition _),
+    "q42_rebalance" -> (q42Rebalance _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -774,5 +800,6 @@ object ExtQueries {
     "q38_audio_decode" -> q38Sql,
     "q39_token_budget" -> q39Sql,
     "q40_label_centroids" -> q40Sql,
-    "q41_repetition" -> q41Sql)
+    "q41_repetition" -> q41Sql,
+    "q42_rebalance" -> q42Sql)
 }
