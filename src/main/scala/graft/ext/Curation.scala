@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *      partition by construction.
   *
   * Two passes over the data, a histogram on the driver, no global window.
-  * Result is row-identical to the naive `cum_sum ≤ budget` over
-  * `ORDER BY quality DESC, id` (ties inside the boundary key break by id).
+  * Rows with a null quality or null token count are EXCLUDED up front;
+  * over the remaining rows the result is row-identical to the naive
+  * `cum_sum ≤ budget` over `ORDER BY quality DESC, id` (ties inside the
+  * boundary key break by id).
   */
 object Curation {
 

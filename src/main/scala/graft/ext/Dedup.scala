@@ -256,16 +256,28 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 30,
       driverEdgeThreshold: Int = 1 << 20): DataFrame = {
-    // ADAPTIVE fast path: near-dup graphs are almost always tiny relative to
-    // the corpus (pairs, not rows). When the edge list fits a bounded driver
-    // budget (default 2^20 edges ≈ 16 MB — same bounded-sample contract as
-    // IVF centroid training), a single collect + union-find replaces
-    // ~log(n) scheduler rounds of 3-4 jobs each; the limit(threshold+1)
-    // probe decides the path in ONE pass with no separate count job. Larger
-    // graphs take the distributed fixed-point below, unchanged.
-    val probe = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-      .limit(driverEdgeThreshold + 1).collect()
-    if (probe.length <= driverEdgeThreshold) {
+    val idType = pairs.schema("id1").dataType
+    val integralIds = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
+    ).contains(idType)
+    // materialize the edge list ONCE: both the probe below and the
+    // distributed path read the checkpointed partitions, so deciding the
+    // path never re-executes an expensive upstream pair pipeline
+    val edgeList = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // ADAPTIVE fast path (integral ids only — union-find keys are longs):
+    // near-dup graphs are almost always tiny relative to the corpus (pairs,
+    // not rows). When the edge list fits a bounded driver budget (default
+    // 2^20 edges — same bounded-driver contract as IVF centroid training;
+    // the collect is transient Rows, tens of MB at the default), a single
+    // collect + union-find replaces ~log(n) scheduler rounds of 3-4 jobs
+    // each. Larger graphs and non-numeric ids take the distributed
+    // fixed-point below, unchanged.
+    val probe = if (integralIds)
+      edgeList.select(col("id1").cast("long"), col("id2").cast("long"))
+        .limit(driverEdgeThreshold + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (integralIds && probe.length <= driverEdgeThreshold) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -286,23 +298,33 @@ object Dedup {
       val rows = parent.keys.toArray.sorted.map(id => (id, find(id))).toSeq
       val s = pairs.sparkSession
       import s.implicits._
+      // cast back to the input id type: both adaptive paths emit the SAME
+      // schema for the same input
       return rows.toDF("id", "group_id")
+        .select(col("id").cast(idType).as("id"),
+          col("group_id").cast(idType).as("group_id"))
     }
     // Shiloach-Vishkin-style alternation, O(log n) rounds on any topology:
     //  hook:     label(x) <- min(label(x), min over neighbors' labels)
     //  compress: label(x) <- label(label(x))   (pointer jumping)
     // localCheckpoint truncates lineage each round — without it the logical
     // plan doubles per iteration and planning time, not data, dominates.
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    val edges = edgeList.select(col("id1").as("a"), col("id2").as("b"))
+      .union(edgeList.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("group_id")).localCheckpoint()
     var iter = 0
-    // convergence signal: labels only ever DECREASE, so Σ group_id strictly
-    // decreases every round that changes anything — one tiny aggregate on
-    // the already-checkpointed frame instead of a join against last round
-    var prevSum = Long.MaxValue
+    // convergence signal (numeric ids): labels only ever DECREASE, so
+    // Σ group_id strictly decreases every round that changes anything — one
+    // tiny aggregate on the already-checkpointed frame instead of a join
+    // against last round. The sum runs in decimal(38,0): exact, ANSI-safe,
+    // and headroom for any realistic scale (10^7 nodes × 2^63-range ids
+    // ≈ 10^26 « 10^38), where a long sum could overflow and void the
+    // strict-decrease invariant. Non-numeric ids (min() still works on
+    // strings) fall back to an any-row-changed probe against last round.
+    val numericIds = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    var prevSum: Any = this // sentinel: never equal to a sum value
     var converged = false
     // re-alias = fresh expression ids; a checkpointed frame referenced on
     // both sides of a union/join otherwise trips Catalyst's constraint
@@ -321,9 +343,17 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("y.g2"), col("x.group_id")).as("group_id"))
         .localCheckpoint()
-      val sum = jumped.agg(org.apache.spark.sql.functions.sum("group_id")).head().getLong(0)
-      converged = sum == prevSum
-      prevSum = sum
+      if (numericIds) {
+        val cur = jumped
+          .agg(org.apache.spark.sql.functions.sum(col("group_id").cast("decimal(38,0)")))
+          .head().get(0)
+        converged = cur == prevSum
+        prevSum = cur
+      } else {
+        converged = jumped
+          .join(fresh(labels).withColumnRenamed("group_id", "old"), "id")
+          .filter(col("group_id") =!= col("old")).limit(1).count() == 0
+      }
       labels = jumped
       iter += 1
     }

@@ -217,8 +217,12 @@ object Multimodal {
           DecodedAudio(m.id, fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
             decoded = true, rms, peak)
         } catch {
+          // RuntimeException included deliberately (same contract as
+          // tryDecode): JDK audio parsers throw unchecked exceptions on
+          // some malformed-but-recognized headers (truncated chunk sizes),
+          // and one bad file must quarantine, not kill the stage
           case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException =>
+               _: java.io.IOException | _: RuntimeException =>
             DecodedAudio(m.id, 0, 0, 0L, decoded = false, 0.0, 0.0)
         }
       }

@@ -131,6 +131,11 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(planes % bands == 0, s"planes $planes must divide into $bands bands")
     val bandBits = planes / bands
+    // narrow bands degenerate: at b bits a RANDOM pair matches a band with
+    // probability 2^-b, so b < 4 admits >6% of all n² pairs as candidates
+    // per band — worse than the exact quadratic path, with extra shuffles
+    require(bandBits >= 4,
+      s"$bandBits-bit bands admit ~n²/2^$bandBits random candidates per band; use >= 4 bits (raise planes or lower bands)")
     val banded = corpus
       .select(col(idCol).as("id"), srpBucket(col(vecCol), dims, planes, seed).as("__sig"))
       .select(col("id"), posexplode(array((0 until bands).map(b =>

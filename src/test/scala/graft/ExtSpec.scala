@@ -251,26 +251,30 @@ class ExtSpec extends SparkSpec {
   test("q18 gate precondition: fixture true pairs sit at Jaccard >= 0.8, far from the 0.5 threshold") {
     // The q18 hash gate is LSH + exact verification vs an exact oracle; its
     // miss bound ((1−J²)¹⁶ ≈ 8e-8) assumes every true pair has J ≥ 0.8. This
-    // asserts that assumption against the CURRENT fixture with a brute-force
-    // (non-LSH) all-pairs Jaccard — if testdata is regenerated with
-    // near-threshold pairs, this fails before the driver gate can go flaky.
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val sh = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
-    val l = sh.select(col("doc_id").as("id1"), col("s").as("s1"))
-    val r = sh.select(col("doc_id").as("id2"), col("s").as("s2"))
-    val j = l.join(r, col("id1") < col("id2"))
-      .select((size(array_intersect(col("s1"), col("s2"))).cast("double") /
-        size(array_union(col("s1"), col("s2")))).as("j"))
-      .filter(col("j") >= 0.5)
-    val stats = j.agg(count(lit(1)), min(col("j"))).head()
-    assert(stats.getLong(0) > 0, "fixture has no true near-dup pairs at all")
-    assert(stats.getDouble(1) >= 0.8,
-      f"fixture now has a near-threshold pair (min J = ${stats.getDouble(1)}%.3f); " +
-        "raise q18 numHashes/bands before trusting the hash gate")
+    // asserts that assumption with a brute-force (non-LSH) all-pairs Jaccard
+    // on BOTH small fixtures — sf0.01 is a gate SF; sf0.1 shares the same
+    // generator and is too large for an all-pairs unit test. If testdata is
+    // regenerated with near-threshold pairs, this fails before the driver
+    // gate can go flaky.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val sh = docs
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
+      val l = sh.select(col("doc_id").as("id1"), col("s").as("s1"))
+      val r = sh.select(col("doc_id").as("id2"), col("s").as("s2"))
+      val j = l.join(r, col("id1") < col("id2"))
+        .select((size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("j"))
+        .filter(col("j") >= 0.5)
+      val stats = j.agg(count(lit(1)), min(col("j"))).head()
+      assert(stats.getLong(0) > 0, s"$sf fixture has no true near-dup pairs at all")
+      assert(stats.getDouble(1) >= 0.8,
+        f"$sf fixture now has a near-threshold pair (min J = ${stats.getDouble(1)}%.3f); " +
+          "raise q18 numHashes/bands before trusting the hash gate")
+    }
   }
 
   test("cosine pair mining: exact baseline correct, banded SRP recall >= 0.9 with precision 1") {
@@ -333,6 +337,12 @@ class ExtSpec extends SparkSpec {
     val viaFixpoint = Dedup.duplicateGroups(pairs, driverEdgeThreshold = 0).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("group_id")).toMap
     assert(viaFixpoint == expected)
+    // non-numeric ids (UUID-style) route to the distributed path with the
+    // changed-row convergence probe; min-label still works lexicographically
+    val strPairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id1", "id2")
+    val strGroups = Dedup.duplicateGroups(strPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strGroups == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("deterministic splits: stable, exhaustive, nested when fractions grow") {
@@ -472,6 +482,20 @@ class ExtSpec extends SparkSpec {
     // degenerate budgets
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 1000000L).count() == 300)
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
+  }
+
+  test("token-budget curation is monotone: a larger budget selects a superset") {
+    val rnd = new scala.util.Random(13)
+    val d = (0 until 200).map(i =>
+      (i.toLong, math.round(rnd.nextDouble() * 10) / 10.0, 1L + rnd.nextInt(30)))
+      .toDF("id", "q", "tokens")
+    def sel(budget: Long): Set[Long] =
+      Curation.selectByTokenBudget(d, "id", "q", "tokens", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val budgets = Seq(200L, 600L, 1200L, 2400L).map(b => b -> sel(b))
+    budgets.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2), s"budget $b1 selection not nested in $b2")
+    }
   }
 
   test("multimodal: real WAV decode → true rate/channels/samples, exact RMS") {
