@@ -63,4 +63,39 @@ object Curation {
       above.unionByName(partial)
     }
   }
+
+  /** Distributed EXCLUSIVE prefix sum (scan): adds `offsetCol` = Σ tokenCol
+    * over all rows strictly before this one in `orderCol` order — the global
+    * cumulative-sum primitive Spark's API only offers as a single-partition
+    * window. Three steps, none global:
+    *   1. range-partition + sort on the order key (one shuffle, pinned with
+    *      localCheckpoint so both consumers see one partition assignment),
+    *   2. per-partition token sums (≤ numPartitions rows) → driver-side
+    *      exclusive prefix, rejoined as a literal map lookup,
+    *   3. a PARTITION-LOCAL cumulative window + the partition's prefix.
+    * `orderCol` must be unique (it is the total order).
+    */
+  def withGlobalOffset(df: DataFrame, orderCol: String, tokenCol: String,
+      offsetCol: String = "offset", numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = ranged.groupBy("__pid").agg(sum(col(tokenCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix: tokens of all partitions strictly before pid
+    val excl = {
+      var acc = 0L
+      partSums.map { case (pid, t) => val p = pid -> acc; acc += t; p }.toMap
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    ranged
+      .withColumn("__local", sum(col(tokenCol)).over(w))
+      .withColumn(offsetCol,
+        col("__local") - col(tokenCol) +
+          coalesce(element_at(typedLit(excl), col("__pid")), lit(0L)))
+      .drop("__pid", "__local")
+  }
 }

@@ -751,6 +751,51 @@ object ExtQueries {
       |WHERE (lang = 'en' AND b < 30) OR lang IN ('de', 'fr', 'es', 'zh')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q43 sequence packing (distributed prefix sum) ------------------------
+
+  /** GPT-style concat-and-chunk sequence packing: documents are laid out
+    * end-to-end in doc_id order and cut into 2048-token training sequences;
+    * the panel reports how many sequences the corpus fills and how many
+    * docs straddle a boundary. The document offsets come from
+    * [[graft.ext.Curation.withGlobalOffset]] — the distributed exclusive
+    * prefix sum (range partition + per-partition sums + partition-local
+    * windows) — while the oracle computes the same offsets with the naive
+    * global cumsum window the primitive replaces at scale.
+    */
+  def q43SequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqLen = 2048L
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    val off = graft.ext.Curation.withGlobalOffset(toks, "doc_id", "tokens",
+      numPartitions = 8)
+    off
+      .select(col("tokens"),
+        expr(s"offset div $seqLen").as("c0"),
+        expr(s"(offset + tokens - 1) div $seqLen").as("c1"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        (max(col("c1")) + 1L).as("n_sequences"),
+        sum(when(col("c1") > col("c0"), 1L).otherwise(0L)).as("n_spanning"),
+        round(count(lit(1)).cast("double") / (max(col("c1")) + 1L), 6)
+          .as("avg_docs_per_seq"))
+  }
+
+  val q43Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT tokens, SUM(tokens) OVER (ORDER BY doc_id) - tokens AS off FROM d),
+      |c AS (SELECT tokens, off // 2048 AS c0, (off + tokens - 1) // 2048 AS c1 FROM o)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(c1) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(CASE WHEN c1 > c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+      |  ROUND(COUNT(*) / CAST(MAX(c1) + 1 AS DOUBLE), 6) AS avg_docs_per_seq
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -775,7 +820,8 @@ object ExtQueries {
     "q39_token_budget" -> (q39TokenBudget _),
     "q40_label_centroids" -> (q40LabelCentroids _),
     "q41_repetition" -> (q41Repetition _),
-    "q42_rebalance" -> (q42Rebalance _))
+    "q42_rebalance" -> (q42Rebalance _),
+    "q43_seq_packing" -> (q43SequencePacking _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -801,5 +847,6 @@ object ExtQueries {
     "q39_token_budget" -> q39Sql,
     "q40_label_centroids" -> q40Sql,
     "q41_repetition" -> q41Sql,
-    "q42_rebalance" -> q42Sql)
+    "q42_rebalance" -> q42Sql,
+    "q43_seq_packing" -> q43Sql)
 }

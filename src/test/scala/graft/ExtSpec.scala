@@ -484,6 +484,19 @@ class ExtSpec extends SparkSpec {
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
   }
 
+  test("distributed prefix sum equals the naive global cumsum") {
+    val rnd = new scala.util.Random(31)
+    val d = (0 until 1000).map(i => (i.toLong, 1L + rnd.nextInt(100))).toDF("id", "t")
+    val naive = d.withColumn("o",
+      sum("t").over(org.apache.spark.sql.expressions.Window.orderBy("id")) - col("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dist = Curation.withGlobalOffset(d, "id", "t", numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == naive)
+    // first row in order has offset 0; total layout is gap-free
+    assert(dist(0L) == 0L)
+  }
+
   test("token-budget curation is monotone: a larger budget selects a superset") {
     val rnd = new scala.util.Random(13)
     val d = (0 until 200).map(i =>

@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
   }
 
+  test("distributed prefix sum plans no single-partition exchange") {
+    val d = (1 to 500).map(i => (i.toLong, 3L)).toDF("id", "t")
+    val off = graft.ext.Curation.withGlobalOffset(d, "id", "t", numPartitions = 5)
+    val plan = explainString(off)
+    // the whole point of the primitive: the scan is partition-local windows
+    // over a range partitioning, never Window.orderBy on one partition
+    assert(plan.contains("Window"), "expected the partition-local cumsum window")
+    assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
