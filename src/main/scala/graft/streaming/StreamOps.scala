@@ -53,6 +53,24 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: broadcast-join a small static dimension onto
+    * the stream (the standard lookup/enrichment pattern — the static side
+    * re-reads per micro-batch, no stream state), then a watermarked tumbling
+    * aggregation of the enriched values. Dimension rows absent for an
+    * event_type drop the event (inner join) — quarantine-style filtering of
+    * unknown types.
+    */
+  def enrichedTumblingStats(events: DataFrame, dim: DataFrame,
+      window: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value") * col("weight")).as("weighted_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("weighted_value"))
+
   // ---- custom state: per-user running counters via flatMapGroupsWithState --
 
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,

@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("stream-static enrichment join weights values from the broadcast dimension") {
+    val input = MemoryStream[EventRow](11, spark, None)
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(2, ts(10), 7, "click", 2.0),
+      EventRow(3, ts(20), 8, "view", 4.0),
+      EventRow(4, ts(30), 8, "purchase", 100.0), // not in dim → dropped
+      EventRow(99, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 0.0))
+    val out = runToMemory(
+      StreamOps.enrichedTumblingStats(input.toDF(), dim,
+        window = "1 hour", watermark = "10 minutes"), "enriched") {}
+    val rows = out.collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("weighted_value")).toMap
+    assert(rows.get("click").contains(1.0 * 2.0 + 2.0 * 2.0), s"got $rows")
+    assert(rows.get("view").contains(4.0 * 0.5))
+    assert(!rows.contains("purchase"), "unknown type must be filtered by the inner join")
+  }
+
   test("streaming session windows aggregate per user") {
     val input = MemoryStream[EventRow](2, spark, None)
     input.addData(
