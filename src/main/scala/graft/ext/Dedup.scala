@@ -242,6 +242,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination report: corpus docs sharing ≥ `minOverlap`
+    * distinct `shingleSize`-gram shingles with ANY benchmark document —
+    * the test-set-overlap removal stage of a training pipeline (cross-corpus
+    * containment, not within-corpus dedup). The benchmark's distinct shingle
+    * set is broadcast (benchmark suites are small by definition); the corpus
+    * is touched in one exploded pass + one aggregation. Returns
+    * (id, n_overlap) for flagged docs; anti-join the ids to decontaminate.
+    * Overlap counts are over 64-bit shingle hashes (same collision caveat
+    * as [[nearDuplicatePairs]]).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      minOverlap: Int = 5): DataFrame = {
+    val bench = broadcast(
+      shingleSets(benchmark, idCol, textCol, shingleSize)
+        .select(explode(col("sset")).as("__g")).distinct())
+    shingleSets(corpus, idCol, textCol, shingleSize)
+      .select(col("id"), explode(col("sset")).as("__g"))
+      .join(bench, Seq("__g"))
+      // sset is distinct per doc, so each (id, shingle) row is unique and
+      // the plain count IS the distinct-overlap count
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Connected components over a near-duplicate pair list (id1, id2) —
     * dedup GROUPS, the pipeline's end product (keep one doc per group).
     * Adaptive: edge lists within a bounded driver budget are solved by a

@@ -117,6 +117,22 @@ object TextStats {
     lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok)
   }
 
+  /** PII patterns (lowercase input): conservative email and dotted-quad IP.
+    * Both are expressible identically in Java regex and RE2, so an external
+    * engine can replay the scrub (the q45 oracle does).
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails and IPs (row-local regexp_replace chain). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Count of PII matches for a pattern (audit column for scrub pipelines). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Order-sensitive rolling-hash fingerprint of the token stream
     * (polynomial accumulate over xxhash64'd tokens): robust doc identity for
     * shift-invariant near-dup grouping upstream of MinHash.

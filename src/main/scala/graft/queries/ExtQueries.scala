@@ -796,6 +796,100 @@ object ExtQueries {
       |  ROUND(COUNT(*) / CAST(MAX(c1) + 1 AS DOUBLE), 6) AS avg_docs_per_seq
       |FROM c""".stripMargin
 
+  // ---- q44 benchmark decontamination ----------------------------------------
+
+  /** Test-set decontamination: treating src0 as the held-out benchmark,
+    * flag corpus docs from other sources sharing ≥ 5 distinct 3-gram
+    * shingles with any benchmark doc, and report the contamination panel
+    * per source. Spark counts shared 64-bit shingle hashes, the oracle
+    * shared shingle strings — identical counts modulo the documented
+    * negligible-collision caveat (same equivalence q18 relies on).
+    */
+  def q44Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val rep = Dedup.contaminationReport(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "text", shingleSize = 3, minOverlap = 5)
+    rep.join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_contaminated"),
+        max(col("n_overlap")).as("max_overlap"),
+        round(avg(col("n_overlap")), 6).as("avg_overlap"))
+      .orderBy("source")
+  }
+
+  val q44Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, source, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+      |hits AS (
+      |  SELECT c.doc_id, any_value(c.source) AS source, COUNT(*) AS n_overlap
+      |  FROM corp c JOIN bench b ON c.g = b.g
+      |  GROUP BY c.doc_id)
+      |SELECT source, COUNT(*) AS n_contaminated,
+      |  CAST(MAX(n_overlap) AS BIGINT) AS max_overlap,
+      |  ROUND(AVG(n_overlap), 6) AS avg_overlap
+      |FROM hits WHERE n_overlap >= 5
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q45 PII scrubbing ----------------------------------------------------
+
+  /** PII redaction panel: the fixture has no PII, so each doc gets ONE
+    * deterministic synthetic email + IP derived from doc_id (same
+    * fixture-generation contract as q31's PNGs / q38's WAVs), then
+    * [[TextStats.scrubPii]] redacts and the per-source panel reports match
+    * counts, zero residual matches after the scrub, and the redaction's
+    * length delta. Both engines run the SAME patterns (Java regex / RE2
+    * compatible), so the gate checks cross-engine regex semantics, not just
+    * arithmetic.
+    */
+  def q45PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = docs(spark, sfDir).select(col("source"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com ip 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0.1 end")).as("t"))
+    val scrubbed = withPii.select(col("source"), col("t"),
+      TextStats.piiCount(col("t"), TextStats.EmailPattern).as("n_email"),
+      TextStats.piiCount(col("t"), TextStats.Ipv4Pattern).as("n_ip"),
+      TextStats.scrubPii(col("t")).as("red"))
+    scrubbed.select(col("source"), col("n_email"), col("n_ip"),
+      (TextStats.piiCount(col("red"), TextStats.EmailPattern) +
+        TextStats.piiCount(col("red"), TextStats.Ipv4Pattern)).as("n_residual"),
+      (length(col("t")) - length(col("red"))).as("delta"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("n_residual")).as("n_residual"),
+        round(avg(col("delta")), 6).as("avg_len_delta"))
+      .orderBy("source")
+  }
+
+  val q45Sql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    text || ' contact user' || doc_id || '@example.com ip 10.' || (doc_id % 256) || '.0.1 end' AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, t,
+      |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+      |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |    regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red
+      |  FROM p)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+      |  CAST(SUM(len(regexp_extract_all(red, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      |     + len(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_residual,
+      |  ROUND(AVG(LENGTH(t) - LENGTH(red)), 6) AS avg_len_delta
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -821,7 +915,9 @@ object ExtQueries {
     "q40_label_centroids" -> (q40LabelCentroids _),
     "q41_repetition" -> (q41Repetition _),
     "q42_rebalance" -> (q42Rebalance _),
-    "q43_seq_packing" -> (q43SequencePacking _))
+    "q43_seq_packing" -> (q43SequencePacking _),
+    "q44_decontaminate" -> (q44Decontaminate _),
+    "q45_pii_scrub" -> (q45PiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -848,5 +944,7 @@ object ExtQueries {
     "q40_label_centroids" -> q40Sql,
     "q41_repetition" -> q41Sql,
     "q42_rebalance" -> q42Sql,
-    "q43_seq_packing" -> q43Sql)
+    "q43_seq_packing" -> q43Sql,
+    "q44_decontaminate" -> q44Sql,
+    "q45_pii_scrub" -> q45Sql)
 }

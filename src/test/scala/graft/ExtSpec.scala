@@ -484,6 +484,34 @@ class ExtSpec extends SparkSpec {
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
   }
 
+  test("decontamination flags exactly the docs sharing enough shingles with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near here"), // heavy overlap
+      (2L, "quick brown fox appears once in this unrelated sentence"), // 2 shared shingles
+      (3L, "completely different words with zero shared trigrams at all"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+      shingleSize = 3, minOverlap = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares all 7 benchmark shingles; doc 2 only "quick brown fox"
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) == 7L)
+  }
+
+  test("PII scrub redacts synthesized emails/IPs and leaves no residual matches") {
+    val df = Seq(
+      "reach me at alice.smith@corp-mail.io or 192.168.1.77 thanks",
+      "no personal data in this row at all").toDF("text")
+    val r = df.select(
+      TextStats.piiCount(col("text"), TextStats.EmailPattern).as("ne"),
+      TextStats.piiCount(col("text"), TextStats.Ipv4Pattern).as("ni"),
+      TextStats.scrubPii(col("text")).as("red")).collect()
+    assert(r(0).getAs[Int]("ne") == 1 && r(0).getAs[Int]("ni") == 1)
+    assert(r(0).getAs[String]("red") == "reach me at [EMAIL] or [IP] thanks")
+    assert(r(1).getAs[Int]("ne") == 0 && r(1).getAs[String]("red") == "no personal data in this row at all")
+  }
+
   test("distributed prefix sum equals the naive global cumsum") {
     val rnd = new scala.util.Random(31)
     val d = (0 until 1000).map(i => (i.toLong, 1L + rnd.nextInt(100))).toDF("id", "t")
