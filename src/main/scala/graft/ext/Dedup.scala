@@ -254,11 +254,20 @@ object Dedup {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
-      minOverlap: Int = 5): DataFrame = {
+      minOverlap: Int = 5): DataFrame =
+    contaminationReportFromSets(
+      shingleSets(corpus, idCol, textCol, shingleSize),
+      shingleSets(benchmark, idCol, textCol, shingleSize), minOverlap)
+
+  /** Report from precomputed (id, sset) frames — lets pipelines reuse a
+    * materialized/cached shingle pass (the per-row shingle expression is the
+    * expensive stage; q44 shares q18's cached sets).
+    */
+  def contaminationReportFromSets(corpusSets: DataFrame, benchmarkSets: DataFrame,
+      minOverlap: Int): DataFrame = {
     val bench = broadcast(
-      shingleSets(benchmark, idCol, textCol, shingleSize)
-        .select(explode(col("sset")).as("__g")).distinct())
-    shingleSets(corpus, idCol, textCol, shingleSize)
+      benchmarkSets.select(explode(col("sset")).as("__g")).distinct())
+    corpusSets
       .select(col("id"), explode(col("sset")).as("__g"))
       .join(bench, Seq("__g"))
       // sset is distinct per doc, so each (id, shingle) row is unique and

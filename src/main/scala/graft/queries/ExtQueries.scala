@@ -807,9 +807,15 @@ object ExtQueries {
     */
   def q44Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val rep = Dedup.contaminationReport(
-      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
-      "doc_id", "text", shingleSize = 3, minOverlap = 5)
+    // reuse q18's cached per-doc shingle sets (the expensive per-row stage);
+    // benchmark/corpus membership is a cheap id join against it
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(d, "doc_id", "text", shingleSize = 3))
+    val bySource = d.select(col("doc_id").as("id"), col("source"))
+    val rep = Dedup.contaminationReportFromSets(
+      sets.join(bySource.filter(col("source") =!= "src0"), "id").select("id", "sset"),
+      sets.join(bySource.filter(col("source") === "src0"), "id").select("id", "sset"),
+      minOverlap = 5)
     rep.join(d.select(col("doc_id").as("id"), col("source")), "id")
       .groupBy("source").agg(
         count(lit(1)).as("n_contaminated"),
