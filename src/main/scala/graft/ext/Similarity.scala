@@ -100,15 +100,22 @@ object Similarity {
     * last ulp (a pair landing EXACTLY on the threshold boundary is the one
     * theoretical divergence — probability ~0 on continuous data).
     */
+  /** (id, __v, __n) projection: vector + its norm, computed once per row. */
+  private def normed(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      sqrt(norm2(col(vecCol))).as("__n"))
+
+  private def side(vecs: DataFrame, n: Int): DataFrame =
+    vecs.select(col("id").as(s"id$n"), col("__v").as(s"__v$n"), col("__n").as(s"__n$n"))
+
+  private val pairCosine: Column =
+    dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2"))
+
   def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      sqrt(norm2(col(vecCol))).as("__n"))
-    val l = c.select(col("id").as("id1"), col("__v").as("__v1"), col("__n").as("__n1"))
-    val r = c.select(col("id").as("id2"), col("__v").as("__v2"), col("__n").as("__n2"))
-    l.join(r, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        (dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2"))).as("cos"))
+    val vecs = normed(corpus, idCol, vecCol)
+    side(vecs, 1).join(side(vecs, 2), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), pairCosine.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -145,13 +152,11 @@ object Similarity {
       .join(banded.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      sqrt(norm2(col(vecCol))).as("__n"))
+    val vecs = normed(corpus, idCol, vecCol)
     cand
-      .join(vecs.select(col("id").as("id1"), col("__v").as("__v1"), col("__n").as("__n1")), "id1")
-      .join(vecs.select(col("id").as("id2"), col("__v").as("__v2"), col("__n").as("__n2")), "id2")
-      .select(col("id1"), col("id2"),
-        (dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2"))).as("cos"))
+      .join(side(vecs, 1), "id1")
+      .join(side(vecs, 2), "id2")
+      .select(col("id1"), col("id2"), pairCosine.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
