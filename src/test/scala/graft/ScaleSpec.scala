@@ -96,6 +96,19 @@ class ScaleSpec extends SparkSpec {
     assert(j5 <= j1, s"smart family job count grew with column count: $j1 -> $j5")
   }
 
+  test("distributed prefix sum at 500k rows: exact spot-checked offsets, no global window") {
+    // the scan primitive at 3 orders of magnitude above the unit fixture:
+    // constant token value makes every offset arithmetically checkable
+    // without materializing a naive global cumsum
+    val n = 500000L
+    val d = spark.range(n).select(col("id"), lit(7L).as("t"))
+    val off = graft.ext.Curation.withGlobalOffset(d, "id", "t", numPartitions = 32)
+    val bad = off.filter(col("offset") =!= col("id") * 7L)
+    assert(bad.isEmpty, "offsets diverge from id*7")
+    val plan = off.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "scan fell back to a global window")
+  }
+
   test("cost scales roughly linearly in key count (no quadratic collapse)") {
     def time(nKeys: Int): Double = {
       val t0 = System.nanoTime()
