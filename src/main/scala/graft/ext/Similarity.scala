@@ -271,6 +271,31 @@ object Similarity {
       .agg(graft.functions.VectorAgg.vectorAvg(
         col(vecCol).cast("array<double>")).as("centroid"))
 
+  // ---- int8 quantization ---------------------------------------------------
+
+  /** Per-vector symmetric int8 scale: max|x| / 127, floored away from zero
+    * so all-zero vectors quantize to zeros instead of NaN.
+    */
+  def int8Scale(vec: Column): Column =
+    greatest(aggregate(vec, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0,
+      lit(1e-12))
+
+  /** Quantize to int8 codes (storage form: 4-32× smaller than the float
+    * vector; ship (codes, scale) and dequantize on read).
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x / scale).cast("int"))
+
+  /** Dequantized double vector from int8 codes. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, x => x.cast("double") * scale)
+
+  /** Round-trip reconstruction in pure double arithmetic (round(x/s)·s) —
+    * the exact shape an external engine can replay, for error auditing.
+    */
+  def int8RoundTrip(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x / scale) * scale)
+
   /** Per-label embedding statistics (norm distribution) — sanity panel. */
   def normStats(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
     corpus.groupBy(col(labelCol))

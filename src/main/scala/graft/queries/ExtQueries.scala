@@ -896,6 +896,53 @@ object ExtQueries {
       |  ROUND(AVG(LENGTH(t) - LENGTH(red)), 6) AS avg_len_delta
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q46 int8 quantization error audit -------------------------------------
+
+  /** Embedding compression audit: every vector is symmetric-int8 quantized
+    * (per-vector scale) and the per-label panel reports the cosine error of
+    * the reconstruction — the go/no-go measurement before switching an ANN
+    * corpus to 4-byte-per-dim storage. The reconstruction uses the pure
+    * round(x/s)·s double shape so DuckDB replays it bit-for-bit.
+    */
+  def q46QuantError(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val withDq = emb(spark, sfDir).select(col("label"),
+      v.as("v"), Similarity.int8Scale(v).as("sc"))
+      .withColumn("dq", Similarity.int8RoundTrip(col("v"), col("sc")))
+    withDq.select(col("label"), col("sc"),
+      (lit(1.0) - Similarity.dot(col("v"), col("dq")) /
+        (sqrt(Similarity.norm2(col("v"))) * sqrt(Similarity.norm2(col("dq"))))).as("qe"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("qe")), 9).as("avg_err"),
+        round(max(col("qe")), 9).as("max_err"),
+        round(avg(col("sc")), 9).as("avg_scale"))
+      .orderBy("label")
+  }
+
+  val q46Sql: String =
+    """WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT label, v,
+      |    GREATEST(list_max(list_transform(v, x -> ABS(x))) / 127.0, 1e-12) AS sc
+      |  FROM e),
+      |d AS (
+      |  SELECT label, sc, v,
+      |    list_transform(v, x -> ROUND(x / sc) * sc) AS dq
+      |  FROM s),
+      |err AS (
+      |  SELECT label, sc,
+      |    1 - list_dot_product(v, dq)
+      |      / (SQRT(list_sum(list_transform(v, x -> x * x)))
+      |         * SQRT(list_sum(list_transform(dq, x -> x * x)))) AS qe
+      |  FROM d)
+      |SELECT label, COUNT(*) AS n,
+      |  ROUND(AVG(qe), 9) AS avg_err,
+      |  ROUND(MAX(qe), 9) AS max_err,
+      |  ROUND(AVG(sc), 9) AS avg_scale
+      |FROM err GROUP BY label ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -923,7 +970,8 @@ object ExtQueries {
     "q42_rebalance" -> (q42Rebalance _),
     "q43_seq_packing" -> (q43SequencePacking _),
     "q44_decontaminate" -> (q44Decontaminate _),
-    "q45_pii_scrub" -> (q45PiiScrub _))
+    "q45_pii_scrub" -> (q45PiiScrub _),
+    "q46_quant_error" -> (q46QuantError _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -952,5 +1000,6 @@ object ExtQueries {
     "q42_rebalance" -> q42Sql,
     "q43_seq_packing" -> q43Sql,
     "q44_decontaminate" -> q44Sql,
-    "q45_pii_scrub" -> q45Sql)
+    "q45_pii_scrub" -> q45Sql,
+    "q46_quant_error" -> q46Sql)
 }

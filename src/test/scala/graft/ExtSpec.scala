@@ -484,6 +484,27 @@ class ExtSpec extends SparkSpec {
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
   }
 
+  test("int8 quantization: codes in range, round-trip cosine error below 1e-4") {
+    val rnd = new scala.util.Random(41)
+    val d = (0 until 100).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val sc = Similarity.int8Scale(col("v"))
+    val rows = d.select(
+      array_max(transform(Similarity.quantizeInt8(col("v"), sc), c => abs(c))).as("max_code"),
+      (lit(1.0) - Similarity.cosine(col("v"), Similarity.int8RoundTrip(col("v"), sc))).as("qe"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_code") <= 127, s"code out of int8 range: $r")
+      assert(r.getAs[Double]("qe") >= 0.0 && r.getAs[Double]("qe") < 1e-4,
+        s"quantization cosine error too large: $r")
+    }
+    // dequantizeInt8(quantizeInt8(v)) equals the pure-double round trip
+    val eq = d.select(
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"), sc), sc).as("a"),
+      Similarity.int8RoundTrip(col("v"), sc).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(eq.isEmpty, "int-code dequantization diverges from double round trip")
+  }
+
   test("decontamination flags exactly the docs sharing enough shingles with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(

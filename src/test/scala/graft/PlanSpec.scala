@@ -119,6 +119,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
   }
 
+  test("partitioned parquet sink: reads prune partitions on the partition key") {
+    // sink-side scale contract: a corpus written partitionBy(lang) must let
+    // a lang-filtered read skip other partitions entirely (PartitionFilters
+    // in the scan, not a post-scan Filter over everything)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val back = spark.read.parquet(dir).filter(col("lang") === "en")
+      val plan = explainString(back)
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        s"no partition pruning in: $plan")
+      val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("lang") === "en").count()
+      assert(back.count() == full)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
