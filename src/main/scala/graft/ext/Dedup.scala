@@ -276,6 +276,65 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Per-document duplicated-SPAN statistics — passage-level dedup signal
+    * (à la "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, but windowed-hash instead of suffix-array): a span is
+    * a `spanTokens`-token window; a span is DUPLICATED if it occurs in more
+    * than one document. Returns (id, n_spans, n_shared_spans, dup_fraction)
+    * for every doc long enough to have a span.
+    *
+    * Shape: inverted index on span hashes — explode distinct spans, count
+    * doc-frequency per span (one shuffle on the span hash, map-side
+    * combined), join the >1-doc spans back (AQE handles hot boilerplate
+    * spans), re-aggregate per doc. No all-pairs stage anywhere, so unlike
+    * pairwise MinHash this stays linear in corpus size at 100 TB.
+    * Span identity is the combined 64-bit token-hash (collision caveat as
+    * [[nearDuplicatePairs]]).
+    */
+  def spanDuplication(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, spanTokens)
+    val spans = sets.select(col("id"), explode(col("sset")).as("__g"))
+    // sset is distinct per doc → count(*) per span IS its doc-frequency
+    val shared = spans.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1).select("__g")
+    val perDoc = spans.join(shared, Seq("__g"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared_spans"))
+    sets.select(col("id"), size(col("sset")).cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"))
+      .withColumn("dup_fraction",
+        col("n_shared_spans").cast("double") / col("n_spans"))
+  }
+
+  /** [[contaminationReportFromSets]] with a broadcast Bloom prefilter — the
+    * 100-TB-shaped variant. The exact formulation must shuffle (or at least
+    * join-probe) EVERY exploded corpus span; here a Bloom filter built once
+    * over the benchmark's distinct spans (driver-side `stat.bloomFilter`,
+    * ~1.2 bytes/span at 1% fpp — a 10⁹-span benchmark is ~1.2 GB, broadcast
+    * range) drops ~(1−fpp) of clean spans BEFORE anything wide happens.
+    * Survivors still go through the exact join, so the OUTPUT has no false
+    * positives — bit-identical to the exact path (asserted in ExtSpec).
+    * The `mightContainLong` probe is a deliberate UDF-exception: there is no
+    * builtin Bloom probe expression, and it sits on the already-narrow
+    * prefilter, not the aggregation hot path.
+    */
+  def bloomContaminationReportFromSets(corpusSets: DataFrame,
+      benchmarkSets: DataFrame, minOverlap: Int, fpp: Double = 0.01): DataFrame = {
+    val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
+    val nBench = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("__g", nBench, fpp)
+    val bc = corpusSets.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((g: Long) => bc.value.mightContainLong(g))
+    corpusSets.select(col("id"), explode(col("sset")).as("__g"))
+      .filter(might(col("__g")))
+      .join(broadcast(bench), Seq("__g"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Connected components over a near-duplicate pair list (id1, id2) —
     * dedup GROUPS, the pipeline's end product (keep one doc per group).
     * Adaptive: edge lists within a bounded driver budget are solved by a

@@ -104,6 +104,43 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Last-click attribution — the bounded-lookback as-of join: each purchase
+    * is attributed to the user's LATEST click at most `windowSeconds` before
+    * it. Computed WITHOUT a join: clicks and purchases union into one
+    * per-user ordered window pass (max of click-micros over preceding rows),
+    * so there is exactly ONE shuffle on the user key and no click×purchase
+    * row blowup — at 100 TB the interval-join formulation explodes on heavy
+    * clickers while this stays linear. Timestamp math is integer
+    * microseconds (`unix_micros`), exactly replayable by an external engine.
+    *
+    * Ordering note: rows order by (ts, event_id); a click with the same
+    * timestamp as the purchase would attribute only if its event_id sorts
+    * first. The events fixture has globally unique (user_id, ts), so the
+    * edge cannot fire there (the q51 oracle relies on this).
+    *
+    * Returns one row per purchase: (event_id, user_id, ts, value,
+    * click_us nullable, delay_s nullable).
+    */
+  def lastClickAttribution(events: DataFrame, windowSeconds: Long = 600,
+      clickType: String = "click", purchaseType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val typed = events.filter(col(typeCol).isin(clickType, purchaseType))
+      .select(col("event_id"), col(userCol), col(tsCol), col(valueCol), col(typeCol),
+        when(col(typeCol) === clickType, unix_micros(col(tsCol))).as("__cus"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    typed.withColumn("__last_click_us", max(col("__cus")).over(w))
+      .filter(col(typeCol) === purchaseType)
+      .withColumn("click_us",
+        when(col("__last_click_us") >=
+          unix_micros(col(tsCol)) - lit(windowSeconds * 1000000L),
+          col("__last_click_us")))
+      .select(col("event_id"), col(userCol), col(tsCol), col(valueCol),
+        col("click_us"),
+        ((unix_micros(col(tsCol)) - col("click_us")) / lit(1e6)).as("delay_s"))
+  }
+
   /** Sliding daily-active style metric: distinct users per window. */
   def slidingDistinctUsers(events: DataFrame, tsCol: String = "ts",
       userCol: String = "user_id", window: String = "1 hour",

@@ -943,6 +943,210 @@ object ExtQueries {
       |  ROUND(AVG(sc), 9) AS avg_scale
       |FROM err GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q47 span-level duplication panel -------------------------------------
+
+  /** Passage-level duplication audit: per source, how much of each document
+    * is built from 8-token spans that also occur in OTHER documents — the
+    * corpus-health number behind span-level dedup decisions (doc-level
+    * near-dup metrics miss boilerplate stitched into otherwise-unique docs).
+    * Spark counts shared 64-bit span hashes, the oracle shared span strings
+    * (q18/q44's documented hash-vs-string equivalence).
+    */
+  def q47SpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val per = Dedup.spanDuplication(d, "doc_id", "text", spanTokens = 8)
+    per.join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_shared_spans") > 0).cast("long")).as("n_docs_with_dup"),
+        round(avg(col("dup_fraction")), 6).as("avg_dup_fraction"),
+        round(max(col("dup_fraction")), 6).as("max_dup_fraction"))
+      .orderBy("source")
+  }
+
+  val q47Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END) AS s
+      |  FROM tok),
+      |ex AS (SELECT doc_id, source, len(s) AS n_spans, unnest(s) AS g FROM sh WHERE len(s) > 0),
+      |df AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 1),
+      |per AS (
+      |  SELECT e.doc_id, any_value(e.source) AS source,
+      |         any_value(e.n_spans) AS n_spans, COUNT(d.g) AS n_shared
+      |  FROM ex e LEFT JOIN df d ON e.g = d.g
+      |  GROUP BY e.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+      |  ROUND(AVG(CAST(n_shared AS DOUBLE) / n_spans), 6) AS avg_dup_fraction,
+      |  ROUND(MAX(CAST(n_shared AS DOUBLE) / n_spans), 6) AS max_dup_fraction
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q48 unigram token entropy panel --------------------------------------
+
+  /** Per-language panel of per-document unigram token entropy (nats) —
+    * H = ln n − (Σ c·ln c)/n over lowercased token counts. Low entropy flags
+    * repetitive/templated text, complementing q41's distinct-ratio signal
+    * with a frequency-weighted one. Two keyed aggregations (token counts per
+    * doc, then entropy per doc) — both partial-aggregated, no all-pairs, no
+    * global window; at 100 TB this is two shuffles keyed by (doc, token) and
+    * doc.
+    */
+  def q48TokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(TextStats.tokens(lower(col("text")))).as("t"))
+    val cnt = tok.groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("doc_id", "lang").agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("lang"),
+        (log(col("n").cast("double")) - col("clogc") / col("n")).as("ent"))
+    per.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("ent")), 6).as("avg_entropy"),
+      round(min(col("ent")), 6).as("min_entropy"),
+      round(max(col("ent")), 6).as("max_entropy"))
+      .orderBy("lang")
+  }
+
+  val q48Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT doc_id, lang,
+      |         ln(SUM(c)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / SUM(c) AS ent
+      |  FROM cnt GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(ent), 6) AS avg_entropy,
+      |  ROUND(MIN(ent), 6) AS min_entropy,
+      |  ROUND(MAX(ent), 6) AS max_entropy
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q49 vocabulary head (Zipf) -------------------------------------------
+
+  /** Corpus vocabulary head: top-20 tokens by global frequency with rank,
+    * corpus share, and cumulative share — the Zipf curve's head, the
+    * standard tokenizer/vocab sanity check. The count aggregation is
+    * map-side combined on the token key; rank/cumulative run AFTER `limit`,
+    * over ≤ 20 rows by construction (constant-keyed window — bounded, not a
+    * scale hazard; the lit(0) partition key avoids the unpartitioned-window
+    * plan shape the suite bans).
+    */
+  def q49Zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__tot"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(20)
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
+    top.crossJoin(total)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share", round(col("cnt").cast("double") / col("__tot"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("__tot"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("share"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  val q49Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT SUM(cnt) AS tot FROM c),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt,
+      |  ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS share,
+      |  ROUND(SUM(CAST(cnt AS DOUBLE)) OVER (ORDER BY cnt DESC, token
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot, 6) AS cum_share
+      |FROM top, tot ORDER BY rank""".stripMargin
+
+  // ---- q50 Bloom-prefiltered decontamination ---------------------------------
+
+  /** Decontamination through the Bloom-prefilter production path (q44's
+    * operator at 100 TB shape): benchmark = src0 docs' 5-token spans, a
+    * broadcast Bloom filter drops clean corpus spans before the exact verify
+    * join, and the output is EXACT (no false positives survive), so the
+    * brute-force oracle applies unchanged. Distinct from q44: span size 5,
+    * min overlap 2, and the flagged-volume panel.
+    */
+  def q50BloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val sets5 = cached(spark, sfDir, "shingle_sets_5")(
+      Dedup.shingleSets(d, "doc_id", "text", shingleSize = 5))
+    val bySource = d.select(col("doc_id").as("id"), col("source"))
+    val rep = Dedup.bloomContaminationReportFromSets(
+      sets5.join(bySource.filter(col("source") =!= "src0"), "id").select("id", "sset"),
+      sets5.join(bySource.filter(col("source") === "src0"), "id").select("id", "sset"),
+      minOverlap = 2)
+    rep.join(bySource, "id").groupBy("source").agg(
+      count(lit(1)).as("n_flagged"),
+      sum(col("n_overlap")).as("sum_overlap"),
+      round(avg(col("n_overlap")), 6).as("avg_overlap"))
+      .orderBy("source")
+  }
+
+  val q50Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')) END) AS s
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, source, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+      |hits AS (
+      |  SELECT c.doc_id, any_value(c.source) AS source, COUNT(*) AS n_overlap
+      |  FROM corp c JOIN bench b ON c.g = b.g
+      |  GROUP BY c.doc_id)
+      |SELECT source, COUNT(*) AS n_flagged,
+      |  CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+      |  ROUND(AVG(n_overlap), 6) AS avg_overlap
+      |FROM hits WHERE n_overlap >= 2
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q51 last-click attribution --------------------------------------------
+
+  /** Attribution summary over [[Events.lastClickAttribution]] (30-minute
+    * lookback, matching the session gap): purchase count, attributed
+    * count/rate, average click→purchase delay, and attributed revenue.
+    * Delay math is integer microseconds on both engines
+    * (`unix_micros` / `epoch_us`).
+    */
+  def q51Attribution(spark: SparkSession, sfDir: String): DataFrame =
+    Events.lastClickAttribution(events(spark, sfDir), windowSeconds = 1800)
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("click_us").isNotNull.cast("long")).as("n_attributed"),
+        round(sum(col("click_us").isNotNull.cast("int"))
+          .cast("double") / count(lit(1)), 6).as("attribution_rate"),
+        round(avg(col("delay_s")), 6).as("avg_delay_s"),
+        round(sum(when(col("click_us").isNotNull, col("value"))), 2).as("attributed_value"))
+
+  val q51Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |a AS (
+      |  SELECT p.event_id, any_value(p.value) AS value, any_value(p.pus) AS pus,
+      |         MAX(c.cus) AS cus
+      |  FROM p LEFT JOIN c
+      |    ON p.user_id = c.user_id AND c.ts <= p.ts AND c.cus >= p.pus - 1800000000
+      |  GROUP BY p.event_id)
+      |SELECT COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN cus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |  ROUND(SUM(CASE WHEN cus IS NOT NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS attribution_rate,
+      |  ROUND(AVG(CASE WHEN cus IS NOT NULL THEN (pus - cus) / 1e6 END), 6) AS avg_delay_s,
+      |  ROUND(SUM(CASE WHEN cus IS NOT NULL THEN value END), 2) AS attributed_value
+      |FROM a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -971,7 +1175,12 @@ object ExtQueries {
     "q43_seq_packing" -> (q43SequencePacking _),
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_pii_scrub" -> (q45PiiScrub _),
-    "q46_quant_error" -> (q46QuantError _))
+    "q46_quant_error" -> (q46QuantError _),
+    "q47_span_dedup" -> (q47SpanDedup _),
+    "q48_token_entropy" -> (q48TokenEntropy _),
+    "q49_zipf" -> (q49Zipf _),
+    "q50_bloom_decontaminate" -> (q50BloomDecontaminate _),
+    "q51_attribution" -> (q51Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1001,5 +1210,10 @@ object ExtQueries {
     "q43_seq_packing" -> q43Sql,
     "q44_decontaminate" -> q44Sql,
     "q45_pii_scrub" -> q45Sql,
-    "q46_quant_error" -> q46Sql)
+    "q46_quant_error" -> q46Sql,
+    "q47_span_dedup" -> q47Sql,
+    "q48_token_entropy" -> q48Sql,
+    "q49_zipf" -> q49Sql,
+    "q50_bloom_decontaminate" -> q50Sql,
+    "q51_attribution" -> q51Sql)
 }

@@ -71,6 +71,31 @@ object StreamOps {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("weighted_value"))
 
+  /** Stream-STREAM interval join: qualifying (purchase, click) pairs where
+    * the click happened within `windowSeconds` at or before the purchase,
+    * per user. Both sides carry watermarks and the time-range predicate is
+    * bounded on both ends, so Spark derives a state-eviction bound for each
+    * side (unbounded join state is the stream-stream failure mode at scale;
+    * this shape keeps state ∝ watermark × rate). Emits ALL qualifying pairs;
+    * latest-click selection is a downstream aggregation
+    * ([[graft.ext.Events.lastClickAttribution]] is the batch twin — the
+    * parity test compares pair sets).
+    */
+  def streamAttributionPairs(clicks: DataFrame, purchases: DataFrame,
+      windowSeconds: Long = 1800, watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |c_ts <= p_ts AND
+         |c_ts >= p_ts - INTERVAL $windowSeconds SECONDS""".stripMargin))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_ts"), col("value"))
+  }
+
   // ---- custom state: per-user running counters via flatMapGroupsWithState --
 
   case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,

@@ -593,4 +593,60 @@ class ExtSpec extends SparkSpec {
     val stats = Multimodal.mediaStats(media).head()
     assert(stats.getLong(1) == 5L)
   }
+
+  test("span duplication: identical docs fully shared, near doc partially, unique docs zero") {
+    val per = Dedup.spanDuplication(docsDf, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1/4 are identical 14-token texts → 7 8-token spans, every one shared
+    assert(per(1L) == ((7L, 7L, 1.0)) && per(4L) == ((7L, 7L, 1.0)), s"got $per")
+    // doc 2 differs only in the last token → exactly the 6 spans not touching it are shared
+    assert(per(2L)._1 == 7L && per(2L)._2 == 6L, s"got ${per(2L)}")
+    assert(math.abs(per(2L)._3 - 6.0 / 7) < 1e-12)
+    // unique docs share nothing
+    assert(per(3L)._2 == 0L && per(3L)._3 == 0.0)
+    assert(per(5L)._2 == 0L && per(5L)._3 == 0.0)
+  }
+
+  test("bloom-prefiltered contamination report is bit-identical to the exact path") {
+    val sets = Dedup.shingleSets(docsDf, "doc_id", "text", shingleSize = 3)
+    val bench = sets.filter(col("id") === 1L)
+    val corpus = sets.filter(col("id") =!= 1L)
+    val exact = Dedup.contaminationReportFromSets(corpus, bench, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.bloomContaminationReportFromSets(corpus, bench, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == bloom, s"bloom path diverged: exact=$exact bloom=$bloom")
+    // doc 4 is doc 1 verbatim; doc 2 differs in one token; 3/5 share nothing
+    assert(exact.map(_._1) == Set(2L, 4L), s"got $exact")
+  }
+
+  test("last-click attribution: delays and window edges; equals the interval-join formulation") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, t("2024-01-01 10:20:00"), 7L, "click", 0.0),
+      (3L, t("2024-01-01 10:30:00"), 7L, "purchase", 50.0), // latest click 600 s before
+      (4L, t("2024-01-01 12:00:00"), 7L, "purchase", 10.0), // nothing within 30 min
+      (5L, t("2024-01-01 09:00:00"), 8L, "click", 0.0),
+      (6L, t("2024-01-01 09:30:00"), 8L, "purchase", 20.0), // exactly 1800 s → inclusive
+      (7L, t("2024-01-01 11:00:00"), 9L, "purchase", 30.0)) // user never clicked
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val res = Events.lastClickAttribution(ev, windowSeconds = 1800).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_ => r.getDouble(5))).toMap
+    assert(res(3L).contains(600.0), s"got $res")
+    assert(res(4L).isEmpty)
+    assert(res(6L).contains(1800.0), "boundary click must attribute (>= semantics)")
+    assert(res(7L).isEmpty)
+    // the one-shuffle window pass must agree with the naive interval join
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("cts"))
+    val joined = ev.filter(col("event_type") === "purchase")
+      .join(clicks, col("user_id") === col("u") && col("cts") <= col("ts") &&
+        unix_micros(col("cts")) >= unix_micros(col("ts")) - lit(1800L * 1000000L), "left")
+      .groupBy(col("event_id")).agg(max(unix_micros(col("cts"))).as("click_us"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val engine = Events.lastClickAttribution(ev, windowSeconds = 1800).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(engine == joined, s"window pass $engine vs interval join $joined")
+  }
 }

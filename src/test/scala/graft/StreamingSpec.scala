@@ -247,6 +247,42 @@ class StreamingSpec extends SparkSpec {
     assert(batchCounts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("stream-stream attribution pairs ≡ batch interval join on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+
+    // batch truth: every qualifying (purchase, click) pair
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("cts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(c, col("user_id") === col("u") && col("cts") <= col("ts") &&
+        unix_micros(col("cts")) >= unix_micros(col("ts")) - lit(1800L * 1000000L))
+      .select(col("event_id"), unix_micros(col("cts")).as("cus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture has no attributable purchases; test is vacuous")
+
+    val rows = ev.as[EventRow].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val clickIn = MemoryStream[EventRow](12, spark, None)
+    val purchIn = MemoryStream[EventRow](13, spark, None)
+    clickIn.addData(rows.filter(_.event_type == "click"))
+    purchIn.addData(rows.filter(_.event_type == "purchase"))
+    // far-future sentinels advance BOTH watermarks so every pair flushes
+    clickIn.addData(EventRow(-1L, new Timestamp(maxTs + 86400000L), -1L, "click", 0.0))
+    purchIn.addData(EventRow(-2L, new Timestamp(maxTs + 86400000L), -1L, "purchase", 0.0))
+    val out = runToMemory(
+      StreamOps.streamAttributionPairs(clickIn.toDF(), purchIn.toDF(),
+        windowSeconds = 1800, watermark = "30 minutes"), "attr_pairs") {}
+    val stream = out.filter(col("user_id") >= 0)
+      .select(col("p_id"), unix_micros(col("c_ts")).as("cus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch,
+      s"pair sets differ: stream-only=${(stream -- batch).take(5)} batch-only=${(batch -- stream).take(5)}")
+  }
+
   test("flatMapGroupsWithState running totals") {
     val input = MemoryStream[EventRow](4, spark, None)
     input.addData(
