@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Similarity, TextStats}
+import graft.ext.{Dedup, Events, Similarity, Sketches, TextStats}
 
 /** Extension query suite over `documents` / `embeddings` / `events` — the
   * training-data-pipeline operators (dedup, similarity, text analysis,
@@ -1147,6 +1147,262 @@ object ExtQueries {
       |  ROUND(SUM(CASE WHEN cus IS NOT NULL THEN value END), 2) AS attributed_value
       |FROM a""".stripMargin
 
+  // ---- q52 HyperLogLog approximate distinct ---------------------------------
+
+  /** Portable HyperLogLog (p=9, 512 registers) cardinality of event_id per
+    * event_type, next to the exact count and the realized relative error —
+    * the sketch whose register-max merge makes distinct-counting a map-side
+    * partial aggregation at 100 TB (the shuffle carries ≤ 512 rows per group,
+    * never the keys). The md5-derived hash lets DuckDB replay every register
+    * bit-for-bit; `rel_err` lands within the ~1.04/√512 ≈ 4.6% HLL bound
+    * (asserted in ExtSpec).
+    */
+  def q52HllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val est = Sketches.approxDistinct(e, "event_id", Seq("event_type"), p = 9)
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("event_id")).as("n_exact"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        round(col("hll_est"), 4).as("hll_est"),
+        round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val q52Sql: String = {
+    val m = 512
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m // same double both engines
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, h & ${m - 1} AS bucket,
+       |         CASE WHEN (h >> 9) = 0 THEN 52 ELSE 52 - LENGTH(bin(h >> 9)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, bucket, MAX(rho) AS M FROM b GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n_present,
+       |         SUM(POWER(2.0, -M)) AS sum_present
+       |  FROM reg GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |    CASE WHEN ($alphaM2 / (sum_present + $m - n_present)) <= ${2.5 * m}
+       |              AND n_present < $m
+       |         THEN $m.0 * LN($m.0 / ($m - n_present))
+       |         ELSE $alphaM2 / (sum_present + $m - n_present) END AS hll_est
+       |  FROM agg),
+       |ex AS (SELECT event_type, COUNT(DISTINCT event_id) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT e.event_type, e.n_exact, ROUND(s.hll_est, 4) AS hll_est,
+       |       ROUND(ABS(s.hll_est - e.n_exact) / e.n_exact, 6) AS rel_err
+       |FROM ex e JOIN est s USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
+  // ---- q53 count-min heavy hitters ------------------------------------------
+
+  /** Count-min sketch (d=4 rows × w=64 buckets — width chosen BELOW the
+    * vocabulary size so hash collisions are actually exercised) probed at the
+    * top-10 exact tokens: exact count, CM estimate, and the overestimate
+    * (≥ 0 by construction, asserted in ExtSpec). Cells are built from
+    * pre-aggregated token counts — identical math to hashing every
+    * occurrence, but the explode is per distinct item. Integer-only: no FP
+    * rounding in the gate.
+    */
+  def q53CmHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cells = Sketches.cmCells(counts, "token", "cnt", d = 4, w = 64)
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
+    Sketches.cmEstimate(cells, top, "token", d = 4, w = 64)
+      .join(top, "token")
+      .select(col("token"), col("cnt").as("exact_cnt"), col("cm_est"),
+        (col("cm_est") - col("cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val q53Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |cell AS (
+      |  SELECT r.i AS i,
+      |         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || c.token), 1, 15) AS BIGINT) & 63 AS bucket,
+      |         CAST(SUM(c.cnt) AS BIGINT) AS cell
+      |  FROM c CROSS JOIN range(4) AS r(i) GROUP BY 1, 2),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 10),
+      |probe AS (
+      |  SELECT t.token, t.cnt, r.i AS i,
+      |         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.token), 1, 15) AS BIGINT) & 63 AS bucket
+      |  FROM top t CROSS JOIN range(4) AS r(i))
+      |SELECT p.token, any_value(p.cnt) AS exact_cnt,
+      |       CAST(MIN(l.cell) AS BIGINT) AS cm_est,
+      |       CAST(MIN(l.cell) - any_value(p.cnt) AS BIGINT) AS overestimate
+      |FROM probe p JOIN cell l ON p.i = l.i AND p.bucket = l.bucket
+      |GROUP BY p.token ORDER BY exact_cnt DESC, token""".stripMargin
+
+  // ---- q54 unigram surprisal (LM quality filter) ----------------------------
+
+  /** Per-source panel of per-document mean unigram surprisal (nats): the
+    * corpus unigram MLE is the language model, each document scores
+    * −Σc·ln(f/T)/Σc — the classic cheap perplexity-style curation filter
+    * (high surprisal ⇒ off-distribution text, low ⇒ templated). Three keyed
+    * aggregations, all partial-aggregated; the doc↔frequency join is keyed on
+    * token (the frequency side is vocabulary-sized, broadcastable at scale).
+    */
+  def q54Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      explode(TextStats.tokens(lower(col("text")))).as("t"))
+    val cnt = tok.groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    val total = freq.agg(sum(col("f")).as("__T"))
+    val per = cnt.join(freq, "t").crossJoin(total)
+      .groupBy("doc_id", "source")
+      .agg((-sum(col("c") * log(col("f").cast("double") / col("__T")))
+        / sum(col("c"))).as("surp"))
+    per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("surp")), 6).as("avg_surprisal"),
+      round(min(col("surp")), 6).as("min_surprisal"),
+      round(max(col("surp")), 6).as("max_surprisal"))
+      .orderBy("source")
+  }
+
+  val q54Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(f) AS tot_n FROM freq),
+      |per AS (
+      |  SELECT doc_id, any_value(source) AS source,
+      |         -SUM(c * LN(CAST(f AS DOUBLE) / tot_n)) / SUM(c) AS surp
+      |  FROM cnt JOIN freq USING (t), tot GROUP BY doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(surp), 6) AS avg_surprisal,
+      |  ROUND(MIN(surp), 6) AS min_surprisal,
+      |  ROUND(MAX(surp), 6) AS max_surprisal
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q55 TF-IDF top terms per language ------------------------------------
+
+  /** Top-5 tokens per language by corpus-level TF-IDF (tf = occurrences in
+    * the language, idf = ln(N/df) over the whole corpus). Rank runs over the
+    * ROUNDED score (token as tie-break) so ordering is identical across
+    * engines; both shuffles are keyed and partial-aggregated, and the
+    * df/N side is vocabulary-sized — broadcast at scale.
+    */
+  def q55Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(TextStats.tokens(lower(col("text")))).as("token"))
+    val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("__N"))
+    val scored = tf.join(dfreq, "token").crossJoin(nDocs)
+      .withColumn("score",
+        round(col("tf") * log(col("__N").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("lang", "rank")
+  }
+
+  val q55Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS N FROM documents),
+      |s AS (
+      |  SELECT lang, token, tf, df,
+      |         ROUND(tf * LN(CAST(N AS DOUBLE) / df), 6) AS score
+      |  FROM tf JOIN df USING (token), n),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rank
+      |  FROM s)
+      |SELECT lang, rank, token, tf, df, score
+      |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
+  // ---- q56 deterministic stratified sample ----------------------------------
+
+  /** Reproducible stratified sample: 3 documents per language, picked by
+    * smallest md5(doc_id) — a hash-rank sample is uniform, engine-portable,
+    * and stable under re-runs and repartitioning (the property ad-hoc
+    * `ORDER BY random()` sampling loses). The window is key-partitioned by
+    * stratum; at scale this is one shuffle on lang.
+    */
+  def q56StratSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs(spark, sfDir).select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("lang", "rk")
+  }
+
+  val q56Sql: String =
+    """SELECT lang, doc_id, n_chars, rk FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
+  // ---- q57 k-means assignment over embeddings -------------------------------
+
+  /** Single Lloyd assignment step over the embedding table: centroids are the
+    * 8 vectors with vec_id < 8 (deterministic seed), every vector goes to its
+    * nearest centroid by squared L2 (rounded to 4 dp before the argmin so the
+    * assignment is engine-stable; centroid id breaks exact ties), and the
+    * panel reports cluster sizes, mean distance, and inertia. The plan is the
+    * scale shape: broadcast the k×dim centroid table, one narrow crossJoin,
+    * one keyed argmin aggregation — no all-pairs, no collect of the data side.
+    */
+  def q57KmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val assigned = e.crossJoin(cent)
+      .select(col("vec_id"), col("cid"), round(d2, 4).as("d2"))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"), col("m.d2").as("d2"))
+    assigned.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      round(avg(sqrt(col("d2"))), 6).as("avg_dist"),
+      round(sum(col("d2")), 6).as("inertia"))
+      .orderBy("cluster_id")
+  }
+
+  val q57Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, c.cid,
+      |         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+      |           i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 4) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid AS cluster_id, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d)
+      |SELECT cluster_id, COUNT(*) AS n_members,
+      |  ROUND(AVG(SQRT(d2)), 6) AS avg_dist,
+      |  ROUND(SUM(d2), 6) AS inertia
+      |FROM a WHERE rn = 1
+      |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1180,7 +1436,13 @@ object ExtQueries {
     "q48_token_entropy" -> (q48TokenEntropy _),
     "q49_zipf" -> (q49Zipf _),
     "q50_bloom_decontaminate" -> (q50BloomDecontaminate _),
-    "q51_attribution" -> (q51Attribution _))
+    "q51_attribution" -> (q51Attribution _),
+    "q52_hll_distinct" -> (q52HllDistinct _),
+    "q53_cm_heavy_hitters" -> (q53CmHeavyHitters _),
+    "q54_surprisal" -> (q54Surprisal _),
+    "q55_tfidf" -> (q55Tfidf _),
+    "q56_strat_sample" -> (q56StratSample _),
+    "q57_kmeans_assign" -> (q57KmeansAssign _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1215,5 +1477,11 @@ object ExtQueries {
     "q48_token_entropy" -> q48Sql,
     "q49_zipf" -> q49Sql,
     "q50_bloom_decontaminate" -> q50Sql,
-    "q51_attribution" -> q51Sql)
+    "q51_attribution" -> q51Sql,
+    "q52_hll_distinct" -> q52Sql,
+    "q53_cm_heavy_hitters" -> q53Sql,
+    "q54_surprisal" -> q54Sql,
+    "q55_tfidf" -> q55Sql,
+    "q56_strat_sample" -> q56Sql,
+    "q57_kmeans_assign" -> q57Sql)
 }

@@ -53,6 +53,19 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming approximate distinct count of `keyCol` per `groupCol`: the
+    * portable HLL register table ([[graft.ext.Sketches.hllRegisters]]) run as
+    * a streaming aggregation. The register merge is `max` — commutative,
+    * associative, idempotent — so the state stays bounded at ≤ 2^p rows per
+    * group no matter how long the stream runs, and the final registers are
+    * IDENTICAL to a batch pass over the same rows (asserted in
+    * StreamingSpec). Finish with [[graft.ext.Sketches.hllEstimate]] over the
+    * sink table; emit with Complete/Update output mode.
+    */
+  def approxDistinctRegisters(events: DataFrame, keyCol: String,
+      groupCol: String, p: Int = 9): DataFrame =
+    graft.ext.Sketches.hllRegisters(events, keyCol, Seq(groupCol), p)
+
   /** Stream-static enrichment: broadcast-join a small static dimension onto
     * the stream (the standard lookup/enrichment pattern — the static side
     * re-reads per micro-batch, no stream state), then a watermarked tumbling

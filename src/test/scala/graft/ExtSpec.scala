@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Events, Multimodal, Similarity, Sketches, TextStats}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -648,5 +648,81 @@ class ExtSpec extends SparkSpec {
     val engine = Events.lastClickAttribution(ev, windowSeconds = 1800).collect()
       .map(r => r.getLong(0) -> Option(r.get(4))).toMap
     assert(engine == joined, s"window pass $engine vs interval join $joined")
+  }
+
+  test("HLL estimate lands within the theoretical error bound per group") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val est = Sketches.approxDistinct(ev, "event_id", Seq("event_type"), p = 9)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("event_id")).as("n"))
+    val rows = est.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, n) = (r.getAs[Double]("hll_est"), r.getAs[Long]("n"))
+      // standard error 1.04/sqrt(512) ~ 4.6%; assert within ~3 sigma
+      assert(math.abs(e - n) / n < 0.15,
+        s"${r.getString(0)}: est $e vs exact $n outside 15%")
+    }
+  }
+
+  test("HLL registers from split halves max-merge to exactly the whole-pass registers") {
+    // the distributed/streaming merge property: sketch(A union B) =
+    // max-merge(sketch(A), sketch(B)) — bit-identical registers, so any
+    // partitioning of a 100-TB scan yields the same estimate
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    val merged = Sketches.hllRegisters(a, "event_id", Seq("event_type"))
+      .union(Sketches.hllRegisters(b, "event_id", Seq("event_type")))
+      .groupBy("event_type", "bucket").agg(max(col("M")).as("M"))
+    val whole = Sketches.hllRegisters(ev, "event_id", Seq("event_type"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty,
+      "merged registers differ from whole-pass registers")
+  }
+
+  test("count-min estimate is an upper bound for every item; exact when width exceeds vocab") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = d.select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // narrow sketch (w=64): estimates may overshoot but never undershoot
+    val narrow = Sketches.cmEstimate(
+      Sketches.cmCells(counts, "token", "cnt", d = 4, w = 64),
+      counts, "token", d = 4, w = 64).join(counts, "token").collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("cnt"),
+        s"${r.getString(0)}: CM underestimated")
+    }
+    // wide sketch (w=4096 >> 31-token vocab): collisions are possible but
+    // astronomically unlikely across 4 salted rows — min over rows is exact
+    val wide = Sketches.cmEstimate(
+      Sketches.cmCells(counts, "token", "cnt", d = 4, w = 4096),
+      counts, "token", d = 4, w = 4096).join(counts, "token").collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("cm_est") == r.getAs[Long]("cnt"),
+        s"${r.getString(0)}: wide CM not exact")
+    }
+  }
+
+  test("k-means assignment covers every vector once and broadcasts the centroid side") {
+    val q = graft.queries.ExtQueries.q57KmeansAssign(spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    val total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must be assigned to exactly one cluster")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid side should broadcast:\n$plan")
+  }
+
+  test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
+    val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Double]("score")))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"$lang ranks")
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$lang scores not non-increasing: ${byRank.toSeq}")
+    }
   }
 }

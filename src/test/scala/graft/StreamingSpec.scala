@@ -296,4 +296,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows(7L) == ((2L, 4.0)))
     assert(rows(8L) == ((1L, 1.0)))
   }
+
+  test("streaming HLL registers across batches ≡ batch sketch on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val rows = ev.as[EventRow].collect().toSeq
+    val input = MemoryStream[EventRow](11, spark, None)
+    // two micro-batches exercise the cross-batch state merge, not just one pass
+    input.addData(rows.take(rows.length / 2))
+    input.addData(rows.drop(rows.length / 2))
+    val regs = runToMemory(
+      StreamOps.approxDistinctRegisters(input.toDF(), "event_id", "event_type"),
+      "hll_regs", mode = "complete") {}
+    val streamEst = graft.ext.Sketches.hllEstimate(regs, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val batchEst = graft.ext.Sketches.approxDistinct(ev, "event_id", Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // registers are bit-identical (max-merge is order-insensitive) and the
+    // estimator sums dyadic rationals well inside double precision → exact ==
+    assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
+  }
 }
