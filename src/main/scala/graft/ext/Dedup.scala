@@ -55,18 +55,35 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("cnt") > 1)
 
+  /** LET-binding for a column referenced many times inside higher-order
+    * lambdas: evaluates `value` exactly once per row and exposes it to `body`
+    * as a lambda variable. Higher-order functions are interpreted (no
+    * codegen, no subexpression elimination), and both CollapseProject and
+    * the Generate (explode) pushdown will inline a projection alias into
+    * every reference site — so an expression like `element_at(<alias>, i)`
+    * repeated k times re-runs the alias's WHOLE pipeline k times per row
+    * (measured 40× slowdown on the span-dedup explode at sf0.1). A lambda
+    * variable cannot be inlined, making the single evaluation structural
+    * rather than optimizer-dependent.
+    */
+  private[graft] def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Shingle hashes straight from per-token hashes (no n-gram string
     * building): hash each token once, combine n consecutive hashes with
     * distinct odd multipliers. ~5× cheaper than string shingles on the hot
     * explode path; collision probability is negligible for dedup purposes.
-    * Pass a column that already holds `transform(tokens, xxhash64)`.
+    * Pass a column that already holds `transform(tokens, xxhash64)` — it is
+    * let-bound here ([[bindOnce]]), so callers need no materialization
+    * barrier between the token-hash projection and this one.
     */
   def shingleHashesFromTokenHashes(th: Column, n: Int): Column =
-    when(size(th) < n, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(0), size(th) - n),
-        i => (0 until n).map(j =>
-          element_at(th, i + lit(j + 1)) * lit(0x9E3779B97F4A7C15L * (2L * j + 1)))
-          .reduce(_ + _)))
+    bindOnce(th, thv =>
+      when(size(thv) < n, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(0), size(thv) - n),
+          i => (0 until n).map(j =>
+            element_at(thv, i + lit(j + 1)) * lit(0x9E3779B97F4A7C15L * (2L * j + 1)))
+            .reduce(_ + _))))
 
   def tokenHashes(text: Column): Column = transform(tokens(text), t => xxhash64(t))
 
@@ -137,12 +154,16 @@ object Dedup {
     val perBand = numHashes / bands
     // band hash = variadic xxhash64 over the band's raw signature longs
     // (numeric, codegen'd) — the previous cast-to-string + concat_ws built a
-    // string per band per doc, which dominated the banding stage's cost
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until perBand).map(j =>
-        element_at(col("sig"), b * perBand + j + 1)): _*)
-    }
-    sig.select(col("id"), posexplode(array(bandHashes: _*)))
+    // string per band per doc, which dominated the banding stage's cost.
+    // sig is let-bound: this select feeds a posexplode, and the Generate
+    // pushdown would otherwise inline an unmaterialized signature pipeline
+    // into all bands×perBand element_at references (see bindOnce).
+    val bandHashArray = bindOnce(col("sig"), s =>
+      array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until perBand).map(j =>
+          element_at(s, b * perBand + j + 1)): _*)
+      }: _*))
+    sig.select(col("id"), posexplode(bandHashArray))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
   }
 
@@ -500,14 +521,16 @@ object Dedup {
     * One interpreted `aggregate` pass over the token-hash array per bit;
     * identical bit semantics to [[simhash]].
     */
-  def simhashCol(text: Column, bits: Int = 64): Column = {
-    val th = tokenHashes(text)
-    (0 until bits).map { b =>
-      val vote = aggregate(th, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhashCol(text: Column, bits: Int = 64): Column =
+    // the token-hash array is let-bound: without it the expression tree holds
+    // `bits` copies of the tokenize+hash pipeline, one per vote lambda, and
+    // interpreted HOF eval runs all of them per row (see bindOnce)
+    bindOnce(tokenHashes(text), th =>
+      (0 until bits).map { b =>
+        val vote = aggregate(th, lit(0),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _))
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxHamming, using
     * band collision (any identical `bits/bands`-wide chunk ⇒ candidate) then

@@ -1403,6 +1403,55 @@ object ExtQueries {
       |FROM a WHERE rn = 1
       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---- q59 event transition bigrams -----------------------------------------
+
+  /** First-order Markov transition head of the event stream: top-3 next
+    * event types per antecedent, with counts and transition probability.
+    * One per-user keyed window builds the lag chain (the same shape
+    * sessionization uses — partitioned, never global), then two keyed
+    * aggregations over the tiny (prev, next) space. Ordering ties are broken
+    * by event_id, and the oracle orders on epoch-microseconds explicitly so
+    * DuckDB's nanosecond timestamps can't order differently from Spark's
+    * microsecond-truncated ones.
+    */
+  def q59Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cnt = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("prev_type").agg(sum(col("cnt")).as("tot"))
+    val rw = Window.partitionBy("prev_type").orderBy(col("cnt").desc, col("next_type"))
+    cnt.join(tot, "prev_type")
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("prev_type"), col("rank"), col("next_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot"), 6).as("prob"))
+      .orderBy("prev_type", "rank")
+  }
+
+  val q59Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, SUM(cnt) AS tot FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT c.prev_type, c.next_type, c.cnt, t.tot,
+      |         ROW_NUMBER() OVER (PARTITION BY c.prev_type
+      |           ORDER BY c.cnt DESC, c.next_type) AS rank
+      |  FROM c JOIN t USING (prev_type))
+      |SELECT prev_type, rank, next_type, cnt,
+      |  ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS prob
+      |FROM r WHERE rank <= 3 ORDER BY prev_type, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1442,7 +1491,8 @@ object ExtQueries {
     "q54_surprisal" -> (q54Surprisal _),
     "q55_tfidf" -> (q55Tfidf _),
     "q56_strat_sample" -> (q56StratSample _),
-    "q57_kmeans_assign" -> (q57KmeansAssign _))
+    "q57_kmeans_assign" -> (q57KmeansAssign _),
+    "q59_transitions" -> (q59Transitions _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1483,5 +1533,6 @@ object ExtQueries {
     "q54_surprisal" -> q54Sql,
     "q55_tfidf" -> q55Sql,
     "q56_strat_sample" -> q56Sql,
-    "q57_kmeans_assign" -> q57Sql)
+    "q57_kmeans_assign" -> q57Sql,
+    "q59_transitions" -> q59Sql)
 }

@@ -606,6 +606,45 @@ object Queries {
        |       ROUND(sh / penalty, 6) AS smart_sharpe
        |FROM pen ORDER BY asset""".stripMargin
 
+  /** Winsorized robust moments per asset: clip returns at the exact
+    * linear-interp 1%/99% quantiles (same `percentile` semantics q05 uses),
+    * then panel raw vs winsorized mean/vol next to the applied bounds — the
+    * standard outlier-robust risk view. One keyed quantile aggregation, a
+    * broadcast join of the per-asset bounds (3 rows), and one keyed moment
+    * aggregation — no window, no driver round-trip, two shuffles total on
+    * the asset key.
+    */
+  def q58Winsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val bounds = sf.df.groupBy("asset").agg(
+      percentile(col("r"), lit(0.01)).as("lo"),
+      percentile(col("r"), lit(0.99)).as("hi"))
+    sf.df.join(broadcast(bounds), "asset")
+      .withColumn("w", least(greatest(col("r"), col("lo")), col("hi")))
+      .groupBy("asset").agg(
+        round(avg(col("r")), 6).as("mean_raw"),
+        round(avg(col("w")), 6).as("mean_wins"),
+        round(stddev_samp(col("r")), 6).as("vol_raw"),
+        round(stddev_samp(col("w")), 6).as("vol_wins"),
+        round(min(col("lo")), 6).as("lo"),
+        round(max(col("hi")), 6).as("hi"))
+      .orderBy("asset")
+  }
+
+  val q58Sql: String =
+    s"""$RetCte,
+       |b AS (
+       |  SELECT asset, quantile_cont(r, 0.01) AS lo, quantile_cont(r, 0.99) AS hi
+       |  FROM ret GROUP BY asset),
+       |c AS (
+       |  SELECT ret.asset, r, LEAST(GREATEST(r, lo), hi) AS w, lo, hi
+       |  FROM ret JOIN b USING (asset))
+       |SELECT asset,
+       |  ROUND(AVG(r), 6) AS mean_raw, ROUND(AVG(w), 6) AS mean_wins,
+       |  ROUND(STDDEV_SAMP(r), 6) AS vol_raw, ROUND(STDDEV_SAMP(w), 6) AS vol_wins,
+       |  ROUND(MIN(lo), 6) AS lo, ROUND(MAX(hi), 6) AS hi
+       |FROM c GROUP BY asset ORDER BY asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -626,7 +665,8 @@ object Queries {
     "q27_segment_returns" -> (q27SegmentReturns _),
     "q28_rolling_sharpe" -> (q28RollingSharpe _),
     "q29_drawdown_details" -> (q29DrawdownDetails _),
-    "q30_smart_sharpe" -> (q30SmartSharpe _)) ++ ExtQueries.all
+    "q30_smart_sharpe" -> (q30SmartSharpe _),
+    "q58_winsorized" -> (q58Winsorized _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -646,5 +686,6 @@ object Queries {
     "q27_segment_returns" -> q27Sql,
     "q28_rolling_sharpe" -> q28Sql,
     "q29_drawdown_details" -> q29Sql,
-    "q30_smart_sharpe" -> q30Sql) ++ ExtQueries.oracles
+    "q30_smart_sharpe" -> q30Sql,
+    "q58_winsorized" -> q58Sql) ++ ExtQueries.oracles
 }
