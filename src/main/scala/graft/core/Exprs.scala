@@ -15,6 +15,19 @@ import graft.functions.GraftProduct.product
   */
 object Exprs {
 
+  /** LET-binding for a column referenced many times inside higher-order
+    * lambdas: evaluates `value` exactly once per row and exposes it to `body`
+    * as a lambda variable. Higher-order functions are interpreted (no
+    * codegen, no subexpression elimination), and both CollapseProject and
+    * the Generate (explode) pushdown can inline a projection alias into
+    * every reference site — so an expression repeated k times in lambda
+    * bodies re-runs the alias's whole pipeline k times per row (measured 40×
+    * on the span-dedup explode). A lambda variable cannot be inlined, making
+    * the single evaluation structural rather than optimizer-dependent.
+    */
+  def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** IEEE-style division matching Polars float semantics regardless of the
     * session's ANSI setting: x/0 → ±Inf, 0/0 → NaN, null propagates.
     */

@@ -55,19 +55,9 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("cnt") > 1)
 
-  /** LET-binding for a column referenced many times inside higher-order
-    * lambdas: evaluates `value` exactly once per row and exposes it to `body`
-    * as a lambda variable. Higher-order functions are interpreted (no
-    * codegen, no subexpression elimination), and both CollapseProject and
-    * the Generate (explode) pushdown will inline a projection alias into
-    * every reference site — so an expression like `element_at(<alias>, i)`
-    * repeated k times re-runs the alias's WHOLE pipeline k times per row
-    * (measured 40× slowdown on the span-dedup explode at sf0.1). A lambda
-    * variable cannot be inlined, making the single evaluation structural
-    * rather than optimizer-dependent.
-    */
-  private[graft] def bindOnce(value: Column, body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
+  /** See [[graft.core.Exprs.bindOnce]] — re-exported for local readability. */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    graft.core.Exprs.bindOnce(value, body)
 
   /** Shingle hashes straight from per-token hashes (no n-gram string
     * building): hash each token once, combine n consecutive hashes with

@@ -281,20 +281,27 @@ object Similarity {
       lit(1e-12))
 
   /** Quantize to int8 codes (storage form: 4-32× smaller than the float
-    * vector; ship (codes, scale) and dequantize on read).
+    * vector; ship (codes, scale) and dequantize on read). The scale argument
+    * is let-bound ([[graft.core.Exprs.bindOnce]]): if a caller passes the
+    * `int8Scale` aggregate inline (or the optimizer inlines its alias), an
+    * unbound reference would re-run that max-|x| pass once per ELEMENT in
+    * the interpreted lambda.
     */
   def quantizeInt8(vec: Column, scale: Column): Column =
-    transform(vec, x => round(x / scale).cast("int"))
+    graft.core.Exprs.bindOnce(scale, s =>
+      transform(vec, x => round(x / s).cast("int")))
 
-  /** Dequantized double vector from int8 codes. */
+  /** Dequantized double vector from int8 codes (scale let-bound, as above). */
   def dequantizeInt8(codes: Column, scale: Column): Column =
-    transform(codes, x => x.cast("double") * scale)
+    graft.core.Exprs.bindOnce(scale, s =>
+      transform(codes, x => x.cast("double") * s))
 
   /** Round-trip reconstruction in pure double arithmetic (round(x/s)·s) —
     * the exact shape an external engine can replay, for error auditing.
     */
   def int8RoundTrip(vec: Column, scale: Column): Column =
-    transform(vec, x => round(x / scale) * scale)
+    graft.core.Exprs.bindOnce(scale, s =>
+      transform(vec, x => round(x / s) * s))
 
   /** Per-label embedding statistics (norm distribution) — sanity panel. */
   def normStats(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =

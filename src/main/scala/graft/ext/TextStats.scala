@@ -112,10 +112,11 @@ object TextStats {
     * — the standard "repetitive junk" corpus-quality signal (boilerplate,
     * keyword stuffing, generation loops). Row-local, no shuffle.
     */
-  def repetitionRatio(text: Column): Column = {
-    val tok = tokens(lower(text))
-    lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok)
-  }
+  def repetitionRatio(text: Column): Column =
+    // tokenization let-bound: the two references (distinct size, total size)
+    // would otherwise tokenize twice per row
+    graft.core.Exprs.bindOnce(tokens(lower(text)), tok =>
+      lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok))
 
   /** PII patterns (lowercase input): conservative email and dotted-quad IP.
     * Both are expressible identically in Java regex and RE2, so an external
