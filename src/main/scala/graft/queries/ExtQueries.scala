@@ -1452,6 +1452,125 @@ object ExtQueries {
       |  ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS prob
       |FROM r WHERE rank <= 3 ORDER BY prev_type, rank""".stripMargin
 
+  // ---- q60 end-to-end curation pipeline -------------------------------------
+
+  /** The whole curation stack composed end to end, reported as staged
+    * (n_docs, n_tokens) counts — the "kept corpus" view a training-data
+    * pipeline actually ships:
+    *   0 raw → 1 exact dedup (keep min doc_id per md5 group)
+    *         → 2 near-dup keep-one (portable-SimHash hamming ≤ 3 components;
+    *           keep the min surviving id per component)
+    *         → 3 decontaminated (drop the src0 benchmark itself + any doc
+    *           with ≥ 5 distinct 3-shingle overlaps against it)
+    *         → 4 token budget (8000 tokens by quality desc, doc_id tiebreak).
+    * Every stage reuses the session-cached primitives (simhash signatures,
+    * shingle sets, quality projection); counts are integers so the gate is
+    * FP-free. At 100 TB each stage is the same keyed-shuffle shape its
+    * standalone query runs — composition adds joins on doc_id, no new wide
+    * operation.
+    */
+  def q60CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"), col("source"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"),
+      round(TextStats.qualityScore(col("text")), 3).as("q"))
+
+    val s1 = d.groupBy(md5(col("text").cast("binary")).as("dg"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+
+    val sigs = cached(spark, sfDir, "simhash_portable")(
+      Dedup.simhashPortable(d, "doc_id", "text"))
+    val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
+      maxHamming = 3, bits = 60, bands = 4)
+    val groups = Dedup.duplicateGroups(pairs.select(col("id1"), col("id2")))
+      .withColumnRenamed("id", "doc_id")
+    val wg = s1.join(groups, Seq("doc_id"), "left")
+      .withColumn("gk", coalesce(col("group_id"), col("doc_id")))
+    val keep = wg.groupBy("gk").agg(min(col("doc_id")).as("keep_id"))
+    val s2 = wg.join(keep, "gk").filter(col("doc_id") === col("keep_id"))
+      .select("doc_id")
+
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(d, "doc_id", "text", shingleSize = 3))
+    val bySource = d.select(col("doc_id").as("id"), col("source"))
+    val flagged = Dedup.contaminationReportFromSets(
+      sets.join(bySource.filter(col("source") =!= "src0"), "id").select("id", "sset"),
+      sets.join(bySource.filter(col("source") === "src0"), "id").select("id", "sset"),
+      minOverlap = 5).select(col("id").as("doc_id"))
+    val s3 = s2.join(toks.select("doc_id", "source"), "doc_id")
+      .filter(col("source") =!= "src0").select("doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+
+    val s4 = graft.ext.Curation.selectByTokenBudget(
+      s3.join(toks, "doc_id"), "doc_id", "q", "tokens", 8000L).select("doc_id")
+
+    val stages = Seq((0L, "raw", d.select("doc_id")), (1L, "exact_dedup", s1),
+      (2L, "near_dedup", s2), (3L, "decontaminated", s3), (4L, "token_budget", s4))
+    stages.map { case (i, nm, ids) =>
+      ids.join(toks, "doc_id").agg(
+        count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(nm).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  val q60Sql: String =
+    s"""WITH RECURSIVE tokq AS (
+       |  SELECT doc_id, source,
+       |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens,
+       |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+       |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+       |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+       |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+       |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q
+       |  FROM documents),
+       |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |pr AS (SELECT id1, id2 FROM (${q19Sql}) z),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+       |comp AS (SELECT id, LEAST(id, MIN(r)) AS group_id FROM reach GROUP BY id),
+       |wg AS (SELECT s1.doc_id, COALESCE(c.group_id, s1.doc_id) AS gk
+       |       FROM s1 LEFT JOIN comp c ON s1.doc_id = c.id),
+       |s2 AS (SELECT doc_id FROM (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gk) AS keep FROM wg)
+       |  WHERE doc_id = keep),
+       |tok3 AS (
+       |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       |sh3 AS (
+       |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+       |  FROM tok3),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh3 WHERE source = 'src0'),
+       |corp AS (SELECT doc_id, unnest(s) AS g FROM sh3 WHERE source <> 'src0'),
+       |flagged AS (
+       |  SELECT c.doc_id FROM corp c JOIN bench b ON c.g = b.g
+       |  GROUP BY c.doc_id HAVING COUNT(*) >= 5),
+       |s3 AS (
+       |  SELECT s2.doc_id FROM s2 JOIN tokq USING (doc_id)
+       |  WHERE tokq.source <> 'src0'
+       |    AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = s2.doc_id)),
+       |c4 AS (
+       |  SELECT t.doc_id, SUM(t.tokens) OVER (ORDER BY t.q DESC, t.doc_id) AS cum
+       |  FROM s3 JOIN tokq t USING (doc_id)),
+       |s4 AS (SELECT doc_id FROM c4 WHERE cum <= 8000),
+       |panel AS (
+       |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs, SUM(tokens) AS n_tokens FROM tokq
+       |  UNION ALL SELECT 1, 'exact_dedup', COUNT(*), SUM(t.tokens)
+       |    FROM s1 JOIN tokq t USING (doc_id)
+       |  UNION ALL SELECT 2, 'near_dedup', COUNT(*), SUM(t.tokens)
+       |    FROM s2 JOIN tokq t USING (doc_id)
+       |  UNION ALL SELECT 3, 'decontaminated', COUNT(*), SUM(t.tokens)
+       |    FROM s3 JOIN tokq t USING (doc_id)
+       |  UNION ALL SELECT 4, 'token_budget', COUNT(*), SUM(t.tokens)
+       |    FROM s4 JOIN tokq t USING (doc_id))
+       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM panel ORDER BY stage""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1492,7 +1611,8 @@ object ExtQueries {
     "q55_tfidf" -> (q55Tfidf _),
     "q56_strat_sample" -> (q56StratSample _),
     "q57_kmeans_assign" -> (q57KmeansAssign _),
-    "q59_transitions" -> (q59Transitions _))
+    "q59_transitions" -> (q59Transitions _),
+    "q60_curation_pipeline" -> (q60CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1534,5 +1654,6 @@ object ExtQueries {
     "q55_tfidf" -> q55Sql,
     "q56_strat_sample" -> q56Sql,
     "q57_kmeans_assign" -> q57Sql,
-    "q59_transitions" -> q59Sql)
+    "q59_transitions" -> q59Sql,
+    "q60_curation_pipeline" -> q60Sql)
 }

@@ -714,6 +714,19 @@ class ExtSpec extends SparkSpec {
       s"centroid side should broadcast:\n$plan")
   }
 
+  test("curation pipeline stages are monotone non-increasing and respect the budget") {
+    val rows = graft.queries.ExtQueries.q60CurationPipeline(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 5)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"doc counts not monotone: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"token counts not monotone: ${toks.toSeq}")
+    assert(toks.last <= 8000L, s"budget stage exceeds 8000 tokens: ${toks.last}")
+  }
+
   test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
     val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
