@@ -1571,6 +1571,77 @@ object ExtQueries {
        |       CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM panel ORDER BY stage""".stripMargin
 
+  // ---- q61 BM25 retrieval scoring -------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75) document scores for a deterministic 3-term query
+    * (the corpus tokens ranked 6-8 by global frequency — mid-head terms with
+    * real idf spread), top-10 docs. The retrieval op a query-based curation
+    * pass needs: df/idf and avgdl are corpus-level aggregates (tiny,
+    * broadcastable), per-doc tf is one keyed aggregation over an explode
+    * restricted to the 3 query terms, and ranking runs over the ROUNDED
+    * score (doc_id tiebreak) for engine-stable order.
+    */
+  def q61Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val k1 = 1.2; val b = 0.75
+    val tok = d.select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val w0 = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("t"))
+    val terms = counts.orderBy(col("cnt").desc, col("t")).limit(8)
+      .withColumn("rk", row_number().over(w0)).filter(col("rk") > 5)
+      .select(col("t"))
+    val dl = d.select(col("doc_id"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__N"), avg(col("dl")).as("__avgdl"))
+    val dfreq = tok.select("doc_id", "t").distinct()
+      .join(broadcast(terms), "t").groupBy("t").agg(count(lit(1)).as("df"))
+    val tf = tok.join(broadcast(terms), "t")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(dfreq), "t").crossJoin(stats)
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // 2.2 as a LITERAL on both sides: k1+1.0 computed in Scala doubles
+      // rounds differently from the decimal literal DuckDB parses (1 ulp)
+      .withColumn("s",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(k1) * (lit(0.25) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"), min(col("dl")).as("dl"))
+    val wr = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("dl"))
+      .orderBy("rank")
+  }
+
+  val q61Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents),
+      |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |terms AS (
+      |  SELECT t FROM (
+      |    SELECT t, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rk FROM c)
+      |  WHERE rk BETWEEN 6 AND 8),
+      |dl AS (SELECT doc_id,
+      |         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM dl),
+      |dfreq AS (
+      |  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok JOIN terms USING (t) GROUP BY t),
+      |tf AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf FROM tok JOIN terms USING (t) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ROUND(SUM(LN(1.0 + (N - df + 0.5) / (df + 0.5))
+      |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 6) AS score,
+      |    MIN(dl.dl) AS dl
+      |  FROM tf JOIN dfreq USING (t), stats
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY tf.doc_id)
+      |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score, dl
+      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+      |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1612,7 +1683,8 @@ object ExtQueries {
     "q56_strat_sample" -> (q56StratSample _),
     "q57_kmeans_assign" -> (q57KmeansAssign _),
     "q59_transitions" -> (q59Transitions _),
-    "q60_curation_pipeline" -> (q60CurationPipeline _))
+    "q60_curation_pipeline" -> (q60CurationPipeline _),
+    "q61_bm25" -> (q61Bm25 _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1655,5 +1727,6 @@ object ExtQueries {
     "q56_strat_sample" -> q56Sql,
     "q57_kmeans_assign" -> q57Sql,
     "q59_transitions" -> q59Sql,
-    "q60_curation_pipeline" -> q60Sql)
+    "q60_curation_pipeline" -> q60Sql,
+    "q61_bm25" -> q61Sql)
 }

@@ -66,6 +66,18 @@ object StreamOps {
       groupCol: String, p: Int = 9): DataFrame =
     graft.ext.Sketches.hllRegisters(events, keyCol, Seq(groupCol), p)
 
+  /** Streaming count-min cells over a raw item stream: cell merge is `+`
+    * (commutative, associative), so cross-batch state lands on exactly the
+    * batch sketch over the same rows (asserted in StreamingSpec). State is
+    * bounded at d×w rows regardless of stream length; Complete/Update
+    * output mode. Probe the sink table with
+    * [[graft.ext.Sketches.cmEstimate]].
+    */
+  def cmCellsStream(items: DataFrame, itemCol: String,
+      d: Int = 4, w: Int = 64): DataFrame =
+    graft.ext.Sketches.cmCells(
+      items.withColumn("__one", lit(1L)), itemCol, "__one", d, w)
+
   /** Stream-static enrichment: broadcast-join a small static dimension onto
     * the stream (the standard lookup/enrichment pattern — the static side
     * re-reads per micro-batch, no stream state), then a watermarked tumbling

@@ -319,4 +319,26 @@ class StreamingSpec extends SparkSpec {
     // estimator sums dyadic rationals well inside double precision → exact ==
     assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
   }
+
+  test("streaming count-min cells across batches ≡ batch sketch on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val rows = ev.as[EventRow].collect().toSeq
+    val input = MemoryStream[EventRow](12, spark, None)
+    input.addData(rows.take(rows.length / 3))
+    input.addData(rows.drop(rows.length / 3))
+    val streamCells = runToMemory(
+      StreamOps.cmCellsStream(input.toDF(), "event_type", d = 4, w = 16),
+      "cm_cells", mode = "complete") {}
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchCells = graft.ext.Sketches.cmCells(
+      ev.groupBy("event_type").agg(count(lit(1)).as("cnt")),
+      "event_type", "cnt", d = 4, w = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamCells == batchCells,
+      s"stream cells $streamCells vs batch $batchCells")
+  }
 }
