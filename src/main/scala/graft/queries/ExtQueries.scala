@@ -537,13 +537,21 @@ object ExtQueries {
     * scale the same round count amortizes over real per-round work; the
     * iterative cost model is what a 100-TB component step looks like, shrunk.
     */
-  def q36DupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = cached(spark, sfDir, "simhash_portable")(
-      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
-    val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
-      maxHamming = 3, bits = 60, bands = 4)
-    Dedup.duplicateGroups(pairs.select(col("id1"), col("id2"))).orderBy("id")
-  }
+  /** (id, group_id) connected components over the portable-simhash pair
+    * graph — cached per (session, sf): q36 gates it directly and q60's
+    * near-dup stage consumes the same frame.
+    */
+  private def dupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "dup_groups") {
+      val sigs = cached(spark, sfDir, "simhash_portable")(
+        Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
+      val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
+        maxHamming = 3, bits = 60, bands = 4)
+      Dedup.duplicateGroups(pairs.select(col("id1"), col("id2")))
+    }
+
+  def q36DupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    dupGroups(spark, sfDir).orderBy("id")
 
   val q36Sql: String =
     s"""WITH RECURSIVE pr AS (SELECT id1, id2 FROM (${q19Sql}) q),
@@ -1478,12 +1486,7 @@ object ExtQueries {
     val s1 = d.groupBy(md5(col("text").cast("binary")).as("dg"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
 
-    val sigs = cached(spark, sfDir, "simhash_portable")(
-      Dedup.simhashPortable(d, "doc_id", "text"))
-    val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
-      maxHamming = 3, bits = 60, bands = 4)
-    val groups = Dedup.duplicateGroups(pairs.select(col("id1"), col("id2")))
-      .withColumnRenamed("id", "doc_id")
+    val groups = dupGroups(spark, sfDir).withColumnRenamed("id", "doc_id")
     val wg = s1.join(groups, Seq("doc_id"), "left")
       .withColumn("gk", coalesce(col("group_id"), col("doc_id")))
     val keep = wg.groupBy("gk").agg(min(col("doc_id")).as("keep_id"))
@@ -1642,6 +1645,61 @@ object ExtQueries {
       |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
       |ORDER BY rank""".stripMargin
 
+  // ---- q62 HLL sketch cube (pre-aggregated registers, merged on read) -------
+
+  /** The pre-aggregated sketch-cube pattern: build HLL registers once per
+    * (day, hour) cell — the granularity a 100-TB pipeline would materialize —
+    * then answer the per-day distinct-event question by max-merging the 24
+    * hourly cells, never rescanning raw data. Because register max-merge is
+    * exact (not approximate-on-approximate), the merged registers are
+    * bit-identical to a direct per-day build, which is what the oracle
+    * computes — the gate itself proves the merge identity. Panel: per day,
+    * exact distinct vs merged-sketch estimate and realized error.
+    */
+  def q62HllCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir).select(col("event_id"),
+      to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+    val hourly = Sketches.hllRegisters(e, "event_id", Seq("day", "hr"), p = 9)
+    val daily = hourly.groupBy("day", "bucket").agg(max(col("M")).as("M"))
+    val est = Sketches.hllEstimate(daily, Seq("day"), p = 9)
+    val exact = e.groupBy("day").agg(countDistinct(col("event_id")).as("n_exact"))
+    exact.join(est, "day")
+      .select(col("day").cast("string").as("day"), col("n_exact"),
+        round(col("hll_est"), 4).as("hll_est"),
+        round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+      .orderBy("day")
+  }
+
+  val q62Sql: String = {
+    val m = 512
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    s"""WITH h AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |b AS (
+       |  SELECT day, h & ${m - 1} AS bucket,
+       |         CASE WHEN (h >> 9) = 0 THEN 52 ELSE 52 - LENGTH(bin(h >> 9)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT day, bucket, MAX(rho) AS M FROM b GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT day, COUNT(*) AS n_present, SUM(POWER(2.0, -M)) AS sum_present
+       |  FROM reg GROUP BY 1),
+       |est AS (
+       |  SELECT day,
+       |    CASE WHEN ($alphaM2 / (sum_present + $m - n_present)) <= ${2.5 * m}
+       |              AND n_present < $m
+       |         THEN $m.0 * LN($m.0 / ($m - n_present))
+       |         ELSE $alphaM2 / (sum_present + $m - n_present) END AS hll_est
+       |  FROM agg),
+       |ex AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT event_id) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT CAST(e.day AS VARCHAR) AS day, e.n_exact,
+       |       ROUND(s.hll_est, 4) AS hll_est,
+       |       ROUND(ABS(s.hll_est - e.n_exact) / e.n_exact, 6) AS rel_err
+       |FROM ex e JOIN est s USING (day) ORDER BY day""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1684,7 +1742,8 @@ object ExtQueries {
     "q57_kmeans_assign" -> (q57KmeansAssign _),
     "q59_transitions" -> (q59Transitions _),
     "q60_curation_pipeline" -> (q60CurationPipeline _),
-    "q61_bm25" -> (q61Bm25 _))
+    "q61_bm25" -> (q61Bm25 _),
+    "q62_hll_cube" -> (q62HllCube _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1728,5 +1787,6 @@ object ExtQueries {
     "q57_kmeans_assign" -> q57Sql,
     "q59_transitions" -> q59Sql,
     "q60_curation_pipeline" -> q60Sql,
-    "q61_bm25" -> q61Sql)
+    "q61_bm25" -> q61Sql,
+    "q62_hll_cube" -> q62Sql)
 }
