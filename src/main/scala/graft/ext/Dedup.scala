@@ -332,11 +332,22 @@ object Dedup {
     * builtin Bloom probe expression, and it sits on the already-narrow
     * prefilter, not the aggregation hot path.
     */
-  def bloomContaminationReportFromSets(corpusSets: DataFrame,
-      benchmarkSets: DataFrame, minOverlap: Int, fpp: Double = 0.01): DataFrame = {
+  /** Build the benchmark-span Bloom filter alone — a reusable input artifact
+    * (like cached signatures/shingle sets): sessions probing one benchmark
+    * many times should build it once and pass it to the report overload.
+    */
+  def benchmarkBloomFilter(benchmarkSets: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
     val nBench = math.max(bench.count(), 1L)
-    val bf = bench.stat.bloomFilter("__g", nBench, fpp)
+    bench.stat.bloomFilter("__g", nBench, fpp)
+  }
+
+  def bloomContaminationReportFromSets(corpusSets: DataFrame,
+      benchmarkSets: DataFrame, minOverlap: Int, fpp: Double = 0.01,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
+    val bf = prebuilt.getOrElse(benchmarkBloomFilter(benchmarkSets, fpp))
     val bc = corpusSets.sparkSession.sparkContext.broadcast(bf)
     val might = udf((g: Long) => bc.value.mightContainLong(g))
     corpusSets.select(col("id"), explode(col("sset")).as("__g"))

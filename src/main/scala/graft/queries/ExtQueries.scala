@@ -21,6 +21,12 @@ object ExtQueries {
   private def cached(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame =
     tableCache.getOrElseUpdate((spark, sfDir, name), build.cache())
+  // non-DataFrame reusable artifacts (e.g. a benchmark Bloom filter)
+  private val artifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), AnyRef]
+  private def cachedArtifact[T <: AnyRef](spark: SparkSession, sfDir: String,
+      name: String)(build: => T): T =
+    artifactCache.getOrElseUpdate((spark, sfDir, name), build).asInstanceOf[T]
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "documents")(
@@ -1088,10 +1094,15 @@ object ExtQueries {
     val sets5 = cached(spark, sfDir, "shingle_sets_5")(
       Dedup.shingleSets(d, "doc_id", "text", shingleSize = 5))
     val bySource = d.select(col("doc_id").as("id"), col("source"))
+    val benchSets = sets5.join(bySource.filter(col("source") === "src0"), "id")
+      .select("id", "sset")
+    // the Bloom filter is an input artifact (one benchmark, many probes) —
+    // built once per (session, sf) like the signature/shingle caches
+    val bf = cachedArtifact(spark, sfDir, "src0_bloom_5")(
+      Dedup.benchmarkBloomFilter(benchSets))
     val rep = Dedup.bloomContaminationReportFromSets(
       sets5.join(bySource.filter(col("source") =!= "src0"), "id").select("id", "sset"),
-      sets5.join(bySource.filter(col("source") === "src0"), "id").select("id", "sset"),
-      minOverlap = 2)
+      benchSets, minOverlap = 2, prebuilt = Some(bf))
     rep.join(bySource, "id").groupBy("source").agg(
       count(lit(1)).as("n_flagged"),
       sum(col("n_overlap")).as("sum_overlap"),
@@ -1700,6 +1711,34 @@ object ExtQueries {
        |FROM ex e JOIN est s USING (day) ORDER BY day""".stripMargin
   }
 
+  // ---- q63 semantic (embedding-level) duplicate groups ----------------------
+
+  /** Semantic dedup groups: connected components over the exact cosine pair
+    * graph (threshold 0.4 — this fixture's near-dup regime; max pair cosine
+    * ≈ 0.51). The embedding-space sibling of q36's text-level groups: the
+    * same Shiloach-Vishkin component pass consumes q37's pair operator, so a
+    * curation pipeline can keep one representative per SEMANTIC group — the
+    * dedup signal doc-level text hashing cannot see. Scale path for the pair
+    * stage is the banded-SRP variant (`Similarity.cosineNearDuplicates`);
+    * the gate runs the exact pairs the oracle can replay.
+    */
+  def q63SemanticGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateGroups(
+      Similarity.cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
+        .select(col("id1"), col("id2")))
+      .orderBy("id")
+
+  val q63Sql: String =
+    s"""WITH RECURSIVE pr AS (SELECT id1, id2 FROM (${q37Sql}) z),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+       |          UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+       |SELECT id, LEAST(id, MIN(r)) AS group_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -1743,7 +1782,8 @@ object ExtQueries {
     "q59_transitions" -> (q59Transitions _),
     "q60_curation_pipeline" -> (q60CurationPipeline _),
     "q61_bm25" -> (q61Bm25 _),
-    "q62_hll_cube" -> (q62HllCube _))
+    "q62_hll_cube" -> (q62HllCube _),
+    "q63_semantic_groups" -> (q63SemanticGroups _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1788,5 +1828,6 @@ object ExtQueries {
     "q59_transitions" -> q59Sql,
     "q60_curation_pipeline" -> q60Sql,
     "q61_bm25" -> q61Sql,
-    "q62_hll_cube" -> q62Sql)
+    "q62_hll_cube" -> q62Sql,
+    "q63_semantic_groups" -> q63Sql)
 }
