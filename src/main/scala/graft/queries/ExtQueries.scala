@@ -1711,6 +1711,61 @@ object ExtQueries {
        |FROM ex e JOIN est s USING (day) ORDER BY day""".stripMargin
   }
 
+  // ---- q65 bigram-LM surprisal ----------------------------------------------
+
+  /** Per-source panel of per-document mean BIGRAM surprisal: the corpus
+    * bigram MLE P(t2|t1) = c(t1 t2)/c(t1 ·) is the model, each document
+    * scores −Σ c·ln P / Σ c over its bigrams — the order-sensitive
+    * counterpart of q54's unigram filter (catches shuffled/templated token
+    * salads unigram stats miss). The model side is vocabulary²-bounded and
+    * broadcastable; everything else is keyed aggregation.
+    */
+  def q65BigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bg = d.select(col("doc_id"), col("source"),
+      explode(Dedup.shingles(col("text"), 2)).as("g")) // shingles lowercases
+    val cnt = bg.groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+    val c12 = bg.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = bg.select(split(col("g"), " ").getItem(0).as("t1"))
+      .groupBy("t1").agg(count(lit(1)).as("c1"))
+    val per = cnt
+      .join(c12, "g")
+      .withColumn("t1", split(col("g"), " ").getItem(0))
+      .join(c1, "t1")
+      .groupBy("doc_id", "source")
+      .agg((-sum(col("c") * log(col("c12").cast("double") / col("c1")))
+        / sum(col("c"))).as("surp"))
+    per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("surp")), 6).as("avg_surprisal"),
+      round(min(col("surp")), 6).as("min_surprisal"),
+      round(max(col("surp")), 6).as("max_surprisal"))
+      .orderBy("source")
+  }
+
+  val q65Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+      |  FROM tok),
+      |cnt AS (SELECT doc_id, source, g, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT string_split(g, ' ')[1] AS t1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |per AS (
+      |  SELECT doc_id, any_value(source) AS source,
+      |         -SUM(c * LN(CAST(c12 AS DOUBLE) / c1)) / SUM(c) AS surp
+      |  FROM cnt
+      |  JOIN c12 USING (g)
+      |  JOIN c1 ON string_split(cnt.g, ' ')[1] = c1.t1
+      |  GROUP BY doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(surp), 6) AS avg_surprisal,
+      |  ROUND(MIN(surp), 6) AS min_surprisal,
+      |  ROUND(MAX(surp), 6) AS max_surprisal
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q63 semantic (embedding-level) duplicate groups ----------------------
 
   /** Semantic dedup groups: connected components over the exact cosine pair
@@ -1783,7 +1838,8 @@ object ExtQueries {
     "q60_curation_pipeline" -> (q60CurationPipeline _),
     "q61_bm25" -> (q61Bm25 _),
     "q62_hll_cube" -> (q62HllCube _),
-    "q63_semantic_groups" -> (q63SemanticGroups _))
+    "q63_semantic_groups" -> (q63SemanticGroups _),
+    "q65_bigram_surprisal" -> (q65BigramSurprisal _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1829,5 +1885,6 @@ object ExtQueries {
     "q60_curation_pipeline" -> q60Sql,
     "q61_bm25" -> q61Sql,
     "q62_hll_cube" -> q62Sql,
-    "q63_semantic_groups" -> q63Sql)
+    "q63_semantic_groups" -> q63Sql,
+    "q65_bigram_surprisal" -> q65Sql)
 }

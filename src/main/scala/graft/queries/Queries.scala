@@ -645,6 +645,62 @@ object Queries {
        |  ROUND(MIN(lo), 6) AS lo, ROUND(MAX(hi), 6) AS hi
        |FROM c GROUP BY asset ORDER BY asset""".stripMargin
 
+  /** Fixed-memory binned quantiles next to the exact ones, per asset:
+    * Spark's exact `percentile` buffers every value per group — fine at
+    * fixture scale, a non-starter at 100 TB. The scalable alternative bins
+    * values at width 5e-4 (one keyed count aggregation, state = occupied
+    * bins only) and takes the quantile as the lower edge of the bin where
+    * the cumulative count crosses q·n. Accuracy contract (asserted in
+    * QuerySpec): the reported edge is RANK-exact — the crossing order
+    * statistic lies inside [edge, edge+width) — while the distance to the
+    * INTERPOLATED quantile additionally depends on local sample spacing
+    * (visible at p95 in this fat-tailed fixture, where tail samples sit
+    * ~0.02 apart). The bin window partitions by asset — never global.
+    */
+  def q64BinnedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 0.0005
+    val sf = assetReturns(spark, sfDir)
+    val bins = sf.df
+      .groupBy(col("asset"), floor(col("r") / lit(w)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("asset").orderBy("bin")
+    val cum = bins.withColumn("cum", sum(col("c")).over(wb))
+    val exact = sf.df.groupBy("asset").agg(
+      count(lit(1)).as("n"),
+      percentile(col("r"), lit(0.5)).as("p50_exact"),
+      percentile(col("r"), lit(0.95)).as("p95_exact"))
+    cum.join(exact, "asset")
+      .groupBy("asset").agg(
+        min(col("n")).as("n"),
+        round(min(col("p50_exact")), 6).as("p50_exact"),
+        round(min(when(col("cum") >= col("n") * lit(0.5), col("bin"))) * lit(w), 6)
+          .as("p50_binned"),
+        round(min(col("p95_exact")), 6).as("p95_exact"),
+        round(min(when(col("cum") >= col("n") * lit(0.95), col("bin"))) * lit(w), 6)
+          .as("p95_binned"))
+      .orderBy("asset")
+  }
+
+  val q64Sql: String =
+    s"""$RetCte,
+       |bins AS (
+       |  SELECT asset, CAST(FLOOR(r / 0.0005) AS BIGINT) AS bin, COUNT(*) AS c
+       |  FROM ret GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT asset, bin, SUM(c) OVER (PARTITION BY asset ORDER BY bin) AS cum
+       |  FROM bins),
+       |ex AS (
+       |  SELECT asset, COUNT(*) AS n,
+       |         quantile_cont(r, 0.5) AS p50_exact, quantile_cont(r, 0.95) AS p95_exact
+       |  FROM ret GROUP BY asset)
+       |SELECT c.asset, MIN(e.n) AS n,
+       |  ROUND(MIN(e.p50_exact), 6) AS p50_exact,
+       |  ROUND(MIN(CASE WHEN c.cum >= e.n * 0.5 THEN c.bin END) * 0.0005, 6) AS p50_binned,
+       |  ROUND(MIN(e.p95_exact), 6) AS p95_exact,
+       |  ROUND(MIN(CASE WHEN c.cum >= e.n * 0.95 THEN c.bin END) * 0.0005, 6) AS p95_binned
+       |FROM cum c JOIN ex e USING (asset)
+       |GROUP BY c.asset ORDER BY c.asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -666,7 +722,8 @@ object Queries {
     "q28_rolling_sharpe" -> (q28RollingSharpe _),
     "q29_drawdown_details" -> (q29DrawdownDetails _),
     "q30_smart_sharpe" -> (q30SmartSharpe _),
-    "q58_winsorized" -> (q58Winsorized _)) ++ ExtQueries.all
+    "q58_winsorized" -> (q58Winsorized _),
+    "q64_binned_quantiles" -> (q64BinnedQuantiles _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -687,5 +744,6 @@ object Queries {
     "q28_rolling_sharpe" -> q28Sql,
     "q29_drawdown_details" -> q29Sql,
     "q30_smart_sharpe" -> q30Sql,
-    "q58_winsorized" -> q58Sql) ++ ExtQueries.oracles
+    "q58_winsorized" -> q58Sql,
+    "q64_binned_quantiles" -> q64Sql) ++ ExtQueries.oracles
 }

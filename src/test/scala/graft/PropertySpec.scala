@@ -111,4 +111,27 @@ class PropertySpec extends SparkSpec {
       assert(e >= 0.0 && e <= 1.0)
     }
   }
+
+  test("binned quantile is rank-exact: the crossing order statistic lies in [edge, edge+width)") {
+    import org.apache.spark.sql.functions._
+    val w = 0.0005
+    val rows = graft.queries.Queries.q64BinnedQuantiles(spark, "/root/testdata/sf0.001")
+      .collect()
+    val ret = graft.queries.Queries.assetReturns(spark, "/root/testdata/sf0.001").df
+      .select(col("asset"), col("r")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val asset = row.getAs[String]("asset")
+      val sorted = ret(asset)
+      val n = sorted.length
+      for ((q, col) <- Seq((0.5, "p50_binned"), (0.95, "p95_binned"))) {
+        val edge = row.getAs[Double](col)
+        // crossing rank = smallest k with k >= q*n (1-based)
+        val os = sorted(math.ceil(q * n).toInt - 1)
+        assert(os >= edge - 1e-9 && os < edge + w + 1e-9,
+          s"$asset $col: order stat $os outside [$edge, ${edge + w})")
+      }
+    }
+  }
 }
