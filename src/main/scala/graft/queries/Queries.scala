@@ -701,6 +701,72 @@ object Queries {
        |FROM cum c JOIN ex e USING (asset)
        |GROUP BY c.asset ORDER BY c.asset""".stripMargin
 
+  /** Robust outlier panel per asset: median absolute deviation (exact
+    * percentile both passes), the 0.6745-scaled modified z-score, and the
+    * count/share of |z| > 3.5 outliers (Iglewicz-Hoban cutoff). Two keyed
+    * aggregations with a broadcast join of the per-asset (median, mad)
+    * bounds between them — same scale shape as q58's winsorization.
+    */
+  def q66MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val med = sf.df.groupBy("asset")
+      .agg(percentile(col("r"), lit(0.5)).as("med"))
+    val withMed = sf.df.join(broadcast(med), "asset")
+    val mad = withMed.groupBy("asset")
+      .agg(percentile(abs(col("r") - col("med")), lit(0.5)).as("mad"),
+        min(col("med")).as("med"))
+    sf.df.join(broadcast(mad), "asset")
+      .withColumn("z", lit(0.6745) * (col("r") - col("med")) / col("mad"))
+      .groupBy("asset").agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("median"),
+        round(min(col("mad")), 6).as("mad"),
+        sum((abs(col("z")) > 3.5).cast("long")).as("n_outliers"),
+        round(sum((abs(col("z")) > 3.5).cast("int")).cast("double")
+          / count(lit(1)), 6).as("outlier_share"))
+      .orderBy("asset")
+  }
+
+  val q66Sql: String =
+    s"""$RetCte,
+       |med AS (SELECT asset, quantile_cont(r, 0.5) AS med FROM ret GROUP BY asset),
+       |mad AS (
+       |  SELECT ret.asset, quantile_cont(ABS(r - med), 0.5) AS mad, MIN(med) AS med
+       |  FROM ret JOIN med USING (asset) GROUP BY ret.asset),
+       |z AS (
+       |  SELECT ret.asset, r, 0.6745 * (r - med) / mad AS z
+       |  FROM ret JOIN mad USING (asset))
+       |SELECT asset, COUNT(*) AS n,
+       |  ROUND(MIN(med), 6) AS median, ROUND(MIN(mad), 6) AS mad,
+       |  CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ROUND(SUM(CASE WHEN ABS(z) > 3.5 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS outlier_share
+       |FROM z JOIN mad USING (asset)
+       |GROUP BY asset ORDER BY asset""".stripMargin
+
+  /** Pairwise return-correlation matrix (upper triangle) across assets: the
+    * cross-sectional risk view. One self-join co-partitioned on the date key
+    * aligns the series, then CORR per (asset_i < asset_j) pair — at N assets
+    * this is the standard shuffle-on-date + pair-keyed aggregation shape
+    * (never a driver-side pivot).
+    */
+  def q67CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val a = sf.df.select(col("asset").as("a1"), col("d"), col("r").as("r1"))
+    val b = sf.df.select(col("asset").as("a2"), col("d"), col("r").as("r2"))
+    a.join(b, Seq("d")).filter(col("a1") < col("a2"))
+      .groupBy("a1", "a2").agg(
+        count(lit(1)).as("n"),
+        round(corr(col("r1"), col("r2")), 6).as("corr"))
+      .orderBy("a1", "a2")
+  }
+
+  val q67Sql: String =
+    s"""$RetCte
+       |SELECT a.asset AS a1, b.asset AS a2, COUNT(*) AS n,
+       |       ROUND(CORR(a.r, b.r), 6) AS corr
+       |FROM ret a JOIN ret b ON a.d = b.d AND a.asset < b.asset
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,7 +789,9 @@ object Queries {
     "q29_drawdown_details" -> (q29DrawdownDetails _),
     "q30_smart_sharpe" -> (q30SmartSharpe _),
     "q58_winsorized" -> (q58Winsorized _),
-    "q64_binned_quantiles" -> (q64BinnedQuantiles _)) ++ ExtQueries.all
+    "q64_binned_quantiles" -> (q64BinnedQuantiles _),
+    "q66_mad_outliers" -> (q66MadOutliers _),
+    "q67_corr_matrix" -> (q67CorrMatrix _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -745,5 +813,7 @@ object Queries {
     "q29_drawdown_details" -> q29Sql,
     "q30_smart_sharpe" -> q30Sql,
     "q58_winsorized" -> q58Sql,
-    "q64_binned_quantiles" -> q64Sql) ++ ExtQueries.oracles
+    "q64_binned_quantiles" -> q64Sql,
+    "q66_mad_outliers" -> q66Sql,
+    "q67_corr_matrix" -> q67Sql) ++ ExtQueries.oracles
 }
