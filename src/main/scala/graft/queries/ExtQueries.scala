@@ -1725,9 +1725,12 @@ object ExtQueries {
     val bg = d.select(col("doc_id"), col("source"),
       explode(Dedup.shingles(col("text"), 2)).as("g")) // shingles lowercases
     val cnt = bg.groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
-    val c12 = bg.groupBy("g").agg(count(lit(1)).as("c12"))
-    val c1 = bg.select(split(col("g"), " ").getItem(0).as("t1"))
-      .groupBy("t1").agg(count(lit(1)).as("c1"))
+    // c12/c1 derive from cnt (sums commute), so the bigram explode runs
+    // ONCE — aggregating bg separately would recompute the shingle pipeline
+    // per consumer (the lineage-recomputation cost bindOnce fixed per-row)
+    val c12 = cnt.groupBy("g").agg(sum(col("c")).as("c12"))
+    val c1 = cnt.select(split(col("g"), " ").getItem(0).as("t1"), col("c"))
+      .groupBy("t1").agg(sum(col("c")).as("c1"))
     val per = cnt
       .join(c12, "g")
       .withColumn("t1", split(col("g"), " ").getItem(0))

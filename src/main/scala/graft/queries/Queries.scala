@@ -767,6 +767,102 @@ object Queries {
        |FROM ret a JOIN ret b ON a.d = b.d AND a.asset < b.asset
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Data-quality audit over the star schema — the validation pass a
+    * pipeline runs before anything downstream trusts a 100-TB drop:
+    * referential integrity (orphaned lineitems/orders via anti-joins on the
+    * key), duplicate primary keys, null keys, and domain checks (negative
+    * quantity/price, discount outside [0,1]). One row per check with its
+    * violation count; every check is a keyed aggregation or anti-join —
+    * nothing collects to the driver.
+    */
+  def q68QualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = lineitem(spark, sfDir)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    def chk(id: Int, name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(id.toLong).as("check_id"), lit(name).as("check_name"),
+        coalesce(col("v"), lit(0L)).as("n_violations"))
+    val checks = Seq(
+      chk(1, "lineitem_orphan_orderkey",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      chk(2, "orders_orphan_custkey",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      chk(3, "orders_dup_orderkey",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).agg(count(lit(1)).as("v"))),
+      chk(4, "lineitem_dup_line",
+        l.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).agg(count(lit(1)).as("v"))),
+      chk(5, "lineitem_null_orderkey",
+        l.agg(sum(col("l_orderkey").isNull.cast("long")).as("v"))),
+      chk(6, "lineitem_negative_quantity",
+        l.agg(sum((col("l_quantity") < 0).cast("long")).as("v"))),
+      chk(7, "lineitem_negative_price",
+        l.agg(sum((col("l_extendedprice") < 0).cast("long")).as("v"))),
+      chk(8, "lineitem_discount_range",
+        l.agg(sum((col("l_discount") < 0 || col("l_discount") > 1)
+          .cast("long")).as("v"))))
+    checks.reduce(_ unionByName _).orderBy("check_id")
+  }
+
+  val q68Sql: String =
+    """WITH checks AS (
+      |  SELECT 1 AS check_id, 'lineitem_orphan_orderkey' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+      |  UNION ALL SELECT 2, 'orders_orphan_custkey',
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 3, 'orders_dup_orderkey',
+      |    (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+      |  UNION ALL SELECT 4, 'lineitem_dup_line',
+      |    (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+      |  UNION ALL SELECT 5, 'lineitem_null_orderkey',
+      |    (SELECT COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL SELECT 6, 'lineitem_negative_quantity',
+      |    (SELECT COALESCE(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL SELECT 7, 'lineitem_negative_price',
+      |    (SELECT COALESCE(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END), 0) FROM lineitem)
+      |  UNION ALL SELECT 8, 'lineitem_discount_range',
+      |    (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) FROM lineitem))
+      |SELECT CAST(check_id AS BIGINT) AS check_id, check_name,
+      |       CAST(n_violations AS BIGINT) AS n_violations
+      |FROM checks ORDER BY check_id""".stripMargin
+
+  /** Incremental-aggregation identity in the gate: per-(asset, month)
+    * PARTIAL moments (n, Σr, Σr²) — what a daily/monthly ingest would
+    * materialize — are merged by plain addition into per-asset totals, and
+    * mean/variance come off the merged partials. The oracle computes the
+    * same quantities DIRECTLY over all rows, so the hash match proves the
+    * partial-merge identity (the q62 sketch-cube argument, applied to exact
+    * moments): appending a new month never requires rescanning history.
+    */
+  def q69IncrementalMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val partials = sf.df
+      .groupBy(col("asset"), date_trunc("month", col("d")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+        sum(col("r") * col("r")).as("s2"))
+    partials.groupBy("asset")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2"),
+        count(lit(1)).as("n_partials"))
+      .select(col("asset"), col("n"), col("n_partials"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1), 6)
+          .as("variance"))
+      .orderBy("asset")
+  }
+
+  val q69Sql: String =
+    s"""$RetCte
+       |SELECT asset, COUNT(*) AS n,
+       |  COUNT(DISTINCT date_trunc('month', d)) AS n_partials,
+       |  ROUND(SUM(r) / COUNT(*), 6) AS mean,
+       |  ROUND((SUM(r * r) - SUM(r) * SUM(r) / COUNT(*)) / (COUNT(*) - 1), 6) AS variance
+       |FROM ret GROUP BY asset ORDER BY asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,7 +887,9 @@ object Queries {
     "q58_winsorized" -> (q58Winsorized _),
     "q64_binned_quantiles" -> (q64BinnedQuantiles _),
     "q66_mad_outliers" -> (q66MadOutliers _),
-    "q67_corr_matrix" -> (q67CorrMatrix _)) ++ ExtQueries.all
+    "q67_corr_matrix" -> (q67CorrMatrix _),
+    "q68_quality_audit" -> (q68QualityAudit _),
+    "q69_incremental_moments" -> (q69IncrementalMoments _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -815,5 +913,7 @@ object Queries {
     "q58_winsorized" -> q58Sql,
     "q64_binned_quantiles" -> q64Sql,
     "q66_mad_outliers" -> q66Sql,
-    "q67_corr_matrix" -> q67Sql) ++ ExtQueries.oracles
+    "q67_corr_matrix" -> q67Sql,
+    "q68_quality_audit" -> q68Sql,
+    "q69_incremental_moments" -> q69Sql) ++ ExtQueries.oracles
 }
