@@ -33,12 +33,15 @@ object Dedup {
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles; empty array when the document is shorter than n. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // tokenization let-bound (see bindOnce): the slice-per-position lambda
+    // would otherwise re-tokenize the document once per shingle position
+    // when the optimizer inlines the projection (measured 4x on the q65
+    // bigram explode at sf0.1)
+    graft.core.Exprs.bindOnce(tokens(text), t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
 
   // ---- exact ---------------------------------------------------------------
 

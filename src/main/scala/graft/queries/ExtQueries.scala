@@ -1769,6 +1769,62 @@ object ExtQueries {
       |  ROUND(MAX(surp), 6) AS max_surprisal
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q70 deterministic source mixing --------------------------------------
+
+  /** Training-mixture construction: downsample every source to (approximately)
+    * the smallest source's token mass, via deterministic hash-threshold
+    * sampling — keep a doc iff its md5-derived uniform in [0,1) is below the
+    * source's rate = min_tokens / source_tokens. The sample is reproducible
+    * under re-runs and repartitioning, rates are data-derived (no driver
+    * loop: the per-source totals join back broadcast), and the panel reports
+    * target vs realized token mass per source. Doc-level thresholding means
+    * the realized mass fluctuates around the target (binomial, not exact) —
+    * the oracle replays the identical hash, so the gate is still exact.
+    */
+  def q70SourceMixing(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"), col("source"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    val totals = toks.groupBy("source").agg(sum(col("tokens")).as("src_tokens"))
+    val minTok = totals.agg(min(col("src_tokens")).as("__min"))
+    val rated = totals.crossJoin(minTok)
+      .withColumn("rate", col("__min").cast("double") / col("src_tokens"))
+    val u = pmod(Dedup.portableTokenHash(col("doc_id").cast("string")),
+      lit(1000000L)).cast("double") / lit(1000000.0)
+    val kept = toks.join(broadcast(rated), "source")
+      .withColumn("keep", u < col("rate"))
+    kept.groupBy("source").agg(
+      min(col("src_tokens")).as("src_tokens"),
+      round(min(col("rate")), 6).as("rate"),
+      min(col("__min")).as("target_tokens"),
+      sum(when(col("keep"), col("tokens")).otherwise(lit(0L))).as("kept_tokens"),
+      sum(col("keep").cast("long")).as("kept_docs"))
+      .orderBy("source")
+  }
+
+  val q70Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |tot AS (SELECT source, SUM(tokens) AS src_tokens FROM t GROUP BY 1),
+      |mn AS (SELECT MIN(src_tokens) AS min_tok FROM tot),
+      |r AS (SELECT source, src_tokens,
+      |        CAST(min_tok AS DOUBLE) / src_tokens AS rate, min_tok
+      |      FROM tot, mn),
+      |k AS (
+      |  SELECT t.source, t.tokens, r.src_tokens, r.rate, r.min_tok,
+      |    (CAST(CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+      |     / 1000000.0) < r.rate AS keep
+      |  FROM t JOIN r USING (source))
+      |SELECT source,
+      |  CAST(MIN(src_tokens) AS BIGINT) AS src_tokens,
+      |  ROUND(MIN(rate), 6) AS rate,
+      |  CAST(MIN(min_tok) AS BIGINT) AS target_tokens,
+      |  CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q63 semantic (embedding-level) duplicate groups ----------------------
 
   /** Semantic dedup groups: connected components over the exact cosine pair
@@ -1842,7 +1898,8 @@ object ExtQueries {
     "q61_bm25" -> (q61Bm25 _),
     "q62_hll_cube" -> (q62HllCube _),
     "q63_semantic_groups" -> (q63SemanticGroups _),
-    "q65_bigram_surprisal" -> (q65BigramSurprisal _))
+    "q65_bigram_surprisal" -> (q65BigramSurprisal _),
+    "q70_source_mixing" -> (q70SourceMixing _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1889,5 +1946,6 @@ object ExtQueries {
     "q61_bm25" -> q61Sql,
     "q62_hll_cube" -> q62Sql,
     "q63_semantic_groups" -> q63Sql,
-    "q65_bigram_surprisal" -> q65Sql)
+    "q65_bigram_surprisal" -> q65Sql,
+    "q70_source_mixing" -> q70Sql)
 }
