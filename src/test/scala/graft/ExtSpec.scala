@@ -727,6 +727,21 @@ class ExtSpec extends SparkSpec {
     assert(toks.last <= 8000L, s"budget stage exceeds 8000 tokens: ${toks.last}")
   }
 
+  test("source mixing is deterministic across runs and caps kept mass by source mass") {
+    def run() = graft.queries.ExtQueries.q70SourceMixing(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "hash-threshold sample must be identical across runs")
+    a.foreach { case (src, srcTokens, target, kept, _) =>
+      assert(kept <= srcTokens, s"$src kept more than it has")
+      // binomial fluctuation around the target: sanity-bound at 3x
+      assert(kept <= 3 * target + 1, s"$src kept $kept vs target $target")
+    }
+    assert(a.exists { case (_, srcTokens, _, kept, _) => kept < srcTokens },
+      "at least one source must actually downsample")
+  }
+
   test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
     val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
