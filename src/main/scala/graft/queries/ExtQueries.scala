@@ -1277,7 +1277,8 @@ object ExtQueries {
     val cnt = tok.groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
     val total = freq.agg(sum(col("f")).as("__T"))
-    val per = cnt.join(freq, "t").crossJoin(total)
+    // model side is vocabulary-sized → broadcast, never a shuffled join
+    val per = cnt.join(broadcast(freq), "t").crossJoin(total)
       .groupBy("doc_id", "source")
       .agg((-sum(col("c") * log(col("f").cast("double") / col("__T")))
         / sum(col("c"))).as("surp"))
@@ -1322,7 +1323,7 @@ object ExtQueries {
     val dfreq = tok.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("__N"))
-    val scored = tf.join(dfreq, "token").crossJoin(nDocs)
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(nDocs)
       .withColumn("score",
         round(col("tf") * log(col("__N").cast("double") / col("df")), 6))
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("token"))
@@ -1518,14 +1519,32 @@ object ExtQueries {
     val s4 = graft.ext.Curation.selectByTokenBudget(
       s3.join(toks, "doc_id"), "doc_id", "q", "tokens", 8000L).select("doc_id")
 
-    val stages = Seq((0L, "raw", d.select("doc_id")), (1L, "exact_dedup", s1),
-      (2L, "near_dedup", s2), (3L, "decontaminated", s3), (4L, "token_budget", s4))
-    stages.map { case (i, nm, ids) =>
-      ids.join(toks, "doc_id").agg(
-        count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
-        .select(lit(i).as("stage"), lit(nm).as("stage_name"),
-          col("n_docs"), col("n_tokens"))
-    }.reduce(_ unionByName _).orderBy("stage")
+    // ONE flag-join chain + a single aggregation: a per-stage union of
+    // aggregations would re-evaluate the shared stage lineage once per
+    // branch (exact-dedup 4x, components 3x, contamination 2x). Each stage
+    // id-set feeds exactly one left join instead, then the explode fans each
+    // doc into the stages it survives and one keyed aggregation panels them.
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.withColumn(name, lit(true))
+    val flags = toks
+      .join(flag(s1, "f1"), Seq("doc_id"), "left")
+      .join(flag(s2, "f2"), Seq("doc_id"), "left")
+      .join(flag(s3, "f3"), Seq("doc_id"), "left")
+      .join(flag(s4, "f4"), Seq("doc_id"), "left")
+    val stageRows = flags.select(col("tokens"), explode(array(
+      struct(lit(0L).as("stage"), lit("raw").as("stage_name"), lit(true).as("in")),
+      struct(lit(1L).as("stage"), lit("exact_dedup").as("stage_name"),
+        coalesce(col("f1"), lit(false)).as("in")),
+      struct(lit(2L).as("stage"), lit("near_dedup").as("stage_name"),
+        coalesce(col("f2"), lit(false)).as("in")),
+      struct(lit(3L).as("stage"), lit("decontaminated").as("stage_name"),
+        coalesce(col("f3"), lit(false)).as("in")),
+      struct(lit(4L).as("stage"), lit("token_budget").as("stage_name"),
+        coalesce(col("f4"), lit(false)).as("in")))).as("e"))
+    stageRows.filter(col("e.in"))
+      .groupBy(col("e.stage").as("stage"), col("e.stage_name").as("stage_name"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .orderBy("stage")
   }
 
   val q60Sql: String =
