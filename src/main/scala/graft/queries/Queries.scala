@@ -863,6 +863,69 @@ object Queries {
        |  ROUND((SUM(r * r) - SUM(r) * SUM(r) / COUNT(*)) / (COUNT(*) - 1), 6) AS variance
        |FROM ret GROUP BY asset ORDER BY asset""".stripMargin
 
+  /** Calendar resample + forward fill: build the full daily spine per asset
+    * (min..max trading date), left-join the observed cumulative wealth level
+    * (exact running `graft_product`, identical multiply order in the oracle's
+    * windowed PRODUCT), forward-fill gaps with `last(ignoreNulls)`, and
+    * panel gap structure plus time-weighted average wealth — the classic
+    * series-completion op (Polars `upsample`/`fill_null(forward)`), done
+    * with key-partitioned windows only. The spine explode is bounded by the
+    * calendar range per key, not by data volume.
+    */
+  def q71ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val w = Window.partitionBy("asset").orderBy("d")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lvl = sf.df.withColumn("level", product(col("r") + lit(1.0)).over(run))
+    val rng = sf.df.groupBy("asset").agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val spine = rng.select(col("asset"), explode(sequence(col("mn"), col("mx"))).as("d"))
+    val ff = spine.join(lvl.select("asset", "d", "level"), Seq("asset", "d"), "left")
+      .withColumn("ffl", last(col("level"), ignoreNulls = true).over(w))
+    val gaps = sf.df.withColumn("pd", lag(col("d"), 1).over(w))
+      .select(col("asset"), (datediff(col("d"), col("pd")) - 1).as("gap"))
+      .groupBy("asset").agg(coalesce(max(col("gap")), lit(0)).cast("long").as("max_gap"))
+    ff.groupBy("asset").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("level").isNotNull.cast("long")).as("n_obs"),
+      sum(col("level").isNull.cast("long")).as("n_gap_days"),
+      round(avg(col("ffl")), 6).as("avg_level"),
+      round(max_by(col("ffl"), col("d")), 6).as("end_level"))
+      .join(gaps, "asset")
+      .select(col("asset"), col("n_days"), col("n_obs"), col("n_gap_days"),
+        col("max_gap"), col("avg_level"), col("end_level"))
+      .orderBy("asset")
+  }
+
+  val q71Sql: String =
+    s"""$RetCte,
+       |lvl AS (
+       |  SELECT asset, d,
+       |         PRODUCT(1 + r) OVER (PARTITION BY asset ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+       |  FROM ret),
+       |rng AS (SELECT asset, MIN(d) AS mn, MAX(d) AS mx FROM ret GROUP BY asset),
+       |spine AS (
+       |  SELECT asset, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+       |    CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+       |  FROM rng),
+       |ff AS (
+       |  SELECT s.asset, s.d, l.level,
+       |         LAST_VALUE(l.level IGNORE NULLS) OVER (PARTITION BY s.asset
+       |           ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffl
+       |  FROM spine s LEFT JOIN lvl l ON s.asset = l.asset AND s.d = l.d),
+       |gaps AS (
+       |  SELECT asset, COALESCE(MAX(date_diff('day', pd, d) - 1), 0) AS max_gap
+       |  FROM (SELECT asset, d, LAG(d) OVER (PARTITION BY asset ORDER BY d) AS pd FROM ret)
+       |  GROUP BY asset)
+       |SELECT f.asset, COUNT(*) AS n_days,
+       |  CAST(SUM(CASE WHEN f.level IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+       |  CAST(SUM(CASE WHEN f.level IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       |  CAST(MIN(g.max_gap) AS BIGINT) AS max_gap,
+       |  ROUND(AVG(f.ffl), 6) AS avg_level,
+       |  ROUND(MAX(CASE WHEN f.d = rng.mx THEN f.ffl END), 6) AS end_level
+       |FROM ff f JOIN gaps g USING (asset) JOIN rng USING (asset)
+       |GROUP BY f.asset ORDER BY f.asset""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -889,7 +952,8 @@ object Queries {
     "q66_mad_outliers" -> (q66MadOutliers _),
     "q67_corr_matrix" -> (q67CorrMatrix _),
     "q68_quality_audit" -> (q68QualityAudit _),
-    "q69_incremental_moments" -> (q69IncrementalMoments _)) ++ ExtQueries.all
+    "q69_incremental_moments" -> (q69IncrementalMoments _),
+    "q71_resample_ffill" -> (q71ResampleFfill _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -915,5 +979,6 @@ object Queries {
     "q66_mad_outliers" -> q66Sql,
     "q67_corr_matrix" -> q67Sql,
     "q68_quality_audit" -> q68Sql,
-    "q69_incremental_moments" -> q69Sql) ++ ExtQueries.oracles
+    "q69_incremental_moments" -> q69Sql,
+    "q71_resample_ffill" -> q71Sql) ++ ExtQueries.oracles
 }
