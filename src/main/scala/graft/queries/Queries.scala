@@ -782,6 +782,23 @@ object Queries {
     def chk(id: Int, name: String, cnt: DataFrame): DataFrame =
       cnt.select(lit(id.toLong).as("check_id"), lit(name).as("check_name"),
         coalesce(col("v"), lit(0L)).as("n_violations"))
+    // the four scalar lineitem checks share ONE aggregation pass (a separate
+    // job per check would rescan lineitem four times), exploded to rows
+    val scalarChecks = l.agg(
+      sum(col("l_orderkey").isNull.cast("long")).as("c5"),
+      sum((col("l_quantity") < 0).cast("long")).as("c6"),
+      sum((col("l_extendedprice") < 0).cast("long")).as("c7"),
+      sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long")).as("c8"))
+      .select(explode(array(
+        struct(lit(5L).as("check_id"), lit("lineitem_null_orderkey").as("check_name"),
+          coalesce(col("c5"), lit(0L)).as("n_violations")),
+        struct(lit(6L).as("check_id"), lit("lineitem_negative_quantity").as("check_name"),
+          coalesce(col("c6"), lit(0L)).as("n_violations")),
+        struct(lit(7L).as("check_id"), lit("lineitem_negative_price").as("check_name"),
+          coalesce(col("c7"), lit(0L)).as("n_violations")),
+        struct(lit(8L).as("check_id"), lit("lineitem_discount_range").as("check_name"),
+          coalesce(col("c8"), lit(0L)).as("n_violations")))).as("e"))
+      .select("e.check_id", "e.check_name", "e.n_violations")
     val checks = Seq(
       chk(1, "lineitem_orphan_orderkey",
         l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
@@ -794,17 +811,8 @@ object Queries {
           .filter(col("n") > 1).agg(count(lit(1)).as("v"))),
       chk(4, "lineitem_dup_line",
         l.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1).agg(count(lit(1)).as("v"))),
-      chk(5, "lineitem_null_orderkey",
-        l.agg(sum(col("l_orderkey").isNull.cast("long")).as("v"))),
-      chk(6, "lineitem_negative_quantity",
-        l.agg(sum((col("l_quantity") < 0).cast("long")).as("v"))),
-      chk(7, "lineitem_negative_price",
-        l.agg(sum((col("l_extendedprice") < 0).cast("long")).as("v"))),
-      chk(8, "lineitem_discount_range",
-        l.agg(sum((col("l_discount") < 0 || col("l_discount") > 1)
-          .cast("long")).as("v"))))
-    checks.reduce(_ unionByName _).orderBy("check_id")
+          .filter(col("n") > 1).agg(count(lit(1)).as("v"))))
+    (checks.reduce(_ unionByName _) unionByName scalarChecks).orderBy("check_id")
   }
 
   val q68Sql: String =
