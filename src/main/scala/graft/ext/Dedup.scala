@@ -323,6 +323,17 @@ object Dedup {
         col("n_shared_spans").cast("double") / col("n_spans"))
   }
 
+  /** Build the benchmark-span Bloom filter alone — a reusable input artifact
+    * (like cached signatures/shingle sets): sessions probing one benchmark
+    * many times should build it once and pass it to the report overload.
+    */
+  def benchmarkBloomFilter(benchmarkSets: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
+    val nBench = math.max(bench.count(), 1L)
+    bench.stat.bloomFilter("__g", nBench, fpp)
+  }
+
   /** [[contaminationReportFromSets]] with a broadcast Bloom prefilter — the
     * 100-TB-shaped variant. The exact formulation must shuffle (or at least
     * join-probe) EVERY exploded corpus span; here a Bloom filter built once
@@ -335,17 +346,6 @@ object Dedup {
     * builtin Bloom probe expression, and it sits on the already-narrow
     * prefilter, not the aggregation hot path.
     */
-  /** Build the benchmark-span Bloom filter alone — a reusable input artifact
-    * (like cached signatures/shingle sets): sessions probing one benchmark
-    * many times should build it once and pass it to the report overload.
-    */
-  def benchmarkBloomFilter(benchmarkSets: DataFrame,
-      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
-    val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
-    val nBench = math.max(bench.count(), 1L)
-    bench.stat.bloomFilter("__g", nBench, fpp)
-  }
-
   def bloomContaminationReportFromSets(corpusSets: DataFrame,
       benchmarkSets: DataFrame, minOverlap: Int, fpp: Double = 0.01,
       prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {

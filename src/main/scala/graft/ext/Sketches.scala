@@ -35,7 +35,9 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
       p: Int = 9): DataFrame = {
-    require(p >= 4 && p <= 18, s"p=$p out of range")
+    // p >= 7 because hllEstimate's alpha approximation is only valid for
+    // m >= 128 (the small-m constants 0.673/0.697/0.709 are not implemented)
+    require(p >= 7 && p <= 18, s"p=$p out of range [7, 18]")
     val m = 1 << p
     val vBits = 60 - p
     val h = Dedup.portableTokenHash(col(keyCol).cast("string"))
@@ -55,8 +57,9 @@ object Sketches {
     */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
       p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 18, s"p=$p out of range [7, 18]")
     val m = 1 << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // valid for m >= 128
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // valid for m >= 128, hence p >= 7
     val grouped =
       if (groupCols.isEmpty) registers.groupBy()
       else registers.groupBy(groupCols.map(col): _*)
@@ -102,14 +105,20 @@ object Sketches {
 
   /** Point-estimate counts for `items` from [[cmCells]] output: the min over
     * the d cells each item hashes to (classic CM upper-bound estimate —
-    * always >= the true count). Columns: itemCol, cm_est.
+    * always >= the true count). The cell join is LEFT: a probe bucket absent
+    * from the cells frame is an empty cell, i.e. count 0 — an item never
+    * inserted must estimate as 0 (and must not vanish from the output), which
+    * matters when probing items not drawn from the sketch's own input (e.g.
+    * yesterday's heavy hitters against a streaming sink). Columns: itemCol,
+    * cm_est.
     */
   def cmEstimate(cells: DataFrame, items: DataFrame, itemCol: String,
       d: Int = 4, w: Int = 64): DataFrame = {
     val probes = items.select(col(itemCol), explode(array((0 until d).map(i =>
       struct(lit(i).as("i"), cmBucket(col(itemCol), i, w).as("bucket"))): _*)).as("e"))
       .select(col(itemCol), col("e.i").as("i"), col("e.bucket").as("bucket"))
-    probes.join(cells, Seq("i", "bucket"))
-      .groupBy(itemCol).agg(min(col("cell")).as("cm_est"))
+    probes.join(cells, Seq("i", "bucket"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cm_est"))
   }
 }

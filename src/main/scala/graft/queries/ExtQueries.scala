@@ -1275,7 +1275,9 @@ object ExtQueries {
     val tok = docs(spark, sfDir).select(col("doc_id"), col("source"),
       explode(TextStats.tokens(lower(col("text")))).as("t"))
     val cnt = tok.groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    // corpus frequencies derive from cnt (sums commute) so the tokenize +
+    // explode lineage runs ONCE, not once per aggregation
+    val freq = cnt.groupBy("t").agg(sum(col("c")).as("f"))
     val total = freq.agg(sum(col("f")).as("__T"))
     // model side is vocabulary-sized → broadcast, never a shuffled join
     val per = cnt.join(broadcast(freq), "t").crossJoin(total)
@@ -1319,9 +1321,11 @@ object ExtQueries {
     val d = docs(spark, sfDir)
     val tok = d.select(col("doc_id"), col("lang"),
       explode(TextStats.tokens(lower(col("text")))).as("token"))
-    val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // one explode pass: tf and df both derive from the per-(doc, token)
+    // counts (a doc has one lang, so each cnt row is one (doc, token) pair)
+    val cnt = tok.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
+    val tf = cnt.groupBy("lang", "token").agg(sum(col("c")).as("tf"))
+    val dfreq = cnt.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("__N"))
     val scored = tf.join(broadcast(dfreq), "token").crossJoin(nDocs)
       .withColumn("score",
@@ -1541,9 +1545,12 @@ object ExtQueries {
         coalesce(col("f3"), lit(false)).as("in")),
       struct(lit(4L).as("stage"), lit("token_budget").as("stage_name"),
         coalesce(col("f4"), lit(false)).as("in")))).as("e"))
-    stageRows.filter(col("e.in"))
+    // conditional aggregation, NOT a filter: an empty stage must still emit
+    // its (stage, 0, NULL) row — the oracle's static UNION ALL always does
+    stageRows
       .groupBy(col("e.stage").as("stage"), col("e.stage_name").as("stage_name"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .agg(sum(col("e.in").cast("long")).as("n_docs"),
+        sum(when(col("e.in"), col("tokens"))).as("n_tokens"))
       .orderBy("stage")
   }
 
@@ -1617,8 +1624,11 @@ object ExtQueries {
   def q61Bm25(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val k1 = 1.2; val b = 0.75
-    val tok = d.select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("t"))
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    // one explode pass: global counts, df, and tf all derive from the
+    // per-(doc, token) count aggregation
+    val dtok = d.select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val counts = dtok.groupBy("t").agg(sum(col("c")).as("cnt"))
     val w0 = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("t"))
     val terms = counts.orderBy(col("cnt").desc, col("t")).limit(8)
       .withColumn("rk", row_number().over(w0)).filter(col("rk") > 5)
@@ -1626,10 +1636,10 @@ object ExtQueries {
     val dl = d.select(col("doc_id"),
       TextStats.tokenCountSimple(col("text")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("__N"), avg(col("dl")).as("__avgdl"))
-    val dfreq = tok.select("doc_id", "t").distinct()
-      .join(broadcast(terms), "t").groupBy("t").agg(count(lit(1)).as("df"))
-    val tf = tok.join(broadcast(terms), "t")
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = dtok.join(broadcast(terms), "t")
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val tf = dtok.join(broadcast(terms), "t")
+      .select(col("doc_id"), col("t"), col("c").as("tf"))
     val scored = tf.join(broadcast(dfreq), "t").crossJoin(stats)
       .join(dl, "doc_id")
       .withColumn("idf",

@@ -703,6 +703,17 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimate for an unseen item is 0 and the row is not dropped") {
+    val counts = Seq(("a", 5L), ("b", 3L)).toDF("token", "cnt")
+    val cells = Sketches.cmCells(counts, "token", "cnt", d = 4, w = 1024)
+    val probes = Seq("a", "zz_unseen").toDF("token")
+    val est = Sketches.cmEstimate(cells, probes, "token", d = 4, w = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") == 5L)
+    // empty cells prove count 0; the item must not vanish from the output
+    assert(est.get("zz_unseen").contains(0L), s"unseen item should estimate 0: $est")
+  }
+
   test("k-means assignment covers every vector once and broadcasts the centroid side") {
     val q = graft.queries.ExtQueries.q57KmeansAssign(spark, "/root/testdata/sf0.001")
     val rows = q.collect()
