@@ -703,6 +703,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("HLL registers survive a parquet round trip and merge to the direct estimate") {
+    // the materialized sketch-cube contract: persist fine-grained registers,
+    // read them back later, max-merge to any coarser grain — identical to a
+    // direct build over the raw rows (never rescanning them)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("hr", (col("event_id") % 4).cast("int"))
+    val hourly = Sketches.hllRegisters(ev, "event_id", Seq("event_type", "hr"))
+    val dir = java.nio.file.Files.createTempDirectory("hll_cube").toString
+    hourly.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .groupBy("event_type", "bucket").agg(max(col("M")).as("M"))
+    val mergedEst = graft.ext.Sketches.hllEstimate(merged, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val directEst = Sketches.approxDistinct(ev, "event_id", Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(mergedEst == directEst, s"cube $mergedEst vs direct $directEst")
+  }
+
   test("count-min estimate for an unseen item is 0 and the row is not dropped") {
     val counts = Seq(("a", 5L), ("b", 3L)).toDF("token", "cnt")
     val cells = Sketches.cmCells(counts, "token", "cnt", d = 4, w = 1024)
