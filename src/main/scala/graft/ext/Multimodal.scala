@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * native libraries, both headless-safe on executors. Bytes no installed
   * reader understands fall back to a quarantine row (clearly marked
   * `decoded=false`) so curation pipelines can quarantine rather than crash.
-  * Only VIDEO demux ([[sampleFrames]]) remains a declared stub: the JDK has
-  * no container demuxer.
+  * VIDEO is split: the ISO-BMFF (MP4/MOV) CONTAINER layer is real — pure
+  * byte-walking box parse ([[parseMp4Meta]]/[[decodeVideoMeta]], duration/
+  * timescale/track-count/brand, v0+v1 mvhd, largesize headers) — while
+  * frame-pixel decoding ([[sampleFrames]]) remains a declared stub: the JDK
+  * ships no video codec.
   */
 object Multimodal {
 
@@ -229,9 +232,147 @@ object Multimodal {
     }
   }
 
+  // ---- video (ISO-BMFF container metadata — real; frame CODEC — stub) ------
+
+  case class VideoMeta(id: Long, majorBrand: String, timescale: Int,
+      durationUnits: Long, durationS: Double, nTracks: Int, decoded: Boolean)
+
+  /** Minimal VALID ISO-BMFF (MP4-family) container from (id, timescale,
+    * duration, nTracks): `ftyp` + `moov(mvhd + nTracks × trak(tkhd))`, laid
+    * out per the public ISO/IEC 14496-12 box grammar (big-endian
+    * size+fourcc headers, version-0 full boxes). No media samples — the
+    * synthesized corpus carries exactly the container METADATA the parser
+    * side reads, the same synthesize→parse contract as [[synthesizePng]] /
+    * [[synthesizeWav]].
+    */
+  def synthesizeMp4(id: Long, timescale: Int, durationUnits: Long,
+      nTracks: Int): Array[Byte] = {
+    val ftypSize = 20
+    val mvhdSize = 108
+    val trakSize = 100 // 8 (trak hdr) + 92 (tkhd box)
+    val moovSize = 8 + mvhdSize + nTracks * trakSize
+    val buf = java.nio.ByteBuffer.allocate(ftypSize + moovSize) // big-endian
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    buf.putInt(ftypSize); fourcc("ftyp"); fourcc("isom"); buf.putInt(0); fourcc("isom")
+    buf.putInt(moovSize); fourcc("moov")
+    buf.putInt(mvhdSize); fourcc("mvhd")
+    buf.putInt(0) // version 0 + flags
+    buf.putInt(0).putInt(0) // creation / modification time
+    buf.putInt(timescale)
+    buf.putInt(durationUnits.toInt)
+    buf.putInt(0x00010000) // rate 1.0
+    buf.putShort(0x0100.toShort).putShort(0) // volume 1.0 + reserved
+    buf.putInt(0).putInt(0) // reserved
+    // unity matrix
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(nTracks + 1) // next_track_ID
+    (0 until nTracks).foreach { t =>
+      buf.putInt(trakSize); fourcc("trak")
+      buf.putInt(92); fourcc("tkhd")
+      buf.putInt(0x00000007) // version 0, flags: enabled|in-movie|in-preview
+      buf.putInt(0).putInt(0) // times
+      buf.putInt(t + 1) // track_ID
+      buf.putInt(0) // reserved
+      buf.putInt(durationUnits.toInt)
+      buf.putInt(0).putInt(0) // reserved
+      buf.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+      buf.putInt(0x00010000).putInt(0).putInt(0)
+      buf.putInt(0).putInt(0x00010000).putInt(0)
+      buf.putInt(0).putInt(0).putInt(0x40000000)
+      buf.putInt(0).putInt(0) // width / height (non-visual track)
+    }
+    buf.array()
+  }
+
+  /** REAL ISO-BMFF container parse (pure byte walking, no codec, no deps):
+    * top-level box scan for `ftyp` (major brand) and `moov`, then a child
+    * scan for `mvhd` (v0 AND v1 layouts: 32- vs 64-bit times) and `trak`
+    * count. Handles 64-bit `largesize` headers; malformed/truncated/foreign
+    * bytes quarantine as `decoded=false` — the [[decodeImages]] contract.
+    * Works on any spec-conforming MP4/MOV-family file, not just
+    * [[synthesizeMp4]] output.
+    */
+  def parseMp4Meta(id: Long, bytes: Array[Byte]): VideoMeta = {
+    val quarantine = VideoMeta(id, "", 0, 0L, 0.0, 0, decoded = false)
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      // returns (payloadOffset, boxEnd) or null on malformed header
+      def boxAt(off: Int, limit: Int): (String, Int, Int) = {
+        if (off + 8 > limit) return null
+        val size32 = bb.getInt(off).toLong & 0xffffffffL
+        val typ = fourcc(off + 4)
+        val (payload, end) =
+          if (size32 == 1) { // 64-bit largesize
+            if (off + 16 > limit) return null
+            (off + 16, off + bb.getLong(off + 8))
+          } else if (size32 == 0) (off + 8, limit.toLong) // box runs to EOF
+          else (off + 8, off + size32)
+        if (end > limit || end <= payload) null else (typ, payload, end.toInt)
+      }
+      var off = 0
+      var brand = ""
+      var timescale = 0
+      var duration = 0L
+      var tracks = 0
+      var sawMoov = false
+      while (off < bytes.length) {
+        val box = boxAt(off, bytes.length)
+        if (box == null) return quarantine
+        val (typ, payload, end) = box
+        typ match {
+          case "ftyp" => brand = fourcc(payload)
+          case "moov" =>
+            sawMoov = true
+            var c = payload
+            while (c < end) {
+              val child = boxAt(c, end)
+              if (child == null) return quarantine
+              val (ct, cp, ce) = child
+              ct match {
+                case "mvhd" =>
+                  val version = bytes(cp) & 0xff
+                  if (version == 1) { // 64-bit creation/modification/duration
+                    timescale = bb.getInt(cp + 20)
+                    duration = bb.getLong(cp + 24)
+                  } else {
+                    timescale = bb.getInt(cp + 12)
+                    duration = bb.getInt(cp + 16).toLong & 0xffffffffL
+                  }
+                case "trak" => tracks += 1
+                case _ => ()
+              }
+              c = ce
+            }
+          case _ => ()
+        }
+        off = end
+      }
+      if (!sawMoov || timescale <= 0) quarantine
+      else VideoMeta(id, brand, timescale, duration,
+        duration.toDouble / timescale, tracks, decoded = true)
+    } catch { case _: RuntimeException => quarantine }
+  }
+
+  /** Real video-container metadata decode over a binary media column —
+    * the `mapPartitions` batch stage a demux pipeline fronts with. Frame
+    * DECODING stays a declared stub ([[sampleFrames]]): the JDK ships no
+    * video codec; the container layer here is real.
+    */
+  def decodeVideoMeta(items: Dataset[MediaItem]): Dataset[VideoMeta] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(m => parseMp4Meta(m.id, m.media)))
+  }
+
   /** STUB frame sampling for video bytes: emits every `stride`-th fake frame;
-    * the JDK ships no container demuxer, so a real impl needs a native codec
-    * per partition — the schema/batch contract here is what it would target.
+    * the JDK ships no video CODEC, so real pixel extraction needs a native
+    * decoder per partition — the schema/batch contract here is what it would
+    * target. Container METADATA (duration, tracks, brand) is real: see
+    * [[decodeVideoMeta]].
     */
   def sampleFrames(items: Dataset[MediaItem], nFrames: Int = 4,
       featureDim: Int = 8): Dataset[FrameSample] = {

@@ -1854,6 +1854,46 @@ object ExtQueries {
       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q72 video container metadata -----------------------------------------
+
+  /** Video in the correctness gate, completing the modality set next to
+    * q31 (PNG pixels) and q38 (WAV samples): every document becomes an
+    * ACTUAL ISO-BMFF container whose duration and track count are arithmetic
+    * functions of (n_chars, doc_id), [[graft.ext.Multimodal.parseMp4Meta]]
+    * walks the boxes back out, and DuckDB — which cannot parse MP4 —
+    * verifies that the parser reports exactly the geometry that was encoded.
+    * n_decoded == n_docs pins zero quarantine fallbacks.
+    */
+  def q72VideoMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = cached(spark, sfDir, "media_mp4") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizeMp4(id, timescale = 1000,
+              durationUnits = 1000L + nc % 5000, nTracks = 1 + (id % 3).toInt),
+            "video/mp4")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+    graft.ext.Multimodal.decodeVideoMeta(items).toDF()
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_videos"),
+        sum(col("decoded").cast("long")).as("n_decoded"),
+        round(avg(col("durationS")), 6).as("avg_duration_s"),
+        sum(col("nTracks").cast("long")).as("sum_tracks"),
+        max(col("majorBrand")).as("brand"))
+      .orderBy("source")
+  }
+
+  val q72Sql: String =
+    """SELECT source, COUNT(*) AS n_videos, COUNT(*) AS n_decoded,
+      |  ROUND(AVG((1000 + n_chars % 5000) / 1000.0), 6) AS avg_duration_s,
+      |  CAST(SUM(1 + doc_id % 3) AS BIGINT) AS sum_tracks,
+      |  'isom' AS brand
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q63 semantic (embedding-level) duplicate groups ----------------------
 
   /** Semantic dedup groups: connected components over the exact cosine pair
@@ -1928,7 +1968,8 @@ object ExtQueries {
     "q62_hll_cube" -> (q62HllCube _),
     "q63_semantic_groups" -> (q63SemanticGroups _),
     "q65_bigram_surprisal" -> (q65BigramSurprisal _),
-    "q70_source_mixing" -> (q70SourceMixing _))
+    "q70_source_mixing" -> (q70SourceMixing _),
+    "q72_video_meta" -> (q72VideoMeta _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -1976,5 +2017,6 @@ object ExtQueries {
     "q62_hll_cube" -> q62Sql,
     "q63_semantic_groups" -> q63Sql,
     "q65_bigram_surprisal" -> q65Sql,
-    "q70_source_mixing" -> q70Sql)
+    "q70_source_mixing" -> q70Sql,
+    "q72_video_meta" -> q72Sql)
 }

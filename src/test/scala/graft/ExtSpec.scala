@@ -703,6 +703,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("MP4 container metadata: synthesize→parse round trip, v1 layout, quarantine") {
+    val bytes = Multimodal.synthesizeMp4(7L, timescale = 1000,
+      durationUnits = 2500L, nTracks = 2)
+    val meta = Multimodal.parseMp4Meta(7L, bytes)
+    assert(meta.decoded && meta.majorBrand == "isom" && meta.timescale == 1000
+      && meta.durationUnits == 2500L && meta.durationS == 2.5 && meta.nTracks == 2,
+      s"round trip broke: $meta")
+    // hand-built v1 mvhd (64-bit times) — parser must read the v1 offsets
+    val v1 = java.nio.ByteBuffer.allocate(8 + 8 + 120)
+    v1.putInt(8 + 8 + 120).put("moov".getBytes("US-ASCII"))
+    v1.putInt(8 + 120).put("mvhd".getBytes("US-ASCII"))
+    v1.putInt(0x01000000) // version 1
+    v1.putLong(0L).putLong(0L) // 64-bit times
+    v1.putInt(600) // timescale
+    v1.putLong(1800L) // 64-bit duration
+    val m1 = Multimodal.parseMp4Meta(1L, v1.array())
+    assert(m1.decoded && m1.timescale == 600 && m1.durationUnits == 1800L
+      && m1.durationS == 3.0, s"v1 parse broke: $m1")
+    // garbage and truncation quarantine, never throw
+    assert(!Multimodal.parseMp4Meta(2L, Array[Byte](1, 2, 3)).decoded)
+    assert(!Multimodal.parseMp4Meta(3L, bytes.take(30)).decoded)
+    assert(!Multimodal.parseMp4Meta(4L, "not a video at all".getBytes).decoded)
+  }
+
   test("HLL registers survive a parquet round trip and merge to the direct estimate") {
     // the materialized sketch-cube contract: persist fine-grained registers,
     // read them back later, max-merge to any coarser grain — identical to a
