@@ -1478,22 +1478,15 @@ object ExtQueries {
 
   // ---- q60 end-to-end curation pipeline -------------------------------------
 
-  /** The whole curation stack composed end to end, reported as staged
-    * (n_docs, n_tokens) counts — the "kept corpus" view a training-data
-    * pipeline actually ships:
-    *   0 raw → 1 exact dedup (keep min doc_id per md5 group)
-    *         → 2 near-dup keep-one (portable-SimHash hamming ≤ 3 components;
-    *           keep the min surviving id per component)
-    *         → 3 decontaminated (drop the src0 benchmark itself + any doc
-    *           with ≥ 5 distinct 3-shingle overlaps against it)
-    *         → 4 token budget (8000 tokens by quality desc, doc_id tiebreak).
-    * Every stage reuses the session-cached primitives (simhash signatures,
-    * shingle sets, quality projection); counts are integers so the gate is
-    * FP-free. At 100 TB each stage is the same keyed-shuffle shape its
-    * standalone query runs — composition adds joins on doc_id, no new wide
-    * operation.
+  /** Per-doc curation survival flags (doc_id, source, tokens, q, f1..f4):
+    * exact dedup (keep min doc_id per md5 group) → near-dup keep-one
+    * (portable-SimHash hamming ≤ 3 components; min surviving id per
+    * component) → decontamination (drop the src0 benchmark itself + any doc
+    * with ≥ 5 distinct 3-shingle overlaps against it) → 8000-token budget by
+    * quality. The shared engine for the q60 stage panel and the q73
+    * attribution view; every stage reuses the session-cached primitives.
     */
-  def q60CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  private def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val toks = d.select(col("doc_id"), col("source"),
       TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"),
@@ -1530,11 +1523,22 @@ object ExtQueries {
     // doc into the stages it survives and one keyed aggregation panels them.
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
-    val flags = toks
+    toks
       .join(flag(s1, "f1"), Seq("doc_id"), "left")
       .join(flag(s2, "f2"), Seq("doc_id"), "left")
       .join(flag(s3, "f3"), Seq("doc_id"), "left")
       .join(flag(s4, "f4"), Seq("doc_id"), "left")
+  }
+
+  /** The whole curation stack composed end to end, reported as staged
+    * (n_docs, n_tokens) counts over [[curationFlags]] — the "kept corpus"
+    * view a training-data pipeline actually ships. Counts are integers so
+    * the gate is FP-free; at 100 TB each stage keeps the keyed-shuffle
+    * shape of its standalone query — composition adds joins on doc_id, no
+    * new wide operation.
+    */
+  def q60CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = curationFlags(spark, sfDir)
     val stageRows = flags.select(col("tokens"), explode(array(
       struct(lit(0L).as("stage"), lit("raw").as("stage_name"), lit(true).as("in")),
       struct(lit(1L).as("stage"), lit("exact_dedup").as("stage_name"),
@@ -1610,6 +1614,50 @@ object ExtQueries {
        |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs,
        |       CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM panel ORDER BY stage""".stripMargin
+
+  // ---- q73 curation attribution ---------------------------------------------
+
+  /** Provenance view of the curation pipeline: for every document, the FIRST
+    * stage that dropped it (or 'kept'), panelled per (source, outcome) with
+    * doc and token mass — the "why did my data shrink" explainability a
+    * production pipeline owes its users. Pure column logic over the shared
+    * [[curationFlags]] frame; integer counts, FP-free gate.
+    */
+  def q73CurationAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = (c: String) => coalesce(col(c), lit(false))
+    curationFlags(spark, sfDir)
+      .withColumn("dropped_at",
+        when(!f("f1"), lit("exact_dedup"))
+          .when(!f("f2"), lit("near_dedup"))
+          .when(!f("f3"), lit("decontaminated"))
+          .when(!f("f4"), lit("token_budget"))
+          .otherwise(lit("kept")))
+      .groupBy("source", "dropped_at")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .orderBy("source", "dropped_at")
+  }
+
+  val q73Sql: String = {
+    // reuse q60's stage CTEs up through s4, swap the final panel for the
+    // first-failing-stage attribution
+    val base = q60Sql.substring(0, q60Sql.indexOf(",\n|panel AS (".stripMargin))
+    s"""$base,
+       |att AS (
+       |  SELECT t.source, t.tokens,
+       |    CASE WHEN s1.doc_id IS NULL THEN 'exact_dedup'
+       |         WHEN s2.doc_id IS NULL THEN 'near_dedup'
+       |         WHEN s3.doc_id IS NULL THEN 'decontaminated'
+       |         WHEN s4.doc_id IS NULL THEN 'token_budget'
+       |         ELSE 'kept' END AS dropped_at
+       |  FROM tokq t
+       |  LEFT JOIN s1 ON t.doc_id = s1.doc_id
+       |  LEFT JOIN s2 ON t.doc_id = s2.doc_id
+       |  LEFT JOIN s3 ON t.doc_id = s3.doc_id
+       |  LEFT JOIN s4 ON t.doc_id = s4.doc_id)
+       |SELECT source, dropped_at, COUNT(*) AS n_docs,
+       |       CAST(SUM(tokens) AS BIGINT) AS n_tokens
+       |FROM att GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // ---- q61 BM25 retrieval scoring -------------------------------------------
 
@@ -1969,7 +2017,8 @@ object ExtQueries {
     "q63_semantic_groups" -> (q63SemanticGroups _),
     "q65_bigram_surprisal" -> (q65BigramSurprisal _),
     "q70_source_mixing" -> (q70SourceMixing _),
-    "q72_video_meta" -> (q72VideoMeta _))
+    "q72_video_meta" -> (q72VideoMeta _),
+    "q73_curation_attribution" -> (q73CurationAttribution _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2018,5 +2067,6 @@ object ExtQueries {
     "q63_semantic_groups" -> q63Sql,
     "q65_bigram_surprisal" -> q65Sql,
     "q70_source_mixing" -> q70Sql,
-    "q72_video_meta" -> q72Sql)
+    "q72_video_meta" -> q72Sql,
+    "q73_curation_attribution" -> q73Sql)
 }

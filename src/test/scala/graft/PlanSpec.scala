@@ -139,6 +139,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("HLL register aggregation plans map-side partial aggregation and no Generate") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = graft.ext.Sketches.hllRegisters(ev, "event_id", Seq("event_type"))
+      .queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair: the shuffle carries register rows,
+    // never raw keys — the property that makes the sketch 100-TB-shaped
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Generate"), s"unexpected explode in sketch path: $plan")
+  }
+
+  test("correlation matrix plans a shuffled equi-join on the date key, not a cartesian") {
+    val plan = graft.queries.Queries.q67CorrMatrix(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to a cartesian: $plan")
+  }
+
+  test("binned quantiles plan only key-partitioned windows") {
+    val plan = graft.queries.Queries.q64BinnedQuantiles(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected the per-asset cumsum window")
+    assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
