@@ -767,6 +767,19 @@ class ExtSpec extends SparkSpec {
       s"centroid side should broadcast:\n$plan")
   }
 
+  test("attribution 'kept' mass equals the pipeline's final stage") {
+    val sf = "/root/testdata/sf0.001"
+    val stage4 = graft.queries.ExtQueries.q60CurationPipeline(spark, sf)
+      .filter(col("stage") === 4).head()
+    val kept = graft.queries.ExtQueries.q73CurationAttribution(spark, sf)
+      .filter(col("dropped_at") === "kept")
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
+    assert(kept.getLong(0) == stage4.getAs[Long]("n_docs"),
+      s"kept docs ${kept.getLong(0)} != stage-4 ${stage4.getAs[Long]("n_docs")}")
+    assert(kept.getLong(1) == stage4.getAs[Long]("n_tokens"),
+      s"kept tokens ${kept.getLong(1)} != stage-4 ${stage4.getAs[Long]("n_tokens")}")
+  }
+
   test("curation pipeline stages are monotone non-increasing and respect the budget") {
     val rows = graft.queries.ExtQueries.q60CurationPipeline(spark, "/root/testdata/sf0.001")
       .collect().sortBy(_.getAs[Long]("stage"))
