@@ -934,6 +934,45 @@ object Queries {
        |FROM ff f JOIN gaps g USING (asset) JOIN rng USING (asset)
        |GROUP BY f.asset ORDER BY f.asset""".stripMargin
 
+  /** Regional revenue by part brand — the canonical multi-hop star join
+    * (TPC-H Q5 shape) over the four previously-unused dimension tables:
+    * lineitem ⋈ supplier ⋈ nation ⋈ region (dims all broadcast — the chain
+    * never shuffles the fact side on a dim key) ⋈ part (broadcast) with the
+    * revenue aggregation keyed on (region, brand). At 100 TB the fact scan
+    * is the only large input; every dimension hop is a broadcast hash join,
+    * which PlanSpec pins.
+    */
+  def q74StarJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = lineitem(spark, sfDir)
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    val reg = spark.read.parquet(s"$sfDir/region.parquet")
+    val prt = spark.read.parquet(s"$sfDir/part.parquet")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .join(broadcast(prt), l("l_partkey") === prt("p_partkey"))
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("region", "brand")
+  }
+
+  val q74Sql: String =
+    """SELECT r.r_name AS region, p.p_brand AS brand,
+      |  COUNT(*) AS n_items,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -961,7 +1000,8 @@ object Queries {
     "q67_corr_matrix" -> (q67CorrMatrix _),
     "q68_quality_audit" -> (q68QualityAudit _),
     "q69_incremental_moments" -> (q69IncrementalMoments _),
-    "q71_resample_ffill" -> (q71ResampleFfill _)) ++ ExtQueries.all
+    "q71_resample_ffill" -> (q71ResampleFfill _),
+    "q74_star_join" -> (q74StarJoin _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -988,5 +1028,6 @@ object Queries {
     "q67_corr_matrix" -> q67Sql,
     "q68_quality_audit" -> q68Sql,
     "q69_incremental_moments" -> q69Sql,
-    "q71_resample_ffill" -> q71Sql) ++ ExtQueries.oracles
+    "q71_resample_ffill" -> q71Sql,
+    "q74_star_join" -> q74Sql) ++ ExtQueries.oracles
 }

@@ -163,6 +163,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
   }
 
+  test("star join broadcasts every dimension hop — the fact side never shuffles on a dim key") {
+    val plan = graft.queries.Queries.q74StarJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"expected 4 broadcast dimension joins: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"a dim hop fell back to SMJ: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
