@@ -948,6 +948,13 @@ object Queries {
     val nat = spark.read.parquet(s"$sfDir/nation.parquet")
     val reg = spark.read.parquet(s"$sfDir/region.parquet")
     val prt = spark.read.parquet(s"$sfDir/part.parquet")
+    // revenue in exact integer 1e-4 units: price and discount are 2-dp, so
+    // round(x*100) recovers exact cents / basis points per row and the group
+    // SUM is order-independent — a double sum over ~50k rows per group sits
+    // close enough to a 2-dp rounding boundary to flip between engines
+    // (observed at sf0.1: 244228519.30 vs .31)
+    val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -955,8 +962,7 @@ object Queries {
       .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        round(sum(revE4) / 10000.0, 2).as("revenue"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy("region", "brand")
   }
@@ -964,7 +970,8 @@ object Queries {
   val q74Sql: String =
     """SELECT r.r_name AS region, p.p_brand AS brand,
       |  COUNT(*) AS n_items,
-      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
       |  COUNT(DISTINCT s.s_suppkey) AS n_suppliers
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
