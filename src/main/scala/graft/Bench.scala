@@ -35,7 +35,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded tail of stdout; with 70+ queries the line
+    // can outgrow that window (round 4 lost the head of the line, i.e. the
+    // headline total). Persist the full JSON to a file in the repo root so the
+    // artifact is always self-evident, then print it as the absolute last line.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
   }
 }

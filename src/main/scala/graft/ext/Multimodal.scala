@@ -247,6 +247,10 @@ object Multimodal {
     */
   def synthesizeMp4(id: Long, timescale: Int, durationUnits: Long,
       nTracks: Int): Array[Byte] = {
+    // version-0 mvhd/tkhd carry unsigned 32-bit durations; a larger value
+    // would silently wrap through toInt below (emit a v1 box if ever needed)
+    require(durationUnits >= 0 && durationUnits <= 0xFFFFFFFFL,
+      s"durationUnits=$durationUnits exceeds the version-0 32-bit box field")
     val ftypSize = 20
     val mvhdSize = 108
     val trakSize = 100 // 8 (trak hdr) + 92 (tkhd box)

@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * carries one row per (group, register/cell) — a few KB per group — never
   * the raw values. That merge-by-max / merge-by-sum structure is exactly the
   * sketch-union property that also makes them streamable (see
-  * [[graft.streaming.StreamOps.approxDistinctStream]]).
+  * [[graft.streaming.StreamOps.approxDistinctRegisters]]).
   *
   * Hashing is the portable 60-bit md5-derived hash ([[Dedup.portableTokenHash]])
   * so an external engine (the DuckDB oracle) can replay every register
   * bit-for-bit. Production pipelines that never need cross-engine replay can
   * swap in `xxhash64` (same sketch shape, cheaper hash) — mirroring the
   * portable-vs-fast split the SimHash family uses.
+  *
+  * Null keys/items are EXCLUDED from both sketches (NULL is "no value", the
+  * COUNT(DISTINCT …) / GROUP BY convention), not hashed: a null key would
+  * otherwise produce a null bucket row that hllEstimate counts in n_present
+  * but not sum_present, silently biasing the estimate.
   *
   * HyperLogLog per Flajolet et al. 2007 ("HyperLogLog: the analysis of a
   * near-optimal cardinality estimation algorithm"); count-min per Cormode &
@@ -45,7 +50,8 @@ object Sketches {
     val v = shiftright(h, p)
     val rho = when(v === 0L, lit(vBits + 1))
       .otherwise(lit(vBits + 1) - length(bin(v)))
-    df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+    df.filter(col(keyCol).isNotNull) // null keys are not values (see object doc)
+      .select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("M"))
   }
@@ -93,7 +99,8 @@ object Sketches {
         cmBucket(col(itemCol), i, w).as("bucket"),
         col(cntCol).as("c"))
     }
-    counts.select(explode(array(rows: _*)).as("e"))
+    counts.filter(col(itemCol).isNotNull) // null items are not values (object doc)
+      .select(explode(array(rows: _*)).as("e"))
       .select(col("e.i").as("i"), col("e.bucket").as("bucket"), col("e.c").as("c"))
       .groupBy("i", "bucket").agg(sum(col("c")).as("cell"))
   }

@@ -1257,9 +1257,9 @@ object ExtQueries {
       |         CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.token), 1, 15) AS BIGINT) & 63 AS bucket
       |  FROM top t CROSS JOIN range(4) AS r(i))
       |SELECT p.token, any_value(p.cnt) AS exact_cnt,
-      |       CAST(MIN(l.cell) AS BIGINT) AS cm_est,
-      |       CAST(MIN(l.cell) - any_value(p.cnt) AS BIGINT) AS overestimate
-      |FROM probe p JOIN cell l ON p.i = l.i AND p.bucket = l.bucket
+      |       CAST(MIN(COALESCE(l.cell, 0)) AS BIGINT) AS cm_est,
+      |       CAST(MIN(COALESCE(l.cell, 0)) - any_value(p.cnt) AS BIGINT) AS overestimate
+      |FROM probe p LEFT JOIN cell l ON p.i = l.i AND p.bucket = l.bucket
       |GROUP BY p.token ORDER BY exact_cnt DESC, token""".stripMargin
 
   // ---- q54 unigram surprisal (LM quality filter) ----------------------------
@@ -1484,9 +1484,16 @@ object ExtQueries {
     * component) → decontamination (drop the src0 benchmark itself + any doc
     * with ≥ 5 distinct 3-shingle overlaps against it) → 8000-token budget by
     * quality. The shared engine for the q60 stage panel and the q73
-    * attribution view; every stage reuses the session-cached primitives.
+    * attribution view; every stage reuses the session-cached primitives, and
+    * the assembled flag frame is itself session-cached so the two queries
+    * share ONE execution of the stage chain instead of rebuilding it each.
     */
-  private def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
+  private def curationFlags(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "curation_flags") {
+      curationFlagsUncached(spark, sfDir)
+    }
+
+  private def curationFlagsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val toks = d.select(col("doc_id"), col("source"),
       TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"),
@@ -1558,7 +1565,11 @@ object ExtQueries {
       .orderBy("stage")
   }
 
-  val q60Sql: String =
+  /** Shared CTE prefix (raw→s4 stage id-sets) for the q60 panel and the q73
+    * attribution view — one constant both interpolate, so neither depends on
+    * string surgery over the other's text.
+    */
+  private def curationStagesSql: String =
     s"""WITH RECURSIVE tokq AS (
        |  SELECT doc_id, source,
        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens,
@@ -1600,7 +1611,10 @@ object ExtQueries {
        |c4 AS (
        |  SELECT t.doc_id, SUM(t.tokens) OVER (ORDER BY t.q DESC, t.doc_id) AS cum
        |  FROM s3 JOIN tokq t USING (doc_id)),
-       |s4 AS (SELECT doc_id FROM c4 WHERE cum <= 8000),
+       |s4 AS (SELECT doc_id FROM c4 WHERE cum <= 8000)""".stripMargin
+
+  val q60Sql: String =
+    s"""$curationStagesSql,
        |panel AS (
        |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs, SUM(tokens) AS n_tokens FROM tokq
        |  UNION ALL SELECT 1, 'exact_dedup', COUNT(*), SUM(t.tokens)
@@ -1638,10 +1652,9 @@ object ExtQueries {
   }
 
   val q73Sql: String = {
-    // reuse q60's stage CTEs up through s4, swap the final panel for the
-    // first-failing-stage attribution
-    val base = q60Sql.substring(0, q60Sql.indexOf(",\n|panel AS (".stripMargin))
-    s"""$base,
+    // same stage CTEs as q60 via the shared constant, with the final panel
+    // swapped for the first-failing-stage attribution
+    s"""$curationStagesSql,
        |att AS (
        |  SELECT t.source, t.tokens,
        |    CASE WHEN s1.doc_id IS NULL THEN 'exact_dedup'
