@@ -342,19 +342,31 @@ object Dedup {
     * range) drops ~(1−fpp) of clean spans BEFORE anything wide happens.
     * Survivors still go through the exact join, so the OUTPUT has no false
     * positives — bit-identical to the exact path (asserted in ExtSpec).
-    * The `mightContainLong` probe is a deliberate UDF-exception: there is no
-    * builtin Bloom probe expression, and it sits on the already-narrow
-    * prefilter, not the aggregation hot path.
+    * The probe is the builtin `BloomFilterMightContain` expression (via
+    * [[org.apache.spark.sql.graft.SqlBridge.bloomMightContain]]) — fully
+    * codegen'd, no UDF — with the serialized sketch embedded as a foldable
+    * literal (the expression's requirement). Sketches past a 64 MB literal
+    * budget fall back to the broadcast-variable UDF probe: a plan-embedded
+    * literal travels with every task closure, while a broadcast ships once
+    * per executor — the right trade flips with sketch size.
     */
   def bloomContaminationReportFromSets(corpusSets: DataFrame,
       benchmarkSets: DataFrame, minOverlap: Int, fpp: Double = 0.01,
       prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
     val bf = prebuilt.getOrElse(benchmarkBloomFilter(benchmarkSets, fpp))
-    val bc = corpusSets.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((g: Long) => bc.value.mightContainLong(g))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val probe: Column =
+      if (bytes.length <= (64 << 20))
+        org.apache.spark.sql.graft.SqlBridge.bloomMightContain(bytes, col("__g"))
+      else {
+        val bc = corpusSets.sparkSession.sparkContext.broadcast(bf)
+        udf((g: Long) => bc.value.mightContainLong(g)).apply(col("__g"))
+      }
     corpusSets.select(col("id"), explode(col("sset")).as("__g"))
-      .filter(might(col("__g")))
+      .filter(probe)
       .join(broadcast(bench), Seq("__g"))
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
