@@ -578,4 +578,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Perceptual near-duplicate IMAGE pairs over (id, phash) rows from
+    * [[Multimodal.perceptualHashes]] — the pixel-modality member of the
+    * dedup family (byte-exact q14 misses every re-encode/resize/tint; the
+    * aHash signature survives them). Same banded-LSH + popcount machinery
+    * as SimHash: exact for maxHamming < 4 by pigeonhole, never all-pairs.
+    * Quarantined (undecodable) rows must be filtered out by the caller —
+    * their phash-0 placeholder would band-collide as one giant bucket.
+    */
+  def perceptualNearDuplicatePairs(phashes: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDuplicatesFromHashes(
+      phashes.select(col("id"), col("phash").as("simhash")),
+      maxHamming, bits = 64, bands = 4)
 }

@@ -127,6 +127,79 @@ object Multimodal {
     }
   }
 
+  case class PerceptualHash(id: Long, phash: Long, decoded: Boolean)
+
+  /** 64-bit average-hash (aHash) perceptual signature: an 8×8 block grid
+    * (pixel → block by `bx = x*8/w`, `by = y*8/h`), integer-scaled BT.601
+    * luminance `299·R + 587·G + 114·B` summed per block, bit `by*8+bx` set
+    * iff the block mean exceeds the whole-image mean. The comparison is the
+    * exact integer cross-multiplication `blockSum·totalN > totalSum·blockN`
+    * — no floating point, so an engine that cannot decode images can still
+    * replay the hash arithmetically for synthesized corpora (the q75
+    * oracle). Adding a constant to every pixel shifts block and image means
+    * equally, so the hash is brightness-shift invariant by construction —
+    * re-encodes, resizes and small tints land within a few bits, which is
+    * what makes it a DEDUP signature where byte hashing sees distinct files.
+    * Images past ~1M pixels switch to the double-precision mean comparison
+    * (the cross-multiplication could overflow 64-bit there; a 2^-53 relative
+    * ULP on a perceptual threshold is immaterial, and oracle fixtures are
+    * far smaller).
+    */
+  def perceptualHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L
+        val bi = by * 8 + x * 8 / w
+        blockSum(bi) += lum
+        blockN(bi) += 1
+        totalSum += lum
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    val exact = totalN < (1L << 20)
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (blockN(i) > 0) {
+        val above =
+          if (exact) blockSum(i) * totalN > totalSum * blockN(i)
+          else blockSum(i).toDouble / blockN(i) > totalSum.toDouble / totalN
+        if (above) hash |= (1L << i)
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual signatures for a media corpus — the decode-stage companion
+    * to [[decodeImages]]: partition-local ImageIO decode + [[perceptualHash]],
+    * quarantine rows (`decoded=false`, phash 0) for undecodable bytes. The
+    * signature is row-local (no shuffle); near-dup grouping over it is the
+    * banded-LSH pattern ([[Dedup.simhashNearDuplicatesFromHashes]]), so
+    * image dedup at 100 TB has the same plan shape as text SimHash dedup.
+    */
+  def perceptualHashes(items: Dataset[MediaItem]): Dataset[PerceptualHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      tryDecode(m.media) match {
+        case Some(img) => PerceptualHash(m.id, perceptualHash(img), decoded = true)
+        case None => PerceptualHash(m.id, 0L, decoded = false)
+      }
+    })
+  }
+
   /** Real resize: decode → bilinear rescale to (w, h) → re-encode PNG,
     * partition-locally. Undecodable items pass through unchanged (same
     * quarantine contract as [[decodeImages]]).

@@ -396,12 +396,15 @@ object ExtQueries {
     * decode a PNG, but it can verify that our decoder reports exactly the
     * geometry that was encoded. n_decoded == n_docs pins zero fallbacks.
     */
-  def q31MediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthesized PNG corpus is FIXTURE GENERATION (the testdata has no
+    * image column), cached per (session, sf) like the tables so timed paths
+    * measure the decode stage — the engine work under test. Shared by q31
+    * (decode round-trip) and q75 (perceptual dedup).
+    */
+  private def pngCorpus(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaItem] = {
     import spark.implicits._
-    // the synthesized PNG corpus is FIXTURE GENERATION (the testdata has no
-    // image column), cached per (session, sf) like the tables so the timed
-    // path measures the decode stage — the engine work under test
-    val items = cached(spark, sfDir, "media_png") {
+    cached(spark, sfDir, "media_png") {
       docs(spark, sfDir)
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .mapPartitions(_.map { case (id, nc) =>
@@ -411,6 +414,10 @@ object ExtQueries {
             "image/png")
         }).toDF()
     }.as[graft.ext.Multimodal.MediaItem]
+  }
+
+  def q31MediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = pngCorpus(spark, sfDir)
     val decoded = graft.ext.Multimodal.decodeImages(items, featureDim = 4).toDF()
     decoded
       .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("lang")), "id")
@@ -1983,6 +1990,94 @@ object ExtQueries {
        |SELECT id, LEAST(id, MIN(r)) AS group_id
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- q75 perceptual image dedup -------------------------------------------
+
+  /** Pixel-modality dedup in the correctness gate: the aHash perceptual
+    * signature of every synthesized PNG ([[graft.ext.Multimodal.perceptualHash]])
+    * goes through the banded-LSH near-dup machinery (hamming ≤ 3, exact by
+    * pigeonhole at 4 bands) and the resulting pair set is panelled per
+    * hamming distance with doc counts and id-sum checksums. The signature is
+    * brightness-shift invariant by construction, so gradients sharing (w, h)
+    * collapse to one signature even though every PNG differs byte-wise (the
+    * id-tinted blue channel) — exactly the re-encode/tint duplicates
+    * byte-exact q14 cannot see. DuckDB cannot decode a PNG, but the gradient
+    * corpus's block luminance sums are SEPARABLE (x-term + y-term + constant
+    * tint that cancels against the mean), so the oracle replays all 64 hash
+    * bits arithmetically from (w, h) alone and runs the same band join +
+    * popcount verification. Signatures are session-cached like the simhash
+    * family; the pair stage is one banded equi-join — never all-pairs.
+    */
+  def q75PerceptualDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = cached(spark, sfDir, "phashes")(
+      graft.ext.Multimodal.perceptualHashes(pngCorpus(spark, sfDir)).toDF())
+    val pairs = Dedup.perceptualNearDuplicatePairs(
+      ph.filter(col("decoded")), maxHamming = 3)
+    val base = pairs.groupBy("hamming").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("id1")).as("sum_id1"),
+      sum(col("id2")).as("sum_id2"))
+    val docsIn = pairs
+      .select(col("hamming"), explode(array(col("id1"), col("id2"))).as("d"))
+      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
+    base.join(docsIn, "hamming")
+      .select(col("hamming"), col("n_pairs"), col("n_docs"),
+        col("sum_id1"), col("sum_id2"))
+      .orderBy("hamming")
+  }
+
+  /** DuckDB replays the aHash arithmetic: per-block sums of the scaled
+    * BT.601 luminance 299·R + 587·G + 114·B of the gradient separate into
+    * per-axis sums (R depends only on x, G only on y, B is a per-doc
+    * constant that cancels in the mean comparison), so 32 distinct widths ×
+    * 8 blocks (and same for heights) reconstruct every doc's 64 bits. The
+    * sign bit needs a literal (DuckDB raises on 1<<63 overflow); band
+    * extraction is arithmetic-shift + mask, identical to the engine.
+    */
+  val q75Sql: String =
+    """WITH docdim AS (
+      |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
+      |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h
+      |  FROM documents),
+      |xs AS (
+      |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n, SUM((x * 255) // w) AS s
+      |  FROM (SELECT DISTINCT w FROM docdim) dw, range(48) t(x) WHERE x < w
+      |  GROUP BY 1, 2),
+      |ys AS (
+      |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n, SUM((y * 255) // h) AS s
+      |  FROM (SELECT DISTINCT h FROM docdim) dh, range(48) t(y) WHERE y < h
+      |  GROUP BY 1, 2),
+      |xt AS (SELECT w, SUM(s) AS sall FROM xs GROUP BY 1),
+      |yt AS (SELECT h, SUM(s) AS sall FROM ys GROUP BY 1),
+      |ph0 AS (
+      |  SELECT d.w, d.h, CAST(SUM(
+      |    CASE WHEN (299 * xs.s * ys.n + 587 * ys.s * xs.n) * (d.w * d.h)
+      |              > (299 * xt.sall * d.h + 587 * yt.sall * d.w) * (xs.n * ys.n)
+      |         THEN CASE WHEN ys.b * 8 + xs.b = 63
+      |                   THEN CAST(-9223372036854775808 AS BIGINT)
+      |                   ELSE CAST(1 AS BIGINT) << (ys.b * 8 + xs.b) END
+      |         ELSE 0 END) AS BIGINT) AS phash
+      |  FROM (SELECT DISTINCT w, h FROM docdim) d
+      |  JOIN xs ON xs.w = d.w JOIN ys ON ys.h = d.h
+      |  JOIN xt ON xt.w = d.w JOIN yt ON yt.h = d.h
+      |  GROUP BY 1, 2),
+      |ph AS (SELECT doc_id AS id, phash FROM docdim JOIN ph0 USING (w, h)),
+      |band AS (
+      |  SELECT id, phash, q, (phash >> CAST(q * 16 AS INTEGER)) & 65535 AS chunk
+      |  FROM ph, range(4) t(q)),
+      |pairs AS (
+      |  SELECT DISTINCT l.id AS id1, r.id AS id2,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+      |  FROM band l JOIN band r ON l.q = r.q AND l.chunk = r.chunk AND l.id < r.id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |docs_in AS (
+      |  SELECT hamming, COUNT(DISTINCT d) AS n_docs
+      |  FROM (SELECT hamming, unnest([id1, id2]) AS d FROM pairs) GROUP BY 1)
+      |SELECT p.hamming, COUNT(*) AS n_pairs, ANY_VALUE(di.n_docs) AS n_docs,
+      |       CAST(SUM(p.id1) AS BIGINT) AS sum_id1,
+      |       CAST(SUM(p.id2) AS BIGINT) AS sum_id2
+      |FROM pairs p JOIN docs_in di ON p.hamming = di.hamming
+      |GROUP BY p.hamming ORDER BY p.hamming""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2031,7 +2126,8 @@ object ExtQueries {
     "q65_bigram_surprisal" -> (q65BigramSurprisal _),
     "q70_source_mixing" -> (q70SourceMixing _),
     "q72_video_meta" -> (q72VideoMeta _),
-    "q73_curation_attribution" -> (q73CurationAttribution _))
+    "q73_curation_attribution" -> (q73CurationAttribution _),
+    "q75_perceptual_dedup" -> (q75PerceptualDedup _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2081,5 +2177,6 @@ object ExtQueries {
     "q65_bigram_surprisal" -> q65Sql,
     "q70_source_mixing" -> q70Sql,
     "q72_video_meta" -> q72Sql,
-    "q73_curation_attribution" -> q73Sql)
+    "q73_curation_attribution" -> q73Sql,
+    "q75_perceptual_dedup" -> q75Sql)
 }

@@ -808,6 +808,73 @@ class ExtSpec extends SparkSpec {
       "at least one source must actually downsample")
   }
 
+  test("perceptual dedup finds re-encode/resize duplicates byte hashing misses") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // Distinct content per base: an 8x8 grid of bimodal-brightness cells from
+    // a per-(id, cell) mix hash — unrelated bases differ in ~half the aHash
+    // bits, while resize/re-encode preserve cell structure. Deterministic, so
+    // the floors below are exact-repeatable, never flaky.
+    def patternImage(id: Long, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = (y * 8 / h) * 8 + x * 8 / w
+          // splitmix64 finalizer: a plain affine mix leaves bit-40 of
+          // consecutive cells periodic, which made unrelated bases collide
+          var s = id * 0x9E3779B97F4A7C15L + cell * 0xBF58476D1CE4E5B9L
+          s = (s ^ (s >>> 30)) * 0xBF58476D1CE4E5B9L
+          s = (s ^ (s >>> 27)) * 0x94D049BB133111EBL
+          s ^= s >>> 31
+          val r = ((s >>> 1) & 31).toInt
+          val v = if ((s & 1) == 0L) 48 + r else 208 - r
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def jpegBytes(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def upscale2x(img: BufferedImage): BufferedImage = {
+      val up = new BufferedImage(img.getWidth * 2, img.getHeight * 2,
+        BufferedImage.TYPE_INT_RGB)
+      val g = up.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, up.getWidth, up.getHeight, null)
+      g.dispose()
+      up
+    }
+    val nBases = 12
+    val items = (0 until nBases).flatMap { i =>
+      val base = patternImage(i.toLong, 64, 48)
+      Seq(
+        Multimodal.MediaItem(i.toLong, Multimodal.encodePng(base), "image/png"),
+        Multimodal.MediaItem(100L + i, jpegBytes(base), "image/jpeg"),
+        Multimodal.MediaItem(200L + i, Multimodal.encodePng(upscale2x(base)), "image/png"))
+    }
+    val ds = spark.createDataset(items)
+    // byte level: every encoding is a distinct file — exact dedup sees nothing
+    assert(ds.toDF().select(md5(col("media"))).distinct().count() == items.size)
+    val ph = Multimodal.perceptualHashes(ds).toDF()
+    assert(ph.filter(!col("decoded")).count() == 0, "all fixtures must decode")
+    val found = Dedup.perceptualNearDuplicatePairs(ph, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nBases).flatMap(i =>
+      Seq((i.toLong, 100L + i), (i.toLong, 200L + i), (100L + i, 200L + i))).toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    val precision = if (found.isEmpty) 0.0 else (planted & found).size.toDouble / found.size
+    assert(recall >= 0.9, s"planted-dup recall $recall below floor (found ${found.size})")
+    assert(precision >= 0.9, s"pair precision $precision below floor (found ${found.size})")
+  }
+
   test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
     val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
