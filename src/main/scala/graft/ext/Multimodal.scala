@@ -22,18 +22,22 @@ import org.apache.spark.sql.functions._
   * native libraries, both headless-safe on executors. Bytes no installed
   * reader understands fall back to a quarantine row (clearly marked
   * `decoded=false`) so curation pipelines can quarantine rather than crash.
-  * VIDEO is split: the ISO-BMFF (MP4/MOV) CONTAINER layer is real — pure
-  * byte-walking box parse ([[parseMp4Meta]]/[[decodeVideoMeta]], duration/
-  * timescale/track-count/brand, v0+v1 mvhd, largesize headers) — while
-  * frame-pixel decoding ([[sampleFrames]]) remains a declared stub: the JDK
-  * ships no video codec.
+  * VIDEO is real at both layers: the ISO-BMFF (MP4/MOV) CONTAINER parse is
+  * pure byte-walking ([[parseMp4Meta]]/[[decodeVideoMeta]], duration/
+  * timescale/track-count/brand, v0+v1 mvhd, largesize headers), and FRAME
+  * sampling ([[sampleFrames]]) walks the `stbl` sample table (`stsz` sizes +
+  * `stco` offsets) and decodes each sampled payload with the ImageIO path —
+  * true pixels for MJPEG-style tracks, the codec family the JDK can decode.
+  * Inter-coded codecs (H.264/AV1…) would quarantine at the payload-decode
+  * step, exactly like any other undecodable bytes.
   */
 object Multimodal {
 
   case class MediaItem(id: Long, media: Array[Byte], format: String)
   case class DecodedImage(id: Long, width: Int, height: Int, channels: Int,
       decoded: Boolean, feature: Array[Float])
-  case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
+  case class FrameSample(id: Long, frameIdx: Int, width: Int, height: Int,
+      decoded: Boolean, feature: Array[Float])
 
   // ImageIO's default disk-backed stream cache would add a tmp-file write
   // per image per task — pure-memory streams keep the decode stage IO-free.
@@ -305,10 +309,29 @@ object Multimodal {
     }
   }
 
-  // ---- video (ISO-BMFF container metadata — real; frame CODEC — stub) ------
+  // ---- video (ISO-BMFF container metadata + sample-table frame decode) -----
 
   case class VideoMeta(id: Long, majorBrand: String, timescale: Int,
       durationUnits: Long, durationS: Double, nTracks: Int, decoded: Boolean)
+
+  /** (fourcc, payloadOffset, boxEnd) of the ISO-BMFF box at `off`, or null
+    * on a malformed header. Handles the 64-bit `largesize` form and the
+    * size-0 (box-runs-to-EOF) form. Shared by the metadata parser and the
+    * sample-table walker.
+    */
+  private def boxAt(bytes: Array[Byte], bb: java.nio.ByteBuffer, off: Int,
+      limit: Int): (String, Int, Int) = {
+    if (off + 8 > limit) return null
+    val size32 = bb.getInt(off).toLong & 0xffffffffL
+    val typ = new String(bytes, off + 4, 4, "US-ASCII")
+    val (payload, end) =
+      if (size32 == 1) { // 64-bit largesize
+        if (off + 16 > limit) return null
+        (off + 16, off + bb.getLong(off + 8))
+      } else if (size32 == 0) (off + 8, limit.toLong) // box runs to EOF
+      else (off + 8, off + size32)
+    if (end > limit || end <= payload) null else (typ, payload, end.toInt)
+  }
 
   /** Minimal VALID ISO-BMFF (MP4-family) container from (id, timescale,
     * duration, nTracks): `ftyp` + `moov(mvhd + nTracks × trak(tkhd))`, laid
@@ -378,19 +401,7 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
       def fourcc(off: Int): String =
         new String(bytes, off, 4, "US-ASCII")
-      // returns (payloadOffset, boxEnd) or null on malformed header
-      def boxAt(off: Int, limit: Int): (String, Int, Int) = {
-        if (off + 8 > limit) return null
-        val size32 = bb.getInt(off).toLong & 0xffffffffL
-        val typ = fourcc(off + 4)
-        val (payload, end) =
-          if (size32 == 1) { // 64-bit largesize
-            if (off + 16 > limit) return null
-            (off + 16, off + bb.getLong(off + 8))
-          } else if (size32 == 0) (off + 8, limit.toLong) // box runs to EOF
-          else (off + 8, off + size32)
-        if (end > limit || end <= payload) null else (typ, payload, end.toInt)
-      }
+      def box(off: Int, limit: Int): (String, Int, Int) = boxAt(bytes, bb, off, limit)
       var off = 0
       var brand = ""
       var timescale = 0
@@ -398,16 +409,16 @@ object Multimodal {
       var tracks = 0
       var sawMoov = false
       while (off < bytes.length) {
-        val box = boxAt(off, bytes.length)
-        if (box == null) return quarantine
-        val (typ, payload, end) = box
+        val b = box(off, bytes.length)
+        if (b == null) return quarantine
+        val (typ, payload, end) = b
         typ match {
           case "ftyp" => brand = fourcc(payload)
           case "moov" =>
             sawMoov = true
             var c = payload
             while (c < end) {
-              val child = boxAt(c, end)
+              val child = box(c, end)
               if (child == null) return quarantine
               val (ct, cp, ce) = child
               ct match {
@@ -437,31 +448,205 @@ object Multimodal {
 
   /** Real video-container metadata decode over a binary media column —
     * the `mapPartitions` batch stage a demux pipeline fronts with. Frame
-    * DECODING stays a declared stub ([[sampleFrames]]): the JDK ships no
-    * video codec; the container layer here is real.
+    * pixels: [[sampleFrames]].
     */
   def decodeVideoMeta(items: Dataset[MediaItem]): Dataset[VideoMeta] = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map(m => parseMp4Meta(m.id, m.media)))
   }
 
-  /** STUB frame sampling for video bytes: emits every `stride`-th fake frame;
-    * the JDK ships no video CODEC, so real pixel extraction needs a native
-    * decoder per partition — the schema/batch contract here is what it would
-    * target. Container METADATA (duration, tracks, brand) is real: see
-    * [[decodeVideoMeta]].
+  /** Deterministic JPEG frame for the MJPEG fixtures: the [[synthesizePng]]
+    * gradient with a per-frame blue tint, JPEG-encoded. Lossy encoding does
+    * not disturb the GEOMETRY contract (width/height decode exactly), which
+    * is what the q76 oracle verifies arithmetically.
     */
-  def sampleFrames(items: Dataset[MediaItem], nFrames: Int = 4,
-      featureDim: Int = 8): Dataset[FrameSample] = {
-    import items.sparkSession.implicits._
-    items.flatMap { m =>
-      val h = m.media.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L)
-      (0 until nFrames).map { f =>
-        val fh = h * (f + 1)
-        FrameSample(m.id, f,
-          Array.tabulate(featureDim)(i => math.floorMod(fh >> (i * 4), 1024) / 1024.0f))
+  def synthesizeJpegFrame(id: Long, frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) |
+          ((id + frameIdx * 17) & 0xffL).toInt)
+        x += 1
       }
+      y += 1
     }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** MJPEG-style ISO-BMFF container: `ftyp` + `mdat` holding the encoded
+    * frame payloads + a full `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    * minf(stbl(stsd 'mjpa', stts, stsc, stsz, stco)))))` sample table —
+    * one sample per chunk, absolute file offsets, version-0 boxes per
+    * ISO/IEC 14496-12. [[sampleFrames]] walks exactly these boxes back out;
+    * [[parseMp4Meta]] reads the same container's movie-level metadata.
+    */
+  def synthesizeMjpegMp4(timescale: Int, durationUnits: Long,
+      frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "container needs at least one frame")
+    require(durationUnits >= 0 && durationUnits <= 0xFFFFFFFFL,
+      s"durationUnits=$durationUnits exceeds the version-0 32-bit box field")
+    val n = frames.length
+    val ftypSize = 20
+    val mdatSize = 8 + frames.map(_.length).sum
+    val stsdSize = 8 + 8 + 86 // header + vf/entry_count + VisualSampleEntry
+    val sttsSize = 24
+    val stscSize = 28
+    val stszSize = 20 + 4 * n
+    val stcoSize = 16 + 4 * n
+    val stblSize = 8 + stsdSize + sttsSize + stscSize + stszSize + stcoSize
+    val minfSize = 8 + stblSize
+    val hdlrSize = 33 // 8 + vf(4) + pre_defined(4) + handler(4) + reserved(12) + NUL name(1)
+    val mdhdSize = 32
+    val mdiaSize = 8 + mdhdSize + hdlrSize + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val buf = java.nio.ByteBuffer.allocate(ftypSize + mdatSize + moovSize)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    buf.putInt(ftypSize); fourcc("ftyp"); fourcc("isom"); buf.putInt(0); fourcc("isom")
+    // mdat precedes moov so stco carries known absolute offsets
+    buf.putInt(mdatSize); fourcc("mdat")
+    val offsets = new Array[Int](n)
+    var pos = ftypSize + 8
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = pos; buf.put(f); pos += f.length
+    }
+    buf.putInt(moovSize); fourcc("moov")
+    buf.putInt(108); fourcc("mvhd")
+    buf.putInt(0) // version 0 + flags
+    buf.putInt(0).putInt(0) // creation / modification time
+    buf.putInt(timescale)
+    buf.putInt(durationUnits.toInt)
+    buf.putInt(0x00010000) // rate 1.0
+    buf.putShort(0x0100.toShort).putShort(0) // volume + reserved
+    buf.putInt(0).putInt(0) // reserved
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2) // next_track_ID
+    buf.putInt(trakSize); fourcc("trak")
+    buf.putInt(92); fourcc("tkhd")
+    buf.putInt(0x00000007) // v0, enabled|in-movie|in-preview
+    buf.putInt(0).putInt(0) // times
+    buf.putInt(1) // track_ID
+    buf.putInt(0) // reserved
+    buf.putInt(durationUnits.toInt)
+    buf.putInt(0).putInt(0) // reserved
+    buf.putShort(0).putShort(0).putShort(0).putShort(0)
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    buf.putInt(width << 16).putInt(height << 16) // 16.16 fixed-point
+    buf.putInt(mdiaSize); fourcc("mdia")
+    buf.putInt(mdhdSize); fourcc("mdhd")
+    buf.putInt(0)
+    buf.putInt(0).putInt(0) // times
+    buf.putInt(timescale).putInt(durationUnits.toInt)
+    buf.putShort(0x55C4.toShort).putShort(0) // language 'und' + pre_defined
+    buf.putInt(hdlrSize); fourcc("hdlr")
+    buf.putInt(0).putInt(0); fourcc("vide")
+    buf.putInt(0).putInt(0).putInt(0) // reserved
+    buf.put(0.toByte) // empty NUL name
+    buf.putInt(minfSize); fourcc("minf")
+    buf.putInt(stblSize); fourcc("stbl")
+    buf.putInt(stsdSize); fourcc("stsd")
+    buf.putInt(0).putInt(1) // vf + entry_count
+    buf.putInt(86); fourcc("mjpa") // VisualSampleEntry
+    (0 until 6).foreach(_ => buf.put(0.toByte)) // reserved
+    buf.putShort(1) // data_reference_index
+    buf.putShort(0).putShort(0) // pre_defined + reserved
+    buf.putInt(0).putInt(0).putInt(0) // pre_defined[3]
+    buf.putShort(width.toShort).putShort(height.toShort)
+    buf.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+    buf.putInt(0) // reserved
+    buf.putShort(1) // frame_count per sample
+    buf.put(new Array[Byte](32)) // compressorname (zeroed pascal string)
+    buf.putShort(24) // depth
+    buf.putShort(-1) // pre_defined
+    buf.putInt(sttsSize); fourcc("stts")
+    buf.putInt(0).putInt(1) // vf + entry_count
+    buf.putInt(n).putInt(math.max(1, (durationUnits / n).toInt)) // count, delta
+    buf.putInt(stscSize); fourcc("stsc")
+    buf.putInt(0).putInt(1) // vf + entry_count
+    buf.putInt(1).putInt(1).putInt(1) // first_chunk, samples/chunk, sd index
+    buf.putInt(stszSize); fourcc("stsz")
+    buf.putInt(0).putInt(0).putInt(n) // vf, sample_size=0 (per-sample), count
+    frames.foreach(f => buf.putInt(f.length))
+    buf.putInt(stcoSize); fourcc("stco")
+    buf.putInt(0).putInt(n) // vf + entry_count
+    offsets.foreach(buf.putInt)
+    buf.array()
+  }
+
+  /** REAL frame sampling: walks the ISO-BMFF sample table (`moov → trak →
+    * mdia → minf → stbl`, per-sample sizes from `stsz`, absolute offsets
+    * from `stco` — one sample per chunk) and decodes every `stride`-th
+    * sample payload with the same ImageIO path as [[decodeImages]]: true
+    * pixel features for MJPEG-style tracks. Containers without a parseable
+    * sample table quarantine as one `frameIdx=-1, decoded=false` row;
+    * individually undecodable payloads quarantine per-frame — either way no
+    * item silently vanishes, the [[decodeImages]] contract.
+    */
+  def sampleFrames(items: Dataset[MediaItem], stride: Int = 2,
+      featureDim: Int = 8): Dataset[FrameSample] = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    import items.sparkSession.implicits._
+    items.flatMap(m => sampleFramesLocal(m.id, m.media, stride, featureDim))
+  }
+
+  /** Partition-local core of [[sampleFrames]] (also direct-callable in
+    * tests and custom `mapPartitions` stages).
+    */
+  def sampleFramesLocal(id: Long, bytes: Array[Byte], stride: Int,
+      featureDim: Int): Seq[FrameSample] = {
+    val quarantine = Seq(FrameSample(id, -1, 0, 0, decoded = false, Array.empty))
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      // first child box of the given type within [from, limit)
+      def child(from: Int, limit: Int, typ: String): (Int, Int) = {
+        var off = from
+        while (off < limit) {
+          val b = boxAt(bytes, bb, off, limit)
+          if (b == null) return null
+          if (b._1 == typ) return (b._2, b._3)
+          off = b._3
+        }
+        null
+      }
+      val moov = child(0, bytes.length, "moov")
+      if (moov == null) return quarantine
+      val trak = child(moov._1, moov._2, "trak")
+      if (trak == null) return quarantine
+      val mdia = child(trak._1, trak._2, "mdia")
+      if (mdia == null) return quarantine
+      val minf = child(mdia._1, mdia._2, "minf")
+      if (minf == null) return quarantine
+      val stbl = child(minf._1, minf._2, "stbl")
+      if (stbl == null) return quarantine
+      val stsz = child(stbl._1, stbl._2, "stsz")
+      val stco = child(stbl._1, stbl._2, "stco")
+      if (stsz == null || stco == null) return quarantine
+      val fixedSize = bb.getInt(stsz._1 + 4)
+      val nSamples = bb.getInt(stsz._1 + 8)
+      val nChunks = bb.getInt(stco._1 + 4)
+      val n = math.min(nSamples, nChunks)
+      if (n <= 0) return quarantine
+      (0 until n by stride).map { i =>
+        val size = if (fixedSize != 0) fixedSize else bb.getInt(stsz._1 + 12 + 4 * i)
+        val offset = bb.getInt(stco._1 + 8 + 4 * i)
+        val bad = size <= 0 || offset < 0 || offset.toLong + size > bytes.length
+        if (bad) FrameSample(id, i, 0, 0, decoded = false, Array.empty)
+        else tryDecode(java.util.Arrays.copyOfRange(bytes, offset, offset + size)) match {
+          case Some(img) => FrameSample(id, i, img.getWidth, img.getHeight,
+            decoded = true, luminanceHistogram(img, featureDim))
+          case None => FrameSample(id, i, 0, 0, decoded = false, Array.empty)
+        }
+      }
+    } catch { case _: RuntimeException => quarantine }
   }
 
   /** Media dataset summary — the kind of partition-pruned scan a curation

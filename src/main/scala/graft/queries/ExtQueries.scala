@@ -2078,6 +2078,60 @@ object ExtQueries {
       |FROM pairs p JOIN docs_in di ON p.hamming = di.hamming
       |GROUP BY p.hamming ORDER BY p.hamming""".stripMargin
 
+  // ---- q76 video frame sampling ---------------------------------------------
+
+  /** Frame-level video in the correctness gate, retiring the last stub in
+    * the modality suite: every document becomes an MJPEG-style ISO-BMFF
+    * container whose `mdat` holds REAL JPEG frames (count and geometry are
+    * arithmetic functions of (doc_id, n_chars)),
+    * [[graft.ext.Multimodal.sampleFrames]] walks the `stsz`/`stco` sample
+    * table and ImageIO-decodes every 2nd frame, and DuckDB — which can parse
+    * neither MP4 nor JPEG — verifies that the sampled frame count and the
+    * DECODED pixel geometry match the encoded arithmetic exactly.
+    * n_decoded == n_frames_sampled pins zero quarantine fallbacks.
+    */
+  def q76FrameSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = cached(spark, sfDir, "media_mjpeg") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val nf = 2 + (id % 4).toInt
+          val w = 16 + (nc % 16).toInt
+          val h = 12 + (id % 8).toInt
+          val frames = (0 until nf).map(f =>
+            graft.ext.Multimodal.synthesizeJpegFrame(id, f, w, h))
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizeMjpegMp4(1000, 1000L * nf, frames, w, h),
+            "video/mp4")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+    graft.ext.Multimodal.sampleFrames(items, stride = 2, featureDim = 4).toDF()
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        countDistinct(col("id")).as("n_videos"),
+        count(lit(1)).as("n_frames_sampled"),
+        sum(col("decoded").cast("long")).as("n_decoded"),
+        round(avg(col("width")), 6).as("avg_frame_width"),
+        round(avg(col("height")), 6).as("avg_frame_height"))
+      .orderBy("source")
+  }
+
+  /** Sampled-frame count at stride 2 is ceil(nf/2) = (nf+1)//2 with
+    * nf = 2 + doc_id%4; frame geometry replays from (n_chars, doc_id). The
+    * averages weight each video by its sampled-frame count, exactly like the
+    * engine's per-frame AVG.
+    */
+  val q76Sql: String =
+    """SELECT source, COUNT(*) AS n_videos,
+      |  CAST(SUM((3 + doc_id % 4) // 2) AS BIGINT) AS n_frames_sampled,
+      |  CAST(SUM((3 + doc_id % 4) // 2) AS BIGINT) AS n_decoded,
+      |  ROUND(SUM((16 + n_chars % 16) * ((3 + doc_id % 4) // 2)) * 1.0
+      |        / SUM((3 + doc_id % 4) // 2), 6) AS avg_frame_width,
+      |  ROUND(SUM((12 + doc_id % 8) * ((3 + doc_id % 4) // 2)) * 1.0
+      |        / SUM((3 + doc_id % 4) // 2), 6) AS avg_frame_height
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2127,7 +2181,8 @@ object ExtQueries {
     "q70_source_mixing" -> (q70SourceMixing _),
     "q72_video_meta" -> (q72VideoMeta _),
     "q73_curation_attribution" -> (q73CurationAttribution _),
-    "q75_perceptual_dedup" -> (q75PerceptualDedup _))
+    "q75_perceptual_dedup" -> (q75PerceptualDedup _),
+    "q76_frame_sampling" -> (q76FrameSampling _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2178,5 +2233,6 @@ object ExtQueries {
     "q70_source_mixing" -> q70Sql,
     "q72_video_meta" -> q72Sql,
     "q73_curation_attribution" -> q73Sql,
-    "q75_perceptual_dedup" -> q75Sql)
+    "q75_perceptual_dedup" -> q75Sql,
+    "q76_frame_sampling" -> q76Sql)
 }

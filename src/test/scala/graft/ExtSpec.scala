@@ -579,7 +579,7 @@ class ExtSpec extends SparkSpec {
     assert(!decoded(3L).decoded && decoded(3L).nSamples == 0L)
   }
 
-  test("multimodal stub pipeline: synthetic media, frames, stats") {
+  test("multimodal synthetic-media pipeline: fallback decode, quarantine frames, stats") {
     val media = Multimodal.withSyntheticMedia(docsDf, "doc_id", "text")
     val decoded = Multimodal.decodeImages(media, featureDim = 4)
     val rows = decoded.collect()
@@ -588,10 +588,38 @@ class ExtSpec extends SparkSpec {
     // identical bytes → identical fallback decode (docs 1 and 4 share text)
     val byId = rows.map(r => r.id -> r).toMap
     assert(byId(1L).width == byId(4L).width && byId(1L).feature.sameElements(byId(4L).feature))
-    val frames = Multimodal.sampleFrames(media, nFrames = 3, featureDim = 4)
-    assert(frames.count() == 15)
+    // raw text bytes are not ISO-BMFF → one quarantine frame row per item
+    val frames = Multimodal.sampleFrames(media, stride = 1, featureDim = 4).collect()
+    assert(frames.length == 5)
+    assert(frames.forall(f => !f.decoded && f.frameIdx == -1))
     val stats = Multimodal.mediaStats(media).head()
     assert(stats.getLong(1) == 5L)
+  }
+
+  test("MJPEG sample-table round trip: stsz/stco walk + real JPEG frame decode") {
+    import spark.implicits._
+    val frames = (0 until 5).map(f => Multimodal.synthesizeJpegFrame(7L, f, 32, 24))
+    val container = Multimodal.synthesizeMjpegMp4(1000, 5000L, frames, 32, 24)
+    // the movie-level metadata parser reads the same container
+    val meta = Multimodal.parseMp4Meta(7L, container)
+    assert(meta.decoded && meta.nTracks == 1 && meta.timescale == 1000 &&
+      meta.durationUnits == 5000L, s"got $meta")
+    // stride 2 samples frames 0, 2, 4 with true decoded geometry
+    val sampled = Multimodal.sampleFramesLocal(7L, container, stride = 2, featureDim = 4)
+    assert(sampled.map(_.frameIdx) == Seq(0, 2, 4))
+    assert(sampled.forall(f => f.decoded && f.width == 32 && f.height == 24),
+      s"got $sampled")
+    // features are real normalized pixel histograms, not fabricated
+    assert(sampled.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-4))
+    // distinct frames differ in content (per-frame tint shifts the histogram)
+    assert(sampled.map(_.feature.toSeq).distinct.size > 1)
+    // the Dataset stage at stride 1 yields every frame
+    val ds = spark.createDataset(Seq(Multimodal.MediaItem(7L, container, "video/mp4")))
+    assert(Multimodal.sampleFrames(ds, stride = 1).count() == 5)
+    // a truncated container quarantines instead of crashing
+    val q = Multimodal.sampleFramesLocal(7L,
+      java.util.Arrays.copyOfRange(container, 0, 40), 2, 4)
+    assert(q.size == 1 && !q.head.decoded && q.head.frameIdx == -1)
   }
 
   test("span duplication: identical docs fully shared, near doc partially, unique docs zero") {
