@@ -211,6 +211,33 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd refinement of IVF centroids: assign EVERY corpus row
+    * to its nearest centroid (fused [[graft.functions.NearestCentroid]]
+    * expression), recompute each centroid as the element-wise mean via the
+    * [[graft.functions.VectorAgg.vectorAvg]] Aggregator (map-side merged —
+    * each iteration's exchange carries nLists×dim doubles per partition,
+    * never the corpus), repeat. Fixes the seed quantizer's blind spot: the
+    * bounded driver sample can misplace centroids the full corpus sees
+    * clearly. Empty lists keep their previous centroid. The driver only
+    * ever holds the nLists×dim centroid table per round.
+    */
+  private[ext] def refineCentroids(corpus: DataFrame, vecCol: String,
+      seed: Array[Array[Double]], iterations: Int): Array[Array[Double]] = {
+    var cur = seed
+    for (_ <- 1 to iterations) {
+      val means = corpus
+        .select(col(vecCol).cast("array<double>").as("__v"),
+          ivfListId(col(vecCol), cur).as("__list"))
+        .groupBy("__list")
+        .agg(graft.functions.VectorAgg.vectorAvg(col("__v")).as("__c"))
+        .collect()
+        .map(r => r.getAs[Number]("__list").intValue() ->
+          r.getSeq[Double](1).toArray).toMap
+      cur = Array.tabulate(cur.length)(i => means.getOrElse(i, cur(i)))
+    }
+    cur
+  }
+
   /** Distance ranking to every centroid: ‖cᵢ‖² − 2·v·cᵢ (the ‖v‖² term is
     * constant per row and cannot change the argmin/ordering, so it is
     * dropped), using the codegen'd dot product against literal centroid
@@ -238,8 +265,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
-      sampleSize: Int = 256): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nLists, sampleSize)
+      sampleSize: Int = 256, refineIterations: Int = 0): DataFrame = {
+    val seed = trainCentroids(corpus, idCol, vecCol, nLists, sampleSize)
+    val centroids =
+      if (refineIterations > 0) refineCentroids(corpus, vecCol, seed, refineIterations)
+      else seed
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       ivfListId(col(vecCol), centroids).as("__list"))
     // per query: the nProbe closest lists, via sorting (dist, idx) structs

@@ -215,6 +215,28 @@ class ExtSpec extends SparkSpec {
     assert(ivfRecall >= 0.9, f"IVF recall@5 $ivfRecall%.3f below 0.9 floor")
   }
 
+  test("IVF Lloyd refinement matches or beats the seed quantizer at a tighter probe budget") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val truth = top5Pairs(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5))
+    def ivfRecall(refine: Int): Double = recallAt5(truth,
+      top5Pairs(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 2,
+        refineIterations = refine)))
+    val seedR = ivfRecall(0)
+    val refinedR = ivfRecall(3)
+    info(f"ivf(16 lists, 2 probes) recall@5: seed $seedR%.3f, refined(3 Lloyd) $refinedR%.3f")
+    assert(refinedR >= seedR,
+      f"refinement must not lose recall: $refinedR%.3f < $seedR%.3f")
+    assert(refinedR >= 0.9, f"refined IVF recall@5 $refinedR%.3f below 0.9 at nProbe=2")
+  }
+
   test("ANN recall floors: real embeddings fixture (near-random worst case)") {
     // sf0.001 embeddings have NO cluster structure (within-label cosine ≈ 0,
     // top-5 neighbor cosine ≈ 0.3) — the adversarial regime for LSH/IVF. The
