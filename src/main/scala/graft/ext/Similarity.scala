@@ -81,7 +81,12 @@ object Similarity {
     // XOR masks with popcount ≤ probeHamming enumerate the probe set; the
     // query side stays tiny (rows × probes) and broadcast
     val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeHamming)
-    val probeBuckets = array(masks.map(m => base.bitwiseXOR(lit(m.toLong))): _*)
+    // the signature pipeline is let-bound ONCE before the mask fan-out: an
+    // unbound `base` is inlined per mask (56 copies at planes=10, h<=2),
+    // which breaks whole-stage codegen (64KB method limit) and re-evaluates
+    // the planes x dims projection per probe row (see Exprs.bindOnce)
+    val probeBuckets = graft.core.Exprs.bindOnce(base, b =>
+      array(masks.map(m => b.bitwiseXOR(lit(m.toLong))): _*))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qv"), explode(probeBuckets).as("__bucket")))
     val scored = c.join(q, Seq("__bucket")).filter(col("neighbor_id") =!= col("query_id"))
