@@ -299,20 +299,40 @@ object Dedup {
     *
     * Shape: inverted index on span hashes — explode distinct spans, count
     * doc-frequency per span (one shuffle on the span hash, map-side
-    * combined), join the >1-doc spans back (AQE handles hot boilerplate
-    * spans), re-aggregate per doc. No all-pairs stage anywhere, so unlike
-    * pairwise MinHash this stays linear in corpus size at 100 TB.
+    * combined), join the >1-doc spans back, re-aggregate per doc. No
+    * all-pairs stage anywhere, so unlike pairwise MinHash this stays linear
+    * in corpus size at 100 TB.
     * Span identity is the combined 64-bit token-hash (collision caveat as
     * [[nearDuplicatePairs]]).
+    *
+    * Hot-key note: a boilerplate span shared by ~every doc concentrates the
+    * join-back's left rows on one reducer, and AQE's skew-join split cannot
+    * see this join — its right side is an aggregate output inside the same
+    * stage, not the bare `Sort(ShuffleQueryStage)` shape OptimizeSkewedJoin
+    * pattern-matches (verified empirically, including under
+    * `forceOptimizeSkewedJoin`). `salts > 1` routes around it: the spans
+    * side salts deterministically by doc id, the (small, one-row-per-
+    * distinct-shared-span) side replicates `salts`×, and the join key
+    * becomes (span, salt) — a planted df=100k span's rows then spread
+    * across `salts` reducers instead of one. Identical results by
+    * construction (ScaleSpec asserts both equality and the reducer-balance
+    * bound at 100k docs).
     */
   def spanDuplication(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8, salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
     val sets = shingleSets(df, idCol, textCol, spanTokens)
     val spans = sets.select(col("id"), explode(col("sset")).as("__g"))
     // sset is distinct per doc → count(*) per span IS its doc-frequency
     val shared = spans.groupBy("__g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1).select("__g")
-    val perDoc = spans.join(shared, Seq("__g"))
+    val joined =
+      if (salts == 1) spans.join(shared, Seq("__g"))
+      else spans.withColumn("__salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+        .join(shared.select(col("__g"),
+          explode(sequence(lit(0L), lit(salts.toLong - 1))).as("__salt")),
+          Seq("__g", "__salt"))
+    val perDoc = joined
       .groupBy("id").agg(count(lit(1)).as("n_shared_spans"))
     sets.select(col("id"), size(col("sset")).cast("long").as("n_spans"))
       .filter(col("n_spans") > 0)

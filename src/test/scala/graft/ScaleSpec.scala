@@ -109,6 +109,63 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), "scan fell back to a global window")
   }
 
+  test("planted hot span at 100k docs: contamination join is broadcast-immune, " +
+    "salted span join bounds reducer skew") {
+    // Every doc opens with the same 8-token boilerplate → ONE ultra-hot span
+    // key (df = 100k) plus two unique spans per doc — the stopword-span skew
+    // regime the round-4 verdict flagged.
+    val n = 100000
+    val docs = spark.range(n).select(col("id"),
+      concat(lit("t0 t1 t2 t3 t4 t5 t6 t7 u"), col("id"),
+        lit(" v"), col("id")).as("text"))
+
+    // (1) The contamination join: the benchmark span side is broadcast BY
+    // CONSTRUCTION, so a hot span never concentrates on a reducer — there is
+    // no shuffle on the span key at all. Executed plan pins it.
+    val bench = spark.range(1).select(col("id"),
+      lit("t0 t1 t2 t3 t4 t5 t6 t7").as("text"))
+    val flagged = graft.ext.Dedup.contaminationReport(
+      docs, bench, "id", "text", shingleSize = 8, minOverlap = 1)
+    val flaggedRows = flagged.collect()
+    assert(flaggedRows.length == n, s"all docs share the hot span: ${flaggedRows.length}")
+    val cplan = flagged.queryExecution.executedPlan.toString
+    assert(cplan.contains("BroadcastHashJoin") || cplan.contains("BroadcastExchange"),
+      s"contamination span join must broadcast the benchmark side:\n${cplan.take(2000)}")
+
+    // (2) spanDuplication's join-back: AQE's skew split cannot see this join
+    // (the shared-span side is an aggregate output inside the same stage,
+    // not the bare Sort(ShuffleQueryStage) OptimizeSkewedJoin matches —
+    // verified empirically incl. forceOptimizeSkewedJoin), so the salted
+    // route carries the bound. First: identical results either way.
+    val plain = graft.ext.Dedup.spanDuplication(docs, "id", "text", spanTokens = 8)
+    val salted = graft.ext.Dedup.spanDuplication(docs, "id", "text",
+      spanTokens = 8, salts = 8)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty,
+      "salted join must return exactly the unsalted results")
+    val shape = salted.select(col("n_spans"), col("n_shared_spans")).distinct().collect()
+    assert(shape.length == 1 && shape(0).getLong(0) == 3L && shape(0).getLong(1) == 1L,
+      s"got ${shape.toSeq}")
+
+    // (3) The reducer-balance bound itself, measured on the exact rows the
+    // join shuffle would deal: hash-distributing the spans side on the bare
+    // span key leaves one reducer holding ≥ the hot key's full 100k rows;
+    // on (span, salt) the maximum reducer load drops by ~the salt factor.
+    val spans = graft.ext.Dedup.shingleSets(docs, "id", "text", shingleSize = 8)
+      .select(col("id"), explode(col("sset")).as("__g"))
+    def maxPartitionRows(parts: Int, keys: org.apache.spark.sql.Column*): Long =
+      spans.repartition(parts, keys: _*)
+        .mapPartitions(it => Iterator.single(it.size.toLong))(
+          org.apache.spark.sql.Encoders.scalaLong)
+        .collect().max
+    val hotMax = maxPartitionRows(8, col("__g"))
+    val saltedMax = maxPartitionRows(8,
+      col("__g"), pmod(xxhash64(col("id")), lit(8L)))
+    info(f"max reducer rows of 300k: unsalted $hotMax%d, salted(8) $saltedMax%d")
+    assert(hotMax >= 100000L, "hot key must pin >= its 100k rows on one reducer")
+    assert(saltedMax <= 60000L,
+      s"salted distribution must bound the hottest reducer: $saltedMax")
+  }
+
   test("cost scales roughly linearly in key count (no quadratic collapse)") {
     def time(nKeys: Int): Double = {
       val t0 = System.nanoTime()
