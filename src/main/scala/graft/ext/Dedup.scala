@@ -558,12 +558,25 @@ object Dedup {
     * identical bit semantics to [[simhash]].
     */
   def simhashCol(text: Column, bits: Int = 64): Column =
+    simhashColFromTokenHashes(tokenHashes(text), bits)
+
+  /** Row-local 60-bit PORTABLE SimHash column — the streaming-legal twin of
+    * [[simhashPortable]], bit-identical to the batch explode+groupBy pass
+    * (same md5-derived token hashes, same vote rule), so streaming stages
+    * can share signatures — and therefore pair sets and dedup decisions —
+    * with batch pipelines gated on the portable oracle.
+    */
+  def simhashColPortable(text: Column): Column =
+    simhashColFromTokenHashes(
+      transform(tokens(text), t => portableTokenHash(t)), bits = 60)
+
+  private def simhashColFromTokenHashes(th: Column, bits: Int): Column =
     // the token-hash array is let-bound: without it the expression tree holds
     // `bits` copies of the tokenize+hash pipeline, one per vote lambda, and
     // interpreted HOF eval runs all of them per row (see bindOnce)
-    bindOnce(tokenHashes(text), th =>
+    bindOnce(th, thv =>
       (0 until bits).map { b =>
-        val vote = aggregate(th, lit(0),
+        val vote = aggregate(thv, lit(0),
           (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
         when(vote > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _))

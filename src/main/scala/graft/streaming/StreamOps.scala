@@ -152,16 +152,25 @@ object StreamOps {
     */
   def streamingNearDuplicates(docs: DataFrame, idCol: String = "doc_id",
       tsCol: String = "ts", textCol: String = "text", maxHamming: Int = 3,
-      bands: Int = 4, bucketCap: Int = 64): Dataset[DupHit] = {
+      bands: Int = 4, bucketCap: Int = 64,
+      portableHash: Boolean = false): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     require(maxHamming < bands, "exactness needs maxHamming <= bands - 1 (pigeonhole)")
+    // portable = the 60-bit md5-derived signature family the batch oracle
+    // gates (15-bit bands); default = the fast 64-bit xxhash one (16-bit)
+    val bits = if (portableHash) 60 else 64
+    val width = bits / bands
+    val mask = (1L << width) - 1
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
     }
+    val signature =
+      if (portableHash) graft.ext.Dedup.simhashColPortable(col(textCol))
+      else graft.ext.Dedup.simhashCol(col(textCol), 64)
     val sigs = docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-        graft.ext.Dedup.simhashCol(col(textCol), 64).as("simhash"))
+        signature.as("simhash"))
       .select(col("doc_id"), col("ts"), col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("ts"), col("simhash"),
@@ -183,6 +192,61 @@ object StreamOps {
           }
           state.update(BucketState(seen))
           out.result().iterator
+      }
+  }
+
+  // ---- streaming curation (incremental q60 twin) ---------------------------
+
+  case class CurDoc(doc_id: Long, ts: Timestamp, source: String, tokens: Long,
+      q: Double, overlap: Long, dg: String)
+  case class SeenState(seen: Boolean)
+  case class CurFlag(doc_id: Long, source: String, tokens: Long, q: Double,
+      overlap: Long, novel: Boolean)
+
+  /** Streaming curation stage engine — the continuous-ingestion shape of the
+    * batch pipeline behind q60. Row-local (stateless) projections compute
+    * per doc: token count, quality score, and the contamination overlap
+    * (distinct 3-shingle hashes intersected against the BROADCAST benchmark
+    * span set — the static-side analog of the batch Bloom+join; identical
+    * count because the batch side also counts a doc's distinct spans hitting
+    * the benchmark's distinct set). The single stateful op is first-arrival
+    * exact dedup keyed by content digest (`novel` = no earlier doc with the
+    * same bytes, across and within micro-batches — arrival order ≡ the
+    * batch min-doc-id rule for id-ordered feeds).
+    *
+    * Compose with [[streamingNearDuplicates]] (portableHash=true for the
+    * oracle-gated signature family) for the near-dup stage and a batch
+    * [[graft.ext.Curation.selectByTokenBudget]] epilogue over the surviving
+    * pool for the global-budget stage — global selection is inherently a
+    * periodic batch decision over accumulated state, not a per-row one.
+    * StreamingSpec asserts the composed staged counts equal the batch q60
+    * panel row-for-row over a multi-batch feed.
+    */
+  def streamingCurationFlags(docs: DataFrame, benchSpans: Seq[Long],
+      idCol: String = "doc_id", tsCol: String = "ts", textCol: String = "text",
+      sourceCol: String = "source", shingleSize: Int = 3): Dataset[CurFlag] = {
+    import docs.sparkSession.implicits._
+    val sset = array_distinct(graft.ext.Dedup.shingleHashesFromTokenHashes(
+      graft.ext.Dedup.tokenHashes(col(textCol)), shingleSize))
+    val projected = docs.select(
+      col(idCol).as("doc_id"), col(tsCol).as("ts"), col(sourceCol).as("source"),
+      graft.ext.TextStats.tokenCountSimple(col(textCol)).cast("long").as("tokens"),
+      round(graft.ext.TextStats.qualityScore(col(textCol)), 3).as("q"),
+      size(array_intersect(sset, typedLit(benchSpans))).cast("long").as("overlap"),
+      md5(col(textCol).cast("binary")).as("dg")).as[CurDoc]
+    projected.groupByKey(_.dg)
+      .flatMapGroupsWithState[SeenState, CurFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CurDoc], state: GroupState[SeenState]) =>
+          var seen = state.getOption.exists(_.seen)
+          // deterministic arrival order within a micro-batch
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+            val novel = !seen
+            seen = true
+            CurFlag(r.doc_id, r.source, r.tokens, r.q, r.overlap, novel)
+          }
+          state.update(SeenState(true))
+          out.iterator
       }
   }
 

@@ -341,4 +341,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamCells == batchCells,
       s"stream cells $streamCells vs batch $batchCells")
   }
+
+  test("streaming curation staged counts ≡ batch q60 panel over a 3-batch feed") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    // static benchmark span set (the src0 docs ARE the benchmark in q60)
+    val benchSpans = graft.ext.Dedup.shingleSets(
+        docsAll.filter(col("source") === "src0"), "doc_id", "text", shingleSize = 3)
+      .select(explode(col("sset")).as("g")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val rows = docsAll.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), new Timestamp(1700000000000L + r.getLong(0)),
+        r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    assert(batches.length == 3, s"${batches.length} batches")
+
+    val inputA = MemoryStream[(Long, Timestamp, String, String)](81, spark, None)
+    val flagsQ = StreamOps.streamingCurationFlags(
+      inputA.toDF().toDF("doc_id", "ts", "source", "text"), benchSpans)
+      .toDF().writeStream.format("memory").queryName("cur_flags")
+      .outputMode("append").start()
+    val inputB = MemoryStream[(Long, Timestamp, String)](82, spark, None)
+    val hitsQ = StreamOps.streamingNearDuplicates(
+      inputB.toDF().toDF("doc_id", "ts", "text"), portableHash = true)
+      .toDF().writeStream.format("memory").queryName("cur_hits")
+      .outputMode("append").start()
+    batches.foreach { b =>
+      inputA.addData(b)
+      inputB.addData(b.map(t => (t._1, t._2, t._4)))
+      flagsQ.processAllAvailable()
+      hitsQ.processAllAvailable()
+    }
+    flagsQ.stop(); hitsQ.stop()
+
+    val hitIds = spark.table("cur_hits").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    case class D(id: Long, source: String, tokens: Long, q: Double,
+        f1: Boolean, f2: Boolean, f3: Boolean)
+    val ds = spark.table("cur_flags").collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f1 = r.getAs[Boolean]("novel")
+      val f2 = f1 && !hitIds(id)
+      val src = r.getAs[String]("source")
+      val f3 = f2 && src != "src0" && r.getAs[Long]("overlap") < 5
+      D(id, src, r.getAs[Long]("tokens"), r.getAs[Double]("q"), f1, f2, f3)
+    }.toSeq
+    assert(ds.length == rows.length)
+    // global token budget: a periodic BATCH decision over the surviving pool
+    val pool = ds.filter(_.f3).map(d => (d.id, d.q, d.tokens))
+      .toDF("doc_id", "q", "tokens")
+    val s4Ids = graft.ext.Curation.selectByTokenBudget(
+      pool, "doc_id", "q", "tokens", 8000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    def stage(pred: D => Boolean): (Long, Long) =
+      (ds.count(pred).toLong, ds.filter(pred).map(_.tokens).sum)
+    val streamPanel = Seq(
+      0L -> stage(_ => true), 1L -> stage(_.f1), 2L -> stage(_.f2),
+      3L -> stage(_.f3), 4L -> stage(d => s4Ids(d.id)))
+    val batchPanel = graft.queries.ExtQueries.q60CurationPipeline(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3)))).toSeq
+    assert(streamPanel == batchPanel,
+      s"stream $streamPanel\nbatch  $batchPanel")
+  }
 }
