@@ -82,6 +82,48 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException | _: RuntimeException => None }
 
+  /** JVM twin of [[Dedup.portableTokenHash]]'s SQL arithmetic (md5 hex,
+    * first 15 nibbles, as a 60-bit value) — lets partition-local fixture
+    * GENERATORS produce content an external engine can re-derive from the
+    * same key string.
+    */
+  def portableHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = first 7.5 bytes = the 8-byte big-endian value >> 4
+    (java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4)
+  }
+
+  /** Deterministic DIVERSE PNG: an 8×8 grid of constant-value grayscale
+    * cells (cell layout identical to [[perceptualHash]]'s block grid), cell
+    * values drawn from [[portableHash60]] of (contentKey, cell), blue
+    * channel tinted by `tintId`. Docs sharing `contentKey` are VISUALLY
+    * identical at any size/tint — planted perceptual duplicates with
+    * distinct bytes — while different keys differ in ~half their aHash bits
+    * (unlike a plain gradient corpus, where every image is the same ramp and
+    * pairwise hamming degenerates to ~0 corpus-wide). Constant cells make
+    * the q75 oracle exact: block sums factor to v·n, so bit(cell) reduces to
+    * v(cell)·w·h > Σ v·n — pure integer arithmetic DuckDB replays from the
+    * same md5 keys.
+    */
+  def synthesizePatternPng(tintId: Long, contentKey: Long, w: Int, h: Int): Array[Byte] = {
+    val v = Array.tabulate(64)(c => (portableHash60(s"p:$contentKey:$c") & 0xffL).toInt)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val tint = (tintId & 0xffL).toInt
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val vv = v(by * 8 + x * 8 / w)
+        img.setRGB(x, y, (vv << 16) | (vv << 8) | tint)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** `featureDim`-bin normalized luminance histogram — a real, deterministic
     * pixel-derived feature (the shape any learned embedding would flow
     * through; swap the body, keep the schema).

@@ -1992,24 +1992,49 @@ object ExtQueries {
 
   // ---- q75 perceptual image dedup -------------------------------------------
 
+  /** DIVERSE image corpus for the perceptual-dedup gate: every 4 consecutive
+    * doc_ids share a contentKey → visually identical block-pattern images at
+    * DIFFERENT sizes and tints (distinct bytes, the planted near-dups);
+    * different keys differ in ~half their aHash bits. A plain gradient
+    * corpus degenerates here — every image is the same ramp, corpus-wide
+    * pairwise hamming ~0, and the pair stage goes quadratic (measured 17.8 s
+    * at sf0.1); content diversity is what makes pair mining meaningful.
+    */
+  private def patternPngCorpus(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaItem] = {
+    import spark.implicits._
+    cached(spark, sfDir, "media_png_pattern") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val w = 16 + (nc % 32).toInt
+          val h = 16 + ((nc / 32) % 32).toInt
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizePatternPng(id, id / 4, w, h),
+            "image/png")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+  }
+
   /** Pixel-modality dedup in the correctness gate: the aHash perceptual
     * signature of every synthesized PNG ([[graft.ext.Multimodal.perceptualHash]])
     * goes through the banded-LSH near-dup machinery (hamming ≤ 3, exact by
     * pigeonhole at 4 bands) and the resulting pair set is panelled per
     * hamming distance with doc counts and id-sum checksums. The signature is
-    * brightness-shift invariant by construction, so gradients sharing (w, h)
-    * collapse to one signature even though every PNG differs byte-wise (the
-    * id-tinted blue channel) — exactly the re-encode/tint duplicates
-    * byte-exact q14 cannot see. DuckDB cannot decode a PNG, but the gradient
-    * corpus's block luminance sums are SEPARABLE (x-term + y-term + constant
-    * tint that cancels against the mean), so the oracle replays all 64 hash
-    * bits arithmetically from (w, h) alone and runs the same band join +
-    * popcount verification. Signatures are session-cached like the simhash
-    * family; the pair stage is one banded equi-join — never all-pairs.
+    * brightness-shift invariant by construction, so the 4-doc content groups
+    * of [[patternPngCorpus]] collapse to (nearly) one signature across their
+    * different tints and sizes even though every PNG differs byte-wise —
+    * exactly the re-encode/resize/tint duplicates byte-exact q14 cannot see.
+    * DuckDB cannot decode a PNG, but constant cells make the block algebra
+    * collapse: bit(cell) ⇔ v(cell)·w·h > Σ v·n, pure integer arithmetic the
+    * oracle re-derives from the same md5 content keys before running the
+    * same band join + popcount verification. Signatures are session-cached
+    * like the simhash family; the pair stage is one banded equi-join —
+    * never all-pairs.
     */
   def q75PerceptualDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val ph = cached(spark, sfDir, "phashes")(
-      graft.ext.Multimodal.perceptualHashes(pngCorpus(spark, sfDir)).toDF())
+      graft.ext.Multimodal.perceptualHashes(patternPngCorpus(spark, sfDir)).toDF())
     val pairs = Dedup.perceptualNearDuplicatePairs(
       ph.filter(col("decoded")), maxHamming = 3)
     val base = pairs.groupBy("hamming").agg(
@@ -2025,13 +2050,13 @@ object ExtQueries {
       .orderBy("hamming")
   }
 
-  /** DuckDB replays the aHash arithmetic: per-block sums of the scaled
-    * BT.601 luminance 299·R + 587·G + 114·B of the gradient separate into
-    * per-axis sums (R depends only on x, G only on y, B is a per-doc
-    * constant that cancels in the mean comparison), so 32 distinct widths ×
-    * 8 blocks (and same for heights) reconstruct every doc's 64 bits. The
-    * sign bit needs a literal (DuckDB raises on 1<<63 overflow); band
-    * extraction is arithmetic-shift + mask, identical to the engine.
+  /** DuckDB replays the aHash arithmetic without decoding a pixel: cell
+    * values come from the same md5 keys the generator used, constant cells
+    * collapse the block-vs-image mean comparison to v(cell)·w·h > Σ v·n
+    * (the per-doc tint shifts both sides equally and cancels), and per-cell
+    * pixel counts n are separable x/y block counts. The sign bit needs a
+    * literal (DuckDB raises on 1<<63 overflow); band extraction is
+    * arithmetic-shift + mask, identical to the engine.
     */
   val q75Sql: String =
     """WITH docdim AS (
@@ -2039,28 +2064,37 @@ object ExtQueries {
       |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h
       |  FROM documents),
       |xs AS (
-      |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n, SUM((x * 255) // w) AS s
+      |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n
       |  FROM (SELECT DISTINCT w FROM docdim) dw, range(48) t(x) WHERE x < w
       |  GROUP BY 1, 2),
       |ys AS (
-      |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n, SUM((y * 255) // h) AS s
+      |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n
       |  FROM (SELECT DISTINCT h FROM docdim) dh, range(48) t(y) WHERE y < h
       |  GROUP BY 1, 2),
-      |xt AS (SELECT w, SUM(s) AS sall FROM xs GROUP BY 1),
-      |yt AS (SELECT h, SUM(s) AS sall FROM ys GROUP BY 1),
-      |ph0 AS (
-      |  SELECT d.w, d.h, CAST(SUM(
-      |    CASE WHEN (299 * xs.s * ys.n + 587 * ys.s * xs.n) * (d.w * d.h)
-      |              > (299 * xt.sall * d.h + 587 * yt.sall * d.w) * (xs.n * ys.n)
-      |         THEN CASE WHEN ys.b * 8 + xs.b = 63
+      |vcell AS (
+      |  SELECT g.gk, c.cell,
+      |         CAST('0x' || substr(md5('p:' || CAST(g.gk AS VARCHAR) || ':' ||
+      |           CAST(c.cell AS VARCHAR)), 1, 15) AS BIGINT) & 255 AS v
+      |  FROM (SELECT DISTINCT doc_id // 4 AS gk FROM documents) g,
+      |       range(64) c(cell)),
+      |docsum AS (
+      |  SELECT d.doc_id, SUM(vc.v * xs.n * ys.n) AS s
+      |  FROM docdim d
+      |  JOIN vcell vc ON vc.gk = d.doc_id // 4
+      |  JOIN xs ON xs.w = d.w AND xs.b = vc.cell % 8
+      |  JOIN ys ON ys.h = d.h AND ys.b = vc.cell // 8
+      |  GROUP BY 1),
+      |ph AS (
+      |  SELECT d.doc_id AS id, CAST(SUM(
+      |    CASE WHEN vc.v * d.w * d.h > ds.s
+      |         THEN CASE WHEN vc.cell = 63
       |                   THEN CAST(-9223372036854775808 AS BIGINT)
-      |                   ELSE CAST(1 AS BIGINT) << (ys.b * 8 + xs.b) END
+      |                   ELSE CAST(1 AS BIGINT) << CAST(vc.cell AS INTEGER) END
       |         ELSE 0 END) AS BIGINT) AS phash
-      |  FROM (SELECT DISTINCT w, h FROM docdim) d
-      |  JOIN xs ON xs.w = d.w JOIN ys ON ys.h = d.h
-      |  JOIN xt ON xt.w = d.w JOIN yt ON yt.h = d.h
-      |  GROUP BY 1, 2),
-      |ph AS (SELECT doc_id AS id, phash FROM docdim JOIN ph0 USING (w, h)),
+      |  FROM docdim d
+      |  JOIN docsum ds ON ds.doc_id = d.doc_id
+      |  JOIN vcell vc ON vc.gk = d.doc_id // 4
+      |  GROUP BY 1),
       |band AS (
       |  SELECT id, phash, q, (phash >> CAST(q * 16 AS INTEGER)) & 65535 AS chunk
       |  FROM ph, range(4) t(q)),
