@@ -640,12 +640,13 @@ object Multimodal {
     items.flatMap(m => sampleFramesLocal(m.id, m.media, stride, featureDim))
   }
 
-  /** Partition-local core of [[sampleFrames]] (also direct-callable in
-    * tests and custom `mapPartitions` stages).
+  /** Every `stride`-th sample payload from the container's sample table, as
+    * (sampleIdx, bytes) slices — null when the table is unparseable, a null
+    * payload for an individually out-of-range sample. The shared walk under
+    * [[sampleFrames]] and [[framePerceptualHashes]].
     */
-  def sampleFramesLocal(id: Long, bytes: Array[Byte], stride: Int,
-      featureDim: Int): Seq[FrameSample] = {
-    val quarantine = Seq(FrameSample(id, -1, 0, 0, decoded = false, Array.empty))
+  private def framePayloadsLocal(bytes: Array[Byte],
+      stride: Int): Seq[(Int, Array[Byte])] = {
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       // first child box of the given type within [from, limit)
@@ -660,35 +661,74 @@ object Multimodal {
         null
       }
       val moov = child(0, bytes.length, "moov")
-      if (moov == null) return quarantine
+      if (moov == null) return null
       val trak = child(moov._1, moov._2, "trak")
-      if (trak == null) return quarantine
+      if (trak == null) return null
       val mdia = child(trak._1, trak._2, "mdia")
-      if (mdia == null) return quarantine
+      if (mdia == null) return null
       val minf = child(mdia._1, mdia._2, "minf")
-      if (minf == null) return quarantine
+      if (minf == null) return null
       val stbl = child(minf._1, minf._2, "stbl")
-      if (stbl == null) return quarantine
+      if (stbl == null) return null
       val stsz = child(stbl._1, stbl._2, "stsz")
       val stco = child(stbl._1, stbl._2, "stco")
-      if (stsz == null || stco == null) return quarantine
+      if (stsz == null || stco == null) return null
       val fixedSize = bb.getInt(stsz._1 + 4)
       val nSamples = bb.getInt(stsz._1 + 8)
       val nChunks = bb.getInt(stco._1 + 4)
       val n = math.min(nSamples, nChunks)
-      if (n <= 0) return quarantine
+      if (n <= 0) return null
       (0 until n by stride).map { i =>
         val size = if (fixedSize != 0) fixedSize else bb.getInt(stsz._1 + 12 + 4 * i)
         val offset = bb.getInt(stco._1 + 8 + 4 * i)
         val bad = size <= 0 || offset < 0 || offset.toLong + size > bytes.length
-        if (bad) FrameSample(id, i, 0, 0, decoded = false, Array.empty)
-        else tryDecode(java.util.Arrays.copyOfRange(bytes, offset, offset + size)) match {
-          case Some(img) => FrameSample(id, i, img.getWidth, img.getHeight,
-            decoded = true, luminanceHistogram(img, featureDim))
-          case None => FrameSample(id, i, 0, 0, decoded = false, Array.empty)
+        i -> (if (bad) null
+              else java.util.Arrays.copyOfRange(bytes, offset, offset + size))
+      }
+    } catch { case _: RuntimeException => null }
+  }
+
+  /** Partition-local core of [[sampleFrames]] (also direct-callable in
+    * tests and custom `mapPartitions` stages).
+    */
+  def sampleFramesLocal(id: Long, bytes: Array[Byte], stride: Int,
+      featureDim: Int): Seq[FrameSample] = {
+    val payloads = framePayloadsLocal(bytes, stride)
+    if (payloads == null)
+      return Seq(FrameSample(id, -1, 0, 0, decoded = false, Array.empty))
+    payloads.map { case (i, p) =>
+      (if (p == null) None else tryDecode(p)) match {
+        case Some(img) => FrameSample(id, i, img.getWidth, img.getHeight,
+          decoded = true, luminanceHistogram(img, featureDim))
+        case None => FrameSample(id, i, 0, 0, decoded = false, Array.empty)
+      }
+    }
+  }
+
+  case class FramePHash(id: Long, frameIdx: Int, phash: Long, decoded: Boolean)
+
+  /** Per-frame perceptual signatures straight off the container — the
+    * sample-table walk of [[sampleFrames]] feeding [[perceptualHash]]
+    * instead of the histogram feature. The decode stage of cross-VIDEO
+    * near-dup detection: per-frame signatures are row-local (no shuffle),
+    * and frame-level banded matching then video-level agreement counting
+    * are keyed equi-joins (q77) — the pixel-dedup story extended to the
+    * last modality.
+    */
+  def framePerceptualHashes(items: Dataset[MediaItem],
+      stride: Int = 1): Dataset[FramePHash] = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val payloads = framePayloadsLocal(m.media, stride)
+      if (payloads == null) Seq(FramePHash(m.id, -1, 0L, decoded = false))
+      else payloads.map { case (i, p) =>
+        (if (p == null) None else tryDecode(p)) match {
+          case Some(img) => FramePHash(m.id, i, perceptualHash(img), decoded = true)
+          case None => FramePHash(m.id, i, 0L, decoded = false)
         }
       }
-    } catch { case _: RuntimeException => quarantine }
+    }
   }
 
   /** Media dataset summary — the kind of partition-pruned scan a curation

@@ -2166,6 +2166,135 @@ object ExtQueries {
       |        / SUM((3 + doc_id % 4) // 2), 6) AS avg_frame_height
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q77 cross-video near-dup via frame signatures -------------------------
+
+  /** Video-corpus fixture for q77: every 4 consecutive doc_ids form a video
+    * GROUP sharing the same frame-content sequence (content key (doc_id/4)·16
+    * + frameIdx) rendered at per-doc sizes and tints — re-encoded/resized
+    * copies of the same clip, the video analog of [[patternPngCorpus]].
+    * Frame payloads are lossless pattern PNGs inside the real ISO-BMFF
+    * sample table ([[graft.ext.Multimodal.synthesizeMjpegMp4]] is
+    * payload-agnostic), so the frame pixels — and therefore every aHash
+    * bit — stay arithmetically replayable.
+    */
+  private def patternVideoCorpus(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaItem] = {
+    import spark.implicits._
+    cached(spark, sfDir, "media_video_pattern") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val vk = id / 4
+          val nf = 2 + (vk % 3).toInt
+          val w = 16 + (nc % 32).toInt
+          val h = 16 + ((nc / 32) % 32).toInt
+          val frames = (0 until nf).map(f =>
+            graft.ext.Multimodal.synthesizePatternPng(id, vk * 16 + f, w, h))
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizeMjpegMp4(1000, 1000L * nf, frames, w, h),
+            "video/mp4")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+  }
+
+  /** Cross-VIDEO near-duplicate detection — the full modality composition:
+    * real container walk → real frame decode → perceptual signature per
+    * frame → banded-LSH frame matching keyed by (frameIdx, band) → video
+    * pairs panelled by how many frame positions agree (hamming ≤ 3 per
+    * frame). Re-encoded/resized copies of a clip match on every frame;
+    * unrelated clips match on none. DuckDB replays each frame's 64 hash
+    * bits from the md5 content keys (same algebra as q75), then runs the
+    * same frame-band join + popcount + agreement count. Frame signatures
+    * are row-local and session-cached; every later stage is a keyed
+    * equi-join — never all-pairs over videos.
+    */
+  def q77VideoNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = cached(spark, sfDir, "frame_phashes")(
+      graft.ext.Multimodal.framePerceptualHashes(
+        patternVideoCorpus(spark, sfDir), stride = 1).toDF())
+    val banded = fp.filter(col("decoded")).select(col("id"), col("frameIdx"),
+      col("phash"), posexplode(array((0 until 4).map(q =>
+        shiftright(col("phash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("frameIdx"), col("phash"),
+        col("pos").as("q"), col("col").as("chunk"))
+    val l = banded.select(col("frameIdx"), col("q"), col("chunk"),
+      col("id").as("id1"), col("phash").as("h1"))
+    val r = banded.select(col("frameIdx"), col("q"), col("chunk"),
+      col("id").as("id2"), col("phash").as("h2"))
+    val framePairs = l.join(r, Seq("frameIdx", "q", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("frameIdx"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("ham"))
+      .filter(col("ham") <= 3)
+      .select("id1", "id2", "frameIdx").distinct()
+    val vp = framePairs.groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_matching_frames"))
+    vp.groupBy("n_matching_frames").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("id1")).as("sum_id1"),
+      sum(col("id2")).as("sum_id2"))
+      .orderBy("n_matching_frames")
+  }
+
+  /** Same phash algebra as q75 (constant cells ⇒ bit = v·w·h > Σv·n) per
+    * (video, frame), then the same banded frame join and agreement panel.
+    */
+  val q77Sql: String =
+    """WITH docdim AS (
+      |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
+      |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h,
+      |         CAST(2 + (doc_id // 4) % 3 AS BIGINT) AS nf
+      |  FROM documents),
+      |xs AS (
+      |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n
+      |  FROM (SELECT DISTINCT w FROM docdim) dw, range(48) t(x) WHERE x < w
+      |  GROUP BY 1, 2),
+      |ys AS (
+      |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n
+      |  FROM (SELECT DISTINCT h FROM docdim) dh, range(48) t(y) WHERE y < h
+      |  GROUP BY 1, 2),
+      |fkey AS (
+      |  SELECT doc_id, w, h, f, (doc_id // 4) * 16 + f AS ck
+      |  FROM docdim, range(4) t(f) WHERE f < nf),
+      |vcell AS (
+      |  SELECT k.ck, c.cell,
+      |         CAST('0x' || substr(md5('p:' || CAST(k.ck AS VARCHAR) || ':' ||
+      |           CAST(c.cell AS VARCHAR)), 1, 15) AS BIGINT) & 255 AS v
+      |  FROM (SELECT DISTINCT ck FROM fkey) k, range(64) c(cell)),
+      |fsum AS (
+      |  SELECT k.doc_id, k.f, SUM(vc.v * xs.n * ys.n) AS s
+      |  FROM fkey k
+      |  JOIN vcell vc ON vc.ck = k.ck
+      |  JOIN xs ON xs.w = k.w AND xs.b = vc.cell % 8
+      |  JOIN ys ON ys.h = k.h AND ys.b = vc.cell // 8
+      |  GROUP BY 1, 2),
+      |fph AS (
+      |  SELECT k.doc_id AS id, k.f, CAST(SUM(
+      |    CASE WHEN vc.v * k.w * k.h > fs.s
+      |         THEN CASE WHEN vc.cell = 63
+      |                   THEN CAST(-9223372036854775808 AS BIGINT)
+      |                   ELSE CAST(1 AS BIGINT) << CAST(vc.cell AS INTEGER) END
+      |         ELSE 0 END) AS BIGINT) AS phash
+      |  FROM fkey k
+      |  JOIN fsum fs ON fs.doc_id = k.doc_id AND fs.f = k.f
+      |  JOIN vcell vc ON vc.ck = k.ck
+      |  GROUP BY 1, 2),
+      |band AS (
+      |  SELECT id, f, phash, q, (phash >> CAST(q * 16 AS INTEGER)) & 65535 AS chunk
+      |  FROM fph, range(4) t(q)),
+      |fpairs AS (
+      |  SELECT DISTINCT l.id AS id1, r.id AS id2, l.f
+      |  FROM band l JOIN band r ON l.f = r.f AND l.q = r.q AND l.chunk = r.chunk
+      |    AND l.id < r.id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |vp AS (
+      |  SELECT id1, id2, COUNT(*) AS n_matching_frames
+      |  FROM fpairs GROUP BY 1, 2)
+      |SELECT n_matching_frames, COUNT(*) AS n_pairs,
+      |       CAST(SUM(id1) AS BIGINT) AS sum_id1,
+      |       CAST(SUM(id2) AS BIGINT) AS sum_id2
+      |FROM vp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2216,7 +2345,8 @@ object ExtQueries {
     "q72_video_meta" -> (q72VideoMeta _),
     "q73_curation_attribution" -> (q73CurationAttribution _),
     "q75_perceptual_dedup" -> (q75PerceptualDedup _),
-    "q76_frame_sampling" -> (q76FrameSampling _))
+    "q76_frame_sampling" -> (q76FrameSampling _),
+    "q77_video_neardup" -> (q77VideoNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2268,5 +2398,6 @@ object ExtQueries {
     "q72_video_meta" -> q72Sql,
     "q73_curation_attribution" -> q73Sql,
     "q75_perceptual_dedup" -> q75Sql,
-    "q76_frame_sampling" -> q76Sql)
+    "q76_frame_sampling" -> q76Sql,
+    "q77_video_neardup" -> q77Sql)
 }
