@@ -229,6 +229,13 @@ object Multimodal {
     hash
   }
 
+  /** Decode + aHash for one payload — None when no installed reader
+    * understands the bytes. The partition-local building block under
+    * [[perceptualHashes]] and the streaming image dedup stage.
+    */
+  def perceptualHashOf(bytes: Array[Byte]): Option[Long] =
+    tryDecode(bytes).map(perceptualHash)
+
   /** Perceptual signatures for a media corpus — the decode-stage companion
     * to [[decodeImages]]: partition-local ImageIO decode + [[perceptualHash]],
     * quarantine rows (`decoded=false`, phash 0) for undecodable bytes. The

@@ -159,18 +159,52 @@ object StreamOps {
     // portable = the 60-bit md5-derived signature family the batch oracle
     // gates (15-bit bands); default = the fast 64-bit xxhash one (16-bit)
     val bits = if (portableHash) 60 else 64
+    val signature =
+      if (portableHash) graft.ext.Dedup.simhashColPortable(col(textCol))
+      else graft.ext.Dedup.simhashCol(col(textCol), 64)
+    bandedDupHits(docs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+      signature.as("simhash")), bits, bands, maxHamming, bucketCap)
+  }
+
+  /** Streaming PERCEPTUAL near-duplicate suppression over a binary IMAGE
+    * feed — the pixel twin of [[streamingNearDuplicates]]: each item is
+    * ImageIO-decoded and aHashed partition-locally (a stateless `map`, legal
+    * before the stateful op), then flows through the identical banded bucket
+    * state over the 64-bit signature. Undecodable items are dropped (they
+    * have no pixels to compare; a curation pipeline quarantines them in its
+    * decode stage instead). Catches re-encoded/resized/tinted re-uploads a
+    * byte-hash stream dedup never sees, across micro-batches.
+    */
+  def streamingImageNearDuplicates(items: DataFrame, idCol: String = "id",
+      tsCol: String = "ts", mediaCol: String = "media", maxHamming: Int = 3,
+      bands: Int = 4, bucketCap: Int = 64): Dataset[DupHit] = {
+    import items.sparkSession.implicits._
+    require(maxHamming < bands, "exactness needs maxHamming <= bands - 1 (pigeonhole)")
+    val sigs = items
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"), col(mediaCol).as("media"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, t, bytes) =>
+        graft.ext.Multimodal.perceptualHashOf(bytes).map(ph => (id, t, ph))
+      })
+      .toDF("doc_id", "ts", "simhash")
+    bandedDupHits(sigs, bits = 64, bands, maxHamming, bucketCap)
+  }
+
+  /** Shared banded-bucket dup-hit state engine over (doc_id, ts, simhash)
+    * rows — the signature family (text SimHash, portable SimHash, image
+    * aHash) is the caller's choice; the state shape and exactness argument
+    * are identical.
+    */
+  private def bandedDupHits(docsSigs: DataFrame, bits: Int, bands: Int,
+      maxHamming: Int, bucketCap: Int): Dataset[DupHit] = {
+    import docsSigs.sparkSession.implicits._
     val width = bits / bands
     val mask = (1L << width) - 1
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    val signature =
-      if (portableHash) graft.ext.Dedup.simhashColPortable(col(textCol))
-      else graft.ext.Dedup.simhashCol(col(textCol), 64)
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-        signature.as("simhash"))
+    val sigs = docsSigs
       .select(col("doc_id"), col("ts"), col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("ts"), col("simhash"),

@@ -342,6 +342,45 @@ class StreamingSpec extends SparkSpec {
       s"stream cells $streamCells vs batch $batchCells")
   }
 
+  test("streaming image near-dup hits ≡ batch perceptual pairs across batches") {
+    import org.apache.spark.sql.functions._
+    // content groups of 3: base PNG + resized PNG + tinted PNG per group —
+    // every byte-distinct, perceptually near-identical
+    val items = (0 until 8).flatMap { g =>
+      val w = 24 + g; val h = 20 + (g * 3) % 12
+      Seq(
+        (g * 10L, new Timestamp(1700000000000L + g * 10),
+          graft.ext.Multimodal.synthesizePatternPng(1L, g.toLong, w, h)),
+        (g * 10L + 1, new Timestamp(1700000000000L + g * 10 + 1),
+          graft.ext.Multimodal.synthesizePatternPng(2L, g.toLong, w * 2, h * 2)),
+        (g * 10L + 2, new Timestamp(1700000000000L + g * 10 + 2),
+          graft.ext.Multimodal.synthesizePatternPng(200L, g.toLong, w, h)))
+    }
+    // batch truth over the same corpus
+    val batchItems = spark.createDataset(items.map { case (id, _, png) =>
+      graft.ext.Multimodal.MediaItem(id, png, "image/png") })
+    val ph = graft.ext.Multimodal.perceptualHashes(batchItems).toDF()
+    val batchPairs = graft.ext.Dedup.perceptualNearDuplicatePairs(
+      ph.filter(col("decoded")), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.size >= 8 * 3, s"planted groups must pair up: ${batchPairs.size}")
+
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])](83, spark, None)
+    val q = StreamOps.streamingImageNearDuplicates(
+      input.toDF().toDF("id", "ts", "media")).toDF()
+      .writeStream.format("memory").queryName("img_dups").outputMode("append").start()
+    // split MID-GROUP so cross-batch bucket state is what finds some pairs
+    val (b1, b2) = items.splitAt(items.length / 2 + 1)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamPairs = spark.table("img_dups").collect()
+      .map(r => (math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))).toSet
+    assert(streamPairs == batchPairs,
+      s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
+  }
+
   test("streaming curation staged counts ≡ batch q60 panel over a 3-batch feed") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
