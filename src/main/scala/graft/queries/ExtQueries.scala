@@ -2064,8 +2064,12 @@ object ExtQueries {
     * literal (DuckDB raises on 1<<63 overflow); band extraction is
     * arithmetic-shift + mask, identical to the engine.
     */
-  val q75Sql: String =
-    """WITH docdim AS (
+  /** Shared CTE chain reconstructing per-doc aHashes and the banded
+    * hamming-≤3 pair set — interpolated by both the q75 panel and the q78
+    * component view (same pattern as [[curationStagesSql]]).
+    */
+  private def imagePairCtes: String =
+    """docdim AS (
       |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
       |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h
       |  FROM documents),
@@ -2108,7 +2112,10 @@ object ExtQueries {
       |  SELECT DISTINCT l.id AS id1, r.id AS id2,
       |         CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
       |  FROM band l JOIN band r ON l.q = r.q AND l.chunk = r.chunk AND l.id < r.id
-      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3)""".stripMargin
+
+  val q75Sql: String =
+    s"""WITH $imagePairCtes,
       |docs_in AS (
       |  SELECT hamming, COUNT(DISTINCT d) AS n_docs
       |  FROM (SELECT hamming, unnest([id1, id2]) AS d FROM pairs) GROUP BY 1)
@@ -2171,6 +2178,36 @@ object ExtQueries {
       |  ROUND(SUM((12 + doc_id % 8) * ((3 + doc_id % 4) // 2)) * 1.0
       |        / SUM((3 + doc_id % 4) // 2), 6) AS avg_frame_height
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q78 perceptual duplicate groups ---------------------------------------
+
+  /** Image dedup GROUPS — connected components over the q75 perceptual pair
+    * graph, completing the modality set next to q36 (text) and q63
+    * (embeddings): the same adaptive component engine consumes the aHash
+    * pair operator, so a curation pipeline keeps one representative per
+    * VISUAL group. Oracle: the shared pair CTEs + the recursive-CTE
+    * component construction the other group gates use.
+    */
+  def q78PerceptualGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = cached(spark, sfDir, "phashes")(
+      graft.ext.Multimodal.perceptualHashes(patternPngCorpus(spark, sfDir)).toDF())
+    Dedup.duplicateGroups(
+      Dedup.perceptualNearDuplicatePairs(ph.filter(col("decoded")), maxHamming = 3)
+        .select(col("id1"), col("id2")))
+      .orderBy("id")
+  }
+
+  val q78Sql: String =
+    s"""WITH RECURSIVE $imagePairCtes,
+       |pr AS (SELECT id1, id2 FROM pairs),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+       |          UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+       |SELECT id, LEAST(id, MIN(r)) AS group_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   // ---- q77 cross-video near-dup via frame signatures -------------------------
 
@@ -2352,7 +2389,8 @@ object ExtQueries {
     "q73_curation_attribution" -> (q73CurationAttribution _),
     "q75_perceptual_dedup" -> (q75PerceptualDedup _),
     "q76_frame_sampling" -> (q76FrameSampling _),
-    "q77_video_neardup" -> (q77VideoNearDup _))
+    "q77_video_neardup" -> (q77VideoNearDup _),
+    "q78_perceptual_groups" -> (q78PerceptualGroups _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2405,5 +2443,6 @@ object ExtQueries {
     "q73_curation_attribution" -> q73Sql,
     "q75_perceptual_dedup" -> q75Sql,
     "q76_frame_sampling" -> q76Sql,
-    "q77_video_neardup" -> q77Sql)
+    "q77_video_neardup" -> q77Sql,
+    "q78_perceptual_groups" -> q78Sql)
 }
