@@ -43,7 +43,13 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch {
+      // surface the failure (a stale artifact silently surviving is the
+      // exact failure mode this file exists to fix) but keep stdout clean
+      // for the JSON line below
+      case e: java.io.IOException =>
+        System.err.println(s"WARN could not write BENCH_LATEST.json: $e")
+    }
     spark.stop()
     println(json)
   }

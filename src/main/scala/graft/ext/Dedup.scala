@@ -375,13 +375,15 @@ object Dedup {
       prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val bench = benchmarkSets.select(explode(col("sset")).as("__g")).distinct()
     val bf = prebuilt.getOrElse(benchmarkBloomFilter(benchmarkSets, fpp))
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val bytes = bos.toByteArray
+    // decide the path from bitSize BEFORE serializing: a ~1.2 GB sketch
+    // must not be copied through a growing byte stream just to learn it is
+    // too big for the literal path
     val probe: Column =
-      if (bytes.length <= (64 << 20))
-        org.apache.spark.sql.graft.SqlBridge.bloomMightContain(bytes, col("__g"))
-      else {
+      if (bf.bitSize() / 8 <= (64L << 20)) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        org.apache.spark.sql.graft.SqlBridge.bloomMightContain(bos.toByteArray, col("__g"))
+      } else {
         val bc = corpusSets.sparkSession.sparkContext.broadcast(bf)
         udf((g: Long) => bc.value.mightContainLong(g)).apply(col("__g"))
       }

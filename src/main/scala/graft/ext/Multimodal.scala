@@ -683,7 +683,14 @@ object Multimodal {
       val fixedSize = bb.getInt(stsz._1 + 4)
       val nSamples = bb.getInt(stsz._1 + 8)
       val nChunks = bb.getInt(stco._1 + 4)
-      val n = math.min(nSamples, nChunks)
+      // clamp declared counts to what the boxes PHYSICALLY hold: a corrupt
+      // or hostile header claiming ~2^30 samples must not materialize ~2^30
+      // tuples (and read neighboring boxes as entries) before the per-frame
+      // range checks can quarantine anything
+      val stszCap =
+        if (fixedSize != 0) Int.MaxValue else (stsz._2 - stsz._1 - 12) / 4
+      val stcoCap = (stco._2 - stco._1 - 8) / 4
+      val n = math.min(math.min(nSamples, nChunks), math.min(stszCap, stcoCap))
       if (n <= 0) return null
       (0 until n by stride).map { i =>
         val size = if (fixedSize != 0) fixedSize else bb.getInt(stsz._1 + 12 + 4 * i)

@@ -2038,11 +2038,20 @@ object ExtQueries {
     * like the simhash family; the pair stage is one banded equi-join —
     * never all-pairs.
     */
+  /** Session-cached perceptual pair set over the pattern corpus — q75 reads
+    * it twice (pair panel + distinct-doc counts) and q78's component pass
+    * consumes it whole; without the cache each consumer re-executes the
+    * banded join's post-shuffle distinct/popcount lineage.
+    */
+  private def phashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "phash_pairs") {
+      val ph = cached(spark, sfDir, "phashes")(
+        graft.ext.Multimodal.perceptualHashes(patternPngCorpus(spark, sfDir)).toDF())
+      Dedup.perceptualNearDuplicatePairs(ph.filter(col("decoded")), maxHamming = 3)
+    }
+
   def q75PerceptualDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ph = cached(spark, sfDir, "phashes")(
-      graft.ext.Multimodal.perceptualHashes(patternPngCorpus(spark, sfDir)).toDF())
-    val pairs = Dedup.perceptualNearDuplicatePairs(
-      ph.filter(col("decoded")), maxHamming = 3)
+    val pairs = phashPairs(spark, sfDir)
     val base = pairs.groupBy("hamming").agg(
       count(lit(1)).as("n_pairs"),
       sum(col("id1")).as("sum_id1"),
@@ -2064,23 +2073,30 @@ object ExtQueries {
     * literal (DuckDB raises on 1<<63 overflow); band extraction is
     * arithmetic-shift + mask, identical to the engine.
     */
-  /** Shared CTE chain reconstructing per-doc aHashes and the banded
-    * hamming-≤3 pair set — interpolated by both the q75 panel and the q78
-    * component view (same pattern as [[curationStagesSql]]).
+  /** Per-block pixel counts along each axis, from whatever `docdim` the
+    * parent query defined — shared verbatim by the q75/q78 image oracles and
+    * the q77 per-frame oracle so the block-grid arithmetic lives once.
     */
-  private def imagePairCtes: String =
-    """docdim AS (
-      |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
-      |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h
-      |  FROM documents),
-      |xs AS (
+  private def blockCountCtes: String =
+    """xs AS (
       |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n
       |  FROM (SELECT DISTINCT w FROM docdim) dw, range(48) t(x) WHERE x < w
       |  GROUP BY 1, 2),
       |ys AS (
       |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n
       |  FROM (SELECT DISTINCT h FROM docdim) dh, range(48) t(y) WHERE y < h
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain reconstructing per-doc aHashes and the banded
+    * hamming-≤3 pair set — interpolated by both the q75 panel and the q78
+    * component view (same pattern as [[curationStagesSql]]).
+    */
+  private def imagePairCtes: String =
+    s"""docdim AS (
+      |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
+      |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h
+      |  FROM documents),
+      |$blockCountCtes,
       |vcell AS (
       |  SELECT g.gk, c.cell,
       |         CAST('0x' || substr(md5('p:' || CAST(g.gk AS VARCHAR) || ':' ||
@@ -2188,14 +2204,9 @@ object ExtQueries {
     * VISUAL group. Oracle: the shared pair CTEs + the recursive-CTE
     * component construction the other group gates use.
     */
-  def q78PerceptualGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val ph = cached(spark, sfDir, "phashes")(
-      graft.ext.Multimodal.perceptualHashes(patternPngCorpus(spark, sfDir)).toDF())
-    Dedup.duplicateGroups(
-      Dedup.perceptualNearDuplicatePairs(ph.filter(col("decoded")), maxHamming = 3)
-        .select(col("id1"), col("id2")))
+  def q78PerceptualGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateGroups(phashPairs(spark, sfDir).select(col("id1"), col("id2")))
       .orderBy("id")
-  }
 
   val q78Sql: String =
     s"""WITH RECURSIVE $imagePairCtes,
@@ -2283,19 +2294,12 @@ object ExtQueries {
     * (video, frame), then the same banded frame join and agreement panel.
     */
   val q77Sql: String =
-    """WITH docdim AS (
+    s"""WITH docdim AS (
       |  SELECT doc_id, CAST(16 + n_chars % 32 AS BIGINT) AS w,
       |         CAST(16 + (n_chars // 32) % 32 AS BIGINT) AS h,
       |         CAST(2 + (doc_id // 4) % 3 AS BIGINT) AS nf
       |  FROM documents),
-      |xs AS (
-      |  SELECT w, (x * 8) // w AS b, COUNT(*) AS n
-      |  FROM (SELECT DISTINCT w FROM docdim) dw, range(48) t(x) WHERE x < w
-      |  GROUP BY 1, 2),
-      |ys AS (
-      |  SELECT h, (y * 8) // h AS b, COUNT(*) AS n
-      |  FROM (SELECT DISTINCT h FROM docdim) dh, range(48) t(y) WHERE y < h
-      |  GROUP BY 1, 2),
+      |$blockCountCtes,
       |fkey AS (
       |  SELECT doc_id, w, h, f, (doc_id // 4) * 16 + f AS ck
       |  FROM docdim, range(4) t(f) WHERE f < nf),

@@ -248,6 +248,14 @@ object StreamOps {
     * same bytes, across and within micro-batches — arrival order ≡ the
     * batch min-doc-id rule for id-ordered feeds).
     *
+    * State bound: EXACT global dedup needs one entry per distinct digest
+    * ever seen, so unlike the watermarked/capped ops in this file the state
+    * here grows with corpus cardinality (~48 B/digest in the store). A
+    * production deployment bounds it by restarting per corpus epoch, or
+    * trades exactness for a digest Bloom filter / state TTL — the same
+    * trade [[graft.ext.Dedup.bloomContaminationReportFromSets]] makes in
+    * batch.
+    *
     * Compose with [[streamingNearDuplicates]] (portableHash=true for the
     * oracle-gated signature family) for the near-dup stage and a batch
     * [[graft.ext.Curation.selectByTokenBudget]] epilogue over the surviving
