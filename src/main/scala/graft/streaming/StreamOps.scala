@@ -190,10 +190,34 @@ object StreamOps {
     bandedDupHits(sigs, bits = 64, bands, maxHamming, bucketCap)
   }
 
+  /** Streaming SEMANTIC (embedding) near-duplicate suppression — the third
+    * modality over the shared banded engine: each vector's
+    * sign-random-projection signature ([[graft.ext.Similarity.srpBucket]],
+    * deterministic hyperplanes, a stateless row-local projection) flows
+    * through the banded bucket state; SRP-bit hamming is the
+    * streaming-legal angular-distance proxy (state stores one long per
+    * doc — raw vectors would put dims×8 bytes per doc in the store). For
+    * maxHamming < bands the hit set equals the batch
+    * [[graft.ext.Dedup.simhashNearDuplicatesFromHashes]] pairs over the
+    * same signatures (pigeonhole, as ever). Size `bucketCap` well above the
+    * expected bucket occupancy n / (bands · 2^(planes/bands)) — an
+    * overflowing bucket evicts oldest entries and trades recall.
+    */
+  def streamingEmbeddingNearDuplicates(vectors: DataFrame,
+      idCol: String = "vec_id", tsCol: String = "ts",
+      vecCol: String = "embedding", dims: Int, planes: Int = 20,
+      maxHamming: Int = 3, bands: Int = 4,
+      bucketCap: Int = 256): Dataset[DupHit] = {
+    require(planes % bands == 0, s"planes=$planes must divide into bands=$bands")
+    val sig = graft.ext.Similarity.srpBucket(col(vecCol), dims, planes)
+    bandedDupHits(vectors.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+      sig.as("simhash")), bits = planes, bands, maxHamming, bucketCap)
+  }
+
   /** Shared banded-bucket dup-hit state engine over (doc_id, ts, simhash)
     * rows — the signature family (text SimHash, portable SimHash, image
-    * aHash) is the caller's choice; the state shape and exactness argument
-    * are identical.
+    * aHash, embedding SRP) is the caller's choice; the state shape and
+    * exactness argument are identical.
     */
   private def bandedDupHits(docsSigs: DataFrame, bits: Int, bands: Int,
       maxHamming: Int, bucketCap: Int): Dataset[DupHit] = {

@@ -381,6 +381,39 @@ class StreamingSpec extends SparkSpec {
       s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
   }
 
+  test("streaming embedding near-dup hits ≡ batch SRP-hamming pairs across batches") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 400)
+    // batch truth: same SRP signatures, same banded hamming pairs
+    val sigs = emb.select(col("vec_id").as("id"),
+      graft.ext.Similarity.srpBucket(col("embedding"), dims = 64, planes = 20)
+        .as("simhash"))
+    val batchPairs = graft.ext.Dedup.simhashNearDuplicatesFromHashes(
+      sigs, maxHamming = 3, bits = 20, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must produce some close-signature pairs")
+
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), new Timestamp(1700000000000L + r.getLong(0)),
+        r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Timestamp, Array[Float])](84, spark, None)
+    val q = StreamOps.streamingEmbeddingNearDuplicates(
+      input.toDF().toDF("vec_id", "ts", "embedding"), dims = 64, planes = 20,
+      bucketCap = 512).toDF()
+      .writeStream.format("memory").queryName("emb_dups").outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamPairs = spark.table("emb_dups").collect()
+      .map(r => (math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))).toSet
+    assert(streamPairs == batchPairs,
+      s"only-stream ${(streamPairs -- batchPairs).take(5)}, " +
+        s"only-batch ${(batchPairs -- streamPairs).take(5)}")
+  }
+
   test("streaming curation staged counts ≡ batch q60 panel over a 3-batch feed") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
