@@ -78,9 +78,33 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Max pixels a single decode may materialize — the decompression-bomb
+    * guard: header dimensions are inspected BEFORE any pixel allocation, so
+    * a crafted 65535×65535 JPEG (a few KB of bytes, ~17 GB of pixels)
+    * quarantines instead of OOMing the executor. Found by the container
+    * fuzz test: bit flips in a JPEG SOF header produce decodable images
+    * with arbitrary claimed dimensions.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException | _: RuntimeException => None }
+    try {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(in)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally in.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** JVM twin of [[Dedup.portableTokenHash]]'s SQL arithmetic (md5 hex,
     * first 15 nibbles, as a 60-bit value) — lets partition-local fixture

@@ -925,6 +925,38 @@ class ExtSpec extends SparkSpec {
     assert(precision >= 0.9, s"pair precision $precision below floor (found ${found.size})")
   }
 
+  test("ISO-BMFF walkers never throw on mutated containers (quarantine only)") {
+    val frames = (0 until 3).map(f => Multimodal.synthesizeJpegFrame(3L, f, 24, 18))
+    val base = Multimodal.synthesizeMjpegMp4(1000, 3000L, frames, 24, 18)
+    val rnd = new scala.util.Random(7)
+    // single-byte corruptions at every region + truncations + bit noise:
+    // every variant must parse-or-quarantine, never throw, and decoded
+    // frames (if any) must carry sane geometry
+    val variants =
+      (0 until base.length by 7).map { i =>
+        val b = base.clone(); b(i) = (b(i) ^ 0xff).toByte; b
+      } ++
+      (1 until base.length by 97).map(base.take) ++
+      (0 until 200).map { _ =>
+        val b = base.clone()
+        (0 until 8).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      }
+    variants.zipWithIndex.foreach { case (bytes, i) =>
+      val meta = Multimodal.parseMp4Meta(i.toLong, bytes) // must not throw
+      assert(meta.id == i.toLong)
+      val sampled = Multimodal.sampleFramesLocal(i.toLong, bytes, 1, 4) // must not throw
+      // decoded=true frames honor the decompression-bomb bound: corrupted
+      // SOF headers can claim arbitrary dimensions, but nothing past the
+      // pixel cap may have been materialized
+      sampled.filter(_.decoded).foreach { f =>
+        assert(f.width > 0 && f.height > 0 &&
+          f.width.toLong * f.height <= Multimodal.MaxDecodePixels,
+          s"variant $i decoded past the pixel cap: $f")
+      }
+    }
+  }
+
   test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
     val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
