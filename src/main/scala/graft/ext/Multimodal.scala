@@ -331,6 +331,42 @@ object Multimodal {
     buf.array()
   }
 
+  /** Drain an [[javax.sound.sampled.AudioInputStream]] with the two guards
+    * `readAllBytes` lacks (the audio twin of [[MaxDecodePixels]]):
+    *
+    *  - **zero-progress break** — `AudioInputStream.read` returns 0 (not −1)
+    *    whenever the requested length is smaller than the header's frame
+    *    size, so a mutated block-align field (frameSize > buffer) spins
+    *    `readAllBytes` forever at 100% CPU (found by the WAV mutation fuzz
+    *    test). A 0 before any progress quarantines; a 0 after progress ends
+    *    the drain with what decoded.
+    *  - **size budget** — decoded PCM is capped at 4× the container bytes
+    *    + 64 KiB (covers ULAW/ALAW→PCM16 expansion); a header declaring
+    *    more is a decompression bomb and quarantines instead of allocating.
+    */
+  private def readAudioBounded(in: javax.sound.sampled.AudioInputStream,
+      containerBytes: Int): Array[Byte] = {
+    val cap = 4L * containerBytes + 65536L
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](32768)
+    var total = 0L
+    var done = false
+    while (!done) {
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) {
+        total += n
+        if (total > cap)
+          throw new java.io.IOException(
+            s"decoded audio exceeds size budget ($total > $cap bytes)")
+        out.write(buf, 0, n)
+      } else if (n == 0 && total == 0L) {
+        throw new java.io.IOException(
+          "audio stream makes no progress (frame size exceeds read buffer)")
+      } else done = true // EOF, or a mid-stream 0 after real progress
+    }
+    out.toByteArray
+  }
+
   /** Real audio decode: WAV/AIFF/AU via the JDK-builtin `javax.sound.sampled`
     * parser (headless-safe, no native libs), reporting true sample rate /
     * channel count / sample count plus RMS and peak amplitude over the PCM16
@@ -345,7 +381,7 @@ object Multimodal {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(m.media))
           val fmt = in.getFormat
-          val pcm = in.readAllBytes()
+          val pcm = readAudioBounded(in, m.media.length)
           in.close()
           val frameBytes = math.max(1, fmt.getFrameSize)
           val nFrames = pcm.length / frameBytes

@@ -678,13 +678,19 @@ object ExtQueries {
     * to, so the gate checks the scale-safe plan against the textbook
     * definition.
     */
-  def q39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    // quality/token projection cached per (session, sf): the selection reads
-    // it three times (histogram, above-cutoff filter, boundary window)
-    val d = cached(spark, sfDir, "doc_quality")(
-      docs(spark, sfDir).select(col("doc_id"), col("lang"),
+  /** Per-doc quality (3 dp) + token-count projection, cached per
+    * (session, sf) — q39 reads it three times (histogram, above-cutoff
+    * filter, boundary window) and q79 ranks over it. source/lang are
+    * functionally dependent on doc_id, so carrying both costs nothing.
+    */
+  private def docQuality(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "doc_quality")(
+      docs(spark, sfDir).select(col("doc_id"), col("source"), col("lang"),
         round(TextStats.qualityScore(col("text")), 3).as("q"),
         TextStats.tokenCountSimple(col("text")).cast("long").as("tokens")))
+
+  def q39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
     graft.ext.Curation.selectByTokenBudget(d, "doc_id", "q", "tokens", 10000L)
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -2342,6 +2348,153 @@ object ExtQueries {
       |       CAST(SUM(id2) AS BIGINT) AS sum_id2
       |FROM vp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q79 bounded top-k per group (no global window sort) ------------------
+
+  /** Top-3 documents by quality per (source, lang) via the bounded-heap
+    * [[graft.functions.TopKAgg]] Aggregator — the scale-first replacement
+    * for a `row_number()` window: each partition keeps a k-slot sorted
+    * buffer per group and buffers merge map-side, so the exchange carries
+    * at most k rows per group per partition instead of every row of every
+    * group (at 100 TB the window form sends the hottest group's entire
+    * row set to one reducer). Quality is pre-rounded to 3 dp and ties
+    * break by doc_id, so both engines rank identical keys; the oracle is
+    * the textbook window the Aggregator replaces.
+    */
+  def q79TopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    docQuality(spark, sfDir)
+      .groupBy("source", "lang")
+      .agg(graft.functions.TopKAgg.topK(col("q"), col("doc_id"), 3).as("tk"))
+      .select(col("source"), col("lang"), posexplode(col("tk")))
+      .select(col("source"), col("lang"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("q"))
+      .orderBy("source", "lang", "rank")
+  }
+
+  val q79Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY source, lang ORDER BY q DESC, doc_id) AS rank
+      |  FROM d)
+      |SELECT source, lang, CAST(rank AS BIGINT) AS rank, doc_id,
+      |       ROUND(q, 6) AS q
+      |FROM r WHERE rank <= 3 ORDER BY source, lang, rank""".stripMargin
+
+  // ---- q80 cross-source shingle-vocabulary overlap matrix -------------------
+
+  /** Corpus-composition analysis: the Jaccard overlap of 3-gram shingle
+    * vocabularies between every pair of sources — the "how much does
+    * source A re-say what source B says" panel a mixing strategy is tuned
+    * against. Reuses the session-cached hashed shingle sets (Jaccard over
+    * distinct 60-bit md5 shingle hashes equals Jaccard over the shingle
+    * strings absent collisions — the q18 convention); per-source
+    * vocabularies are one distinct-aggregation, the intersection is a
+    * keyed equi-join on the shingle hash (each hash joins at most
+    * |sources| rows — never all-pairs over docs), and the 5×5 pair frame
+    * is driver-trivial. The oracle recomputes the same matrix from raw
+    * shingle strings.
+    */
+  def q80SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
+    val ex = sets
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), explode(col("sset")).as("g"))
+      .distinct()
+    val sz = ex.groupBy("source").agg(count(lit(1)).as("sz"))
+    val l = ex.select(col("source").as("s1"), col("g"))
+    val r = ex.select(col("source").as("s2"), col("g"))
+    val inter = l.join(r, "g").filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    val pairs = sz.select(col("source").as("s1"), col("sz").as("sz1"))
+      .join(sz.select(col("source").as("s2"), col("sz").as("sz2")),
+        col("s1") < col("s2"))
+    pairs.join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("s1"), col("s2"), col("sz1"), col("sz2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  val q80Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM toks),
+      |ex AS (
+      |  SELECT DISTINCT d.source, e.g
+      |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) e
+      |  JOIN documents d USING (doc_id)),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM ex GROUP BY 1),
+      |i AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2, a.sz AS sz1, b.sz AS sz2
+      |  FROM sz a JOIN sz b ON a.source < b.source)
+      |SELECT p.s1, p.s2, p.sz1, p.sz2,
+      |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+      |  ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+      |        / (p.sz1 + p.sz2 - COALESCE(i.inter, 0)), 6) AS jaccard
+      |FROM p LEFT JOIN i ON p.s1 = i.s1 AND p.s2 = i.s2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q81 deterministic weighted sample (Efraimidis–Spirakis top-k) --------
+
+  /** Weighted sampling WITHOUT replacement, distributed as one pass: each
+    * doc gets the Efraimidis–Spirakis key ln(u)/w (u an md5-derived
+    * uniform, w the token count — token-proportional inclusion), and the
+    * sample of size 10 is exactly the top-10 keys, selected by the bounded
+    * top-k Aggregator — no global sort, no rejection loop, re-run stable.
+    * The key is rounded to 6 dp BEFORE ranking (doc_id tiebreak) so both
+    * engines order identical values; the oracle replays u from the same
+    * md5 arithmetic and ranks with the textbook window.
+    */
+  def q81WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+    val u = (Dedup.portableTokenHash(
+        concat(lit("ws:"), col("doc_id").cast("string"))).cast("double") +
+      lit(0.5)) / lit(1.152921504606846976e18) // / 2^60 → uniform in (0,1)
+    val keyed = d.select(col("doc_id"), col("tokens"),
+      round(log(u) / col("tokens"), 6).as("key"))
+    val top = keyed
+      .agg(graft.functions.TopKAgg.topK(col("key"), col("doc_id"), 10).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("key"))
+    keyed.select(col("doc_id"), col("tokens")).join(broadcast(top), "doc_id")
+      .select(col("rank"), col("doc_id"), col("tokens"), col("key"))
+      .orderBy("rank")
+  }
+
+  val q81Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, tokens,
+      |    ROUND(LN((CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |              + 0.5) / 1152921504606846976.0) / tokens, 6) AS key
+      |  FROM d),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank FROM k)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, tokens, key
+      |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2394,7 +2547,10 @@ object ExtQueries {
     "q75_perceptual_dedup" -> (q75PerceptualDedup _),
     "q76_frame_sampling" -> (q76FrameSampling _),
     "q77_video_neardup" -> (q77VideoNearDup _),
-    "q78_perceptual_groups" -> (q78PerceptualGroups _))
+    "q78_perceptual_groups" -> (q78PerceptualGroups _),
+    "q79_topk_per_group" -> (q79TopKPerGroup _),
+    "q80_source_overlap" -> (q80SourceOverlap _),
+    "q81_weighted_sample" -> (q81WeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2448,5 +2604,8 @@ object ExtQueries {
     "q75_perceptual_dedup" -> q75Sql,
     "q76_frame_sampling" -> q76Sql,
     "q77_video_neardup" -> q77Sql,
-    "q78_perceptual_groups" -> q78Sql)
+    "q78_perceptual_groups" -> q78Sql,
+    "q79_topk_per_group" -> q79Sql,
+    "q80_source_overlap" -> q80Sql,
+    "q81_weighted_sample" -> q81Sql)
 }

@@ -957,6 +957,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("audio decode never throws on mutated WAV bytes (quarantine only)") {
+    val base = Multimodal.synthesizeWav(5L, 8000, 400)
+    val rnd = new scala.util.Random(13)
+    val variants =
+      (0 until base.length by 5).map { i =>
+        val b = base.clone(); b(i) = (b(i) ^ 0xff).toByte; b
+      } ++
+      (1 until base.length by 53).map(base.take) ++
+      (0 until 100).map { _ =>
+        val b = base.clone()
+        (0 until 6).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      }
+    val items = spark.createDataset(variants.zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaItem(i.toLong, b, "audio/wav") })(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaItem])
+    val rows = Multimodal.decodeAudio(items).collect() // must not throw
+    assert(rows.length == variants.length)
+    rows.filter(_.decoded).foreach { d =>
+      assert(d.nSamples >= 0 && d.rms >= 0.0 && d.rms <= 1.0 + 1e-9, s"insane: $d")
+    }
+  }
+
+  test("bounded top-k matches the window formulation on ties, small groups, many partitions") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(7)
+    // duplicate scores (quantized to 1dp) force id tie-breaks; group 99 has
+    // fewer rows than k; 16 partitions force real partial-buffer merges
+    val rows = (1 to 2000).map { i =>
+      (i % 13, math.floor(rnd.nextDouble() * 10) / 10.0, i.toLong)
+    } ++ Seq((99, 0.5, 9001L), (99, 0.5, 9002L))
+    val d = rows.toDF("g", "s", "id").repartition(16)
+    val got = d.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(col("s"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.score").as("s"), col("col.id").as("id"))
+    val want = d.withColumn("rank",
+        row_number().over(W.partitionBy("g").orderBy(col("s").desc, col("id"))))
+      .filter(col("rank") <= 5).select("g", "rank", "s", "id")
+    val g = got.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).sorted
+    val w = want.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(g.length == 13 * 5 + 2)
+    assert(g.toSeq == w.toSeq)
+  }
+
   test("tfidf panel has ranks 1..5 per language with non-increasing scores") {
     val rows = graft.queries.ExtQueries.q55Tfidf(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),

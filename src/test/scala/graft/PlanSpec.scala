@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"exploded formulation leaked in: $plan")
   }
 
+  test("bounded top-k aggregation plans partial merge and no window sort") {
+    val d = (1 to 500).map(i => (i % 7, i * 0.01, i.toLong)).toDF("g", "s", "id")
+    val tk = d.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(col("s"), col("id"), 3).as("tk"))
+    val plan = explainString(tk)
+    // Aggregator udaf → ObjectHashAggregate pair (partial + final): each
+    // partition ships at most k entries per group — the window formulation
+    // would sort every row of every group on one reducer each
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Window"), s"window sort leaked in: $plan")
+  }
+
   test("token-budget curation plans only partitioned windows") {
     val d = (1 to 300).map(i => (i.toLong, (i % 10) / 10.0, 5L)).toDF("id", "q", "tokens")
     val sel = graft.ext.Curation.selectByTokenBudget(d, "id", "q", "tokens", 400L)
