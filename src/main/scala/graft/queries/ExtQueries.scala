@@ -2495,6 +2495,58 @@ object ExtQueries {
       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, tokens, key
       |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---- q82 duplicate-group representative selection -------------------------
+
+  /** "Dedup keeps the best copy": for every near-duplicate group (the q36
+    * connected components), select the member with the highest quality
+    * (3 dp, doc_id tiebreak) as the group representative and report how
+    * many rows the dedup would drop. One keyed aggregation with an argmax
+    * encoded as `max(struct(q, -id))` — no window, no per-group sort; at
+    * 100 TB this is the same single shuffle the group-id frame already
+    * took. The oracle replays the recursive-CTE components + the textbook
+    * rank-1 window.
+    */
+  def q82GroupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = dupGroups(spark, sfDir)
+    val q = docQuality(spark, sfDir).select(col("doc_id").as("id"), col("q"))
+    g.join(q, "id")
+      .groupBy("group_id")
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), (-col("best.nid")).as("rep_id"),
+        round(col("best.q"), 6).as("rep_q"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("group_id")
+  }
+
+  val q82Sql: String =
+    s"""WITH RECURSIVE pr AS (SELECT id1, id2 FROM (${q19Sql}) qq),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+       |          UNION ALL SELECT id2, id1 FROM pr),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+       |g AS (SELECT id, LEAST(id, MIN(r)) AS group_id FROM reach GROUP BY id),
+       |qual AS (
+       |  SELECT doc_id AS id,
+       |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+       |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+       |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+       |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+       |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT g.group_id, g.id, qual.q,
+       |    ROW_NUMBER() OVER (PARTITION BY g.group_id ORDER BY qual.q DESC, g.id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY g.group_id) AS n_members
+       |  FROM g JOIN qual ON g.id = qual.id)
+       |SELECT group_id, id AS rep_id, ROUND(q, 6) AS rep_q,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+       |FROM r WHERE rk = 1 ORDER BY group_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2550,7 +2602,8 @@ object ExtQueries {
     "q78_perceptual_groups" -> (q78PerceptualGroups _),
     "q79_topk_per_group" -> (q79TopKPerGroup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
-    "q81_weighted_sample" -> (q81WeightedSample _))
+    "q81_weighted_sample" -> (q81WeightedSample _),
+    "q82_group_representatives" -> (q82GroupRepresentatives _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2607,5 +2660,6 @@ object ExtQueries {
     "q78_perceptual_groups" -> q78Sql,
     "q79_topk_per_group" -> q79Sql,
     "q80_source_overlap" -> q80Sql,
-    "q81_weighted_sample" -> q81Sql)
+    "q81_weighted_sample" -> q81Sql,
+    "q82_group_representatives" -> q82Sql)
 }
