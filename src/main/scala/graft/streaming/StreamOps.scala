@@ -78,6 +78,21 @@ object StreamOps {
     graft.ext.Sketches.cmCells(
       items.withColumn("__one", lit(1L)), itemCol, "__one", d, w)
 
+  /** Streaming running top-k per group: a truncated merge under the TOTAL
+    * order (score desc, id asc — [[graft.functions.TopKAgg]]) is
+    * commutative and associative, so the cross-batch state lands on
+    * exactly the batch top-k over the same rows (asserted in
+    * StreamingSpec) and stays bounded at k entries per group no matter
+    * how long the stream runs. Complete/Update output mode. The same
+    * shape is streaming weighted sampling: feed Efraimidis–Spirakis keys
+    * as the score (the q81 construction) and the running state IS the
+    * weighted sample of everything seen so far.
+    */
+  def topKStream(rows: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int = 5): DataFrame =
+    rows.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.topK(col(scoreCol), col(idCol), k).as("tk"))
+
   /** Stream-static enrichment: broadcast-join a small static dimension onto
     * the stream (the standard lookup/enrichment pattern — the static side
     * re-reads per micro-batch, no stream state), then a watermarked tumbling

@@ -957,6 +957,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("image decode never throws on mutated PNG/JPEG bytes (quarantine only)") {
+    val pngs = (0 until 3).map(i => Multimodal.synthesizePatternPng(i.toLong, i.toLong, 24, 18))
+    val jpgs = (0 until 3).map(i => Multimodal.synthesizeJpegFrame(i.toLong, i, 24, 18))
+    val rnd = new scala.util.Random(11)
+    val variants = (pngs ++ jpgs).flatMap { base =>
+      (0 until base.length by 11).map { i =>
+        val b = base.clone(); b(i) = (b(i) ^ 0xff).toByte; b
+      } ++
+      (1 until base.length by 67).map(base.take) ++
+      (0 until 30).map { _ =>
+        val b = base.clone()
+        (0 until 6).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      }
+    }
+    val items = spark.createDataset(variants.zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaItem(i.toLong, b, "image/x-mutated") })(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaItem])
+    val rows = Multimodal.decodeImages(items).collect() // must not throw
+    assert(rows.length == variants.length)
+    rows.filter(_.decoded).foreach { d =>
+      assert(d.width > 0 && d.height > 0 &&
+        d.width.toLong * d.height <= Multimodal.MaxDecodePixels, s"insane: $d")
+    }
+  }
+
   test("audio decode never throws on mutated WAV bytes (quarantine only)") {
     val base = Multimodal.synthesizeWav(5L, 8000, 400)
     val rnd = new scala.util.Random(13)

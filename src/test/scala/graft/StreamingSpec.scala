@@ -342,6 +342,31 @@ class StreamingSpec extends SparkSpec {
       s"stream cells $streamCells vs batch $batchCells")
   }
 
+  test("streaming running top-k across batches ≡ batch top-k on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val rows = ev.as[EventRow].collect().toSeq
+    val input = MemoryStream[EventRow](14, spark, None)
+    // three micro-batches exercise repeated truncated state merges
+    input.addData(rows.take(rows.length / 3))
+    input.addData(rows.slice(rows.length / 3, 2 * rows.length / 3))
+    input.addData(rows.drop(2 * rows.length / 3))
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), posexplode(col("tk")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getStruct(2).getDouble(0),
+        r.getStruct(2).getLong(1)))
+      .sorted.toSeq
+    val stream = flat(runToMemory(
+      StreamOps.topKStream(input.toDF(), "event_type", "value", "event_id", k = 5),
+      "topk_stream", mode = "complete") {})
+    val batch = flat(StreamOps.topKStream(ev, "event_type", "value", "event_id", k = 5))
+    assert(stream.nonEmpty && stream == batch, s"stream $stream vs batch $batch")
+  }
+
   test("streaming image near-dup hits ≡ batch perceptual pairs across batches") {
     import org.apache.spark.sql.functions._
     // content groups of 3: base PNG + resized PNG + tinted PNG per group —
