@@ -38,18 +38,26 @@ object TopKAgg {
     private def better(a: Entry, b: Entry): Boolean =
       a.score > b.score || (a.score == b.score && a.id < b.id)
 
-    /** Insert `e` into the sorted (best-first) bounded buffer. */
+    /** Insert `e` into the sorted (best-first) bounded buffer. Allocates
+      * only while the buffer is still growing toward k; a full buffer
+      * shifts in place, so the steady-state per-row cost is a branch on
+      * the current k-th entry (no allocation).
+      */
     private def insert(buf: Array[Entry], e: Entry): Array[Entry] = {
       if (buf.length >= k && !better(e, buf(buf.length - 1))) return buf
-      val out = new Array[Entry](math.min(buf.length + 1, k))
-      var i = 0
-      // copy entries that beat e
-      while (i < buf.length && better(buf(i), e)) { out(i) = buf(i); i += 1 }
-      if (i < out.length) {
-        out(i) = e
-        var j = i + 1
-        while (j < out.length) { out(j) = buf(j - 1); j += 1 }
+      if (buf.length == k) {
+        // full: drop the last, shift the tail right, place e
+        var i = k - 1
+        while (i > 0 && better(e, buf(i - 1))) { buf(i) = buf(i - 1); i -= 1 }
+        buf(i) = e
+        return buf
       }
+      val out = new Array[Entry](buf.length + 1)
+      var i = 0
+      while (i < buf.length && better(buf(i), e)) { out(i) = buf(i); i += 1 }
+      out(i) = e
+      var j = i + 1
+      while (j < out.length) { out(j) = buf(j - 1); j += 1 }
       out
     }
 
