@@ -418,6 +418,104 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PCM16 mono WAV with a planted 64-segment energy pattern —
+    * the audio twin of [[synthesizePatternPng]]: sample j belongs to segment
+    * `j*64/nSamples`, and segment i carries a ±`amp` square wave when bit i
+    * of `contentKey` is set, silence otherwise. Loudness (`amp`) plays the
+    * role tint plays for images: re-levelled copies of the same key are
+    * byte-distinct but energy-pattern identical, so
+    * [[audioPerceptualHashes]] collapses them to one signature. `amp` must
+    * be a multiple of 4096 so every segment mean-square is an exact IEEE
+    * double ((k·4096/32768)² = k²·2⁻⁶) and the signature replays as pure
+    * integer arithmetic in an engine that cannot parse WAV (the q83 oracle).
+    */
+  def synthesizePatternWav(contentKey: Long, amp: Short, sampleRate: Int,
+      nSamples: Int): Array[Byte] = {
+    require(amp > 0 && amp % 4096 == 0, s"amp must be a positive multiple of 4096, got $amp")
+    val halfPeriod = 7 // any period works; signature depends only on |s|
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < nSamples) {
+      val seg = (j.toLong * 64L / nSamples).toInt
+      val s: Short =
+        if ((contentKey >>> seg & 1L) == 0L) 0
+        else if ((j / halfPeriod) % 2 == 0) amp
+        else (-amp).toShort
+      buf.putShort(s)
+      j += 1
+    }
+    buf.array()
+  }
+
+  case class AudioHash(id: Long, phash: Long, decoded: Boolean)
+
+  /** 64-bit audio perceptual signature over decoded PCM16 — the audio twin
+    * of [[perceptualHash]]: samples split into 64 equal time segments
+    * (segment of sample j = `j*64/total`, the generator's mapping), bit i
+    * set iff segment i's mean-square energy exceeds the mean of the 64
+    * segment energies. Scaling every sample by a constant scales both sides
+    * of the comparison equally, so the signature is loudness-invariant —
+    * re-levelled/re-encoded copies byte-hash dedup cannot see collapse to
+    * one signature. Decode path and quarantine contract (zeroed
+    * `decoded=false` row) are [[decodeAudio]]'s.
+    */
+  def audioPerceptualHashes(items: Dataset[MediaItem]): Dataset[AudioHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.media))
+          val fmt = in.getFormat
+          val pcm = readAudioBounded(in, m.media.length)
+          in.close()
+          if (fmt.getSampleSizeInBits != 16 || pcm.length < 2)
+            AudioHash(m.id, 0L, decoded = false)
+          else {
+            val bb = java.nio.ByteBuffer.wrap(pcm).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val total = pcm.length / 2
+            val sumSq = new Array[Double](64)
+            val cnt = new Array[Long](64)
+            var j = 0
+            while (j < total) {
+              val s = bb.getShort(j * 2) / 32768.0
+              sumSq((j.toLong * 64L / total).toInt) += s * s
+              cnt((j.toLong * 64L / total).toInt) += 1
+              j += 1
+            }
+            val energy = new Array[Double](64)
+            var mean = 0.0
+            var i = 0
+            while (i < 64) {
+              energy(i) = if (cnt(i) > 0) sumSq(i) / cnt(i) else 0.0
+              mean += energy(i)
+              i += 1
+            }
+            mean /= 64.0
+            var h = 0L
+            i = 0
+            while (i < 64) { if (energy(i) > mean) h |= 1L << i; i += 1 }
+            AudioHash(m.id, h, decoded = true)
+          }
+        } catch {
+          // same unchecked-exception quarantine contract as decodeAudio
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException | _: RuntimeException =>
+            AudioHash(m.id, 0L, decoded = false)
+        }
+      }
+    }
+  }
+
   // ---- video (ISO-BMFF container metadata + sample-table frame decode) -----
 
   case class VideoMeta(id: Long, majorBrand: String, timescale: Int,

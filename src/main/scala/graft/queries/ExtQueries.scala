@@ -2547,6 +2547,107 @@ object ExtQueries {
        |  CAST(n_members - 1 AS BIGINT) AS n_dropped
        |FROM r WHERE rk = 1 ORDER BY group_id""".stripMargin
 
+  // ---- q83 audio perceptual dedup -------------------------------------------
+
+  /** Audio corpus for the perceptual-dedup gate: every 3 consecutive doc_ids
+    * share a planted 64-segment energy pattern ([[graft.ext.Multimodal
+    * .synthesizePatternWav]]) at three loudness tints (amp 4096/8192/12288)
+    * and per-doc lengths — byte-distinct re-levelled copies of the same
+    * clip. The third tint additionally flips ONE planted key bit, so the
+    * within-group pair set exercises hamming 0 AND hamming 1 through the
+    * banded verifier. Bit 0 is forced set and keys carry 60 bits, so the
+    * signature's popcount stays in [1, 61] (never degenerate all-silent /
+    * all-loud) and bit 63 is never set (no sign-bit literal needed in the
+    * oracle).
+    */
+  private def patternWavCorpus(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaItem] = {
+    import spark.implicits._
+    cached(spark, sfDir, "media_wav_pattern") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val gk = id / 3
+          val base = graft.ext.Multimodal.portableHash60(s"a:$gk") | 1L
+          val key = if (id % 3 == 2) base ^ (1L << (1 + gk % 58).toInt) else base
+          val amp = (4096 * (1 + id % 3)).toShort
+          graft.ext.Multimodal.MediaItem(id,
+            graft.ext.Multimodal.synthesizePatternWav(
+              key, amp, 8000, 1600 + (nc % 97).toInt),
+            "audio/wav")
+        }).toDF()
+    }.as[graft.ext.Multimodal.MediaItem]
+  }
+
+  /** AUDIO-modality near-dup dedup, completing the dedup-per-modality suite
+    * (text q18/q19/q47, embeddings q63, images q75, video q77): every WAV is
+    * decoded by the real javax.sound path, its 64-segment energy signature
+    * ([[graft.ext.Multimodal.audioPerceptualHashes]] — loudness-invariant,
+    * so re-levelled copies byte-hash dedup cannot see collapse) goes through
+    * the same banded-LSH machinery as the image hashes, and the pair set is
+    * panelled per hamming distance. DuckDB cannot parse WAV, but the planted
+    * energy pattern makes the signature pure md5 arithmetic: segment i's
+    * mean-square is amp² (bit set) or 0, the threshold is popcount/64·amp²,
+    * and amp cancels — the oracle re-derives each doc's signature from the
+    * same key string and runs the same band join + popcount verification.
+    */
+  private def audioPhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "audio_phash_pairs") {
+      val ah = cached(spark, sfDir, "audio_phashes")(
+        graft.ext.Multimodal.audioPerceptualHashes(
+          patternWavCorpus(spark, sfDir)).toDF())
+      Dedup.perceptualNearDuplicatePairs(ah.filter(col("decoded")), maxHamming = 3)
+    }
+
+  def q83AudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = audioPhashPairs(spark, sfDir)
+    val base = pairs.groupBy("hamming").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("id1")).as("sum_id1"),
+      sum(col("id2")).as("sum_id2"))
+    val docsIn = pairs
+      .select(col("hamming"), explode(array(col("id1"), col("id2"))).as("d"))
+      .groupBy("hamming").agg(countDistinct(col("d")).as("n_docs"))
+    base.join(docsIn, "hamming")
+      .select(col("hamming"), col("n_pairs"), col("n_docs"),
+        col("sum_id1"), col("sum_id2"))
+      .orderBy("hamming")
+  }
+
+  /** The signature IS the (possibly bit-flipped) 60-bit key — bit i of the
+    * decoded hash is set iff amp² > popcount/64·amp², i.e. iff key bit i is
+    * set (popcount < 64 always holds) — so the oracle derives it directly
+    * from the md5 arithmetic and replays the band join.
+    */
+  val q83Sql: String =
+    """WITH akey AS (
+      |  SELECT doc_id, doc_id // 3 AS gk,
+      |    CAST('0x' || substr(md5('a:' || CAST(doc_id // 3 AS VARCHAR)), 1, 15)
+      |      AS BIGINT) | 1 AS k0
+      |  FROM documents),
+      |ah AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 3 = 2
+      |         THEN xor(k0, CAST(1 AS BIGINT) << CAST(1 + gk % 58 AS INTEGER))
+      |         ELSE k0 END AS phash
+      |  FROM akey),
+      |band AS (
+      |  SELECT id, phash, q, (phash >> CAST(q * 16 AS INTEGER)) & 65535 AS chunk
+      |  FROM ah, range(4) t(q)),
+      |pairs AS (
+      |  SELECT DISTINCT l.id AS id1, r.id AS id2,
+      |         CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+      |  FROM band l JOIN band r ON l.q = r.q AND l.chunk = r.chunk AND l.id < r.id
+      |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+      |docs_in AS (
+      |  SELECT hamming, COUNT(DISTINCT d) AS n_docs
+      |  FROM (SELECT hamming, unnest([id1, id2]) AS d FROM pairs) GROUP BY 1)
+      |SELECT p.hamming, COUNT(*) AS n_pairs, ANY_VALUE(di.n_docs) AS n_docs,
+      |       CAST(SUM(p.id1) AS BIGINT) AS sum_id1,
+      |       CAST(SUM(p.id2) AS BIGINT) AS sum_id2
+      |FROM pairs p JOIN docs_in di ON p.hamming = di.hamming
+      |GROUP BY p.hamming ORDER BY p.hamming""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2603,7 +2704,8 @@ object ExtQueries {
     "q79_topk_per_group" -> (q79TopKPerGroup _),
     "q80_source_overlap" -> (q80SourceOverlap _),
     "q81_weighted_sample" -> (q81WeightedSample _),
-    "q82_group_representatives" -> (q82GroupRepresentatives _))
+    "q82_group_representatives" -> (q82GroupRepresentatives _),
+    "q83_audio_dedup" -> (q83AudioDedup _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2661,5 +2763,6 @@ object ExtQueries {
     "q79_topk_per_group" -> q79Sql,
     "q80_source_overlap" -> q80Sql,
     "q81_weighted_sample" -> q81Sql,
-    "q82_group_representatives" -> q82Sql)
+    "q82_group_representatives" -> q82Sql,
+    "q83_audio_dedup" -> q83Sql)
 }

@@ -925,6 +925,47 @@ class ExtSpec extends SparkSpec {
     assert(precision >= 0.9, s"pair precision $precision below floor (found ${found.size})")
   }
 
+  test("audio perceptual dedup: loudness-invariant, planted groups exact, garbage quarantines") {
+    import spark.implicits._
+    // 10 groups × 3 tints: amp 4096/8192/12288 share a planted 64-segment
+    // energy key; the third tint flips one key bit (hamming-1 near-dup)
+    val nGroups = 10
+    val items = (0 until nGroups).flatMap { g =>
+      val base = Multimodal.portableHash60(s"t:$g") | 1L
+      (0 until 3).map { t =>
+        val key = if (t == 2) base ^ (1L << (1 + g % 58)) else base
+        Multimodal.MediaItem(g * 3L + t,
+          Multimodal.synthesizePatternWav(key, (4096 * (t + 1)).toShort, 8000,
+            1600 + g * 13), // lengths vary — segment mapping must not care
+          "audio/wav")
+      }
+    } :+ Multimodal.MediaItem(999L, Array[Byte](1, 2, 3, 4), "audio/wav")
+    val ah = Multimodal.audioPerceptualHashes(spark.createDataset(items))
+      .collect().map(h => h.id -> h).toMap
+    assert(!ah(999L).decoded, "garbage bytes must quarantine")
+    (0 until nGroups).foreach { g =>
+      val Seq(h0, h1, h2) = (0 until 3).map(t => ah(g * 3L + t))
+      assert(h0.decoded && h1.decoded && h2.decoded)
+      // loudness invariance: amp 4096 vs 8192, different lengths, same hash
+      assert(h0.phash == h1.phash, s"group $g tints 0/1 must collapse")
+      assert(java.lang.Long.bitCount(h0.phash ^ h2.phash) == 1,
+        s"group $g tint 2 must sit at hamming 1")
+      // the signature IS the planted key (popcount in [1,61] by construction)
+      assert(h0.phash == (Multimodal.portableHash60(s"t:$g") | 1L))
+    }
+    // the banded engine finds exactly the within-group pairs
+    val ph = spark.createDataset(items.dropRight(1).map(_.id).map(id =>
+      Multimodal.PerceptualHash(id, ah(id).phash, decoded = true))).toDF()
+    val found = Dedup.perceptualNearDuplicatePairs(ph, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nGroups).flatMap { g =>
+      val b = g * 3L
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }.toSet
+    assert(found == planted,
+      s"pair set must be exactly the planted groups: missing=${planted -- found} extra=${found -- planted}")
+  }
+
   test("ISO-BMFF walkers never throw on mutated containers (quarantine only)") {
     val frames = (0 until 3).map(f => Multimodal.synthesizeJpegFrame(3L, f, 24, 18))
     val base = Multimodal.synthesizeMjpegMp4(1000, 3000L, frames, 24, 18)
