@@ -468,53 +468,60 @@ object Multimodal {
     */
   def audioPerceptualHashes(items: Dataset[MediaItem]): Dataset[AudioHash] = {
     import items.sparkSession.implicits._
-    items.mapPartitions { it =>
-      it.map { m =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(m.media))
-          val fmt = in.getFormat
-          val pcm = readAudioBounded(in, m.media.length)
-          in.close()
-          if (fmt.getSampleSizeInBits != 16 || pcm.length < 2)
-            AudioHash(m.id, 0L, decoded = false)
-          else {
-            val bb = java.nio.ByteBuffer.wrap(pcm).order(
-              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-              else java.nio.ByteOrder.LITTLE_ENDIAN)
-            val total = pcm.length / 2
-            val sumSq = new Array[Double](64)
-            val cnt = new Array[Long](64)
-            var j = 0
-            while (j < total) {
-              val s = bb.getShort(j * 2) / 32768.0
-              sumSq((j.toLong * 64L / total).toInt) += s * s
-              cnt((j.toLong * 64L / total).toInt) += 1
-              j += 1
-            }
-            val energy = new Array[Double](64)
-            var mean = 0.0
-            var i = 0
-            while (i < 64) {
-              energy(i) = if (cnt(i) > 0) sumSq(i) / cnt(i) else 0.0
-              mean += energy(i)
-              i += 1
-            }
-            mean /= 64.0
-            var h = 0L
-            i = 0
-            while (i < 64) { if (energy(i) > mean) h |= 1L << i; i += 1 }
-            AudioHash(m.id, h, decoded = true)
-          }
-        } catch {
-          // same unchecked-exception quarantine contract as decodeAudio
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException | _: RuntimeException =>
-            AudioHash(m.id, 0L, decoded = false)
-        }
+    items.mapPartitions(_.map { m =>
+      audioPerceptualHashOf(m.media) match {
+        case Some(h) => AudioHash(m.id, h, decoded = true)
+        case None    => AudioHash(m.id, 0L, decoded = false)
       }
-    }
+    })
   }
+
+  /** Decode + energy signature for one payload — None when the bytes don't
+    * decode to PCM16 (the quarantine case). Row-local core of
+    * [[audioPerceptualHashes]], also the streaming map
+    * ([[graft.streaming.StreamOps.streamingAudioNearDuplicates]]).
+    */
+  def audioPerceptualHashOf(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val pcm = readAudioBounded(in, bytes.length)
+      in.close()
+      if (fmt.getSampleSizeInBits != 16 || pcm.length < 2) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val total = pcm.length / 2
+        val sumSq = new Array[Double](64)
+        val cnt = new Array[Long](64)
+        var j = 0
+        while (j < total) {
+          val s = bb.getShort(j * 2) / 32768.0
+          sumSq((j.toLong * 64L / total).toInt) += s * s
+          cnt((j.toLong * 64L / total).toInt) += 1
+          j += 1
+        }
+        val energy = new Array[Double](64)
+        var mean = 0.0
+        var i = 0
+        while (i < 64) {
+          energy(i) = if (cnt(i) > 0) sumSq(i) / cnt(i) else 0.0
+          mean += energy(i)
+          i += 1
+        }
+        mean /= 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) { if (energy(i) > mean) h |= 1L << i; i += 1 }
+        Some(h)
+      }
+    } catch {
+      // same unchecked-exception quarantine contract as decodeAudio
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
 
   // ---- video (ISO-BMFF container metadata + sample-table frame decode) -----
 

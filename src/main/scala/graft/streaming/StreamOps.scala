@@ -205,6 +205,30 @@ object StreamOps {
     bandedDupHits(sigs, bits = 64, bands, maxHamming, bucketCap)
   }
 
+  /** Streaming AUDIO near-duplicate suppression — the fourth modality over
+    * the shared banded engine: each payload's loudness-invariant 64-segment
+    * energy signature ([[graft.ext.Multimodal.audioPerceptualHashOf]], a
+    * stateless row-local decode) flows through the same banded bucket state
+    * as the text/image/embedding signatures; undecodable payloads drop out
+    * (the batch path's quarantine). Hit set equals the batch
+    * [[graft.ext.Dedup.perceptualNearDuplicatePairs]] over the same
+    * signatures for maxHamming < bands (pigeonhole).
+    */
+  def streamingAudioNearDuplicates(items: DataFrame, idCol: String = "id",
+      tsCol: String = "ts", mediaCol: String = "media", maxHamming: Int = 3,
+      bands: Int = 4, bucketCap: Int = 64): Dataset[DupHit] = {
+    import items.sparkSession.implicits._
+    require(maxHamming < bands, "exactness needs maxHamming <= bands - 1 (pigeonhole)")
+    val sigs = items
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"), col(mediaCol).as("media"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, t, bytes) =>
+        graft.ext.Multimodal.audioPerceptualHashOf(bytes).map(h => (id, t, h))
+      })
+      .toDF("doc_id", "ts", "simhash")
+    bandedDupHits(sigs, bits = 64, bands, maxHamming, bucketCap)
+  }
+
   /** Streaming SEMANTIC (embedding) near-duplicate suppression — the third
     * modality over the shared banded engine: each vector's
     * sign-random-projection signature ([[graft.ext.Similarity.srpBucket]],

@@ -199,6 +199,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
   }
 
+  test("audio near-dup plans equi-joins only — no cartesian, no global exchange") {
+    val plan = graft.queries.ExtQueries.q83AudioDedup(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage degenerated to a cartesian: $plan")
+    assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")

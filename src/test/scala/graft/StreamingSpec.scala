@@ -406,6 +406,43 @@ class StreamingSpec extends SparkSpec {
       s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
   }
 
+  test("streaming audio near-dup hits ≡ batch perceptual pairs across batches") {
+    import org.apache.spark.sql.functions._
+    // loudness groups of 3: same planted energy key at amp 4096/8192, plus a
+    // one-bit-flipped key at amp 12288 — byte-distinct, energy near-identical
+    val items = (0 until 8).flatMap { g =>
+      val base = graft.ext.Multimodal.portableHash60(s"sa:$g") | 1L
+      (0 until 3).map { t =>
+        val key = if (t == 2) base ^ (1L << (1 + g % 58)) else base
+        (g * 10L + t, new Timestamp(1700000000000L + g * 10 + t),
+          graft.ext.Multimodal.synthesizePatternWav(
+            key, (4096 * (t + 1)).toShort, 8000, 1600 + g * 13))
+      }
+    }
+    val batchItems = spark.createDataset(items.map { case (id, _, wav) =>
+      graft.ext.Multimodal.MediaItem(id, wav, "audio/wav") })
+    val ah = graft.ext.Multimodal.audioPerceptualHashes(batchItems).toDF()
+    val batchPairs = graft.ext.Dedup.perceptualNearDuplicatePairs(
+      ah.filter(col("decoded")), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.size == 8 * 3, s"planted groups must pair up: ${batchPairs.size}")
+
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])](85, spark, None)
+    val q = StreamOps.streamingAudioNearDuplicates(
+      input.toDF().toDF("id", "ts", "media")).toDF()
+      .writeStream.format("memory").queryName("aud_dups").outputMode("append").start()
+    // split MID-GROUP so cross-batch bucket state is what finds some pairs
+    val (b1, b2) = items.splitAt(items.length / 2 + 1)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamPairs = spark.table("aud_dups").collect()
+      .map(r => (math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))).toSet
+    assert(streamPairs == batchPairs,
+      s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
+  }
+
   test("streaming embedding near-dup hits ≡ batch SRP-hamming pairs across batches") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
