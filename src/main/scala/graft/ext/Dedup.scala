@@ -614,6 +614,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup of an incoming batch against a HISTORICAL signature
+    * store — the production shape for continuous corpus ingestion. The
+    * corpus side is only (id, simhash): the ~8-bytes-per-doc index a steady
+    * pipeline maintains, NOT the corpus text. The banded equi-join compares
+    * NEW against OLD only — old×old was paid when the corpus was built, and
+    * new×new is a separate within-batch pass ([[simhashNearDuplicatesFromHashes]])
+    * — so each ingestion step costs |batch|·bands probe rows against the
+    * bucketed index, never a corpus self-join. Returns one row per new doc:
+    * the input columns plus `matched_id`, the SMALLEST corpus id within
+    * `maxHamming` (deterministic attribution) or null for novel docs.
+    * Exact for maxHamming < bands by pigeonhole, as ever.
+    */
+  def dedupAgainstCorpus(newSigs: DataFrame, corpusSigs: DataFrame,
+      maxHamming: Int = 3, bits: Int = 64, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    def banded(sh: DataFrame, idAs: String, hAs: String): DataFrame =
+      sh.select(col("id"), col("simhash"),
+        posexplode(array((0 until bands).map(q =>
+          shiftright(col("simhash"), q * width).bitwiseAND(mask)): _*)))
+        .select(col("id").as(idAs), col("simhash").as(hAs),
+          col("pos").as("q"), col("col").as("chunk"))
+    val matches = banded(newSigs, "id", "h1")
+      .join(banded(corpusSigs, "corpus_id", "h2"), Seq("q", "chunk"))
+      .select(col("id"), col("corpus_id"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id").agg(min(col("corpus_id")).as("matched_id"))
+    newSigs.join(matches, Seq("id"), "left")
+  }
+
   /** Perceptual near-duplicate IMAGE pairs over (id, phash) rows from
     * [[Multimodal.perceptualHashes]] — the pixel-modality member of the
     * dedup family (byte-exact q14 misses every re-encode/resize/tint; the

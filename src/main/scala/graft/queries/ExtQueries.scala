@@ -233,25 +233,34 @@ object ExtQueries {
       .orderBy("id1", "id2")
   }
 
-  /** DuckDB recomputes the identical 60-bit simhash (md5 token hashes → 60
-    * vote sums → sign bits) and brute-forces all-pairs Hamming distance.
+  /** Shared CTE chain reconstructing each doc's portable 60-bit simhash
+    * (md5 token hashes → 60 vote sums → sign bits) ending in
+    * `sh(doc_id, simhash)` — interpolated by the q19 all-pairs oracle (and
+    * through it q36/q60/q82) and the q84 batch-vs-corpus oracle, so the
+    * signature algebra lives once (a shared constant, NOT substring surgery).
     */
-  val q19Sql: String = {
+  private val simhashShCtes: String = {
     val votes = (0 until 60).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
     val bits = (0 until 60).map(b =>
       s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents),
        |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
        |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+
+  /** DuckDB recomputes the identical 60-bit simhash and brute-forces
+    * all-pairs Hamming distance.
+    */
+  val q19Sql: String =
+    s"""WITH $simhashShCtes,
        |p AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
-  }
 
   // ---- q20 brute-force cosine top-k ---------------------------------------
 
@@ -2648,6 +2657,58 @@ object ExtQueries {
       |FROM pairs p JOIN docs_in di ON p.hamming = di.hamming
       |GROUP BY p.hamming ORDER BY p.hamming""".stripMargin
 
+  // ---- q84 incremental dedup against a historical corpus ---------------------
+
+  /** Continuous-ingestion dedup: the even-doc_id half of the corpus plays
+    * the HISTORICAL index (only its (id, simhash) pairs are consulted — the
+    * store a steady pipeline maintains), the odd half is the incoming batch,
+    * and [[graft.ext.Dedup.dedupAgainstCorpus]] flags each new doc whose
+    * portable simhash sits within hamming 3 of ANY corpus doc (smallest
+    * matching corpus id as deterministic attribution). The banded join
+    * probes new-against-old only — no corpus self-join, no batch self-join —
+    * which is what keeps per-ingestion cost proportional to the batch at a
+    * 100-TB corpus. Panel: per source, how much of the batch survives.
+    */
+  def q84IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = cached(spark, sfDir, "simhash_portable")(
+      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
+    val flagged = Dedup.dedupAgainstCorpus(
+      sigs.filter(col("id") % 2 === 1), sigs.filter(col("id") % 2 === 0),
+      maxHamming = 3, bits = 60, bands = 4)
+    flagged
+      .join(docs(spark, sfDir).select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_new"),
+        sum(col("matched_id").isNotNull.cast("long")).as("n_suppressed"),
+        sum(col("matched_id").isNull.cast("long")).as("n_kept"),
+        coalesce(sum(when(col("matched_id").isNotNull, col("id"))), lit(0L))
+          .as("sum_suppressed_ids"),
+        coalesce(sum(col("matched_id")), lit(0L)).as("sum_matched_ids"))
+      .orderBy("source")
+  }
+
+  /** Same sh chain as q19; the old×new restriction and min-id attribution
+    * replay as a parity-filtered join + GROUP BY.
+    */
+  val q84Sql: String =
+    s"""WITH $simhashShCtes,
+       |m AS (
+       |  SELECT b.doc_id AS id, MIN(c.doc_id) AS matched_id
+       |  FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       |    AND bit_count(xor(b.simhash, c.simhash)) <= 3
+       |  GROUP BY 1),
+       |n AS (
+       |  SELECT d.doc_id AS id, d.source, m.matched_id
+       |  FROM documents d LEFT JOIN m ON d.doc_id = m.id
+       |  WHERE d.doc_id % 2 = 1)
+       |SELECT source, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN matched_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+       |  CAST(SUM(CASE WHEN matched_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN matched_id IS NOT NULL THEN id END), 0) AS BIGINT)
+       |    AS sum_suppressed_ids,
+       |  CAST(COALESCE(SUM(matched_id), 0) AS BIGINT) AS sum_matched_ids
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2705,7 +2766,8 @@ object ExtQueries {
     "q80_source_overlap" -> (q80SourceOverlap _),
     "q81_weighted_sample" -> (q81WeightedSample _),
     "q82_group_representatives" -> (q82GroupRepresentatives _),
-    "q83_audio_dedup" -> (q83AudioDedup _))
+    "q83_audio_dedup" -> (q83AudioDedup _),
+    "q84_incremental_dedup" -> (q84IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2764,5 +2826,6 @@ object ExtQueries {
     "q80_source_overlap" -> q80Sql,
     "q81_weighted_sample" -> q81Sql,
     "q82_group_representatives" -> q82Sql,
-    "q83_audio_dedup" -> q83Sql)
+    "q83_audio_dedup" -> q83Sql,
+    "q84_incremental_dedup" -> q84Sql)
 }

@@ -925,6 +925,25 @@ class ExtSpec extends SparkSpec {
     assert(precision >= 0.9, s"pair precision $precision below floor (found ${found.size})")
   }
 
+  test("dedup against corpus: probes new-vs-old only, min-id attribution, novel pass through") {
+    import spark.implicits._
+    // corpus ids 0/2/4 with distinct signatures; batch: 11 ≡ corpus 0,
+    // 13 within hamming 1 of corpus 2, 15 novel, 17 ≡ 11 (within-batch dup —
+    // must NOT be flagged: new×new is a separate pass)
+    val h0 = 0x0F0F0F0FL; val h2 = 0x33333333L; val h4 = 0x55555555L
+    val corpus = Seq((0L, h0), (2L, h2), (4L, h4)).toDF("id", "simhash")
+    val batch = Seq((11L, h0), (13L, h2 ^ 1L), (15L, 0x7A7A7A7AL), (17L, h0))
+      .toDF("id", "simhash")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, maxHamming = 3,
+      bits = 60, bands = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(11L -> Some(0L), 13L -> Some(2L), 15L -> None, 17L -> Some(0L)),
+      s"got $out")
+    // corpus docs never appear as output rows (old×old is not this op's job)
+    assert(!out.contains(0L) && !out.contains(2L) && !out.contains(4L))
+  }
+
   test("audio perceptual dedup: loudness-invariant, planted groups exact, garbage quarantines") {
     import spark.implicits._
     // 10 groups × 3 tints: amp 4096/8192/12288 share a planted 64-segment
