@@ -306,8 +306,12 @@ object ExtQueries {
       col("max_duration_s")).orderBy("user_id")
   }
 
-  val q21Sql: String =
-    """WITH e AS (
+  /** Shared gaps-and-islands session CTE chain ending in `c(user_id, ts,
+    * sid)` — interpolated by the q21 session-stats oracle and the q85
+    * overlap-join oracle so the 1800 s sessionization algebra lives once.
+    */
+  private val sessionCtes: String =
+    """e AS (
       |  SELECT user_id, event_id, ts,
       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM events),
@@ -320,7 +324,10 @@ object ExtQueries {
       |  SELECT user_id, ts,
       |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      |  FROM n),
+      |  FROM n)""".stripMargin
+
+  val q21Sql: String =
+    s"""WITH $sessionCtes,
       |ps AS (
       |  SELECT user_id, sid, COUNT(*) AS n_events,
       |         date_diff('second', MIN(ts), MAX(ts)) AS dur
@@ -2709,6 +2716,97 @@ object ExtQueries {
        |  CAST(COALESCE(SUM(matched_id), 0) AS BIGINT) AS sum_matched_ids
        |FROM n GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q85 session co-presence via bucketed interval-overlap join -----------
+
+  /** Cross-user session co-presence: which users are online at the same
+    * time, and for how long. Sessions (gaps-and-islands, shared with q21)
+    * become closed epoch-second intervals; overlapping cross-user pairs come
+    * from [[graft.ext.RangeJoin.overlapJoin]] — the bucketed decomposition
+    * that turns the non-equi interval predicate into an ordinary shuffle
+    * equi-join on an hour-bucket key (counted exactly once via
+    * overlap-start bucket ownership) instead of the O(n²) nested-loop plan
+    * Spark would otherwise pick. Panel: per user, overlap count, distinct
+    * partners, total and max co-presence seconds.
+    */
+  def q85SessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = Events.sessionize(events(spark, sfDir), "user_id", "ts")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts").cast("long")).as("s"), max(col("ts").cast("long")).as("e"))
+    val pairs = graft.ext.RangeJoin.overlapJoin(
+      sess.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1")),
+      "s1", "e1",
+      sess.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2")),
+      "s2", "e2",
+      bucketWidth = 3600L, extraPred = col("u1") < col("u2"))
+    // each overlapping pair contributes to BOTH users' panels
+    val perUser = pairs.select(col("u1").as("user_id"), col("u2").as("partner"),
+        col("overlap_len"))
+      .union(pairs.select(col("u2"), col("u1"), col("overlap_len")))
+    perUser.groupBy("user_id").agg(
+      count(lit(1)).as("n_overlaps"),
+      countDistinct(col("partner")).as("n_partners"),
+      sum(col("overlap_len")).as("total_overlap_s"),
+      max(col("overlap_len")).as("max_overlap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Same session chain as q21; the bucketed join replays as a plain
+    * non-equi overlap join (DuckDB's IEJoin handles it natively), which is
+    * exactly the equivalence the bucket-ownership rule must preserve.
+    */
+  val q85Sql: String =
+    s"""WITH $sessionCtes,
+       |s AS (
+       |  SELECT user_id, sid,
+       |         date_diff('second', TIMESTAMP '1970-01-01', MIN(ts)) AS s,
+       |         date_diff('second', TIMESTAMP '1970-01-01', MAX(ts)) AS e
+       |  FROM c GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.user_id AS u1, b.user_id AS u2,
+       |         least(a.e, b.e) - greatest(a.s, b.s) AS ov
+       |  FROM s a JOIN s b
+       |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e),
+       |u AS (
+       |  SELECT u1 AS user_id, u2 AS partner, ov FROM p
+       |  UNION ALL
+       |  SELECT u2, u1, ov FROM p)
+       |SELECT user_id, COUNT(*) AS n_overlaps,
+       |  CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners,
+       |  CAST(SUM(ov) AS BIGINT) AS total_overlap_s,
+       |  CAST(MAX(ov) AS BIGINT) AS max_overlap_s
+       |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q86 top principal component (distributed Gram + power iteration) -----
+
+  /** Top principal component of the embedding corpus: one distributed
+    * d²-buffer X^T X pass ([[graft.ext.Spectral]] — the shuffle carries
+    * partitions×(d²+d+1) doubles, never n·d² exploded rows), then a bounded
+    * driver-side power iteration on the 64×64 centered Gram. The oracle
+    * brute-forces the same centered Gram via an n·d² unnest join and unrolls
+    * the identical three power steps — determinism contract on the Scaladoc
+    * of [[graft.ext.Spectral]].
+    */
+  def q86PrincipalComponent(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = emb(spark, sfDir).select(
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    graft.ext.Spectral.topComponent(spark, vecs, "v", d = 64, iters = 3)
+  }
+
+  val q86Sql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, i, embedding[i + 1]::DOUBLE AS x
+      |  FROM embeddings, range(64) t(i)),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |         SUM(a.x * b.x) - COUNT(*) * AVG(a.x) * AVG(b.x) AS g
+      |  FROM ev a JOIN ev b USING (vec_id) GROUP BY 1, 2),
+      |v0 AS (SELECT i, 1.0::DOUBLE AS v FROM range(64) t(i)),
+      |v1 AS (SELECT g.i AS i, SUM(g.g * v0.v) AS v FROM g JOIN v0 ON g.j = v0.i GROUP BY 1),
+      |v2 AS (SELECT g.i AS i, SUM(g.g * v1.v) AS v FROM g JOIN v1 ON g.j = v1.i GROUP BY 1),
+      |v3 AS (SELECT g.i AS i, SUM(g.g * v2.v) AS v FROM g JOIN v2 ON g.j = v2.i GROUP BY 1),
+      |nrm AS (SELECT SQRT(SUM(v * v)) AS z FROM v3)
+      |SELECT i AS dim, ROUND(v / z, 6) AS loading FROM v3, nrm ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -2767,7 +2865,9 @@ object ExtQueries {
     "q81_weighted_sample" -> (q81WeightedSample _),
     "q82_group_representatives" -> (q82GroupRepresentatives _),
     "q83_audio_dedup" -> (q83AudioDedup _),
-    "q84_incremental_dedup" -> (q84IncrementalDedup _))
+    "q84_incremental_dedup" -> (q84IncrementalDedup _),
+    "q85_session_overlap" -> (q85SessionOverlap _),
+    "q86_principal_component" -> (q86PrincipalComponent _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2827,5 +2927,7 @@ object ExtQueries {
     "q81_weighted_sample" -> q81Sql,
     "q82_group_representatives" -> q82Sql,
     "q83_audio_dedup" -> q83Sql,
-    "q84_incremental_dedup" -> q84Sql)
+    "q84_incremental_dedup" -> q84Sql,
+    "q85_session_overlap" -> q85Sql,
+    "q86_principal_component" -> q86Sql)
 }

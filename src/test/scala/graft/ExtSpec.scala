@@ -944,6 +944,58 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(0L) && !out.contains(2L) && !out.contains(4L))
   }
 
+  test("overlap join: count-once across shared buckets, touching endpoints, invalid interval raises") {
+    import spark.implicits._
+    // width 10. a1=[5,35] spans buckets 0-3; b1=[12,28] shares buckets 1-2
+    // with it → must appear EXACTLY once (ownership: overlap start 12 →
+    // bucket 1). b2=[35,35] touches a1's endpoint → overlap_len 0 counts.
+    // b3=[36,50] does not overlap a1. a2=[100,101] overlaps nothing.
+    val a = Seq(("a1", 5L, 35L), ("a2", 100L, 101L)).toDF("aid", "s1", "e1")
+    val b = Seq(("b1", 12L, 28L), ("b2", 35L, 35L), ("b3", 36L, 50L))
+      .toDF("bid", "s2", "e2")
+    val out = graft.ext.RangeJoin.overlapJoin(a, "s1", "e1", b, "s2", "e2", 10L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must shuffle on buckets, not loop:\n$plan")
+    val rows = out.select("aid", "bid", "overlap_len").as[(String, String, Long)]
+      .collect().sorted.toList
+    assert(rows == List(("a1", "b1", 16L), ("a1", "b2", 0L)), s"got $rows")
+    // end < start must fail loudly, not silently step the sequence downward
+    val bad = Seq(("x", 20L, 10L)).toDF("aid", "s1", "e1")
+    val ex = intercept[Exception] {
+      graft.ext.RangeJoin.overlapJoin(bad, "s1", "e1", b, "s2", "e2", 10L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("spectral: gram moments match brute force; planted dominant axis recovered") {
+    import spark.implicits._
+    // deterministic 4-dim corpus with variance concentrated on axis 1
+    val vecs = (0 until 200).map { k =>
+      val t = (k % 17).toDouble - 8.0
+      Seq(0.1 * (k % 3), 5.0 * t, 0.2 * ((k % 5) - 2), 1.0)
+    }
+    val df = vecs.toDF("v")
+    val m = graft.ext.Spectral.gramMoments(df, "v", 4)
+    // brute-force the same moments
+    val d = 4
+    val exp = new Array[Double](d * d + d + 1)
+    vecs.foreach { v =>
+      for (i <- 0 until d; j <- 0 until d) exp(i * d + j) += v(i) * v(j)
+      for (i <- 0 until d) exp(d * d + i) += v(i)
+      exp(d * d + d) += 1
+    }
+    for (i <- m.indices)
+      assert(math.abs(m(i) - exp(i)) < 1e-6 * (1 + math.abs(exp(i))),
+        s"moment $i: ${m(i)} vs ${exp(i)}")
+    val top = graft.ext.Spectral.topComponent(spark, df, "v", d, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // centered variance is overwhelmingly on axis 1 → |loading(1)| ≈ 1
+    assert(math.abs(top(1L)) > 0.999, s"got $top")
+    // constant axis 3 has zero centered variance → ~0 loading
+    assert(math.abs(top(3L)) < 0.01, s"got $top")
+  }
+
   test("audio perceptual dedup: loudness-invariant, planted groups exact, garbage quarantines") {
     import spark.implicits._
     // 10 groups × 3 tints: amp 4096/8192/12288 share a planted 64-segment
