@@ -2728,16 +2728,27 @@ object ExtQueries {
     * Spark would otherwise pick. Panel: per user, overlap count, distinct
     * partners, total and max co-presence seconds.
     */
+  /** Cross-user overlapping session pairs `(u1 < u2, overlap_len)` — the
+    * bucketed range-join output shared by the q85 co-presence panel and the
+    * q87 PageRank graph, cached so the sessionize + interval join chain
+    * runs once per (session, sf).
+    */
+  private def copresencePairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "copresence_pairs") {
+      val sess = Events.sessionize(events(spark, sfDir), "user_id", "ts")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts").cast("long")).as("s"),
+          max(col("ts").cast("long")).as("e"))
+      graft.ext.RangeJoin.overlapJoin(
+        sess.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1")),
+        "s1", "e1",
+        sess.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2")),
+        "s2", "e2",
+        bucketWidth = 3600L, extraPred = col("u1") < col("u2"))
+    }
+
   def q85SessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val sess = Events.sessionize(events(spark, sfDir), "user_id", "ts")
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts").cast("long")).as("s"), max(col("ts").cast("long")).as("e"))
-    val pairs = graft.ext.RangeJoin.overlapJoin(
-      sess.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1")),
-      "s1", "e1",
-      sess.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2")),
-      "s2", "e2",
-      bucketWidth = 3600L, extraPred = col("u1") < col("u2"))
+    val pairs = copresencePairs(spark, sfDir)
     // each overlapping pair contributes to BOTH users' panels
     val perUser = pairs.select(col("u1").as("user_id"), col("u2").as("partner"),
         col("overlap_len"))
@@ -2754,8 +2765,11 @@ object ExtQueries {
     * non-equi overlap join (DuckDB's IEJoin handles it natively), which is
     * exactly the equivalence the bucket-ownership rule must preserve.
     */
-  val q85Sql: String =
-    s"""WITH $sessionCtes,
+  /** Session CTEs extended to overlapping cross-user pairs `p(u1, u2, ov)`
+    * — shared by the q85 panel and the q87 PageRank oracle.
+    */
+  private val copresenceCtes: String =
+    s"""$sessionCtes,
        |s AS (
        |  SELECT user_id, sid,
        |         date_diff('second', TIMESTAMP '1970-01-01', MIN(ts)) AS s,
@@ -2765,7 +2779,10 @@ object ExtQueries {
        |  SELECT a.user_id AS u1, b.user_id AS u2,
        |         least(a.e, b.e) - greatest(a.s, b.s) AS ov
        |  FROM s a JOIN s b
-       |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e),
+       |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)""".stripMargin
+
+  val q85Sql: String =
+    s"""WITH $copresenceCtes,
        |u AS (
        |  SELECT u1 AS user_id, u2 AS partner, ov FROM p
        |  UNION ALL
@@ -2806,6 +2823,56 @@ object ExtQueries {
       |v3 AS (SELECT g.i AS i, SUM(g.g * v2.v) AS v FROM g JOIN v2 ON g.j = v2.i GROUP BY 1),
       |nrm AS (SELECT SQRT(SUM(v * v)) AS z FROM v3)
       |SELECT i AS dim, ROUND(v / z, 6) AS loading FROM v3, nrm ORDER BY dim""".stripMargin
+
+  // ---- q87 PageRank over the session co-presence graph ----------------------
+
+  /** User influence via PageRank on the co-presence graph: nodes are users,
+    * an edge's weight is how many session pairs of the two users overlapped
+    * (symmetric, so no dangling mass). Graph state stays an edge-list
+    * DataFrame end to end — [[graft.ext.Graph.pageRank]] runs each power
+    * round as an edge join + destination-keyed sum (map-side combined), and
+    * the pair stage is the same cached bucketed range join q85 uses.
+    */
+  def q87PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = copresencePairs(spark, sfDir)
+    val edges = pairs.select(col("u1").as("src"), col("u2").as("dst"))
+      .union(pairs.select(col("u2"), col("u1")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    graft.ext.Graph.pageRank(edges, "src", "dst", "w",
+      damping = 0.85, teleport = 0.15, iters = 3)
+      .select(col("node").as("user_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy("user_id")
+  }
+
+  /** Replays the identical three power rounds from the uniform vector with
+    * the same 0.15/0.85 double literals (never `1 - 0.85`, whose IEEE value
+    * differs from literal 0.15); the co-presence pair CTEs are shared with
+    * q85 verbatim.
+    */
+  val q87Sql: String =
+    s"""WITH $copresenceCtes,
+       |ed AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+       |    SELECT u1 AS src, u2 AS dst FROM p
+       |    UNION ALL SELECT u2, u1 FROM p) GROUP BY 1, 2),
+       |ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY 1),
+       |tp AS (SELECT ed.src, ed.dst, ed.w / ow.ow AS pr FROM ed JOIN ow USING (src)),
+       |nodes AS (SELECT DISTINCT src AS user_id FROM ed),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT user_id, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),
+       |r1 AS (SELECT no.user_id, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * COALESCE(m.m, 0::DOUBLE) AS r
+       |  FROM nodes no CROSS JOIN nn
+       |  LEFT JOIN (SELECT tp.dst AS user_id, SUM(tp.pr * r0.r) AS m
+       |             FROM tp JOIN r0 ON tp.src = r0.user_id GROUP BY 1) m USING (user_id)),
+       |r2 AS (SELECT no.user_id, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * COALESCE(m.m, 0::DOUBLE) AS r
+       |  FROM nodes no CROSS JOIN nn
+       |  LEFT JOIN (SELECT tp.dst AS user_id, SUM(tp.pr * r1.r) AS m
+       |             FROM tp JOIN r1 ON tp.src = r1.user_id GROUP BY 1) m USING (user_id)),
+       |r3 AS (SELECT no.user_id, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * COALESCE(m.m, 0::DOUBLE) AS r
+       |  FROM nodes no CROSS JOIN nn
+       |  LEFT JOIN (SELECT tp.dst AS user_id, SUM(tp.pr * r2.r) AS m
+       |             FROM tp JOIN r2 ON tp.src = r2.user_id GROUP BY 1) m USING (user_id))
+       |SELECT user_id, ROUND(r, 6) AS pagerank FROM r3 ORDER BY user_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
@@ -2867,7 +2934,8 @@ object ExtQueries {
     "q83_audio_dedup" -> (q83AudioDedup _),
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
     "q85_session_overlap" -> (q85SessionOverlap _),
-    "q86_principal_component" -> (q86PrincipalComponent _))
+    "q86_principal_component" -> (q86PrincipalComponent _),
+    "q87_pagerank" -> (q87PageRank _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2929,5 +2997,6 @@ object ExtQueries {
     "q83_audio_dedup" -> q83Sql,
     "q84_incremental_dedup" -> q84Sql,
     "q85_session_overlap" -> q85Sql,
-    "q86_principal_component" -> q86Sql)
+    "q86_principal_component" -> q86Sql,
+    "q87_pagerank" -> q87Sql)
 }

@@ -968,6 +968,32 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("pagerank: matches local brute force on a weighted graph; dangling mass leaks as documented") {
+    import spark.implicits._
+    // weighted directed graph incl. a hub (1) and an edge back; node 9 is a
+    // pure sink (dangling — receives but never distributes)
+    val edges = Seq(
+      (1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0),
+      (2L, 3L, 1.0), (3L, 9L, 3.0)).toDF("src", "dst", "w")
+    val got = graft.ext.Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same algorithm, dense and local
+    val nodes = Seq(1L, 2L, 3L, 9L)
+    val out = Map(1L -> 3.0, 2L -> 2.0, 3L -> 4.0)
+    val tp = Map((1L, 2L) -> 2.0 / 3, (1L, 3L) -> 1.0 / 3, (2L, 1L) -> 0.5,
+      (2L, 3L) -> 0.5, (3L, 1L) -> 0.25, (3L, 9L) -> 0.75)
+    var r = nodes.map(_ -> 1.0 / 4).toMap
+    for (_ <- 0 until 3)
+      r = nodes.map(v => v -> (0.15 / 4 + 0.85 *
+        tp.collect { case ((s, d), p) if d == v => p * r(s) }.sum)).toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    // dangling node 9 leaked its mass: total < 1 but every node keeps the
+    // teleport floor
+    assert(got.values.sum < 1.0 && got.values.forall(_ >= 0.15 / 4 - 1e-12))
+  }
+
   test("spectral: gram moments match brute force; planted dominant axis recovered") {
     import spark.implicits._
     // deterministic 4-dim corpus with variance concentrated on axis 1
