@@ -2809,8 +2809,12 @@ object ExtQueries {
     graft.ext.Spectral.topComponent(spark, vecs, "v", d = 64, iters = 3)
   }
 
-  val q86Sql: String =
-    """WITH ev AS (
+  /** Brute-force centered Gram + three unrolled power rounds, ending in
+    * `v3(i, v)` and `nrm(z)` — shared by the q86 loadings oracle and the
+    * q88 projection-score oracle.
+    */
+  private val gramPowerCtes: String =
+    """ev AS (
       |  SELECT vec_id, i, embedding[i + 1]::DOUBLE AS x
       |  FROM embeddings, range(64) t(i)),
       |g AS (
@@ -2821,8 +2825,11 @@ object ExtQueries {
       |v1 AS (SELECT g.i AS i, SUM(g.g * v0.v) AS v FROM g JOIN v0 ON g.j = v0.i GROUP BY 1),
       |v2 AS (SELECT g.i AS i, SUM(g.g * v1.v) AS v FROM g JOIN v1 ON g.j = v1.i GROUP BY 1),
       |v3 AS (SELECT g.i AS i, SUM(g.g * v2.v) AS v FROM g JOIN v2 ON g.j = v2.i GROUP BY 1),
-      |nrm AS (SELECT SQRT(SUM(v * v)) AS z FROM v3)
-      |SELECT i AS dim, ROUND(v / z, 6) AS loading FROM v3, nrm ORDER BY dim""".stripMargin
+      |nrm AS (SELECT SQRT(SUM(v * v)) AS z FROM v3)""".stripMargin
+
+  val q86Sql: String =
+    s"""WITH $gramPowerCtes
+       |SELECT i AS dim, ROUND(v / z, 6) AS loading FROM v3, nrm ORDER BY dim""".stripMargin
 
   // ---- q87 PageRank over the session co-presence graph ----------------------
 
@@ -2873,6 +2880,85 @@ object ExtQueries {
        |  LEFT JOIN (SELECT tp.dst AS user_id, SUM(tp.pr * r2.r) AS m
        |             FROM tp JOIN r2 ON tp.src = r2.user_id GROUP BY 1) m USING (user_id))
        |SELECT user_id, ROUND(r, 6) AS pagerank FROM r3 ORDER BY user_id""".stripMargin
+
+  // ---- q88 PCA projection scores per label ----------------------------------
+
+  /** Dimensionality reduction as a downstream op: every embedding projected
+    * onto the q86 top principal component, panelled per k-means label
+    * (n, mean, ddof-1 std, min, max of the scores). The 64 rounded loadings
+    * are a bounded driver artifact embedded as an array literal, so the
+    * projection is one codegen'd fold per row — no join against a loadings
+    * table, no second pass over the corpus beyond the shared Gram
+    * aggregation.
+    */
+  def q88PcaScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val vecs = e.select(
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val load = graft.ext.Spectral.topComponent(spark, vecs, "v", d = 64,
+        iters = 3)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val loadCol = array(load.map(lit(_)).toIndexedSeq: _*)
+    val scored = e.select(col("label"),
+      aggregate(
+        zip_with(col("embedding"), loadCol, (x, l) => x.cast("double") * l),
+        lit(0d), (acc, z) => acc + z).as("score"))
+    scored.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      round(avg(col("score")), 6).as("avg_score"),
+      round(stddev_samp(col("score")), 6).as("std_score"),
+      round(min(col("score")), 6).as("min_score"),
+      round(max(col("score")), 6).as("max_score"))
+      .orderBy("label")
+  }
+
+  /** Scores from the SAME rounded loadings q86 publishes (6 dp on both
+    * sides), so summation-order noise lives only below the final panel
+    * rounding.
+    */
+  val q88Sql: String =
+    s"""WITH $gramPowerCtes,
+       |ld AS (SELECT i, ROUND(v / z, 6) AS l FROM v3, nrm),
+       |sc AS (
+       |  SELECT ev.vec_id, SUM(ev.x * ld.l) AS score
+       |  FROM ev JOIN ld USING (i) GROUP BY 1)
+       |SELECT e.label, COUNT(*) AS n_vecs,
+       |  ROUND(AVG(sc.score), 6) AS avg_score,
+       |  ROUND(STDDEV_SAMP(sc.score), 6) AS std_score,
+       |  ROUND(MIN(sc.score), 6) AS min_score,
+       |  ROUND(MAX(sc.score), 6) AS max_score
+       |FROM sc JOIN embeddings e USING (vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q89 corpus composition cube ------------------------------------------
+
+  /** Corpus composition report at every (source × lang) granularity in ONE
+    * pass: `CUBE` expands to the four grouping sets inside the aggregation
+    * (map-side partials per set), so the per-source, per-lang, and
+    * grand-total panels don't each re-scan the corpus. Rollup rows label
+    * their aggregated dimension `(all)` — safe because neither column is
+    * nullable in data (asserted upstream by the data-quality audit q68).
+    */
+  def q89CompositionCube(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).cube(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      round(avg(col("n_chars")), 6).as("avg_chars"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("total_chars"), col("avg_chars"))
+      .orderBy("source", "lang")
+
+  /** `AVG(BIGINT)` accumulates in doubles on both engines; the sums stay
+    * under 2^53 so they are exact and order-free before the 6 dp round.
+    */
+  val q89Sql: String =
+    """SELECT COALESCE(source, '(all)') AS source,
+      |  COALESCE(lang, '(all)') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(AVG(n_chars), 6) AS avg_chars
+      |FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
@@ -2935,7 +3021,9 @@ object ExtQueries {
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
     "q85_session_overlap" -> (q85SessionOverlap _),
     "q86_principal_component" -> (q86PrincipalComponent _),
-    "q87_pagerank" -> (q87PageRank _))
+    "q87_pagerank" -> (q87PageRank _),
+    "q88_pca_scores" -> (q88PcaScores _),
+    "q89_composition_cube" -> (q89CompositionCube _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -2998,5 +3086,7 @@ object ExtQueries {
     "q84_incremental_dedup" -> q84Sql,
     "q85_session_overlap" -> q85Sql,
     "q86_principal_component" -> q86Sql,
-    "q87_pagerank" -> q87Sql)
+    "q87_pagerank" -> q87Sql,
+    "q88_pca_scores" -> q88Sql,
+    "q89_composition_cube" -> q89Sql)
 }

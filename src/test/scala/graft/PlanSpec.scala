@@ -207,6 +207,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
   }
 
+  test("composition cube is one scan + Expand, not a scan per grouping set") {
+    val df = graft.queries.ExtQueries.q89CompositionCube(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube should plan an Expand: $plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"cube re-scanned the corpus ($scans scans): $plan")
+  }
+
+  test("pagerank rounds plan equi-joins + partial aggregation, no cartesian") {
+    val plan = graft.queries.ExtQueries.q87PageRank(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pagerank degenerated to a loop join: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
