@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -47,6 +47,53 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Streaming session co-presence — the stream-stream twin of the batch
+    * bucketed range join behind q85 ([[graft.ext.RangeJoin.overlapJoin]]).
+    * Input is a stream of CLOSED session intervals `(user, start, end)`
+    * (e.g. from [[sessionStats]]); output is every cross-user pair whose
+    * intervals overlap, with the overlap length in seconds.
+    *
+    * Spark refuses stream-stream joins without an equality predicate — the
+    * pure interval condition cannot run natively — and the SAME bucket
+    * decomposition the batch path uses is what fixes it: each interval
+    * replicates (statelessly, pre-join) to every `bucketWidth`-second
+    * bucket it touches, the join becomes a bucket equi-join, the exact
+    * overlap predicate rides along, and the overlap-start ownership rule
+    * keeps each pair emitted exactly once. With session length capped at
+    * `maxDuration`, overlap implies `|start1 − start2| <= maxDuration`;
+    * that range on the two watermarked start columns is what lets the state
+    * store evict rows older than watermark + range — finite state on an
+    * unbounded feed.
+    */
+  def streamingCopresence(sessions: DataFrame, userCol: String = "user_id",
+      startCol: String = "session_start", endCol: String = "session_end",
+      bucketWidth: Long = 3600L, maxDuration: String = "2 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    def bucketOf(c: Column): Column =
+      floor(c.cast("long") / bucketWidth).cast("long")
+    def side(u: String, s: String, e: String, b: String): DataFrame =
+      sessions.select(col(userCol).as(u), col(startCol).as(s),
+          col(endCol).as(e))
+        .withWatermark(s, watermark)
+        .withColumn(b, explode(
+          when(col(e) >= col(s), sequence(bucketOf(col(s)), bucketOf(col(e))))
+            .otherwise(raise_error(concat(
+              lit("streamingCopresence: interval end < start: "),
+              col(s).cast("string"), lit(" > "), col(e).cast("string"))))))
+    val l = side("u1", "s1", "e1", "__b1")
+    val r = side("u2", "s2", "e2", "__b2")
+    val range = expr(s"INTERVAL $maxDuration")
+    l.join(r,
+      col("__b1") === col("__b2") && col("u1") < col("u2") &&
+        col("s1") >= col("s2") - range && col("s1") <= col("s2") + range &&
+        col("s1") <= col("e2") && col("s2") <= col("e1") &&
+        bucketOf(greatest(col("s1"), col("s2"))) === col("__b1"))
+      .select(col("u1"), col("u2"),
+        (least(col("e1"), col("e2")).cast("long") -
+          greatest(col("s1"), col("s2")).cast("long")).as("overlap_len"))
+  }
 
   /** Exactly-once-style stream dedup on event_id within the watermark. */
   def dedupeEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

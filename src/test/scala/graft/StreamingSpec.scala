@@ -189,6 +189,38 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.exists(h => h._1 == 2L || h._2 == 2L), "unrelated doc must not match")
   }
 
+  test("streaming co-presence join ≡ batch bucketed range join on an interval fixture") {
+    import org.apache.spark.sql.functions._
+    // closed sessions (user, start, end) across 3 micro-batches; durations
+    // stay under the 20-minute maxDuration bound the join condition uses
+    def mk(u: Long, sM: Int, eM: Int) = (u, ts(sM), ts(eM))
+    val b1 = Seq(mk(1, 0, 10), mk(2, 5, 15))                  // 1-2 overlap
+    val b2 = Seq(mk(3, 10, 25), mk(4, 26, 40))                // 3 overlaps 1,2
+    val b3 = Seq(mk(5, 15, 15), mk(6, 50, 55))                // 5 touches 2,3
+    val all = b1 ++ b2 ++ b3
+
+    val batch = graft.ext.RangeJoin.overlapJoin(
+      all.toDF("u", "s", "e").select(col("u").as("u1"),
+        col("s").cast("long").as("s1"), col("e").cast("long").as("e1")),
+      "s1", "e1",
+      all.toDF("u", "s", "e").select(col("u").as("u2"),
+        col("s").cast("long").as("s2"), col("e").cast("long").as("e2")),
+      "s2", "e2", bucketWidth = 600L, extraPred = col("u1") < col("u2"))
+      .select("u1", "u2", "overlap_len").as[(Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Timestamp, Timestamp)](9, spark, None)
+    input.addData(b1); input.addData(b2); input.addData(b3)
+    val out = runToMemory(
+      StreamOps.streamingCopresence(
+        input.toDF().toDF("user_id", "session_start", "session_end"),
+        maxDuration = "20 minutes", watermark = "30 minutes"), "copresence") {}
+    val streamed = out.select("u1", "u2", "overlap_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.contains((1L, 2L, 5L * 60)) && batch.contains((2L, 5L, 0L)),
+      s"fixture lost expected overlaps: $batch")
+  }
+
   test("streaming near-dup pair set ≡ batch simhash pairs on the documents fixture") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
