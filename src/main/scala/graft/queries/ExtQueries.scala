@@ -1844,12 +1844,16 @@ object ExtQueries {
     * salads unigram stats miss). The model side is vocabulary²-bounded and
     * broadcastable; everything else is keyed aggregation.
     */
-  def q65BigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
-    val cnt = cached(spark, sfDir, "bigram_counts") {
+  /** Per-(doc, bigram) counts — shared by q65 surprisal and q90 PMI. */
+  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "bigram_counts") {
       docs(spark, sfDir).select(col("doc_id"), col("source"),
         explode(Dedup.shingles(col("text"), 2)).as("g")) // shingles lowercases
         .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
     }
+
+  def q65BigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = bigramCounts(spark, sfDir)
     // c12/c1 derive from cnt (sums commute) and cnt is session-cached, so
     // the bigram explode runs ONCE across the query's three consumers —
     // uncached, each aggregation branch re-executes the shingle pipeline
@@ -2960,6 +2964,158 @@ object ExtQueries {
       |  ROUND(AVG(n_chars), 6) AS avg_chars
       |FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2""".stripMargin
 
+  // ---- q90 PMI collocations -------------------------------------------------
+
+  /** Collocation mining: the 20 bigrams most over-represented vs
+    * independence, `PMI = ln(p(ab) / (p(a)·p(b)))` with a min-count floor of
+    * 5 to suppress rare-pair noise. Every input is a further keyed
+    * aggregation over the session-shared `token_counts` / `bigram_counts`
+    * frames (the explodes never re-run), the two corpus totals join back as
+    * a broadcast single row, and the final order includes the bigram string
+    * so the top-20 cut is deterministic under ties.
+    */
+  def q90Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = bigramCounts(spark, sfDir)
+    val c12 = bg.groupBy("g").agg(sum(col("c")).as("c12"))
+    val c1 = tokenCounts(spark, sfDir).groupBy("t").agg(sum(col("c")).as("cu"))
+    val totals = broadcast(
+      c12.agg(sum(col("c12")).as("nb"))
+        .crossJoin(c1.agg(sum(col("cu")).as("nu"))))
+    c12.filter(col("c12") >= 5)
+      .withColumn("t1", split(col("g"), " ").getItem(0))
+      .withColumn("t2", split(col("g"), " ").getItem(1))
+      .join(c1.select(col("t").as("t1"), col("cu").as("ca")), "t1")
+      .join(c1.select(col("t").as("t2"), col("cu").as("cb")), "t2")
+      .crossJoin(totals)
+      .select(col("g").as("bigram"), col("c12").as("n_pairs"),
+        round(log((col("c12").cast("double") / col("nb")) /
+          ((col("ca").cast("double") / col("nu")) *
+            (col("cb").cast("double") / col("nu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Totals are summed BEFORE the min-count filter on both sides; casts to
+    * DOUBLE before each division keep DuckDB out of decimal arithmetic.
+    */
+  val q90Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM tok),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+      |bg AS (SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS g
+      |  FROM tok),
+      |c12 AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12)
+      |SELECT c12.g AS bigram, c12.c12 AS n_pairs,
+      |  ROUND(LN((CAST(c12.c12 AS DOUBLE) / nb.n) /
+      |    ((CAST(a.c AS DOUBLE) / nu.n) * (CAST(b.c AS DOUBLE) / nu.n))), 6) AS pmi
+      |FROM c12 CROSS JOIN nb CROSS JOIN nu
+      |JOIN c1 a ON string_split(c12.g, ' ')[1] = a.w
+      |JOIN c1 b ON string_split(c12.g, ' ')[2] = b.w
+      |WHERE c12.c12 >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
+  // ---- q91 group-aware (leakage-free) train/val/test split ------------------
+
+  /** Dataset splitting that keeps every near-duplicate group in ONE split:
+    * the split key is the doc's q36 component representative (its own id
+    * for singletons), hashed through the same md5 bucket rule as q34 — so
+    * train/test leakage through near-duplicate pairs is structurally
+    * impossible, not just unlikely. Still row-local after the one left
+    * join against the cached component frame. The panel counts docs,
+    * groups, and multi-doc groups per split.
+    */
+  def q91GroupAwareSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .join(dupGroups(spark, sfDir).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("gk", coalesce(col("group_id"), col("doc_id")))
+    val sized = d.join(
+      d.groupBy("gk").agg(count(lit(1)).as("sz")), "gk")
+    graft.ext.Splits.withSplit(sized, "gk")
+      .groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("gk")).as("n_groups"),
+        countDistinct(when(col("sz") > 1, col("gk"))).as("n_multi_groups"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
+  /** The q36 recursive-CTE component chain feeds the same md5 bucket rule
+    * as q34, keyed by the group representative.
+    */
+  val q91Sql: String =
+    s"""WITH g AS (SELECT id, group_id FROM ($q36Sql) t),
+       |d AS (
+       |  SELECT doc_id, n_chars, COALESCE(g.group_id, doc_id) AS gk
+       |  FROM documents LEFT JOIN g ON documents.doc_id = g.id),
+       |s AS (
+       |  SELECT doc_id, n_chars, gk,
+       |    CAST('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+       |  FROM d),
+       |sz AS (SELECT gk, COUNT(*) AS sz FROM s GROUP BY 1),
+       |lab AS (
+       |  SELECT s.n_chars, s.gk, sz.sz,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM s JOIN sz USING (gk))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+       |  CAST(COUNT(DISTINCT CASE WHEN sz > 1 THEN gk END) AS BIGINT) AS n_multi_groups,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q92 per-source quality calibration (windowed percentile rank) --------
+
+  /** Cross-source quality normalization: a doc's raw heuristic quality is
+    * only comparable within its source, so each doc gets its percentile
+    * rank over a window PARTITIONED by source (per-source partitions — no
+    * global window, the scale-killer flagged on the fenced paths), ordered
+    * by (3-dp quality, doc_id) for a total order both engines agree on.
+    * Terciles of that rank band the corpus into per-source low/mid/high
+    * thirds; the panel shows each band's size and raw-quality mean — the
+    * calibration table a mixing stage would consume.
+    */
+  def q92QualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        round(TextStats.qualityScore(col("text")), 3).as("q"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("band",
+        element_at(array(lit("low"), lit("mid"), lit("high")),
+          least(floor(col("pr") * 3).cast("int"), lit(2)) + 1))
+      .groupBy("source", "band").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 6).as("avg_quality"))
+      .orderBy("source", "band")
+  }
+
+  val q92Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, q,
+      |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+      |  FROM q),
+      |b AS (
+      |  SELECT source, q,
+      |    ['low', 'mid', 'high'][LEAST(CAST(FLOOR(pr * 3) AS INT), 2) + 1] AS band
+      |  FROM r)
+      |SELECT source, band, COUNT(*) AS n_docs,
+      |  ROUND(AVG(q), 6) AS avg_quality
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3023,7 +3179,10 @@ object ExtQueries {
     "q86_principal_component" -> (q86PrincipalComponent _),
     "q87_pagerank" -> (q87PageRank _),
     "q88_pca_scores" -> (q88PcaScores _),
-    "q89_composition_cube" -> (q89CompositionCube _))
+    "q89_composition_cube" -> (q89CompositionCube _),
+    "q90_collocations" -> (q90Collocations _),
+    "q91_group_split" -> (q91GroupAwareSplit _),
+    "q92_quality_calibration" -> (q92QualityCalibration _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3088,5 +3247,8 @@ object ExtQueries {
     "q86_principal_component" -> q86Sql,
     "q87_pagerank" -> q87Sql,
     "q88_pca_scores" -> q88Sql,
-    "q89_composition_cube" -> q89Sql)
+    "q89_composition_cube" -> q89Sql,
+    "q90_collocations" -> q90Sql,
+    "q91_group_split" -> q91Sql,
+    "q92_quality_calibration" -> q92Sql)
 }
