@@ -78,18 +78,19 @@ object Spectral {
     row.getSeq[Double](0).toArray
   }
 
-  /** Top principal component of the vectors in `vecCol` (dim `d`): loadings
-    * of the dominant eigenvector of the CENTERED Gram matrix after `iters`
-    * power iterations from the all-ones vector, normalized at the end and
-    * rounded to 6 dp. Returns one row per dimension: (dim, loading). Sign
-    * follows the iteration (deterministic given the fixed start vector).
+  /** Loadings of the top principal component of the vectors in `vecCol`
+    * (dim `d`): dominant eigenvector of the CENTERED Gram matrix after
+    * `iters` power iterations from the all-ones vector, normalized at the
+    * end and rounded to 6 dp. Sign follows the iteration (deterministic
+    * given the fixed start vector). The array form lets callers cache the
+    * one expensive Gram pass and reuse it across queries.
     */
-  def topComponent(spark: SparkSession, df: DataFrame, vecCol: String,
-      d: Int, iters: Int = 3): DataFrame = {
+  def topLoadings(df: DataFrame, vecCol: String, d: Int,
+      iters: Int = 3): Array[Double] = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val m = gramMoments(df, vecCol, d)
     val n = m(d * d + d)
-    require(n > 0, "topComponent: empty input")
+    require(n > 0, "topLoadings: empty input")
     // centered Gram, oracle formula: sum_ij - n * avg_i * avg_j
     val g = Array.tabulate(d, d) { (i, j) =>
       m(i * d + j) - n * (m(d * d + i) / n) * (m(d * d + j) / n)
@@ -108,13 +109,21 @@ object Spectral {
       v = nv
     }
     val z = math.sqrt(v.map(x => x * x).sum)
-    val rows = v.zipWithIndex.map { case (x, i) =>
-      Row(i.toLong, BigDecimal(x / z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    }
+    v.map(x => BigDecimal(x / z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** The loadings as a one-row-per-dimension frame: (dim, loading). */
+  def loadingsFrame(spark: SparkSession, loadings: Array[Double]): DataFrame = {
+    val rows = loadings.zipWithIndex.map { case (x, i) => Row(i.toLong, x) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
       StructType(Seq(StructField("dim", LongType, nullable = false),
         StructField("loading", DoubleType, nullable = false))))
   }
+
+  /** [[topLoadings]] + [[loadingsFrame]] in one call. */
+  def topComponent(spark: SparkSession, df: DataFrame, vecCol: String,
+      d: Int, iters: Int = 3): DataFrame =
+    loadingsFrame(spark, topLoadings(df, vecCol, d, iters))
 }

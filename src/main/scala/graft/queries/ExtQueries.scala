@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1717,34 +1717,44 @@ object ExtQueries {
     * restricted to the 3 query terms, and ranking runs over the ROUNDED
     * score (doc_id tiebreak) for engine-stable order.
     */
+  /** BM25-scored docs for the fixed 3-term probe query (ranks 6-8 of the
+    * corpus token frequency table): `(doc_id, score, dl, sum_tf)` — shared
+    * by the q61 ranking and the q93 fusion, cached per (session, sf).
+    */
+  private def bm25Scored(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "bm25_scored") {
+      val d = docs(spark, sfDir)
+      val k1 = 1.2; val b = 0.75
+      // global counts, df, and tf all derive from the shared per-(doc,
+      // token) count frame
+      val dtok = tokenCounts(spark, sfDir).select("doc_id", "t", "c")
+      val counts = dtok.groupBy("t").agg(sum(col("c")).as("cnt"))
+      val w0 = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("t"))
+      val terms = counts.orderBy(col("cnt").desc, col("t")).limit(8)
+        .withColumn("rk", row_number().over(w0)).filter(col("rk") > 5)
+        .select(col("t"))
+      val dl = d.select(col("doc_id"),
+        TextStats.tokenCountSimple(col("text")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("__N"), avg(col("dl")).as("__avgdl"))
+      val dfreq = dtok.join(broadcast(terms), "t")
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val tf = dtok.join(broadcast(terms), "t")
+        .select(col("doc_id"), col("t"), col("c").as("tf"))
+      tf.join(broadcast(dfreq), "t").crossJoin(stats)
+        .join(dl, "doc_id")
+        .withColumn("idf",
+          log(lit(1.0) + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        // 2.2 as a LITERAL on both sides: k1+1.0 computed in Scala doubles
+        // rounds differently from the decimal literal DuckDB parses (1 ulp)
+        .withColumn("s",
+          col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(k1) * (lit(0.25) + lit(b) * col("dl") / col("__avgdl"))))
+        .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"),
+          min(col("dl")).as("dl"), sum(col("tf")).as("sum_tf"))
+    }
+
   def q61Bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val k1 = 1.2; val b = 0.75
-    // global counts, df, and tf all derive from the shared per-(doc, token)
-    // count frame
-    val dtok = tokenCounts(spark, sfDir).select("doc_id", "t", "c")
-    val counts = dtok.groupBy("t").agg(sum(col("c")).as("cnt"))
-    val w0 = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("t"))
-    val terms = counts.orderBy(col("cnt").desc, col("t")).limit(8)
-      .withColumn("rk", row_number().over(w0)).filter(col("rk") > 5)
-      .select(col("t"))
-    val dl = d.select(col("doc_id"),
-      TextStats.tokenCountSimple(col("text")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("__N"), avg(col("dl")).as("__avgdl"))
-    val dfreq = dtok.join(broadcast(terms), "t")
-      .groupBy("t").agg(count(lit(1)).as("df"))
-    val tf = dtok.join(broadcast(terms), "t")
-      .select(col("doc_id"), col("t"), col("c").as("tf"))
-    val scored = tf.join(broadcast(dfreq), "t").crossJoin(stats)
-      .join(dl, "doc_id")
-      .withColumn("idf",
-        log(lit(1.0) + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      // 2.2 as a LITERAL on both sides: k1+1.0 computed in Scala doubles
-      // rounds differently from the decimal literal DuckDB parses (1 ulp)
-      .withColumn("s",
-        col("idf") * col("tf") * lit(2.2) /
-          (col("tf") + lit(k1) * (lit(0.25) + lit(b) * col("dl") / col("__avgdl"))))
-      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"), min(col("dl")).as("dl"))
+    val scored = bm25Scored(spark, sfDir)
     val wr = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(10)
       .withColumn("rank", row_number().over(wr).cast("long"))
@@ -1752,8 +1762,11 @@ object ExtQueries {
       .orderBy("rank")
   }
 
-  val q61Sql: String =
-    """WITH tok AS (
+  /** BM25 CTE chain ending in `scored(doc_id, score, dl, sum_tf)` — shared
+    * by the q61 ranking oracle and the q93 fusion oracle.
+    */
+  private val bm25Ctes: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents),
       |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
       |terms AS (
@@ -1772,13 +1785,16 @@ object ExtQueries {
       |  SELECT tf.doc_id,
       |    ROUND(SUM(LN(1.0 + (N - df + 0.5) / (df + 0.5))
       |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 6) AS score,
-      |    MIN(dl.dl) AS dl
+      |    MIN(dl.dl) AS dl, CAST(SUM(tf) AS BIGINT) AS sum_tf
       |  FROM tf JOIN dfreq USING (t), stats
       |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  GROUP BY tf.doc_id)
-      |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score, dl
-      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
-      |ORDER BY rank""".stripMargin
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score, dl
+       |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+       |ORDER BY rank""".stripMargin
 
   // ---- q62 HLL sketch cube (pre-aggregated registers, merged on read) -------
 
@@ -2807,11 +2823,18 @@ object ExtQueries {
     * the identical three power steps — determinism contract on the Scaladoc
     * of [[graft.ext.Spectral]].
     */
-  def q86PrincipalComponent(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = emb(spark, sfDir).select(
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    graft.ext.Spectral.topComponent(spark, vecs, "v", d = 64, iters = 3)
-  }
+  /** Top-PC loadings (6 dp) — ONE Gram pass per (session, sf), shared by
+    * the q86 loadings panel and the q88 projection.
+    */
+  private def pc1Loadings(spark: SparkSession, sfDir: String): Array[Double] =
+    cachedArtifact(spark, sfDir, "pc1_loadings") {
+      val vecs = emb(spark, sfDir).select(
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      graft.ext.Spectral.topLoadings(vecs, "v", d = 64, iters = 3)
+    }
+
+  def q86PrincipalComponent(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Spectral.loadingsFrame(spark, pc1Loadings(spark, sfDir))
 
   /** Brute-force centered Gram + three unrolled power rounds, ending in
     * `v3(i, v)` and `nrm(z)` — shared by the q86 loadings oracle and the
@@ -2897,11 +2920,7 @@ object ExtQueries {
     */
   def q88PcaScores(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    val vecs = e.select(
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val load = graft.ext.Spectral.topComponent(spark, vecs, "v", d = 64,
-        iters = 3)
-      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val load = pc1Loadings(spark, sfDir)
     val loadCol = array(load.map(lit(_)).toIndexedSeq: _*)
     val scored = e.select(col("label"),
       aggregate(
@@ -3116,6 +3135,103 @@ object ExtQueries {
       |  ROUND(AVG(q), 6) AS avg_quality
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q93 hybrid retrieval via reciprocal-rank fusion ----------------------
+
+  /** Hybrid retrieval: two rankings of the corpus for the same fixed probe
+    * query — BM25 (length-normalized, shared cached frame with q61) and raw
+    * term density Σtf/dl — fused by reciprocal-rank fusion
+    * `Σ 1/(60 + rank)` over each list's top 50. Ranks are exact integers,
+    * so the fused score is the same IEEE sum of exact rationals on both
+    * engines; every sort carries the doc_id tie-break that makes the cuts
+    * deterministic. Each list is a sort-limit of an already-aggregated
+    * frame (top-k per engine, never a global shuffle of raw rows at scale —
+    * the bounded-top-k aggregator q79 is the 100-TB form of this cut).
+    */
+  def q93HybridRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bm25Scored(spark, sfDir)
+    val dens = scored.select(col("doc_id"),
+      (col("sum_tf").cast("double") / col("dl")).as("dens"))
+    def top50(df: DataFrame, by: Column): DataFrame = {
+      val w = Window.partitionBy(lit(0)).orderBy(by.desc, col("doc_id"))
+      df.orderBy(by.desc, col("doc_id")).limit(50)
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("r"))
+    }
+    val la = top50(scored, col("score")).withColumnRenamed("r", "bm25_rank")
+    val lb = top50(dens, col("dens")).withColumnRenamed("r", "density_rank")
+    la.join(lb, Seq("doc_id"), "full")
+      .withColumn("s",
+        coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("density_rank")), lit(0.0)))
+      .orderBy(col("s").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("bm25_rank"), col("density_rank"),
+        round(col("s"), 6).as("rrf_score"))
+  }
+
+  val q93Sql: String =
+    s"""WITH $bm25Ctes,
+       |dens AS (SELECT doc_id, CAST(sum_tf AS DOUBLE) / dl AS dens FROM scored),
+       |la AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM scored) WHERE r <= 50),
+       |lb AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dens DESC, doc_id) AS r FROM dens) WHERE r <= 50),
+       |rrf AS (
+       |  SELECT doc_id, la.r AS bm25_rank, lb.r AS density_rank,
+       |    COALESCE(1.0::DOUBLE / (60 + la.r), 0.0::DOUBLE)
+       |      + COALESCE(1.0::DOUBLE / (60 + lb.r), 0.0::DOUBLE) AS s
+       |  FROM la FULL JOIN lb USING (doc_id))
+       |SELECT doc_id, bm25_rank, density_rank, ROUND(s, 6) AS rrf_score
+       |FROM rrf ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- q94 embedding outlier audit (centroid distance z-scores) -------------
+
+  /** Anomalous-vector detection for corpus curation: each embedding's
+    * Euclidean distance to its label centroid, z-scored against the label's
+    * own distance distribution; the panel is the global top-10 by z. The
+    * centroids come from the d-buffer [[graft.functions.VectorAgg]]
+    * aggregator (map-side merged, k×d doubles on the wire) and join back
+    * broadcast, the distance is a row-local fold, and the final cut is a
+    * bounded top-k of an already-aggregated frame — no stage is
+    * data-proportional on the driver.
+    */
+  def q94EmbeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = broadcast(e.groupBy("label")
+      .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("cv")))
+    val dist = e.join(cent, "label")
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("d"))
+    val st = dist.groupBy("label")
+      .agg(avg(col("d")).as("mu"), stddev_samp(col("d")).as("sd"))
+    dist.join(broadcast(st), "label")
+      .withColumn("z", (col("d") - col("mu")) / col("sd"))
+      .orderBy(col("z").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), round(col("d"), 6).as("dist"),
+        round(col("z"), 6).as("zscore"))
+  }
+
+  /** z-gaps in the fixture are ~1e-2 — far above summation-order noise —
+    * so the unrounded-z ordering with the vec_id tie-break cuts the same
+    * top-10 on both engines.
+    */
+  val q94Sql: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, i, embedding[i + 1]::DOUBLE AS x
+      |  FROM embeddings, range(64) t(i)),
+      |cen AS (SELECT label, i, AVG(x) AS c FROM ev GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT ev.vec_id, ev.label, SQRT(SUM((ev.x - cen.c) * (ev.x - cen.c))) AS d
+      |  FROM ev JOIN cen ON ev.label = cen.label AND ev.i = cen.i
+      |  GROUP BY 1, 2),
+      |st AS (SELECT label, AVG(d) AS mu, STDDEV_SAMP(d) AS sd FROM dist GROUP BY 1),
+      |z AS (SELECT dist.vec_id, dist.label, dist.d, (dist.d - st.mu) / st.sd AS z
+      |      FROM dist JOIN st USING (label))
+      |SELECT vec_id, label, ROUND(d, 6) AS dist, ROUND(z, 6) AS zscore
+      |FROM z ORDER BY z DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3182,7 +3298,9 @@ object ExtQueries {
     "q89_composition_cube" -> (q89CompositionCube _),
     "q90_collocations" -> (q90Collocations _),
     "q91_group_split" -> (q91GroupAwareSplit _),
-    "q92_quality_calibration" -> (q92QualityCalibration _))
+    "q92_quality_calibration" -> (q92QualityCalibration _),
+    "q93_hybrid_retrieval" -> (q93HybridRetrieval _),
+    "q94_embedding_outliers" -> (q94EmbeddingOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3250,5 +3368,7 @@ object ExtQueries {
     "q89_composition_cube" -> q89Sql,
     "q90_collocations" -> q90Sql,
     "q91_group_split" -> q91Sql,
-    "q92_quality_calibration" -> q92Sql)
+    "q92_quality_calibration" -> q92Sql,
+    "q93_hybrid_retrieval" -> q93Sql,
+    "q94_embedding_outliers" -> q94Sql)
 }
