@@ -58,4 +58,39 @@ object Graph {
     }
     ranks.withColumnRenamed("__r", "rank")
   }
+
+  /** Per-node triangle counts over an undirected simple graph given as a
+    * DISTINCT edge list (either endpoint order, no self-loops). Edges are
+    * re-oriented from the lower- to the higher-`(degree, id)` endpoint — the
+    * classic orientation that bounds every node's out-degree by O(√|E|) on
+    * any graph, so the wedge join below never explodes on a hub the way a
+    * naive shared-neighbor join would. Wedges `u→v→w` close against the
+    * oriented edge `(u, w)` via a second equi-join; every triangle is found
+    * exactly once and credits each of its three corners. Output:
+    * `(node, triangles)` — nodes with zero triangles are absent (callers
+    * left-join + coalesce).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e0.select(col("a").as("n")).union(e0.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = e0
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val tri = wedges.join(o.as("e3"),
+      col("u") === col("e3.src") && col("w") === col("e3.dst"))
+      .select(col("u"), col("v"), col("w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v")))
+      .union(tri.select(col("w")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

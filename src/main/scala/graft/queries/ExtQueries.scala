@@ -195,25 +195,30 @@ object ExtQueries {
 
   /** Exact brute-force oracle: pairs sharing ≥1 distinct 3-gram shingle get
     * |A∩B| from an inverted-index self-join; J = inter / (|A|+|B|−inter).
-    * Pairs with J ≥ 0.5 necessarily share shingles, so recall is total.
+    * Pairs with J ≥ t necessarily share shingles, so recall is total. The
+    * threshold is interpolated as a decimal literal so both engines compare
+    * against the identical IEEE double — shared by the q18 (0.5, MinHash
+    * verify) and q95 (0.4, prefix-filter) oracles.
     */
-  val q18Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-      |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
-      |  FROM toks),
-      |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-      |pairs AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
-      |         any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
-      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard
-      |FROM pairs
-      |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= 0.5
-      |ORDER BY id1, id2""".stripMargin
+  private def exactJaccardSql(thr: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+       |  FROM toks),
+       |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+       |         any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= $thr
+       |ORDER BY id1, id2""".stripMargin
+
+  val q18Sql: String = exactJaccardSql("0.5")
 
   /** All pairs with portable-SimHash Hamming distance ≤ 3 — EXACT by
     * pigeonhole (4 bands of 15 bits; a pair differing in ≤ 3 bits agrees on
@@ -3232,6 +3237,192 @@ object ExtQueries {
       |SELECT vec_id, label, ROUND(d, 6) AS dist, ROUND(z, 6) AS zscore
       |FROM z ORDER BY z DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---- q95 exact similarity join via prefix filtering -----------------------
+
+  /** EXACT Jaccard ≥ 0.4 near-dup pairs through
+    * [[graft.ext.Dedup.prefixFilterJaccardPairs]] — the PPJoin-style
+    * candidate stage whose prefix filter is provably lossless, so the
+    * oracle is plain brute-force Jaccard with NO replay of the filter: the
+    * hash-compare itself proves total recall of the candidate generation.
+    * Complements q18 (MinHash, probabilistic candidates) at a threshold
+    * where banded LSH would need many bands; shares the q18 shingle-set
+    * cache so repeat runs pay only the df-count + prefix join + verify.
+    */
+  def q95PrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
+    Dedup.prefixFilterJaccardPairs(sets, threshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  val q95Sql: String = exactJaccardSql("0.4")
+
+  // ---- q96 triangle counting over the co-presence graph ---------------------
+
+  /** Local graph structure of the session co-presence network: per-user
+    * triangle count and clustering coefficient `2T / (deg·(deg−1))` over the
+    * DISTINCT co-presence edges (the same cached bucketed range join as
+    * q85/q87). [[graft.ext.Graph.triangleCounts]] orients every edge from
+    * the lower- to the higher-(degree, id) endpoint so the wedge join is
+    * bounded by O(√|E|) per node — the 100-TB-safe form — while the count
+    * itself is orientation-invariant, which is exactly what the oracle
+    * exploits: DuckDB closes a<b<c id-ordered wedges instead and must land
+    * on identical per-node totals.
+    */
+  def q96Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = copresencePairs(spark, sfDir)
+    val e = pairs.select(col("u1").as("a"), col("u2").as("b")).distinct()
+    val deg = e.select(col("a").as("node")).union(e.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = graft.ext.Graph.triangleCounts(e, "a", "b")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").as("user_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+            (col("degree") * (col("degree") - 1))).otherwise(lit(0.0)), 6)
+          .as("clustering_coeff"))
+      .orderBy("user_id")
+  }
+
+  val q96Sql: String =
+    s"""WITH $copresenceCtes,
+       |ed AS (SELECT DISTINCT u1 AS a, u2 AS b FROM p),
+       |deg AS (SELECT n, COUNT(*) AS d FROM (
+       |  SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+       |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn AS (SELECT n, COUNT(*) AS t FROM (
+       |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT deg.n AS user_id, CAST(deg.d AS BIGINT) AS degree,
+       |  CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+       |  ROUND(CASE WHEN deg.d >= 2
+       |    THEN COALESCE(tn.t, 0) * 2.0 / (deg.d * (deg.d - 1))
+       |    ELSE 0.0 END, 6) AS clustering_coeff
+       |FROM deg LEFT JOIN tn ON deg.n = tn.n ORDER BY user_id""".stripMargin
+
+  // ---- q97 cluster-quality audit (simplified silhouette + label entropy) ----
+
+  /** Clustering-quality panel over the q57 k-means assignment: per cluster,
+    * the simplified silhouette `(b − a) / max(a, b)` (a = distance to the
+    * assigned/nearest centroid, b = distance to the runner-up — both off the
+    * same rounded-d2 ranking q57 pins for engine stability) and how well the
+    * clusters track the ground-truth `label` column (Shannon entropy of the
+    * label distribution and the majority-label share). Same scale shape as
+    * q57: broadcast k×dim centroids, one narrow crossJoin, one per-vector
+    * keyed window, two keyed aggregations — the per-row work is k·d
+    * multiply-adds and nothing is ever all-pairs.
+    */
+  def q97ClusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val ranked = e.crossJoin(cent)
+      .select(col("vec_id"), col("label"), col("cid"), round(d2, 4).as("d2"))
+      .withColumn("rn", row_number().over(w))
+    val ab = ranked.filter(col("rn") <= 2).groupBy("vec_id", "label").agg(
+      min(when(col("rn") === 1, struct(col("cid"), col("d2")))).as("own"),
+      min(when(col("rn") === 2, col("d2"))).as("b2"))
+      .select(col("vec_id"), col("label"), col("own.cid").as("cluster_id"),
+        sqrt(col("own.d2")).as("a"), sqrt(col("b2")).as("b"))
+    val sil = ab.withColumn("s",
+      (col("b") - col("a")) / greatest(col("a"), col("b")))
+    val cl = sil.groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("c"), sum(col("s")).as("ssum"))
+    cl.groupBy("cluster_id").agg(
+      sum(col("c")).as("n_members"),
+      round(sum(col("ssum")) / sum(col("c")), 6).as("avg_silhouette"),
+      // H = ln n − (Σ c·ln c) / n: integer counts into ln on both engines
+      round(log(sum(col("c")).cast("double")) -
+        sum(col("c").cast("double") * log(col("c").cast("double"))) /
+          sum(col("c")), 6).as("label_entropy"),
+      round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("majority_share"))
+      .orderBy("cluster_id")
+  }
+
+  /** Replays q57's rounded-d2 ranking; rn=1 is the assignment, rn=2 the
+    * runner-up distance, and every downstream scalar is the same IEEE
+    * arithmetic over those two rounded doubles and integer label counts.
+    */
+  val q97Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, e.label, c.cid,
+      |         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+      |           i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 4) AS d2
+      |  FROM e CROSS JOIN c),
+      |r AS (SELECT vec_id, label, cid, d2,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |      FROM d),
+      |ab AS (SELECT vec_id, label,
+      |        MAX(CASE WHEN rn = 1 THEN cid END) AS cluster_id,
+      |        SQRT(MAX(CASE WHEN rn = 1 THEN d2 END)) AS a,
+      |        SQRT(MAX(CASE WHEN rn = 2 THEN d2 END)) AS b
+      |      FROM r WHERE rn <= 2 GROUP BY 1, 2),
+      |s AS (SELECT cluster_id, label,
+      |        (b - a) / GREATEST(a, b) AS s FROM ab),
+      |cl AS (SELECT cluster_id, label, COUNT(*) AS c, SUM(s) AS ssum
+      |       FROM s GROUP BY 1, 2)
+      |SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n_members,
+      |  ROUND(SUM(ssum) / SUM(c), 6) AS avg_silhouette,
+      |  ROUND(LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6)
+      |    AS label_entropy,
+      |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS majority_share
+      |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // ---- q98 boilerplate prefix detection -------------------------------------
+
+  /** Boilerplate audit for corpus curation: the 10 most common 3-token
+    * document prefixes, with how many docs and distinct sources carry each
+    * and the corpus share — repeated openings are the classic template/
+    * boilerplate signal that survives exact dedup (the bodies differ). One
+    * row-local projection, one keyed aggregation, a bounded top-k cut of the
+    * already-aggregated frame, and a 1-row broadcast total — shuffle volume
+    * is the distinct-prefix space, never the corpus.
+    */
+  def q98Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pre = d.select(
+      concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 3)).as("prefix"),
+      col("source"))
+    val tot = pre.agg(count(lit(1)).as("__total"))
+    val wr = Window.partitionBy(lit(0)).orderBy(col("n_docs").desc, col("prefix"))
+    pre.groupBy("prefix").agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("n_docs").desc, col("prefix")).limit(10)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .crossJoin(tot)
+      .select(col("rank"), col("prefix"), col("n_docs"), col("n_sources"),
+        round(col("n_docs").cast("double") / col("__total"), 6).as("share"))
+      .orderBy("rank")
+  }
+
+  val q98Sql: String =
+    """WITH p AS (
+      |  SELECT array_to_string(string_split_regex(lower(text), '\s+')[1:3], ' ') AS prefix,
+      |         source
+      |  FROM documents),
+      |t AS (SELECT COUNT(*) AS total FROM p),
+      |g AS (SELECT prefix, COUNT(*) AS n_docs,
+      |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |      FROM p GROUP BY 1)
+      |SELECT ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix) AS rank,
+      |  prefix, n_docs, n_sources,
+      |  ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share
+      |FROM (SELECT * FROM g ORDER BY n_docs DESC, prefix LIMIT 10), t
+      |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3300,7 +3491,11 @@ object ExtQueries {
     "q91_group_split" -> (q91GroupAwareSplit _),
     "q92_quality_calibration" -> (q92QualityCalibration _),
     "q93_hybrid_retrieval" -> (q93HybridRetrieval _),
-    "q94_embedding_outliers" -> (q94EmbeddingOutliers _))
+    "q94_embedding_outliers" -> (q94EmbeddingOutliers _),
+    "q95_prefix_join" -> (q95PrefixJoin _),
+    "q96_triangles" -> (q96Triangles _),
+    "q97_cluster_quality" -> (q97ClusterQuality _),
+    "q98_boilerplate" -> (q98Boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3370,5 +3565,9 @@ object ExtQueries {
     "q91_group_split" -> q91Sql,
     "q92_quality_calibration" -> q92Sql,
     "q93_hybrid_retrieval" -> q93Sql,
-    "q94_embedding_outliers" -> q94Sql)
+    "q94_embedding_outliers" -> q94Sql,
+    "q95_prefix_join" -> q95Sql,
+    "q96_triangles" -> q96Sql,
+    "q97_cluster_quality" -> q97Sql,
+    "q98_boilerplate" -> q98Sql)
 }

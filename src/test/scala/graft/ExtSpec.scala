@@ -59,6 +59,48 @@ class ExtSpec extends SparkSpec {
     assert(benign.getAs[Long]("n_oversized_rows") == 0L)
   }
 
+  test("prefix-filter jaccard join is exact: equals brute force at every threshold") {
+    // deliberately includes set sizes where t·|A| lands exactly on an
+    // integer (|A|=5 with t=0.4 and 0.6) — the FP-ceil hazard the
+    // round-before-ceil in prefixFilterJaccardPairs exists to defuse
+    val sets = Seq(
+      1L -> Seq(1L, 2L, 3L, 4L, 5L),
+      2L -> Seq(1L, 2L, 3L, 4L, 6L),
+      3L -> Seq(1L, 2L, 3L, 7L, 8L),
+      4L -> Seq(9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L),
+      5L -> Seq(9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L, 19L),
+      6L -> Seq(20L, 21L),
+      7L -> Seq(20L, 21L),
+      8L -> Seq(22L))
+    val df = sets.toDF("id", "sset")
+    val brute = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = a.toSet.intersect(b.toSet).size
+      union = a.toSet.union(b.toSet).size
+    } yield (i, j, inter.toDouble / union)).toSeq
+    for (t <- Seq(0.3, 0.4, 0.5, 0.6, 2.0 / 3, 0.9, 1.0)) {
+      val got = Dedup.prefixFilterJaccardPairs(df, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = brute.filter(_._3 >= t).toSet
+      assert(got == want, s"threshold $t: got $got, want $want")
+    }
+  }
+
+  test("triangle counts match a known graph and ignore endpoint order") {
+    // triangles {1,2,3} and {3,4,5} share node 3; 6 is a pendant off 5
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (5L, 4L),
+      (3L, 5L), (6L, 5L)).toDF("a", "b")
+    val got = graft.ext.Graph.triangleCounts(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L),
+      s"got $got")
+    // flipping every edge's endpoints must not change a single count
+    val flipped = graft.ext.Graph.triangleCounts(
+      edges.select(col("b").as("a"), col("a").as("b")), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == got)
+  }
+
   test("portable simhash near-dup pairs: exact for hamming <= bands-1") {
     val sh = Dedup.simhashPortable(docsDf, "doc_id", "text")
     val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 3, bits = 60, bands = 4)

@@ -224,6 +224,23 @@ class PlanSpec extends SparkSpec {
       s"pagerank degenerated to a loop join: $plan")
   }
 
+  test("prefix-filter join plans equi-joins and keyed windows only") {
+    val plan = graft.queries.ExtQueries.q95PrefixJoin(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage degenerated to a cartesian: $plan")
+    assert(!plan.contains("SinglePartition"), s"global exchange in: $plan")
+  }
+
+  test("triangle counting plans equi-joins only — no cartesian") {
+    val plan = graft.queries.ExtQueries.q96Triangles(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge stage degenerated to a cartesian: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
