@@ -3423,6 +3423,157 @@ object ExtQueries {
       |FROM (SELECT * FROM g ORDER BY n_docs DESC, prefix LIMIT 10), t
       |ORDER BY rank""".stripMargin
 
+  // ---- q99 record linkage via wildcard-blocked fuzzy join --------------------
+
+  /** Entity-resolution probe over customer names:
+    * [[graft.ext.FuzzyJoin.hamming1Pairs]] finds every pair of `c_name`
+    * values at Hamming distance exactly 1 (fixed-format IDs differing in a
+    * single character — the classic typo/re-key linkage case), exact by
+    * construction with no verification step. Panel: per differing position,
+    * the pair count and how many distinct customers are involved. The oracle
+    * replays the identical masking algebra; the ScalaTest proves the
+    * blocking lossless against brute force on a fixture.
+    */
+  def q99FuzzyLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val pairs = graft.ext.FuzzyJoin.hamming1Pairs(c, "c_custkey", "c_name")
+    val cnt = pairs.groupBy("pos").agg(count(lit(1)).as("n_pairs"))
+    val ids = pairs.select(col("pos"), col("id1").as("id"))
+      .union(pairs.select(col("pos"), col("id2")))
+      .groupBy("pos").agg(countDistinct(col("id")).as("n_customers"))
+    cnt.join(ids, "pos")
+      .select(col("pos").cast("long").as("pos"), col("n_pairs"),
+        col("n_customers"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB's `range` table function cannot take lateral column arguments,
+    * so the position expansion goes through a constant 256-slot numbers
+    * table filtered by `i < length(s)` — identical row set for any corpus
+    * whose strings stay under 256 chars (c_name is fixed 18).
+    */
+  val q99Sql: String =
+    """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      |nums AS (SELECT CAST(i AS INT) AS i FROM range(256) t(i)),
+      |k AS (
+      |  SELECT id, i AS pos,
+      |         substr(s, 1, i) || chr(1) || substr(s, i + 2) AS masked,
+      |         substr(s, i + 1, 1) AS ch
+      |  FROM c JOIN nums ON i < length(s)),
+      |p AS (
+      |  SELECT a.id AS id1, b.id AS id2, a.pos
+      |  FROM k a JOIN k b ON a.pos = b.pos AND a.masked = b.masked
+      |    AND a.id < b.id AND a.ch <> b.ch),
+      |u AS (SELECT pos, id1 AS id FROM p UNION ALL SELECT pos, id2 FROM p),
+      |n AS (SELECT pos, COUNT(*) AS n_pairs FROM p GROUP BY 1),
+      |d AS (SELECT pos, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_customers
+      |      FROM u GROUP BY 1)
+      |SELECT pos, n_pairs, n_customers FROM n JOIN d USING (pos)
+      |ORDER BY pos""".stripMargin
+
+  // ---- q100 temporal burst detection ----------------------------------------
+
+  /** Burst (anomaly) detection over the event stream: hourly counts per
+    * event type, each scored against its own trailing baseline — mean and
+    * ddof-1 std of the 24 PRECEDING observed hourly buckets (current hour
+    * excluded; hours with no events contribute no bucket), needing ≥ 12
+    * buckets of history before scoring. Panel: global top-10 z-scores. One
+    * keyed aggregation then one type-partitioned window — the 100-TB shape
+    * for per-entity baselines (never a global window), and the batch twin
+    * of what a streaming job would keep as per-key rolling state.
+    */
+  def q100BurstDetection(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    val scored = hourly
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sd", stddev_samp(col("n_events")).over(w))
+      .withColumn("n_prev", count(col("n_events")).over(w))
+      .filter(col("n_prev") >= 12 && col("sd") > 0)
+      .withColumn("z", (col("n_events") - col("mu")) / col("sd"))
+    val wr = Window.partitionBy(lit(0))
+      .orderBy(col("z").desc, col("event_type"), col("hour"))
+    scored.orderBy(col("z").desc, col("event_type"), col("hour")).limit(10)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("event_type"), col("hour"), col("n_events"),
+        round(col("mu"), 6).as("trailing_mean"), round(col("z"), 6).as("zscore"))
+      .orderBy("rank")
+  }
+
+  /** Replays the same ROWS frame; z gaps in the fixture are far above the
+    * engines' summation-order noise on 24-term means, so the unrounded-z
+    * cut with the (type, hour) tie-break is stable.
+    */
+  val q100Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, hour, n_events,
+      |    AVG(n_events) OVER w AS mu,
+      |    STDDEV_SAMP(n_events) OVER w AS sd,
+      |    COUNT(n_events) OVER w AS n_prev
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, hour, n_events, mu,
+      |    (n_events - mu) / sd AS z
+      |  FROM s WHERE n_prev >= 12 AND sd > 0)
+      |SELECT ROW_NUMBER() OVER (ORDER BY z DESC, event_type, hour) AS rank,
+      |  event_type, hour, n_events,
+      |  ROUND(mu, 6) AS trailing_mean, ROUND(z, 6) AS zscore
+      |FROM (SELECT * FROM z ORDER BY z DESC, event_type, hour LIMIT 10)
+      |ORDER BY rank""".stripMargin
+
+  // ---- q101 join-key skew audit ---------------------------------------------
+
+  /** Shuffle-planning audit for a join/aggregation key: per-key counts of
+    * `events.user_id`, the global skew factor `max·k / n` (hottest key vs
+    * the mean key), and the salt fan-out that would level the hottest
+    * reducer — the measurement that decides between a plain shuffle, AQE
+    * skew handling, and explicit salting (the engine's salted path is
+    * `GroupedStats.saltedSemigroupAgg`). Two keyed aggregations and a
+    * bounded top-k; the 1-row stats side is a broadcast cross join.
+    */
+  def q101SkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val wr = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("user_id"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(5)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .crossJoin(stats)
+      .select(col("rank"), col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_factor"),
+        ceil(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .cast("long").as("suggested_salts"))
+      .orderBy("rank")
+  }
+
+  val q101Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |             MAX(cnt) AS max_cnt FROM c)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank,
+      |  user_id, cnt,
+      |  ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+      |  n_keys,
+      |  ROUND(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor,
+      |  CAST(CEIL(CAST(max_cnt AS DOUBLE) * n_keys / n_rows) AS BIGINT)
+      |    AS suggested_salts
+      |FROM (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT 5), s
+      |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3495,7 +3646,10 @@ object ExtQueries {
     "q95_prefix_join" -> (q95PrefixJoin _),
     "q96_triangles" -> (q96Triangles _),
     "q97_cluster_quality" -> (q97ClusterQuality _),
-    "q98_boilerplate" -> (q98Boilerplate _))
+    "q98_boilerplate" -> (q98Boilerplate _),
+    "q99_fuzzy_linkage" -> (q99FuzzyLinkage _),
+    "q100_burst_detection" -> (q100BurstDetection _),
+    "q101_skew_audit" -> (q101SkewAudit _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3569,5 +3723,8 @@ object ExtQueries {
     "q95_prefix_join" -> q95Sql,
     "q96_triangles" -> q96Sql,
     "q97_cluster_quality" -> q97Sql,
-    "q98_boilerplate" -> q98Sql)
+    "q98_boilerplate" -> q98Sql,
+    "q99_fuzzy_linkage" -> q99Sql,
+    "q100_burst_detection" -> q100Sql,
+    "q101_skew_audit" -> q101Sql)
 }

@@ -86,6 +86,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("wildcard-blocked hamming-1 join equals brute force, mixed lengths safe") {
+    val rows = Seq(
+      (1L, "abcdef"), (2L, "abcxef"),   // distance 1 at pos 3
+      (3L, "abcdeg"),                   // distance 1 from #1 (pos 5), 2 from #2
+      (4L, "abcdef"),                   // identical to #1 — must NOT pair
+      (5L, "abcde"),                    // shorter — never pairs with 6-char
+      (6L, "zzzzzz"), (7L, "zzzyzz"),   // distance 1 at pos 3
+      (8L, "qbcdef"))                   // distance 1 from #1/#4 (pos 0)
+    val got = graft.ext.FuzzyJoin.hamming1Pairs(
+      rows.toDF("id", "s"), "id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows
+      if i < j && a.length == b.length
+      diffs = a.indices.filter(p => a(p) != b(p))
+      if diffs.size == 1
+    } yield (i, j, diffs.head)).toSet
+    assert(got == brute, s"got $got, want $brute")
+    assert(brute.contains((1L, 2L, 3)) && brute.contains((6L, 7L, 3)) &&
+      brute.contains((1L, 8L, 0)), "fixture lost its planted pairs")
+    assert(!got.exists(p => p._1 == 4L && p._2 == 4L) &&
+      !got.contains((1L, 4L, 0)), "identical strings must not pair")
+  }
+
   test("triangle counts match a known graph and ignore endpoint order") {
     // triangles {1,2,3} and {3,4,5} share node 3; 6 is a pendant off 5
     val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (5L, 4L),
