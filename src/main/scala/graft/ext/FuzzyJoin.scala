@@ -49,4 +49,34 @@ object FuzzyJoin {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.pos").as("pos"))
   }
+
+  /** `(id1 < id2, s1, s2)` for every pair of rows whose `strCol` values are
+    * at Levenshtein distance EXACTLY 1 — FastSS deletion-neighborhood
+    * blocking. Each string emits `len+1` keys: itself plus each
+    * single-character deletion. Two strings within edit distance 1 must
+    * share a key — a substitution deletes the differing position on both
+    * sides; an insertion/deletion makes the longer string's deletion equal
+    * the shorter string itself — so candidates come from one equi-join on
+    * short keys (never all-pairs) and the exact `levenshtein` predicate
+    * runs on candidates only (it also drops the distance-0 collisions that
+    * duplicate strings produce on the identity key). Unlike
+    * [[hamming1Pairs]] this sees insertions and deletions, at the cost of
+    * a verification pass; key blowup is `len+1`-fold, the right trade for
+    * the short strings linkage targets.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(expr(
+        """transform(sequence(0, length(s)), j ->
+          |  CASE WHEN j = 0 THEN s
+          |       ELSE concat(substring(s, 1, j - 1), substring(s, j + 1, length(s)))
+          |  END)""".stripMargin)).as("v"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .where(levenshtein(col("s1"), col("s2")) === 1)
+  }
 }

@@ -3574,6 +3574,190 @@ object ExtQueries {
       |FROM (SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT 5), s
       |ORDER BY rank""".stripMargin
 
+  // ---- q102 market-basket association rules ---------------------------------
+
+  /** Frequent-itemset mining over order baskets: every pair of part brands
+    * co-occurring in one order, scored with the classic association-rule
+    * triple — support `n_ab / N`, confidence `n_ab / n_a`, lift
+    * `n_ab·N / (n_a·n_b)` — for the 15 most frequent pairs. The plan is the
+    * scalable A-priori first pass: one broadcast dim join to translate
+    * partkey→brand, one distinct to basket granularity, then a self
+    * equi-join **on the basket key** (never all-pairs across baskets — pair
+    * volume is Σ C(brands-per-basket, 2), linear in orders), and keyed
+    * aggregations whose output is bounded by the brand-pair space (≤ C(25,2)).
+    * Per-brand counts and the 1-row total broadcast back onto the top-k cut.
+    */
+  def q102AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+    val prt = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    val ob = li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("p_brand").as("brand")).distinct()
+    val totals = ob.agg(countDistinct(col("o")).as("n_orders"))
+    val per = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = ob.select(col("o"), col("brand").as("brand_a"))
+      .join(ob.select(col("o"), col("brand").as("brand_b")), "o")
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    val wr = Window.partitionBy(lit(0))
+      .orderBy(col("n_ab").desc, col("brand_a"), col("brand_b"))
+    pairs
+      .join(broadcast(per.select(col("brand").as("brand_a"),
+        col("n_brand").as("n_a"))), "brand_a")
+      .join(broadcast(per.select(col("brand").as("brand_b"),
+        col("n_brand").as("n_b"))), "brand_b")
+      .orderBy(col("n_ab").desc, col("brand_a"), col("brand_b")).limit(15)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .crossJoin(totals)
+      .select(col("rank"), col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("rank")
+  }
+
+  val q102Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |t AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+      |per AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+      |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+      |       FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+      |       GROUP BY 1, 2),
+      |top AS (SELECT * FROM pr ORDER BY n_ab DESC, brand_a, brand_b LIMIT 15)
+      |SELECT ROW_NUMBER() OVER (ORDER BY n_ab DESC, brand_a, brand_b) AS rank,
+      |  brand_a, brand_b, n_ab,
+      |  ROUND(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+      |  ROUND(CAST(n_ab AS DOUBLE) / pa.n_brand, 6) AS confidence,
+      |  ROUND(CAST(n_ab AS DOUBLE) * n_orders / (pa.n_brand * pb.n_brand), 6)
+      |    AS lift
+      |FROM top JOIN per pa ON top.brand_a = pa.brand
+      |  JOIN per pb ON top.brand_b = pb.brand, t
+      |ORDER BY rank""".stripMargin
+
+  // ---- q103 edit-distance-1 similarity join (FastSS) -------------------------
+
+  /** String-similarity join at Levenshtein distance exactly 1 via
+    * [[graft.ext.FuzzyJoin.editDistance1Pairs]] (FastSS deletion-
+    * neighborhood blocking — candidates from one equi-join on `len+1`
+    * deletion keys per string, exact `levenshtein` verify on candidates
+    * only, never an all-pairs scan). Complements the Hamming-1 masking join
+    * (q99), which cannot see insertions/deletions. Universe: distinct part
+    * keys as decimal strings (varying lengths exercise the indel path).
+    * Panel: pair and distinct-string counts per (length, length) shape.
+    * The ScalaTest proves the blocking lossless against brute force.
+    */
+  def q103EditDistanceJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey").cast("string").as("s")).distinct()
+    val pairs = graft.ext.FuzzyJoin.editDistance1Pairs(s, "s", "s")
+      .select(length(col("s1")).cast("long").as("len_a"),
+        length(col("s2")).cast("long").as("len_b"), col("s1"), col("s2"))
+    val np = pairs.groupBy("len_a", "len_b").agg(count(lit(1)).as("n_pairs"))
+    val ns = pairs.select(col("len_a"), col("len_b"), col("s1").as("s"))
+      .union(pairs.select(col("len_a"), col("len_b"), col("s2")))
+      .groupBy("len_a", "len_b").agg(countDistinct(col("s")).as("n_strings"))
+    np.join(ns, Seq("len_a", "len_b")).orderBy("len_a", "len_b")
+  }
+
+  /** DuckDB replays the identical deletion-neighborhood algebra (constant
+    * 16-slot numbers table — partkey strings stay well under 16 digits) and
+    * verifies candidates with its own `levenshtein`.
+    */
+  val q103Sql: String =
+    """WITH s AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS s FROM part),
+      |nums AS (SELECT CAST(j AS INT) AS j FROM range(0, 16) t(j)),
+      |v AS (SELECT s, CASE WHEN j = 0 THEN s
+      |                     ELSE substr(s, 1, j - 1) || substr(s, j + 1) END AS v
+      |      FROM s JOIN nums ON j <= length(s)),
+      |p AS (SELECT DISTINCT a.s AS s1, b.s AS s2
+      |      FROM v a JOIN v b ON a.v = b.v AND a.s < b.s),
+      |q AS (SELECT s1, s2 FROM p WHERE levenshtein(s1, s2) = 1),
+      |np AS (SELECT length(s1) AS len_a, length(s2) AS len_b,
+      |         COUNT(*) AS n_pairs
+      |       FROM q GROUP BY 1, 2),
+      |u AS (SELECT length(s1) AS len_a, length(s2) AS len_b, s1 AS s FROM q
+      |      UNION ALL SELECT length(s1), length(s2), s2 FROM q),
+      |ns AS (SELECT len_a, len_b, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_strings
+      |       FROM u GROUP BY 1, 2)
+      |SELECT np.len_a, np.len_b, n_pairs, n_strings
+      |FROM np JOIN ns USING (len_a, len_b) ORDER BY 1, 2""".stripMargin
+
+  // ---- q104 run-length intervals (gaps-and-islands / SCD-2) ------------------
+
+  /** Temporal interval construction over the event stream: collapse each
+    * user's consecutive run of identical `event_type` into one interval with
+    * `valid_from` = first event and `valid_to` = start of the next run — the
+    * gaps-and-islands pattern that builds slowly-changing-dimension (type-2)
+    * rows from a change log. Engine: one user-keyed window pass (lag →
+    * change flag → running sum = run id), one keyed aggregation to interval
+    * granularity, one more user-keyed window for `valid_to` via lead — all
+    * shuffles are on `user_id`, state per task is one user's history, and
+    * validity durations are averaged in exact integer microseconds before a
+    * single double division so the panel is summation-order independent.
+    */
+  def q104RunIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = e
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("run_events"), min(col("ts")).as("valid_from"))
+    val wNext = Window.partitionBy("user_id").orderBy("run_id")
+    val scd = runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .withColumn("dur_us",
+        when(col("valid_to").isNotNull,
+          unix_micros(col("valid_to")) - unix_micros(col("valid_from"))))
+    scd.groupBy("event_type").agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("run_events")).as("n_events"),
+        round(avg(col("run_events")), 6).as("avg_run_events"),
+        max(col("run_events")).as("max_run_events"),
+        round(sum(col("dur_us")).cast("double")
+          / count(col("dur_us")) / lit(1000000.0), 6).as("avg_validity_sec"))
+      .orderBy("event_type")
+  }
+
+  val q104Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM o),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type, COUNT(*) AS run_events,
+      |    MIN(ts) AS valid_from
+      |  FROM r GROUP BY 1, 2, 3),
+      |scd AS (
+      |  SELECT *,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+      |  FROM runs)
+      |SELECT event_type,
+      |  COUNT(*) AS n_intervals,
+      |  CAST(SUM(run_events) AS BIGINT) AS n_events,
+      |  ROUND(AVG(run_events), 6) AS avg_run_events,
+      |  MAX(run_events) AS max_run_events,
+      |  ROUND(CAST(SUM(CASE WHEN valid_to IS NOT NULL
+      |               THEN epoch_us(valid_to) - epoch_us(valid_from) END) AS DOUBLE)
+      |        / COUNT(CASE WHEN valid_to IS NOT NULL THEN 1 END)
+      |        / 1000000.0, 6) AS avg_validity_sec
+      |FROM scd GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3649,7 +3833,10 @@ object ExtQueries {
     "q98_boilerplate" -> (q98Boilerplate _),
     "q99_fuzzy_linkage" -> (q99FuzzyLinkage _),
     "q100_burst_detection" -> (q100BurstDetection _),
-    "q101_skew_audit" -> (q101SkewAudit _))
+    "q101_skew_audit" -> (q101SkewAudit _),
+    "q102_assoc_rules" -> (q102AssocRules _),
+    "q103_edit_distance_join" -> (q103EditDistanceJoin _),
+    "q104_run_intervals" -> (q104RunIntervals _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3726,5 +3913,8 @@ object ExtQueries {
     "q98_boilerplate" -> q98Sql,
     "q99_fuzzy_linkage" -> q99Sql,
     "q100_burst_detection" -> q100Sql,
-    "q101_skew_audit" -> q101Sql)
+    "q101_skew_audit" -> q101Sql,
+    "q102_assoc_rules" -> q102Sql,
+    "q103_edit_distance_join" -> q103Sql,
+    "q104_run_intervals" -> q104Sql)
 }

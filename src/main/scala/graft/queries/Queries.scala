@@ -980,6 +980,62 @@ object Queries {
       |JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Deep join-chain analytic (TPC-H Q5 shape): revenue per nation where the
+    * supplier and the ordering customer share a nation ("local supplier"
+    * volume). The one genuinely large join — lineitem ⋈ orders on the order
+    * key — shuffles both sides on that key exactly once; customer, supplier
+    * and nation are broadcast hops, and the local-supplier predicate
+    * `c_nationkey = s_nationkey` is a post-broadcast filter, so the fact
+    * table never shuffles on a dimension key. Revenue sums in exact integer
+    * 1e-4 units (see q74) for summation-order independence.
+    */
+  def q105RegionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = lineitem(spark, sfDir)
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val wr = Window.partitionBy(lit(0))
+      .orderBy(col("revenue").desc, col("nation"))
+    l.join(ord, l("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .where(cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        round(sum(revE4) / 10000.0, 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("nation"), col("revenue"), col("n_orders"),
+        col("n_customers"))
+      .orderBy("rank")
+  }
+
+  val q105Sql: String =
+    """WITH j AS (
+      |  SELECT n.n_name AS nation, l.l_orderkey, o.o_custkey,
+      |    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev_e4
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE c.c_nationkey = s.s_nationkey),
+      |g AS (
+      |  SELECT nation,
+      |    ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |  FROM j GROUP BY 1)
+      |SELECT ROW_NUMBER() OVER (ORDER BY revenue DESC, nation) AS rank,
+      |  nation, revenue, n_orders, n_customers
+      |FROM g ORDER BY rank""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1008,7 +1064,8 @@ object Queries {
     "q68_quality_audit" -> (q68QualityAudit _),
     "q69_incremental_moments" -> (q69IncrementalMoments _),
     "q71_resample_ffill" -> (q71ResampleFfill _),
-    "q74_star_join" -> (q74StarJoin _)) ++ ExtQueries.all
+    "q74_star_join" -> (q74StarJoin _),
+    "q105_regional_revenue" -> (q105RegionalRevenue _)) ++ ExtQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -1036,5 +1093,6 @@ object Queries {
     "q68_quality_audit" -> q68Sql,
     "q69_incremental_moments" -> q69Sql,
     "q71_resample_ffill" -> q71Sql,
-    "q74_star_join" -> q74Sql) ++ ExtQueries.oracles
+    "q74_star_join" -> q74Sql,
+    "q105_regional_revenue" -> q105Sql) ++ ExtQueries.oracles
 }

@@ -110,6 +110,43 @@ class ExtSpec extends SparkSpec {
       !got.contains((1L, 4L, 0)), "identical strings must not pair")
   }
 
+  test("FastSS edit-distance-1 join equals brute-force levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // substitutions, insertions, deletions, transpositions (distance 2 —
+    // must NOT pair), exact duplicates (distance 0 — must NOT pair), and a
+    // single character vs empty-adjacent shapes
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),   // substitution
+      (3L, "kittens"),                  // insertion vs #1
+      (4L, "itten"),                    // deletion vs #1
+      (5L, "kitten"),                   // duplicate of #1 — distance 0
+      (6L, "ktiten"),                   // transposition: distance 2 from #1
+      (7L, "a"), (8L, "ab"), (9L, "b"), // short strings, shared deletions
+      (10L, "12345"), (11L, "1245"), (12L, "12346"))
+    val got = graft.ext.FuzzyJoin.editDistance1Pairs(
+      rows.toDF("id", "s"), "id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows
+      if i < j && lev(a, b) == 1
+    } yield (i, j)).toSet
+    assert(got == brute, s"got $got, want $brute")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)) && brute.contains((7L, 8L)) &&
+      brute.contains((8L, 9L)) && brute.contains((10L, 11L)),
+      "fixture lost its planted pairs")
+    assert(!brute.contains((1L, 5L)) && !brute.contains((1L, 6L)),
+      "fixture lost its planted non-pairs")
+  }
+
   test("triangle counts match a known graph and ignore endpoint order") {
     // triangles {1,2,3} and {3,4,5} share node 3; 6 is a pendant off 5
     val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (5L, 4L),
