@@ -3758,6 +3758,95 @@ object ExtQueries {
       |        / 1000000.0, 6) AS avg_validity_sec
       |FROM scd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q106 OHLC resample (first/last-by-time aggregation) -------------------
+
+  /** Time-series resample to daily OHLC bars per event type: `open`/`close`
+    * via the `min_by`/`max_by` first/last-by-ordering aggregates (one keyed
+    * hash aggregation with map-side partial merge — no window, no sort, no
+    * per-group row numbering), `high`/`low`/`n_events` as plain aggregates.
+    * Values pass through unrounded: the operator selects stored doubles, it
+    * never does arithmetic on them, so results are bit-exact. Precondition
+    * (held by the corpus, asserted by the no-ties check in the oracle
+    * convention): `ts` is unique per event type — `min_by` needs a total
+    * order to be deterministic; a production corpus with ties would extend
+    * the ordering key with the event id.
+    */
+  def q106Ohlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+        col("ts"), col("value"))
+    e.groupBy("event_type", "day").agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "day")
+  }
+
+  val q106Sql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |  arg_min(value, ts) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  arg_max(value, ts) AS close,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q107 trend detection via exact-integer OLS ----------------------------
+
+  /** Linear trend over event volume: per event type, the least-squares slope
+    * (and Pearson r) of hourly event counts against the hour index. All five
+    * regression moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact 64-bit
+    * integers — counts and hour indices are integral, so the keyed
+    * aggregation is summation-order independent and the slope/correlation
+    * become a single double expression over exact integers, reproducible on
+    * any partitioning (the reason NOT to use the built-in `regr_slope`,
+    * whose double accumulation is partition-order sensitive). Two keyed
+    * aggregations, output one row per event type.
+    */
+  def q107TrendSlopes(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+    val s = h.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(col("event_type"), col("n").as("n_hours"),
+        col("sy").as("n_events"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * lit(24.0), 6).as("slope_per_day"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("r"))
+      .orderBy("event_type")
+  }
+
+  val q107Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS x, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, n AS n_hours, sy AS n_events,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE) * 24.0, 6) AS slope_per_day,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+      |FROM s ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3836,7 +3925,9 @@ object ExtQueries {
     "q101_skew_audit" -> (q101SkewAudit _),
     "q102_assoc_rules" -> (q102AssocRules _),
     "q103_edit_distance_join" -> (q103EditDistanceJoin _),
-    "q104_run_intervals" -> (q104RunIntervals _))
+    "q104_run_intervals" -> (q104RunIntervals _),
+    "q106_ohlc" -> (q106Ohlc _),
+    "q107_trend_slopes" -> (q107TrendSlopes _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -3916,5 +4007,7 @@ object ExtQueries {
     "q101_skew_audit" -> q101Sql,
     "q102_assoc_rules" -> q102Sql,
     "q103_edit_distance_join" -> q103Sql,
-    "q104_run_intervals" -> q104Sql)
+    "q104_run_intervals" -> q104Sql,
+    "q106_ohlc" -> q106Sql,
+    "q107_trend_slopes" -> q107Sql)
 }
