@@ -3847,6 +3847,166 @@ object ExtQueries {
       |               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
       |FROM s ORDER BY 1""".stripMargin
 
+  // ---- q108 dataset profiler -------------------------------------------------
+
+  /** Column-level dataset profile of `lineitem` (the ingest-time audit every
+    * pipeline runs before trusting a new drop): per column, null count,
+    * exact distinct count, and type-appropriate min/max (numeric columns as
+    * rounded doubles, string columns as strings, other types profiled for
+    * nulls/distincts only). The aggregation list is derived from the schema,
+    * not hand-written per table, so the operator works on any input frame.
+    * One scan → one wide aggregate row → explode to long format; the only
+    * heavy part is the multi-column exact distinct (Catalyst expands one
+    * row per distinct aggregate), which is the correctness-gated choice —
+    * the 100-TB variant swaps `countDistinct` for `approx_count_distinct`
+    * (or the portable HLL of q52) column-for-column.
+    */
+  def q108Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val fields = li.schema.fields.toSeq
+    def kindOf(dt: DataType): String = dt match {
+      case _: NumericType => "numeric"
+      case StringType => "string"
+      case _ => "other"
+    }
+    val aggExprs = fields.flatMap { f =>
+      val c = col(f.name)
+      val mm = f.dataType match {
+        case _: NumericType => Seq(
+          round(min(c).cast("double"), 6).as(s"${f.name}__nmin"),
+          round(max(c).cast("double"), 6).as(s"${f.name}__nmax"),
+          lit(null).cast("string").as(s"${f.name}__smin"),
+          lit(null).cast("string").as(s"${f.name}__smax"))
+        case StringType => Seq(
+          lit(null).cast("double").as(s"${f.name}__nmin"),
+          lit(null).cast("double").as(s"${f.name}__nmax"),
+          min(c).as(s"${f.name}__smin"),
+          max(c).as(s"${f.name}__smax"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"${f.name}__nmin"),
+          lit(null).cast("double").as(s"${f.name}__nmax"),
+          lit(null).cast("string").as(s"${f.name}__smin"),
+          lit(null).cast("string").as(s"${f.name}__smax"))
+      }
+      Seq(count(c).as(s"${f.name}__nn"),
+        countDistinct(c).as(s"${f.name}__nd")) ++ mm
+    }
+    val wide = li.agg(count(lit(1)).as("__n"), aggExprs: _*)
+    val entries = fields.map { f =>
+      struct(lit(f.name).as("col"), lit(kindOf(f.dataType)).as("kind"),
+        col(s"${f.name}__nn").as("nn"), col(s"${f.name}__nd").as("nd"),
+        col(s"${f.name}__nmin").as("nmin"), col(s"${f.name}__nmax").as("nmax"),
+        col(s"${f.name}__smin").as("smin"), col(s"${f.name}__smax").as("smax"))
+    }
+    wide.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col").as("col"), col("p.kind").as("kind"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_nulls"),
+        col("p.nd").as("n_distinct"),
+        col("p.nmin").as("num_min"), col("p.nmax").as("num_max"),
+        col("p.smin").as("str_min"), col("p.smax").as("str_max"))
+      .orderBy("col")
+  }
+
+  private def q108ColSql(name: String, kind: String): String = {
+    val (nmin, nmax) =
+      if (kind == "numeric")
+        (s"ROUND(CAST(MIN($name) AS DOUBLE), 6)",
+          s"ROUND(CAST(MAX($name) AS DOUBLE), 6)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (smin, smax) =
+      if (kind == "string") (s"MIN($name)", s"MAX($name)")
+      else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    s"""SELECT '$name' AS col, '$kind' AS kind, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($name) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+       |  $nmin AS num_min, $nmax AS num_max,
+       |  $smin AS str_min, $smax AS str_max
+       |FROM lineitem""".stripMargin
+  }
+
+  val q108Sql: String = Seq(
+    "l_orderkey" -> "numeric", "l_partkey" -> "numeric",
+    "l_suppkey" -> "numeric", "l_linenumber" -> "numeric",
+    "l_quantity" -> "numeric", "l_extendedprice" -> "numeric",
+    "l_discount" -> "numeric", "l_tax" -> "numeric",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "other")
+    .map { case (n, k) => q108ColSql(n, k) }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+
+  // ---- q109 revenue concentration (Lorenz deciles + exact-integer Gini) ------
+
+  /** Inequality audit over customer revenue — the Pareto/Lorenz panel that
+    * drives sampling and mixing decisions ("how top-heavy is this
+    * corpus?"): customers ranked by total order revenue, split into rank
+    * deciles, with each decile's revenue share, the cumulative (Lorenz)
+    * share, and the corpus Gini coefficient. The global rank comes from
+    * [[graft.ext.Curation.withGlobalOffset]] — the range-partitioned
+    * distributed prefix sum — NOT a single-partition window, so the ranking
+    * step scales to any customer count. Revenue accumulates as exact integer
+    * cents and the Gini uses the closed form `2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n`
+    * over exact integer sums, so every double in the panel is one
+    * deterministic expression over exact integers. The rank key packs
+    * `cents·2²⁰ + custkey` into one unique sortable long (corpus bound:
+    * custkey < 2²⁰, cents < 2⁴³ — asserted nowhere cheap, documented here).
+    */
+  def q109RevenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val rev = ord.groupBy(col("o_custkey").as("c"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("key", col("cents") * lit(1048576L) + col("c"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ext.Curation.withGlobalOffset(rev, "key", "one", "i0")
+      .withColumn("i", col("i0") + 1L)
+    val totals = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("sy"),
+      sum(col("i") * col("cents")).as("siy"))
+    val deciles = ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("rev_cents"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_customers"),
+        round(col("rev_cents") / lit(100.0), 2).as("revenue"),
+        round(col("rev_cents").cast("double") / col("sy"), 6).as("share"),
+        round(col("cum_cents").cast("double") / col("sy"), 6).as("cum_share"),
+        round(lit(2.0) * col("siy") / (col("n").cast("double") * col("sy"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      .orderBy("decile")
+  }
+
+  val q109Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |k AS (
+      |  SELECT c, cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents * 1048576 + c) AS i
+      |  FROM r),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sy,
+      |    CAST(SUM(i * cents) AS BIGINT) AS siy
+      |  FROM k),
+      |d AS (
+      |  SELECT ((i - 1) * 10) // n + 1 AS decile, COUNT(*) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |  FROM k, t GROUP BY 1, n),
+      |cum AS (
+      |  SELECT *, CAST(SUM(rev_cents) OVER (ORDER BY decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM d)
+      |SELECT decile, n_customers,
+      |  ROUND(rev_cents / 100.0, 2) AS revenue,
+      |  ROUND(CAST(rev_cents AS DOUBLE) / sy, 6) AS share,
+      |  ROUND(CAST(cum_cents AS DOUBLE) / sy, 6) AS cum_share,
+      |  ROUND(2.0 * siy / (CAST(n AS DOUBLE) * sy) - (n + 1.0) / n, 6) AS gini
+      |FROM cum, t ORDER BY decile""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -3927,7 +4087,9 @@ object ExtQueries {
     "q103_edit_distance_join" -> (q103EditDistanceJoin _),
     "q104_run_intervals" -> (q104RunIntervals _),
     "q106_ohlc" -> (q106Ohlc _),
-    "q107_trend_slopes" -> (q107TrendSlopes _))
+    "q107_trend_slopes" -> (q107TrendSlopes _),
+    "q108_profile" -> (q108Profile _),
+    "q109_revenue_concentration" -> (q109RevenueConcentration _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4009,5 +4171,7 @@ object ExtQueries {
     "q103_edit_distance_join" -> q103Sql,
     "q104_run_intervals" -> q104Sql,
     "q106_ohlc" -> q106Sql,
-    "q107_trend_slopes" -> q107Sql)
+    "q107_trend_slopes" -> q107Sql,
+    "q108_profile" -> q108Sql,
+    "q109_revenue_concentration" -> q109Sql)
 }
