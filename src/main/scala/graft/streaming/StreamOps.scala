@@ -26,6 +26,26 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"), col("total_value"))
 
+  /** Daily OHLC bars per event type — the streaming twin of the batch q106
+    * resample. `min_by`/`max_by` are declarative aggregates with a merge
+    * expression, so the stream keeps ONE `(value, ts)` witness pair per
+    * (type, window) in state — state size is bars, never events — and late
+    * rows inside the watermark still land on the correct open/close because
+    * the merge compares event times, not arrival order.
+    */
+  def ohlcBars(events: DataFrame, window: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
   /** Sliding-window distinct-ish user activity (approx at stream scale). */
   def slidingUserActivity(events: DataFrame, window: String = "1 hour",
       slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =

@@ -241,6 +241,24 @@ class PlanSpec extends SparkSpec {
       s"wedge stage degenerated to a cartesian: $plan")
   }
 
+  test("association rules broadcast the dims — the only shuffles key on the basket") {
+    val plan = graft.queries.ExtQueries.q102AssocRules(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brand translation / count attach should broadcast: $plan")
+    // the only nested-loop join allowed is the 1-row totals attach
+    assert(!plan.contains("CartesianProduct"),
+      s"pair stage degenerated to a cartesian: $plan")
+  }
+
+  test("regional revenue joins broadcast every dimension — no cartesian") {
+    val plan = graft.queries.Queries.q105RegionalRevenue(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"customer/supplier/nation should be broadcast hops: $plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")

@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming OHLC bars ≡ batch daily OHLC on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    // batch reference: the q106 shape (date_trunc day ≡ 1-day tumbling window)
+    val batch = ev
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+
+    val rows = ev.as[EventRow].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val input = MemoryStream[EventRow](11, spark, None)
+    // two batches: open/close witnesses must merge across batch boundaries
+    val (early, late) = rows.sortBy(_.ts.getTime).splitAt(rows.length / 2)
+    input.addData(early)
+    input.addData(late)
+    input.addData(EventRow(-1L, new Timestamp(maxTs + 7 * 86400000L), -1L,
+      "sentinel", 0.0))
+    val out = runToMemory(
+      StreamOps.ohlcBars(input.toDF(), window = "1 day", watermark = "1 minute"),
+      "ohlc_parity") {}
+    val stream = out.filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+
+    assert(stream.keySet == batch.keySet,
+      s"bar keys differ: only-stream ${stream.keySet -- batch.keySet}, " +
+        s"only-batch ${batch.keySet -- stream.keySet}")
+    // every field selects stored doubles — exact equality, no tolerance
+    stream.foreach { case (k, bar) =>
+      assert(bar == batch(k), s"$k: stream $bar batch ${batch(k)}")
+    }
+  }
+
   test("streaming near-dup suppression: catches a duplicate from an earlier batch") {
     import org.apache.spark.sql.functions._
     val input = MemoryStream[(Long, Timestamp, String)](7, spark, None)
