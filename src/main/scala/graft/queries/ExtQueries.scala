@@ -4085,6 +4085,140 @@ object ExtQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  // ---- q111 Benford first-digit audit ----------------------------------------
+
+  /** Benford's-law conformance audit over order totals — the classic
+    * fabricated-data / corruption screen: observed leading-digit shares vs
+    * the Benford expectation `log10(1+1/d)`, with per-digit chi-square
+    * contributions and a running chi-square statistic. Digits come from the
+    * decimal string of exact integer cents (never floating log10, whose
+    * behavior at power-of-ten boundaries is engine-dependent); the Benford
+    * probabilities are 6-dp decimal LITERALS identical in both engines; and
+    * the chi-square total accumulates through an ORDERED window (digit
+    * order), because a plain SUM over doubles is partition-order dependent —
+    * the running-sum column is the deterministic replacement for the
+    * nondeterministic scalar total. One scan, one 9-row aggregation.
+    */
+  def q111Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    import spark.implicits._
+    val exp = benford.toDF("digit", "benford_p")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = ord.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("n"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(exp), "digit").crossJoin(broadcast(tot))
+      .withColumn("expected", col("n").cast("double") * col("benford_p"))
+      .withColumn("chi2_term",
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 6).as("share"),
+        col("benford_p"),
+        round(col("chi2_term"), 6).as("chi2_term"),
+        round(sum(col("chi2_term")).over(wCum), 6).as("chi2_cum"))
+      .orderBy("digit")
+  }
+
+  val q111Sql: String =
+    """WITH exp AS (
+      |  SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+      |    (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+      |    (8, 0.051153), (9, 0.045757)) t(digit, benford_p)),
+      |d AS (
+      |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+      |j AS (
+      |  SELECT c.digit, c.n_obs, CAST(benford_p AS DOUBLE) AS benford_p,
+      |    CAST(n AS DOUBLE) * CAST(benford_p AS DOUBLE) AS expected, n
+      |  FROM c JOIN exp ON c.digit = exp.digit, t),
+      |k AS (
+      |  SELECT digit, n_obs, benford_p, n,
+      |    (n_obs - expected) * (n_obs - expected) / expected AS chi2_term
+      |  FROM j)
+      |SELECT digit, n_obs,
+      |  ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS share,
+      |  benford_p,
+      |  ROUND(chi2_term, 6) AS chi2_term,
+      |  ROUND(SUM(chi2_term) OVER (ORDER BY digit ROWS UNBOUNDED PRECEDING), 6)
+      |    AS chi2_cum
+      |FROM k ORDER BY digit""".stripMargin
+
+  // ---- q112 distribution drift (PSI between time halves) ---------------------
+
+  /** Population-stability-index drift audit — the snapshot-over-snapshot
+    * check a continuously-ingested corpus runs before each training cut:
+    * split the event stream at the midpoint of its time range (exact
+    * integer-microsecond boundary from one 1-row min/max aggregate), compare
+    * the early vs late `event_type` distributions, and report per-type PSI
+    * terms `(p_late − p_early)·ln(p_late / p_early)` with a running PSI
+    * accumulated in event-type order (same ordered-window determinism
+    * discipline as q111 — a scalar SUM over doubles would be
+    * partition-order dependent). `ln` on identical doubles is already
+    * oracle-proven by the entropy/surprisal family. One scan, one keyed
+    * aggregation, 1-row broadcast bounds.
+    */
+  def q112DistributionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    // integer floor-div on both sides: DuckDB's `/` is float division and its
+    // double→int cast ROUNDS where Spark's truncates — `div` / `//` agree
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(col("lo"), expr("(lo + hi) div 2").as("mid"))
+    val halves = e.crossJoin(broadcast(bounds))
+      .groupBy("event_type").agg(
+        sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n_late"))
+    val tot = halves.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    halves.crossJoin(broadcast(tot))
+      .withColumn("p_early", col("n_early").cast("double") / col("te"))
+      .withColumn("p_late", col("n_late").cast("double") / col("tl"))
+      .withColumn("psi_term",
+        (col("p_late") - col("p_early")) * log(col("p_late") / col("p_early")))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        round(col("p_early"), 6).as("p_early"),
+        round(col("p_late"), 6).as("p_late"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(sum(col("psi_term")).over(wCum), 6).as("psi_cum"))
+      .orderBy("event_type")
+  }
+
+  val q112Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT MIN(us) AS lo, (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+      |h AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+      |    CAST(SUM(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      |  FROM e, b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+      |        CAST(SUM(n_late) AS BIGINT) AS tl FROM h),
+      |p AS (
+      |  SELECT event_type, n_early, n_late,
+      |    CAST(n_early AS DOUBLE) / te AS p_early,
+      |    CAST(n_late AS DOUBLE) / tl AS p_late
+      |  FROM h, t),
+      |k AS (
+      |  SELECT *, (p_late - p_early) * ln(p_late / p_early) AS psi_term
+      |  FROM p)
+      |SELECT event_type, n_early, n_late,
+      |  ROUND(p_early, 6) AS p_early, ROUND(p_late, 6) AS p_late,
+      |  ROUND(psi_term, 6) AS psi_term,
+      |  ROUND(SUM(psi_term) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING),
+      |    6) AS psi_cum
+      |FROM k ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4168,7 +4302,9 @@ object ExtQueries {
     "q107_trend_slopes" -> (q107TrendSlopes _),
     "q108_profile" -> (q108Profile _),
     "q109_revenue_concentration" -> (q109RevenueConcentration _),
-    "q110_table_checksums" -> (q110TableChecksums _))
+    "q110_table_checksums" -> (q110TableChecksums _),
+    "q111_benford" -> (q111Benford _),
+    "q112_distribution_drift" -> (q112DistributionDrift _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4253,5 +4389,7 @@ object ExtQueries {
     "q107_trend_slopes" -> q107Sql,
     "q108_profile" -> q108Sql,
     "q109_revenue_concentration" -> q109Sql,
-    "q110_table_checksums" -> q110Sql)
+    "q110_table_checksums" -> q110Sql,
+    "q111_benford" -> q111Sql,
+    "q112_distribution_drift" -> q112Sql)
 }
