@@ -4219,6 +4219,101 @@ object ExtQueries {
       |    6) AS psi_cum
       |FROM k ORDER BY event_type""".stripMargin
 
+  // ---- q113 weighted median --------------------------------------------------
+
+  /** Exact weighted median (lower median: smallest value whose cumulative
+    * weight reaches half the total) of the line discount per return flag,
+    * weighted by quantity. The scale move: compress to DISTINCT VALUES
+    * before any window — the keyed aggregation `(flag, value) → Σweight`
+    * bounds the windowed frame by value cardinality (here ≤ 11 discount
+    * steps), not row count, so the cumulative-weight window never sees the
+    * fact table. Values and weights are exact integer cents throughout;
+    * the only doubles are display columns. Generalizes to any weighted
+    * quantile by replacing the `2·cum ≥ total` predicate.
+    */
+  def q113WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+      col("l_returnflag").as("flag"),
+      round(col("l_discount") * 100, 0).cast("long").as("vc"),
+      round(col("l_quantity") * 100, 0).cast("long").as("wc"))
+    val g = li.groupBy("flag", "vc").agg(sum(col("wc")).as("wsum"))
+    val tot = g.groupBy("flag").agg(sum(col("wsum")).as("wtot"),
+      count(lit(1)).as("n_values"))
+    val wCum = Window.partitionBy("flag").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cumw", sum(col("wsum")).over(wCum))
+      .join(broadcast(tot), "flag")
+      .where(col("cumw") * 2 >= col("wtot"))
+      .groupBy("flag").agg(min(col("vc")).as("median_c"),
+        first(col("wtot")).as("wtot"), first(col("n_values")).as("n_values"))
+      .select(col("flag"),
+        round(col("median_c") / lit(100.0), 2).as("weighted_median_discount"),
+        col("wtot").as("total_weight_c"), col("n_values"))
+      .orderBy("flag")
+  }
+
+  val q113Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS vc,
+      |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS wc
+      |  FROM lineitem),
+      |g AS (SELECT flag, vc, CAST(SUM(wc) AS BIGINT) AS wsum
+      |      FROM li GROUP BY 1, 2),
+      |t AS (SELECT flag, CAST(SUM(wsum) AS BIGINT) AS wtot,
+      |        COUNT(*) AS n_values FROM g GROUP BY 1),
+      |c AS (
+      |  SELECT g.flag, vc, wtot, n_values,
+      |    SUM(wsum) OVER (PARTITION BY g.flag ORDER BY vc
+      |      ROWS UNBOUNDED PRECEDING) AS cumw
+      |  FROM g JOIN t ON g.flag = t.flag)
+      |SELECT flag,
+      |  ROUND(MIN(vc) / 100.0, 2) AS weighted_median_discount,
+      |  CAST(MIN(wtot) AS BIGINT) AS total_weight_c,
+      |  MIN(n_values) AS n_values
+      |FROM c WHERE cumw * 2 >= wtot
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
+  // ---- q114 sampling-based estimation audit (Horvitz-Thompson) ---------------
+
+  /** Approximate-query-processing audit: per event type, the exact count
+    * next to the Horvitz-Thompson estimate from a deterministic 1-in-8
+    * hash sample (portable md5 bucket — the same reproducible-sampling rule
+    * as the q34 splits, so the "sample" is identical on any partitioning,
+    * any engine, any re-run), with the relative error. Both the truth and
+    * the estimate come out of ONE conditional aggregation pass — the audit
+    * costs one scan, which is the point: it prices what a production
+    * pipeline would save by trusting the sample.
+    */
+  def q114SampleEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir).select(col("event_type"),
+      (conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long") % 8 === 0).as("sampled"))
+    e.groupBy("event_type").agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("event_type"), col("n_exact"), col("n_sampled"),
+        (col("n_sampled") * 8).as("ht_estimate"),
+        round((col("n_sampled") * 8 - col("n_exact")).cast("double")
+          / col("n_exact"), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val q114Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 8 = 0 AS sampled
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n_exact,
+      |    CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |  FROM e GROUP BY 1)
+      |SELECT event_type, n_exact, n_sampled,
+      |  n_sampled * 8 AS ht_estimate,
+      |  ROUND(CAST(n_sampled * 8 - n_exact AS DOUBLE) / n_exact, 6) AS rel_err
+      |FROM g ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4304,7 +4399,9 @@ object ExtQueries {
     "q109_revenue_concentration" -> (q109RevenueConcentration _),
     "q110_table_checksums" -> (q110TableChecksums _),
     "q111_benford" -> (q111Benford _),
-    "q112_distribution_drift" -> (q112DistributionDrift _))
+    "q112_distribution_drift" -> (q112DistributionDrift _),
+    "q113_weighted_median" -> (q113WeightedMedian _),
+    "q114_sample_estimates" -> (q114SampleEstimates _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4391,5 +4488,7 @@ object ExtQueries {
     "q109_revenue_concentration" -> q109Sql,
     "q110_table_checksums" -> q110Sql,
     "q111_benford" -> q111Sql,
-    "q112_distribution_drift" -> q112Sql)
+    "q112_distribution_drift" -> q112Sql,
+    "q113_weighted_median" -> q113Sql,
+    "q114_sample_estimates" -> q114Sql)
 }
