@@ -4314,6 +4314,143 @@ object ExtQueries {
       |  ROUND(CAST(n_sampled * 8 - n_exact AS DOUBLE) / n_exact, 6) AS rel_err
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---- q115 ROC AUC (histogram Mann-Whitney) ---------------------------------
+
+  /** One-vs-rest ROC AUC of a scalar score (first embedding coordinate)
+    * against each label — the classifier-evaluation primitive a quality-
+    * filter pipeline runs before trusting a model's threshold. The scale
+    * shape is the histogram AUC: scores are binned to integer milli-units,
+    * so the rank statistic needs only per-bin (positive, total) counts —
+    * the windowed cumulative runs over BIN COUNT rows per label (≤ ~700
+    * here, bounded by score range × resolution, never by corpus size).
+    * Ties inside a bin get the standard half-credit. The Mann-Whitney U
+    * numerator `Σ pos_b·(2·cumneg_below + neg_b)` is pure integer
+    * arithmetic — order-independent, no float accumulation — and only the
+    * final AUC division touches doubles.
+    */
+  def q115RocAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("label"),
+      round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+        .cast("long").as("bin"))
+    val binTot = e.groupBy("bin").agg(count(lit(1)).as("tot_b"))
+    val posLB = e.groupBy("label", "bin").agg(count(lit(1)).as("pos_b"))
+    val labTot = e.groupBy("label").agg(count(lit(1)).as("n_pos"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy("label").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    labTot.crossJoin(broadcast(tot)).crossJoin(broadcast(binTot))
+      .join(posLB, Seq("label", "bin"), "left")
+      .na.fill(0L, Seq("pos_b"))
+      .withColumn("neg_b", col("tot_b") - col("pos_b"))
+      .withColumn("cumneg",
+        coalesce(sum(col("neg_b")).over(wPrev), lit(0L)))
+      .groupBy("label").agg(
+        min(col("n_pos")).as("n_pos"),
+        (min(col("n_total")) - min(col("n_pos"))).as("n_neg"),
+        sum(col("pos_b") * (col("cumneg") * 2 + col("neg_b"))).as("u2"))
+      .select(col("label"), col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double")
+          / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+      .orderBy("label")
+  }
+
+  val q115Sql: String =
+    """WITH e AS (
+      |  SELECT label,
+      |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS bin
+      |  FROM embeddings),
+      |bt AS (SELECT bin, COUNT(*) AS tot_b FROM e GROUP BY 1),
+      |pl AS (SELECT label, bin, COUNT(*) AS pos_b FROM e GROUP BY 1, 2),
+      |lt AS (SELECT label, COUNT(*) AS n_pos FROM e GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n_total FROM e),
+      |g AS (
+      |  SELECT lt.label, bt.bin, bt.tot_b, lt.n_pos, t.n_total,
+      |    COALESCE(pl.pos_b, 0) AS pos_b
+      |  FROM lt CROSS JOIN bt CROSS JOIN t
+      |  LEFT JOIN pl ON pl.label = lt.label AND pl.bin = bt.bin),
+      |c AS (
+      |  SELECT *, tot_b - pos_b AS neg_b,
+      |    COALESCE(SUM(tot_b - pos_b) OVER (PARTITION BY label ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      |  FROM g)
+      |SELECT label, CAST(MIN(n_pos) AS BIGINT) AS n_pos,
+      |  CAST(MIN(n_total) - MIN(n_pos) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(pos_b * (cumneg * 2 + neg_b)) AS DOUBLE)
+      |    / (MIN(n_pos) * (MIN(n_total) - MIN(n_pos)) * 2.0), 6) AS auc
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- q116 seasonal anomaly audit (hour-of-day baseline) --------------------
+
+  /** Seasonality-aware volume anomaly audit over the event stream: per
+    * (event_type, hour-of-day), build the baseline from the per-day counts
+    * of that hour across the full date range — INCLUDING silent zero cells,
+    * materialized by a dates × types × 24-hours grid (bounded by calendar
+    * size, not event count) — then flag cells at least 3 population sigmas
+    * from their hour's mean. The z-test is exact integer arithmetic:
+    * `(k·c − S)² ≥ 9·(k·Q − S²)` is `z² ≥ 9` cleared of denominators
+    * (S=Σc, Q=Σc², k=#days), so the flag never depends on float rounding;
+    * sqrt/division appear only in the display columns. Everything is keyed
+    * aggregation; the grid and baseline are calendar-bounded broadcasts.
+    */
+  def q116SeasonalAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_type"),
+      to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("h"))
+    val cells = ev.groupBy("event_type", "d", "h").agg(count(lit(1)).as("c"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(ev.select("d").distinct())
+      .crossJoin(spark.range(0, 24).select(col("id").as("h")))
+      .join(cells, Seq("event_type", "d", "h"), "left")
+      .na.fill(0L, Seq("c"))
+    val base = grid.groupBy("event_type", "h").agg(
+      count(lit(1)).as("k"), sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("q"))
+    grid.join(base, Seq("event_type", "h"))
+      .withColumn("dev", col("k") * col("c") - col("s"))
+      .withColumn("vark", col("k") * col("q") - col("s") * col("s"))
+      .groupBy("event_type", "h").agg(
+        min(col("k")).as("n_days"), min(col("s")).as("n_events"),
+        round(min(col("s")).cast("double") / min(col("k")), 6)
+          .as("mean_per_day"),
+        round(sqrt(min(col("vark")).cast("double")) / min(col("k")), 6)
+          .as("sd_per_day"),
+        sum(when(col("dev") * col("dev") >= col("vark") * 9
+          && col("vark") > 0, 1L).otherwise(0L)).as("n_anomalies"),
+        max(abs(col("dev"))).as("max_abs_dev"))
+      .withColumnRenamed("h", "hour")
+      .orderBy("event_type", "hour")
+  }
+
+  val q116Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    EXTRACT(hour FROM ts) AS h
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, d, h, COUNT(*) AS c FROM ev GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT t.event_type, dd.d, hh.h, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (SELECT DISTINCT d FROM ev) dd
+      |  CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) hh
+      |  LEFT JOIN cells c
+      |    ON c.event_type = t.event_type AND c.d = dd.d AND c.h = hh.h),
+      |base AS (
+      |  SELECT event_type, h, COUNT(*) AS k, SUM(c) AS s, SUM(c * c) AS q
+      |  FROM grid GROUP BY 1, 2),
+      |j AS (
+      |  SELECT g.event_type, g.h, g.c, b.k, b.s, b.q,
+      |    b.k * g.c - b.s AS dev, b.k * b.q - b.s * b.s AS vark
+      |  FROM grid g JOIN base b
+      |    ON g.event_type = b.event_type AND g.h = b.h)
+      |SELECT event_type, h AS hour,
+      |  CAST(MIN(k) AS BIGINT) AS n_days, CAST(MIN(s) AS BIGINT) AS n_events,
+      |  ROUND(CAST(MIN(s) AS DOUBLE) / MIN(k), 6) AS mean_per_day,
+      |  ROUND(SQRT(CAST(MIN(vark) AS DOUBLE)) / MIN(k), 6) AS sd_per_day,
+      |  CAST(SUM(CASE WHEN dev * dev >= vark * 9 AND vark > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  CAST(MAX(ABS(dev)) AS BIGINT) AS max_abs_dev
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4401,7 +4538,9 @@ object ExtQueries {
     "q111_benford" -> (q111Benford _),
     "q112_distribution_drift" -> (q112DistributionDrift _),
     "q113_weighted_median" -> (q113WeightedMedian _),
-    "q114_sample_estimates" -> (q114SampleEstimates _))
+    "q114_sample_estimates" -> (q114SampleEstimates _),
+    "q115_roc_auc" -> (q115RocAuc _),
+    "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4490,5 +4629,7 @@ object ExtQueries {
     "q111_benford" -> q111Sql,
     "q112_distribution_drift" -> q112Sql,
     "q113_weighted_median" -> q113Sql,
-    "q114_sample_estimates" -> q114Sql)
+    "q114_sample_estimates" -> q114Sql,
+    "q115_roc_auc" -> q115Sql,
+    "q116_seasonal_anomalies" -> q116Sql)
 }
