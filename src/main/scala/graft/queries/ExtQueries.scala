@@ -4451,6 +4451,65 @@ object ExtQueries {
       |  CAST(MAX(ABS(dev)) AS BIGINT) AS max_abs_dev
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q117 EWMA trend (dyadic decay, integer-exact) -------------------------
+
+  /** Exponentially-weighted moving average of daily event revenue per
+    * event type, half-life 1 day, truncated at a 30-day lookback. The decay
+    * base is 1/2, so every weighted term is DYADIC: scaling by 2^29 turns
+    * `Σ x_j·0.5^(d_i−d_j)` into `Σ x_j·2^(29−Δ)` — pure integer shifts and
+    * adds, no float accumulation, no pow(), bit-identical under any
+    * partition/join order. The windowed self-join runs on the DAILY
+    * aggregate (days × types rows, calendar-bounded — broadcast), never on
+    * the event stream; at 100 TB the only big stage is still the one keyed
+    * daily aggregation. Only the final display division touches doubles.
+    */
+  def q117EwmaTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .groupBy("event_type", "d").agg(sum(col("vc")).as("xc"))
+    val cur = daily.select(col("event_type"), col("d"), col("xc"))
+    val past = daily.select(col("event_type").as("event_type2"),
+      col("d").as("d2"), col("xc").as("xc2"))
+    cur.join(broadcast(past),
+        col("event_type") === col("event_type2")
+          && col("d2") <= col("d") && col("d2") > col("d") - 30)
+      .withColumn("k", col("d") - col("d2"))
+      .groupBy("event_type", "d").agg(
+        min(col("xc")).as("xc"),
+        sum(expr("shiftleft(xc2, CAST(29 - k AS INT))")).as("num"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(29 - k AS INT))"))
+          .as("den"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("timestamp").as("day"),
+        round(col("xc") / lit(100.0), 2).as("daily_value"),
+        round(col("num").cast("double") / col("den") / 100.0, 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val q117Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS xc
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.d, a.xc,
+      |    b.xc AS xc2, a.d - b.d AS k
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type
+      |    AND b.d <= a.d AND b.d > a.d - 30)
+      |SELECT event_type,
+      |  CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS TIMESTAMP) AS day,
+      |  ROUND(MIN(xc) / 100.0, 2) AS daily_value,
+      |  ROUND(CAST(SUM(xc2 * (CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER)))
+      |      AS DOUBLE)
+      |    / SUM(CAST(1 AS BIGINT) << CAST(29 - k AS INTEGER)) / 100.0, 6)
+      |    AS ewma
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4540,7 +4599,8 @@ object ExtQueries {
     "q113_weighted_median" -> (q113WeightedMedian _),
     "q114_sample_estimates" -> (q114SampleEstimates _),
     "q115_roc_auc" -> (q115RocAuc _),
-    "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _))
+    "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _),
+    "q117_ewma_trend" -> (q117EwmaTrend _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4631,5 +4691,6 @@ object ExtQueries {
     "q113_weighted_median" -> q113Sql,
     "q114_sample_estimates" -> q114Sql,
     "q115_roc_auc" -> q115Sql,
-    "q116_seasonal_anomalies" -> q116Sql)
+    "q116_seasonal_anomalies" -> q116Sql,
+    "q117_ewma_trend" -> q117Sql)
 }
