@@ -4510,6 +4510,78 @@ object ExtQueries {
       |    AS ewma
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q118 grid-density clustering (DBSCAN-style) ---------------------------
+
+  /** Density-based clustering over the 2-D embedding projection — the
+    * DBSCAN shape re-expressed for a cluster: snap points to an ε-grid
+    * (one keyed aggregation over the corpus — the only stage that sees
+    * every row), keep cells with ≥ minPts points as "dense", connect dense
+    * cells that touch (8-neighborhood) and take connected components as
+    * clusters. Adjacency is a NEIGHBOR-OFFSET EQUI-JOIN — each dense cell
+    * emits its 9 shifted coordinates and hash-joins back against the dense
+    * set — never an all-pairs distance pass, and the graph stage runs on
+    * CELLS (bounded by grid resolution, not corpus size). Components reuse
+    * the adaptive union-find / Shiloach-Vishkin engine from
+    * [[Dedup.duplicateGroups]]; isolated dense cells become their own
+    * single-cell cluster. Cluster id = the component's minimum cell id,
+    * fully deterministic integer arithmetic end to end.
+    */
+  def q118GridClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = emb(spark, sfDir).select(col("vec_id"),
+      floor(element_at(col("embedding"), 1).cast("double") * 20).as("cx"),
+      floor(element_at(col("embedding"), 2).cast("double") * 20).as("cy"))
+    val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n_pts"))
+      .where(col("n_pts") >= 3)
+      .withColumn("cell_id",
+        (col("cx") + 1024) * 4096 + (col("cy") + 1024))
+    val offsets = spark.range(0, 9).select(
+      expr("id % 3 - 1").as("dx"), expr("id div 3 - 1").as("dy"))
+    val edges = dense.select(col("cell_id").as("id1"), col("cx"), col("cy"))
+      .crossJoin(broadcast(offsets))
+      .select(col("id1"), (col("cx") + col("dx")).as("ncx"),
+        (col("cy") + col("dy")).as("ncy"))
+      .join(dense.select(col("cell_id").as("id2"), col("cx").as("ncx"),
+        col("cy").as("ncy")), Seq("ncx", "ncy"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val comp = Dedup.duplicateGroups(edges)
+    dense.join(comp, dense("cell_id") === comp("id"), "left")
+      .select(col("n_pts"),
+        coalesce(col("group_id"), col("cell_id")).as("cluster_id"))
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_cells"), sum(col("n_pts")).as("n_points"))
+      .orderBy("cluster_id")
+  }
+
+  val q118Sql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT vec_id,
+      |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 20) AS BIGINT) AS cx,
+      |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 20) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |dense AS (
+      |  SELECT cx, cy, COUNT(*) AS n_pts,
+      |    (cx + 1024) * 4096 + (cy + 1024) AS cell_id
+      |  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |pr AS (
+      |  SELECT a.cell_id AS id1, b.cell_id AS id2
+      |  FROM dense a JOIN dense b
+      |    ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+      |    AND a.cell_id < b.cell_id),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+      |          UNION ALL SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS group_id
+      |         FROM reach GROUP BY id)
+      |SELECT COALESCE(c.group_id, d.cell_id) AS cluster_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+      |FROM dense d LEFT JOIN comp c ON c.id = d.cell_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4600,7 +4672,8 @@ object ExtQueries {
     "q114_sample_estimates" -> (q114SampleEstimates _),
     "q115_roc_auc" -> (q115RocAuc _),
     "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _),
-    "q117_ewma_trend" -> (q117EwmaTrend _))
+    "q117_ewma_trend" -> (q117EwmaTrend _),
+    "q118_grid_clusters" -> (q118GridClusters _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4692,5 +4765,6 @@ object ExtQueries {
     "q114_sample_estimates" -> q114Sql,
     "q115_roc_auc" -> q115Sql,
     "q116_seasonal_anomalies" -> q116Sql,
-    "q117_ewma_trend" -> q117Sql)
+    "q117_ewma_trend" -> q117Sql,
+    "q118_grid_clusters" -> q118Sql)
 }
