@@ -4582,6 +4582,72 @@ object ExtQueries {
       |FROM dense d LEFT JOIN comp c ON c.id = d.cell_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q119 referential-integrity audit --------------------------------------
+
+  /** Foreign-key integrity audit over the whole TPC-H-ish table graph —
+    * the pre-flight a pipeline runs before trusting joins: per FK edge,
+    * child cardinality, null/distinct FK counts, orphan rows (LEFT ANTI
+    * join against the parent key set) and parent-side coverage (LEFT SEMI:
+    * how many parent keys are actually referenced). Anti/semi joins are
+    * the right 100-TB shape — they shuffle only the key columns, never
+    * materialize the match, and Spark plans them as existence hash joins
+    * with the usual AQE sizing. Both the Spark plan and the DuckDB oracle
+    * are generated from the SAME edge list, so the audit surface cannot
+    * drift between engines.
+    */
+  private val fkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  def q119RefIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val perEdge = fkEdges.map { case (name, child, fk, parent, pk) =>
+      val c = spark.read.parquet(s"$sfDir/$child.parquet")
+        .select(col(fk).as("fk"))
+      val p = spark.read.parquet(s"$sfDir/$parent.parquet")
+        .select(col(pk).as("pk"))
+      val stats = c.agg(count(lit(1)).as("n_child"),
+        sum(col("fk").isNull.cast("long")).as("n_null_fk"),
+        count_distinct(col("fk")).as("n_fk_distinct"))
+      val orphans = c.where(col("fk").isNotNull)
+        .join(p, col("fk") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val ptot = p.agg(count(lit(1)).as("n_parent"))
+      val pref = p.join(c, col("pk") === col("fk"), "left_semi")
+        .agg(count(lit(1)).as("n_parent_referenced"))
+      stats.crossJoin(orphans).crossJoin(ptot).crossJoin(pref)
+        .select(lit(name).as("edge"), col("n_child"), col("n_null_fk"),
+          col("n_fk_distinct"), col("n_orphans"), col("n_parent"),
+          col("n_parent_referenced"),
+          round(col("n_parent_referenced").cast("double") / col("n_parent"), 6)
+            .as("parent_coverage"))
+    }
+    perEdge.reduce(_.unionByName(_)).orderBy("edge")
+  }
+
+  val q119Sql: String = fkEdges.map { case (name, child, fk, parent, pk) =>
+    s"""SELECT '$name' AS edge,
+       |  (SELECT COUNT(*) FROM $child) AS n_child,
+       |  (SELECT CAST(SUM(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM $child) AS n_null_fk,
+       |  (SELECT COUNT(DISTINCT $fk) FROM $child) AS n_fk_distinct,
+       |  (SELECT COUNT(*) FROM $child c WHERE c.$fk IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+       |    AS n_orphans,
+       |  (SELECT COUNT(*) FROM $parent) AS n_parent,
+       |  (SELECT COUNT(*) FROM $parent p
+       |    WHERE EXISTS (SELECT 1 FROM $child c WHERE c.$fk = p.$pk))
+       |    AS n_parent_referenced,
+       |  (SELECT ROUND(
+       |    CAST((SELECT COUNT(*) FROM $parent p WHERE EXISTS
+       |      (SELECT 1 FROM $child c WHERE c.$fk = p.$pk)) AS DOUBLE)
+       |    / (SELECT COUNT(*) FROM $parent), 6)) AS parent_coverage""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4673,7 +4739,8 @@ object ExtQueries {
     "q115_roc_auc" -> (q115RocAuc _),
     "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _),
     "q117_ewma_trend" -> (q117EwmaTrend _),
-    "q118_grid_clusters" -> (q118GridClusters _))
+    "q118_grid_clusters" -> (q118GridClusters _),
+    "q119_ref_integrity" -> (q119RefIntegrity _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4766,5 +4833,6 @@ object ExtQueries {
     "q115_roc_auc" -> q115Sql,
     "q116_seasonal_anomalies" -> q116Sql,
     "q117_ewma_trend" -> q117Sql,
-    "q118_grid_clusters" -> q118Sql)
+    "q118_grid_clusters" -> q118Sql,
+    "q119_ref_integrity" -> q119Sql)
 }
