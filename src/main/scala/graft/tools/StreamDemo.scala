@@ -32,7 +32,7 @@ object StreamDemo {
       stageDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(stageDir.toString)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.ext.Events.normalizeTs(raw)
 
     val q1 = StreamOps.tumblingStats(events, window = "1 hour", watermark = "10 minutes")
       .writeStream.format("memory").queryName("tumbling")

@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
 
@@ -144,7 +144,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming tumbling windows ≡ batch tumbling stats on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     val batch = graft.ext.Events.tumblingStats(ev).collect()
@@ -174,7 +174,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming OHLC bars ≡ batch daily OHLC on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     // batch reference: the q106 shape (date_trunc day ≡ 1-day tumbling window)
@@ -304,7 +304,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val stages = Seq("view", "click", "purchase")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     val batch = graft.ext.Events.funnel(ev, stages).head()
@@ -326,7 +326,7 @@ class StreamingSpec extends SparkSpec {
   test("stream-stream attribution pairs ≡ batch interval join on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
 
@@ -376,7 +376,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming HLL registers across batches ≡ batch sketch on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     val rows = ev.as[EventRow].collect().toSeq
@@ -399,7 +399,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming count-min cells across batches ≡ batch sketch on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     val rows = ev.as[EventRow].collect().toSeq
@@ -421,7 +421,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming running top-k across batches ≡ batch top-k on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value").cast("double"))
     val rows = ev.as[EventRow].collect().toSeq
