@@ -201,23 +201,28 @@ object ExtQueries {
     * against the identical IEEE double — shared by the q18 (0.5, MinHash
     * verify) and q95 (0.4, prefix-filter) oracles.
     */
-  private def exactJaccardSql(thr: String): String =
-    s"""WITH toks AS (
+  private def exactJaccardCtes(thr: String): String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
        |  FROM toks),
        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-       |pairs AS (
+       |ipairs AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
        |         any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard
-       |FROM pairs
-       |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= $thr
-       |ORDER BY id1, id2""".stripMargin
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT id1, id2,
+       |    ROUND(CAST(inter AS DOUBLE) / (sz1 + sz2 - inter), 6) AS jaccard
+       |  FROM ipairs
+       |  WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= $thr)""".stripMargin
+
+  private def exactJaccardSql(thr: String): String =
+    s"""WITH ${exactJaccardCtes(thr)}
+       |SELECT id1, id2, jaccard FROM jp ORDER BY id1, id2""".stripMargin
 
   val q18Sql: String = exactJaccardSql("0.5")
 
@@ -3250,15 +3255,24 @@ object ExtQueries {
     * cache so repeat runs pay only the df-count + prefix join + verify.
     */
   def q95PrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sets = cached(spark, sfDir, "shingle_sets")(
-      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
-    // the pair stage self-joins the prefix index; cache it so the explode +
-    // df-count + window pipeline runs once per session, not twice per call
-    val idx = cached(spark, sfDir, "q95_prefix_idx")(
-      Dedup.jaccardPrefixIndex(sets, threshold = 0.4))
-    Dedup.prefixFilterJaccardPairsFromIndex(idx, sets, threshold = 0.4)
+    prefixJaccardPairs(spark, sfDir)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id1", "id2")
+  }
+
+  /** Session-cached exact-Jaccard (t = 0.4) pair set — the q95 surface,
+    * shared with the cross-source duplication matrix (q120). Both the
+    * prefix index (self-joined by the pair stage: without a cache boundary
+    * the explode + df-count + window pipeline would run once per join side)
+    * and the verified pairs are cached.
+    */
+  private def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
+    val idx = cached(spark, sfDir, "q95_prefix_idx")(
+      Dedup.jaccardPrefixIndex(sets, threshold = 0.4))
+    cached(spark, sfDir, "q95_pairs")(
+      Dedup.prefixFilterJaccardPairsFromIndex(idx, sets, threshold = 0.4))
   }
 
   val q95Sql: String = exactJaccardSql("0.4")
@@ -4669,6 +4683,63 @@ object ExtQueries {
        |    / (SELECT COUNT(*) FROM $parent), 6)) AS parent_coverage""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
 
+  // ---- q120 cross-source duplication matrix ---------------------------------
+
+  /** Where does near-duplication cross source boundaries? Every verified
+    * exact-Jaccard pair (the session-cached q95 surface — banded candidate
+    * generation, never all-pairs) is labeled with its two documents'
+    * sources via two broadcast-able dimension joins, then collapsed to the
+    * unordered source-pair matrix: pair count, distinct documents touched,
+    * and each cell's share of all near-dup pairs. The diagonal is
+    * within-source duplication; off-diagonal cells are the
+    * cross-contamination a mixing-weight pipeline needs to know about
+    * before treating sources as independent. Matrix size is bounded by
+    * sources², so the aggregation output is tiny at any corpus scale.
+    */
+  def q120CrossSourceDupes(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val lab = prefixJaccardPairs(spark, sfDir)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("sa")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("sb")), "id2")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("id1"), col("id2"))
+    val m = lab.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val d = lab.select(col("source_a"), col("source_b"),
+        explode(array(col("id1"), col("id2"))).as("doc"))
+      .groupBy("source_a", "source_b")
+      .agg(count_distinct(col("doc")).as("n_docs"))
+    val tot = m.agg(sum(col("n_pairs")).as("n_total"))
+    m.join(d, Seq("source_a", "source_b"))
+      .crossJoin(tot)
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("n_docs"),
+        round(col("n_pairs").cast("double") / col("n_total"), 6)
+          .as("pair_share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Reuses the q95 exact-Jaccard CTE block so the pair universe cannot
+    * drift between the two queries' oracles.
+    */
+  val q120Sql: String =
+    s"""WITH ${exactJaccardCtes("0.4")},
+       |lab AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |         GREATEST(da.source, db.source) AS source_b, id1, id2
+       |  FROM jp JOIN documents da ON jp.id1 = da.doc_id
+       |          JOIN documents db ON jp.id2 = db.doc_id),
+       |m AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |      FROM lab GROUP BY 1, 2),
+       |d AS (SELECT source_a, source_b, COUNT(DISTINCT doc) AS n_docs FROM (
+       |  SELECT source_a, source_b, id1 AS doc FROM lab
+       |  UNION ALL SELECT source_a, source_b, id2 FROM lab) GROUP BY 1, 2),
+       |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM m)
+       |SELECT m.source_a, m.source_b, m.n_pairs, d.n_docs,
+       |  ROUND(CAST(m.n_pairs AS DOUBLE) / t.n_total, 6) AS pair_share
+       |FROM m JOIN d ON m.source_a = d.source_a AND m.source_b = d.source_b, t
+       |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4761,7 +4832,8 @@ object ExtQueries {
     "q116_seasonal_anomalies" -> (q116SeasonalAnomalies _),
     "q117_ewma_trend" -> (q117EwmaTrend _),
     "q118_grid_clusters" -> (q118GridClusters _),
-    "q119_ref_integrity" -> (q119RefIntegrity _))
+    "q119_ref_integrity" -> (q119RefIntegrity _),
+    "q120_cross_source_dupes" -> (q120CrossSourceDupes _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4855,5 +4927,6 @@ object ExtQueries {
     "q116_seasonal_anomalies" -> q116Sql,
     "q117_ewma_trend" -> q117Sql,
     "q118_grid_clusters" -> q118Sql,
-    "q119_ref_integrity" -> q119Sql)
+    "q119_ref_integrity" -> q119Sql,
+    "q120_cross_source_dupes" -> q120Sql)
 }
