@@ -201,13 +201,20 @@ object ExtQueries {
     * against the identical IEEE double — shared by the q18 (0.5, MinHash
     * verify) and q95 (0.4, prefix-filter) oracles.
     */
-  private def exactJaccardCtes(thr: String): String =
+  /** The distinct word-trigram shingle sets per document — DuckDB replica of
+    * [[graft.ext.Dedup.shingleSets]], shared by every shingle-based oracle
+    * (q18, q95, q120, q121) so their universes cannot drift.
+    */
+  private val shingleCtes: String =
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
        |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
-       |  FROM toks),
+       |  FROM toks)""".stripMargin
+
+  private def exactJaccardCtes(thr: String): String =
+    s"""$shingleCtes,
        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
        |ipairs AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
@@ -4740,6 +4747,168 @@ object ExtQueries {
        |FROM m JOIN d ON m.source_a = d.source_a AND m.source_b = d.source_b, t
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q121 shingle-novelty audit -------------------------------------------
+
+  /** How much of each source is text found nowhere else in the corpus? Per
+    * document, the fraction of its distinct trigram shingles with corpus
+    * document-frequency 1; rolled up per source as the micro-averaged
+    * unique-shingle ratio plus counts of fully-novel docs (every shingle
+    * unique) and boilerplate-heavy docs (< 20% unique). Low novelty marks
+    * template/boilerplate sources a mixing policy should down-weight even
+    * when pairwise dedup keeps the docs (shared shingles ≠ near-dup pairs).
+    *
+    * Scale shape: one explode + keyed doc-frequency count (the same
+    * inverted-index stage every shingle query shares), one join back, two
+    * keyed aggregations. All ratio columns divide exact integer sums, so
+    * cross-engine equality is exact — no float-accumulation order anywhere.
+    */
+  def q121ShingleNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
+    val ex = cached(spark, sfDir, "shingle_df")(
+      sets.select(col("id"), explode(col("sset")).as("g"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g"))))
+    val per = ex.groupBy("id").agg(
+      count(lit(1)).as("n_sh"),
+      sum((col("df") === 1).cast("long")).as("n_uniq"))
+    per.join(docs(spark, sfDir).select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_uniq")).as("n_unique"),
+        sum(when(col("n_uniq") === col("n_sh"), 1L).otherwise(0L))
+          .as("n_fully_novel"),
+        sum(when(col("n_uniq").cast("double") / col("n_sh") < 0.2, 1L)
+          .otherwise(0L)).as("n_boilerplate"))
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("uniq_ratio"),
+        col("n_fully_novel"), col("n_boilerplate"))
+      .orderBy("source")
+  }
+
+  val q121Sql: String =
+    s"""WITH $shingleCtes,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |dfq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq
+       |  FROM ex JOIN dfq USING (g) GROUP BY 1)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(per.n_sh) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(per.n_uniq) AS BIGINT) AS n_unique,
+       |  ROUND(CAST(SUM(per.n_uniq) AS DOUBLE) / SUM(per.n_sh), 6) AS uniq_ratio,
+       |  CAST(SUM(CASE WHEN per.n_uniq = per.n_sh THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fully_novel,
+       |  CAST(SUM(CASE WHEN CAST(per.n_uniq AS DOUBLE) / per.n_sh < 0.2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+       |FROM per JOIN documents d ON per.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q122 per-source token-distribution divergence (Jensen-Shannon) ------
+
+  /** How far is each source's token distribution from the corpus mix?
+    * Jensen-Shannon divergence `½·KL(P‖M) + ½·KL(Q‖M)`, `M = (P+Q)/2`,
+    * between the per-source distribution P and the corpus distribution Q
+    * over a bounded vocabulary: the top-50 corpus tokens (deterministic
+    * count-desc, token-asc cut) plus one `(other)` residual bucket — the
+    * standard way to keep a divergence estimate O(1) in memory while the
+    * vocabulary grows with corpus size. High-JSD sources are distribution
+    * outliers a mixing policy should inspect before weighting.
+    *
+    * Cross-engine float determinism: every probability is a ratio of exact
+    * integer counts, each bucket's JSD term is a pure function of those, and
+    * the 51-term sum is pinned to bucket order with a running window sum
+    * (the q112 PSI technique) — the LAST cumulative value per source is the
+    * divergence, so no engine ever free-orders a float reduction.
+    *
+    * Scale shape: everything is a further keyed aggregation over the shared
+    * `token_counts` frame; the vocabulary cut broadcasts 50 rows; the term
+    * grid is sources × 51 and the window partitions by source.
+    */
+  def q122SourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = tokenCounts(spark, sfDir)
+    val ct = cached(spark, sfDir, "q122_corpus_tokens")(
+      tc.groupBy("t").agg(sum(col("c")).as("cc")))
+    val topk = broadcast(ct.orderBy(col("cc").desc, col("t")).limit(50)
+      .select(col("t"), lit(true).as("is_top")))
+    def bucketed(df: DataFrame): DataFrame = df
+      .join(topk, Seq("t"), "left")
+      .withColumn("bucket", when(col("is_top"), col("t")).otherwise(lit("(other)")))
+    val sb = bucketed(tc).groupBy("source", "bucket")
+      .agg(sum(col("c")).as("sc"))
+    val cb = bucketed(ct).groupBy("bucket").agg(sum(col("cc")).as("cc"))
+    val ns = sb.groupBy("source").agg(sum(col("sc")).as("n_tokens"))
+    val nt = cb.agg(sum(col("cc")).as("nt"))
+    val grid = ns.crossJoin(broadcast(cb))
+      .join(sb, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("sc"))
+      .crossJoin(broadcast(nt))
+    val p = col("sc").cast("double") / col("n_tokens")
+    val q = col("cc").cast("double") / col("nt")
+    val terms = grid.withColumn("term",
+      when(col("sc") > 0, lit(0.5) * p * log(p / ((p + q) / 2)))
+        .otherwise(lit(0.0)) +
+        lit(0.5) * q * log(q / ((p + q) / 2)))
+    val wCum = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy("source").orderBy(col("bucket").desc)
+    terms
+      .withColumn("jsd_cum", sum(col("term")).over(wCum))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_tokens"),
+        round(col("jsd_cum"), 6).as("jsd"))
+      .orderBy("source")
+  }
+
+  val q122Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |tc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cc FROM tc GROUP BY 1),
+      |topk AS (SELECT t FROM ct ORDER BY cc DESC, t LIMIT 50),
+      |sb AS (
+      |  SELECT source,
+      |    CASE WHEN t IN (SELECT t FROM topk) THEN t ELSE '(other)' END AS bucket,
+      |    CAST(SUM(c) AS BIGINT) AS sc
+      |  FROM tc GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT CASE WHEN t IN (SELECT t FROM topk) THEN t ELSE '(other)' END
+      |      AS bucket,
+      |    CAST(SUM(cc) AS BIGINT) AS cc
+      |  FROM ct GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(sc) AS BIGINT) AS n_tokens
+      |       FROM sb GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(cc) AS BIGINT) AS nt FROM cb),
+      |grid AS (
+      |  SELECT ns.source, ns.n_tokens, cb.bucket, cb.cc,
+      |    COALESCE(sb.sc, 0) AS sc, nt.nt
+      |  FROM ns CROSS JOIN cb
+      |  LEFT JOIN sb ON sb.source = ns.source AND sb.bucket = cb.bucket, nt),
+      |terms AS (
+      |  SELECT source, n_tokens, bucket,
+      |    CASE WHEN sc > 0 THEN
+      |      0.5 * (CAST(sc AS DOUBLE) / n_tokens) *
+      |        LN((CAST(sc AS DOUBLE) / n_tokens) /
+      |          ((CAST(sc AS DOUBLE) / n_tokens + CAST(cc AS DOUBLE) / nt) / 2))
+      |    ELSE 0.0 END
+      |    + 0.5 * (CAST(cc AS DOUBLE) / nt) *
+      |        LN((CAST(cc AS DOUBLE) / nt) /
+      |          ((CAST(sc AS DOUBLE) / n_tokens + CAST(cc AS DOUBLE) / nt) / 2))
+      |      AS term
+      |  FROM grid),
+      |cum AS (
+      |  SELECT source, n_tokens, bucket,
+      |    SUM(term) OVER (PARTITION BY source ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jsd_cum,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket DESC) AS rn
+      |  FROM terms)
+      |SELECT source, n_tokens, ROUND(jsd_cum, 6) AS jsd
+      |FROM cum WHERE rn = 1 ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -4833,7 +5002,9 @@ object ExtQueries {
     "q117_ewma_trend" -> (q117EwmaTrend _),
     "q118_grid_clusters" -> (q118GridClusters _),
     "q119_ref_integrity" -> (q119RefIntegrity _),
-    "q120_cross_source_dupes" -> (q120CrossSourceDupes _))
+    "q120_cross_source_dupes" -> (q120CrossSourceDupes _),
+    "q121_shingle_novelty" -> (q121ShingleNovelty _),
+    "q122_source_divergence" -> (q122SourceDivergence _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -4928,5 +5099,7 @@ object ExtQueries {
     "q117_ewma_trend" -> q117Sql,
     "q118_grid_clusters" -> q118Sql,
     "q119_ref_integrity" -> q119Sql,
-    "q120_cross_source_dupes" -> q120Sql)
+    "q120_cross_source_dupes" -> q120Sql,
+    "q121_shingle_novelty" -> q121Sql,
+    "q122_source_divergence" -> q122Sql)
 }
