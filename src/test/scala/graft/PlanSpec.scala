@@ -259,6 +259,63 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
   }
 
+  test("bucketed tables join without re-shuffling either scan (co-located join)") {
+    // the BucketDemo tool's claim, pinned: bucketBy+sortBy on the join key
+    // at write time means the join consumes the scans directly — the only
+    // exchange in the executed plan is the one above the final aggregation,
+    // never under the join. At 100 TB this is the fact-table re-shuffle
+    // saved on every downstream join.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-test")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").mode("overwrite").saveAsTable("li_bucketed_t")
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/or").mode("overwrite").saveAsTable("or_bucketed_t")
+      val j = spark.table("li_bucketed_t")
+        .join(spark.table("or_bucketed_t"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val rows = j.collect()
+      // AQE plans print Final + Initial sections; count exchanges in the
+      // final (executed) section only
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"join re-shuffled bucketed scans: $plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-free merge/hash join over bucketed scans: $plan")
+      // cross-check the result against the plain (unbucketed) join
+      val plainCount = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(rows.map(_.getLong(1)).sum == plainCount)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed_t")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("source audits (q120/q121/q122) plan keyed shuffles only — no cartesian") {
+    for (name <- Seq("q120_cross_source_dupes", "q121_shingle_novelty",
+        "q122_source_divergence")) {
+      val plan = graft.queries.ExtQueries.all(name)(spark,
+        "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian: $plan")
+    }
+    // novelty is pure keyed aggregation — not even a 1-row attach, so no
+    // nested-loop join and no global exchange may appear
+    val novelty = graft.queries.ExtQueries.all("q121_shingle_novelty")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!novelty.contains("BroadcastNestedLoopJoin") &&
+      !novelty.contains("SinglePartition"), s"q121 plan: $novelty")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
