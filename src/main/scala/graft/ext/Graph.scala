@@ -59,6 +59,51 @@ object Graph {
     ranks.withColumnRenamed("__r", "rank")
   }
 
+  /** Breadth-first hop distances from a seed set over an undirected edge
+    * list — the Pregel frontier pattern on plain DataFrames: each round
+    * joins the current frontier against the edge list, dedups the
+    * discovered nodes, and anti-joins the visited set, so a node is
+    * labeled with its MINIMUM hop count exactly once. Rounds are bounded
+    * by `maxHops` (BFS rounds = graph diameter, not data size); lineage is
+    * truncated per round with `localCheckpoint`, and the only driver-side
+    * value is the per-round frontier COUNT (one long per round — the loop
+    * terminates early when a frontier empties).
+    *
+    * At 100 TB each round is one equi-join plus two keyed dedups — the
+    * same exchange profile as the connected-components fixpoint — and the
+    * visited set carries one row per reached node.
+    *
+    * Output: `(node, hop)` for every node reached within `maxHops`
+    * (seeds at hop 0). Unreached nodes are absent; callers left-join.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops=$maxHops must be >= 0")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol), col(aCol)))
+      .distinct().cache()
+    var visited = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited.select("node")
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+    }
+    und.unpersist()
+    visited
+  }
+
   /** Per-node triangle counts over an undirected simple graph given as a
     * DISTINCT edge list (either endpoint order, no self-loops). Edges are
     * re-oriented from the lower- to the higher-`(degree, id)` endpoint — the

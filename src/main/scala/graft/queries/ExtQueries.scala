@@ -4909,6 +4909,45 @@ object ExtQueries {
       |SELECT source, n_tokens, ROUND(jsd_cum, 6) AS jsd
       |FROM cum WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---- q123 BFS hop-distance histogram --------------------------------------
+
+  /** How far does influence travel in the co-presence network? Breadth-first
+    * hop distances from the smallest user id (a deterministic seed both
+    * engines agree on) over the same cached session-overlap graph as
+    * q85/q87/q96, folded to a per-hop node histogram with unreached nodes in
+    * a `-1` bucket. The Spark side is the Pregel frontier loop
+    * ([[graft.ext.Graph.bfsHops]]: per round one equi-join + keyed dedup +
+    * anti-join, diameter-bounded, lineage checkpointed); the oracle replays
+    * it as a DuckDB recursive CTE whose `UNION`-dedup bounds the walk to
+    * nodes × maxHops rows, with the identical 20-hop cap on both sides.
+    */
+  def q123BfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = copresencePairs(spark, sfDir)
+    val e = pairs.select(col("u1").as("a"), col("u2").as("b")).distinct()
+    val seed = e.agg(min(col("a")).as("node"))
+    val hops = graft.ext.Graph.bfsHops(e, "a", "b", seed, maxHops = 20)
+    val nodes = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
+    nodes.join(hops, Seq("node"), "left")
+      .select(coalesce(col("hop"), lit(-1)).as("hop"))
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
+  val q123Sql: String =
+    s"""WITH RECURSIVE $copresenceCtes,
+       |ed AS (SELECT u1 AS a, u2 AS b FROM p UNION SELECT u2, u1 FROM p),
+       |seed AS (SELECT MIN(a) AS n FROM ed),
+       |walk AS (
+       |  SELECT n, 0 AS hop FROM seed
+       |  UNION
+       |  SELECT ed.b, w.hop + 1 FROM walk w JOIN ed ON ed.a = w.n
+       |  WHERE w.hop < 20),
+       |dist AS (SELECT n, MIN(hop) AS hop FROM walk GROUP BY 1),
+       |nodes AS (SELECT DISTINCT a AS n FROM ed),
+       |lab AS (SELECT nodes.n, COALESCE(dist.hop, -1) AS hop
+       |        FROM nodes LEFT JOIN dist ON nodes.n = dist.n)
+       |SELECT hop, COUNT(*) AS n_nodes FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -5004,7 +5043,8 @@ object ExtQueries {
     "q119_ref_integrity" -> (q119RefIntegrity _),
     "q120_cross_source_dupes" -> (q120CrossSourceDupes _),
     "q121_shingle_novelty" -> (q121ShingleNovelty _),
-    "q122_source_divergence" -> (q122SourceDivergence _))
+    "q122_source_divergence" -> (q122SourceDivergence _),
+    "q123_bfs_hops" -> (q123BfsHops _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -5101,5 +5141,6 @@ object ExtQueries {
     "q119_ref_integrity" -> q119Sql,
     "q120_cross_source_dupes" -> q120Sql,
     "q121_shingle_novelty" -> q121Sql,
-    "q122_source_divergence" -> q122Sql)
+    "q122_source_divergence" -> q122Sql,
+    "q123_bfs_hops" -> q123Sql)
 }

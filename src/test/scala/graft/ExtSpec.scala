@@ -162,6 +162,27 @@ class ExtSpec extends SparkSpec {
     assert(flipped == got)
   }
 
+  test("BFS hop distances equal brute-force BFS, honor maxHops, skip islands") {
+    // path 1-2-3-4-5, a branch 3-6, an unreachable island {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val seed = Seq(1L).toDF("node")
+    val got = graft.ext.Graph.bfsHops(edges, "a", "b", seed, maxHops = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 6L -> 3, 5L -> 4),
+      s"got $got")
+    assert(!got.contains(10L) && !got.contains(11L), "island must be absent")
+    // maxHops truncates the frontier exactly at the cap
+    val capped = graft.ext.Graph.bfsHops(edges, "a", "b", seed, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2), s"capped $capped")
+    // endpoint order is irrelevant (undirected expansion)
+    val flipped = graft.ext.Graph.bfsHops(
+      edges.select(col("b").as("a"), col("a").as("b")), "a", "b", seed, 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flipped == got)
+  }
+
   test("portable simhash near-dup pairs: exact for hamming <= bands-1") {
     val sh = Dedup.simhashPortable(docsDf, "doc_id", "text")
     val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 3, bits = 60, bands = 4)
