@@ -181,6 +181,16 @@ class ExtSpec extends SparkSpec {
       edges.select(col("b").as("a"), col("a").as("b")), "a", "b", seed, 20)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(flipped == got)
+    // the distributed frontier loop (forced past the driver budget) must
+    // agree with the driver queue BFS on every (node, hop)
+    val distributed = graft.ext.Graph.bfsHops(edges, "a", "b", seed,
+      maxHops = 20, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distributed == got, s"distributed $distributed vs driver $got")
+    val distCapped = graft.ext.Graph.bfsHops(edges, "a", "b", seed,
+      maxHops = 2, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distCapped == capped)
   }
 
   test("portable simhash near-dup pairs: exact for hamming <= bands-1") {
