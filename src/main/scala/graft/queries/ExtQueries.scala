@@ -1109,9 +1109,19 @@ object ExtQueries {
     * scale hazard; the lit(0) partition key avoids the unpartitioned-window
     * plan shape the suite bans).
     */
+  /** Corpus-wide per-token totals — one cached aggregate shared by every
+    * consumer of the unigram count vector (q49 Zipf, q53 count-min, q54
+    * surprisal model, q90 PMI unigrams, q122 divergence): sums commute, so
+    * each query is a further (re-aliased) projection of this frame instead
+    * of its own groupBy over the vocabulary.
+    */
+  private def corpusTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "corpus_token_counts")(
+      tokenCounts(spark, sfDir).groupBy("t").agg(sum(col("c")).as("cc")))
+
   def q49Zipf(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = tokenCounts(spark, sfDir)
-      .groupBy(col("t").as("token")).agg(sum(col("c")).as("cnt"))
+    val counts = corpusTokenCounts(spark, sfDir)
+      .select(col("t").as("token"), col("cc").as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__tot"))
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(20)
     val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
@@ -1287,8 +1297,8 @@ object ExtQueries {
     * rounding in the gate.
     */
   def q53CmHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = tokenCounts(spark, sfDir)
-      .groupBy(col("t").as("token")).agg(sum(col("c")).as("cnt"))
+    val counts = corpusTokenCounts(spark, sfDir)
+      .select(col("t").as("token"), col("cc").as("cnt"))
     val cells = Sketches.cmCells(counts, "token", "cnt", d = 4, w = 64)
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(10)
     Sketches.cmEstimate(cells, top, "token", d = 4, w = 64)
@@ -1329,9 +1339,9 @@ object ExtQueries {
     */
   def q54Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val cnt = tokenCounts(spark, sfDir).select("doc_id", "source", "t", "c")
-    // corpus frequencies derive from cnt (sums commute) so the tokenize +
-    // explode lineage runs ONCE, not once per aggregation
-    val freq = cnt.groupBy("t").agg(sum(col("c")).as("f"))
+    // the corpus frequency model is the shared cached aggregate
+    val freq = corpusTokenCounts(spark, sfDir)
+      .select(col("t"), col("cc").as("f"))
     val total = freq.agg(sum(col("f")).as("__T"))
     // model side is vocabulary-sized → broadcast, never a shuffled join
     val per = cnt.join(broadcast(freq), "t").crossJoin(total)
@@ -3032,7 +3042,8 @@ object ExtQueries {
     */
   def q90Collocations(spark: SparkSession, sfDir: String): DataFrame = {
     val c12 = bigramVocabCounts(spark, sfDir)
-    val c1 = tokenCounts(spark, sfDir).groupBy("t").agg(sum(col("c")).as("cu"))
+    val c1 = corpusTokenCounts(spark, sfDir)
+      .select(col("t"), col("cc").as("cu"))
     val totals = broadcast(
       c12.agg(sum(col("c12")).as("nb"))
         .crossJoin(c1.agg(sum(col("cu")).as("nu"))))
@@ -4846,8 +4857,7 @@ object ExtQueries {
     */
   def q122SourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     val tc = tokenCounts(spark, sfDir)
-    val ct = cached(spark, sfDir, "q122_corpus_tokens")(
-      tc.groupBy("t").agg(sum(col("c")).as("cc")))
+    val ct = corpusTokenCounts(spark, sfDir)
     val topk = broadcast(ct.orderBy(col("cc").desc, col("t")).limit(50)
       .select(col("t"), lit(true).as("is_top")))
     def bucketed(df: DataFrame): DataFrame = df
