@@ -98,4 +98,35 @@ object Curation {
           coalesce(element_at(typedLit(excl), col("__pid")), lit(0L)))
       .drop("__pid", "__local")
   }
+
+  /** Row-level diff between two corpus snapshots — the incremental-ingest
+    * audit (what changed between yesterday's crawl and today's?). Each
+    * side collapses to `(id, content digest)`; a single full-outer merge
+    * on the id classifies every row as `added` (new id), `removed`
+    * (disappeared id), `changed` (same id, different digest) or
+    * `unchanged`. Complements the q110 table-level fingerprints: that says
+    * WHETHER replicas diverged, this says WHICH rows and HOW.
+    *
+    * 100-TB shape: digests are row-local projections, so the only wide
+    * operation is one key-partitioned full-outer join carrying
+    * (id, 16-byte digest) — never the payloads. Digests are compared
+    * engine-internally only (equality, never cross-engine), so the md5
+    * choice is an implementation detail.
+    *
+    * Output: `(idCol, change)` — one row per id appearing in either
+    * snapshot.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    def digested(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as("__id"),
+        md5(col(payloadCol).cast("binary")).as(out))
+    digested(a, "__da")
+      .join(digested(b, "__db"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") =!= col("__db"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+  }
 }

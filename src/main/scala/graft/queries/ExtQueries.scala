@@ -4977,6 +4977,51 @@ object ExtQueries {
        |        FROM nodes LEFT JOIN dist ON nodes.n = dist.n)
        |SELECT hop, COUNT(*) AS n_nodes FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q124 corpus snapshot diff --------------------------------------------
+
+  /** Incremental-ingest audit via [[graft.ext.Curation.snapshotDiff]]: two
+    * deterministic synthetic snapshots of the documents table (A drops ids
+    * ≡ 0 mod 7; B drops ids ≡ 0 mod 5 and revises the text of ids ≡ 0 mod
+    * 11) are diffed row-by-row through the digest full-outer merge, then
+    * folded to a per-change-class panel with the count of sources touched.
+    * The digests never cross engines — each engine compares its OWN md5
+    * values for equality, so the oracle replays the classification, not
+    * the hash.
+    */
+  def q124SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val snapA = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val snapB = d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")).as("text"))
+    graft.ext.Curation.snapshotDiff(snapA, snapB, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("change").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy("change")
+  }
+
+  val q124Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS da FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END)
+      |      AS db
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |f AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN da IS NULL THEN 'added'
+      |         WHEN db IS NULL THEN 'removed'
+      |         WHEN da <> db THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT change, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+      |FROM f JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -5073,7 +5118,8 @@ object ExtQueries {
     "q120_cross_source_dupes" -> (q120CrossSourceDupes _),
     "q121_shingle_novelty" -> (q121ShingleNovelty _),
     "q122_source_divergence" -> (q122SourceDivergence _),
-    "q123_bfs_hops" -> (q123BfsHops _))
+    "q123_bfs_hops" -> (q123BfsHops _),
+    "q124_snapshot_diff" -> (q124SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -5171,5 +5217,6 @@ object ExtQueries {
     "q120_cross_source_dupes" -> q120Sql,
     "q121_shingle_novelty" -> q121Sql,
     "q122_source_divergence" -> q122Sql,
-    "q123_bfs_hops" -> q123Sql)
+    "q123_bfs_hops" -> q123Sql,
+    "q124_snapshot_diff" -> q124Sql)
 }

@@ -193,6 +193,20 @@ class ExtSpec extends SparkSpec {
     assert(distCapped == capped)
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged exactly") {
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val b = Seq((2L, "beta"), (3L, "GAMMA"), (4L, "delta")).toDF("id", "text")
+    val got = Curation.snapshotDiff(a, b, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), s"got $got")
+    // diff against self is all-unchanged; empty old snapshot is all-added
+    assert(Curation.snapshotDiff(a, a, "id", "text")
+      .filter(col("change") =!= "unchanged").count() == 0)
+    assert(Curation.snapshotDiff(a.limit(0), a, "id", "text")
+      .filter(col("change") =!= "added").count() == 0)
+  }
+
   test("portable simhash near-dup pairs: exact for hamming <= bands-1") {
     val sh = Dedup.simhashPortable(docsDf, "doc_id", "text")
     val pairs = Dedup.simhashNearDuplicatesFromHashes(sh, maxHamming = 3, bits = 60, bands = 4)
