@@ -422,6 +422,51 @@ object StreamOps {
       }
   }
 
+  // ---- streaming snapshot diff (CDC classification) ------------------------
+
+  case class SnapRow(id: Long, text: String) // text null = deletion tombstone
+  case class DigestState(digest: Option[String])
+  case class DiffOut(id: Long, change: String)
+
+  /** Streaming twin of [[graft.ext.Curation.snapshotDiff]] — continuous
+    * change-data-capture classification: per-id state holds the last
+    * content digest; each arriving row is emitted as `added` (id never
+    * seen with content), `changed` (digest moved), `unchanged` (digest
+    * equal), or `removed` (a null-payload tombstone — streams can't
+    * observe absence, so deletions must arrive as explicit tombstones;
+    * the batch diff derives them from the full-outer join instead). State
+    * is one 32-char digest per live id. Replaying snapshot A then
+    * (B + tombstones for A∖B ids) emits exactly the batch diff's classes
+    * in the second batch — the parity the spec pins.
+    */
+  def streamingSnapshotDiff(rows: DataFrame, idCol: String = "id",
+      payloadCol: String = "text"): Dataset[DiffOut] = {
+    import rows.sparkSession.implicits._
+    val projected = rows.select(col(idCol).cast("long").as("id"),
+      md5(col(payloadCol).cast("binary")).as("text")).as[SnapRow]
+    projected.groupByKey(_.id)
+      .flatMapGroupsWithState[DigestState, DiffOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[SnapRow], state: GroupState[DigestState]) =>
+          var cur = state.getOption.flatMap(_.digest)
+          val out = it.map { r =>
+            val next = Option(r.text)
+            val cls = (cur, next) match {
+              case (None, Some(_))              => "added"
+              case (Some(_), None)              => "removed"
+              case (Some(a), Some(b)) if a != b => "changed"
+              case (Some(_), Some(_))           => "unchanged"
+              case (None, None)                 => "removed"
+            }
+            cur = next
+            DiffOut(id, cls)
+          }.toSeq
+          if (cur.isEmpty) state.remove() // dead ids hold no state
+          else state.update(DigestState(cur))
+          out.iterator
+      }
+  }
+
   // ---- streaming funnel ----------------------------------------------------
 
   case class FunnelState(stageTimes: List[Long])

@@ -373,6 +373,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows(8L) == ((1L, 1.0)))
   }
 
+  test("streaming snapshot diff (CDC) ≡ batch snapshot diff with tombstone feed") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val b = Seq((2L, "beta"), (3L, "GAMMA"), (4L, "delta"))
+    val input = MemoryStream[(Long, String)](91, spark, None)
+    input.addData(a: _*) // batch 1: snapshot A
+    // batch 2: snapshot B + tombstones for the ids A dropped
+    input.addData(b ++ Seq((1L, null: String)): _*)
+    val out = runToMemory(
+      StreamOps.streamingSnapshotDiff(input.toDF().toDF("id", "text")).toDF(),
+      "snapdiff") {}
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // batch 1 emits added for all of A; batch 2 must emit exactly the batch
+    // full-outer diff's classification for every id in A ∪ B
+    val batchClasses = graft.ext.Curation.snapshotDiff(
+      a.toDF("id", "text"), b.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(batchClasses.toMap == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), "batch fixture drifted")
+    val expected = (a.map(x => (x._1, "added")) ++ batchClasses)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expected, s"got $got, want $expected")
+    // idempotent replay of B classifies everything unchanged (state kept)
+    input.addData(b: _*)
+    val out2 = runToMemory(
+      StreamOps.streamingSnapshotDiff(input.toDF().toDF("id", "text")).toDF(),
+      "snapdiff2") {}
+    // a fresh query restarts MemoryStream from its retained batches; the
+    // final replayed batch must contribute only unchanged/removed-free rows
+    val replay = out2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expectedReplay = (a.map(x => (x._1, "added")) ++ batchClasses ++
+      b.map(x => (x._1, "unchanged")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(replay == expectedReplay, s"replay $replay, want $expectedReplay")
+  }
+
   test("streaming HLL registers across batches ≡ batch sketch on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
