@@ -5022,6 +5022,66 @@ object ExtQueries {
       |FROM f JOIN documents d USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q125 context-window chunking -----------------------------------------
+
+  /** Context-window chunking — the inverse of q43's sequence packing: long
+    * documents split into fixed-size token windows (size 32, stride 24 →
+    * 8-token overlap), the way a training pipeline chunks text that exceeds
+    * the model context. Chunk boundaries are integer arithmetic over the
+    * shared cached token-count projection ([[docQuality]]), expanded
+    * row-locally with `sequence`+`explode`, so nothing shuffles until the
+    * final per-source fold — embarrassingly parallel at corpus scale. The
+    * oracle replays the identical arithmetic via
+    * `unnest(generate_series(...))`. Original token mass is accumulated on
+    * chunk 0 only, so the expansion ratio (chunk mass / document mass, > 1
+    * because of overlap) needs no second pass over the un-exploded frame.
+    */
+  def q125Chunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val size = 32L
+    val stride = 24L
+    val d = docQuality(spark, sfDir).withColumn("n_chunks",
+      when(col("tokens") <= size, lit(1L))
+        .otherwise(((col("tokens") - size + stride - 1) / stride).cast("long") + 1L))
+    d.select(col("doc_id"), col("source"), col("tokens"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .withColumn("chunk_tokens",
+        least(lit(size), col("tokens") - col("i") * stride))
+      .groupBy("source").agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"),
+        max(col("n_chunks")).as("max_chunks_per_doc"),
+        round(sum(col("chunk_tokens")).cast("double") /
+          sum(when(col("i") === 0, col("tokens")).otherwise(lit(0L))), 6)
+          .as("expansion"))
+      .orderBy("source")
+  }
+
+  val q125Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      |      AS tokens
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source, tokens,
+      |    CASE WHEN tokens <= 32 THEN 1
+      |         ELSE CAST(FLOOR((tokens - 32 + 24 - 1) / 24.0) AS BIGINT) + 1
+      |    END AS n_chunks
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, source, tokens, n_chunks,
+      |    unnest(generate_series(0, n_chunks - 1)) AS i
+      |  FROM n)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(LEAST(32, tokens - i * 24)) AS BIGINT) AS sum_chunk_tokens,
+      |  CAST(MAX(n_chunks) AS BIGINT) AS max_chunks_per_doc,
+      |  ROUND(CAST(SUM(LEAST(32, tokens - i * 24)) AS DOUBLE)
+      |    / SUM(CASE WHEN i = 0 THEN tokens ELSE 0 END), 6) AS expansion
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -5119,7 +5179,8 @@ object ExtQueries {
     "q121_shingle_novelty" -> (q121ShingleNovelty _),
     "q122_source_divergence" -> (q122SourceDivergence _),
     "q123_bfs_hops" -> (q123BfsHops _),
-    "q124_snapshot_diff" -> (q124SnapshotDiff _))
+    "q124_snapshot_diff" -> (q124SnapshotDiff _),
+    "q125_chunking" -> (q125Chunking _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -5218,5 +5279,6 @@ object ExtQueries {
     "q121_shingle_novelty" -> q121Sql,
     "q122_source_divergence" -> q122Sql,
     "q123_bfs_hops" -> q123Sql,
-    "q124_snapshot_diff" -> q124Sql)
+    "q124_snapshot_diff" -> q124Sql,
+    "q125_chunking" -> q125Sql)
 }

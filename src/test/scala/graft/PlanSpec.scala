@@ -300,9 +300,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("source audits (q120/q121/q122) plan keyed shuffles only — no cartesian") {
+  test("source audits (q120/q121/q122/q125) plan keyed shuffles only — no cartesian") {
     for (name <- Seq("q120_cross_source_dupes", "q121_shingle_novelty",
-        "q122_source_divergence")) {
+        "q122_source_divergence", "q125_chunking")) {
       val plan = graft.queries.ExtQueries.all(name)(spark,
         "/root/testdata/sf0.001").queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
