@@ -5082,6 +5082,66 @@ object ExtQueries {
       |    / SUM(CASE WHEN i = 0 THEN tokens ELSE 0 END), 6) AS expansion
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q126 temperature-based source resampling ------------------------------
+
+  /** Multilingual-training mixture weights via temperature resampling
+    * (exponential smoothing of source shares, the mBERT/XLM-R recipe):
+    * per-source token share p_i, smoothed weight w_i = p_i^α / Σ_j p_j^α at
+    * α = 0.3, the expected token draw at a fixed 100k-token budget, and the
+    * oversample factor w_i·B / tokens_i (> 1 ⇒ the source must repeat
+    * epochs). Complements q70's hard min-source downsampling with the
+    * smooth reweighting large multilingual runs actually use. One keyed
+    * aggregate over the cached token projection plus two 1-row scalar
+    * attaches — driver-free and O(sources) after the shuffle, so the shape
+    * is constant-cost at corpus scale.
+    */
+  def q126TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = 0.3
+    val budget = 100000.0
+    val perSource = docQuality(spark, sfDir)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("src_tokens"))
+    val tot = perSource.agg(sum(col("src_tokens")).as("__tot"))
+    val shared = perSource.crossJoin(tot)
+      .withColumn("p", col("src_tokens").cast("double") / col("__tot"))
+      .withColumn("pw", pow(col("p"), lit(alpha)))
+    val z = shared.agg(sum(col("pw")).as("__z"))
+    shared.crossJoin(z)
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("p"), 6).as("token_share"),
+        round(col("pw") / col("__z"), 6).as("mix_weight"),
+        round(lit(budget) * col("pw") / col("__z"), 2).as("budget_tokens"),
+        round(lit(budget) * col("pw") / col("__z") / col("src_tokens"), 6)
+          .as("oversample_factor"))
+      .orderBy("source")
+  }
+
+  val q126Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      |      AS tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(tokens) AS src_tokens
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(src_tokens) AS tot FROM s),
+      |w AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    CAST(src_tokens AS DOUBLE) / tot AS p,
+      |    POWER(CAST(src_tokens AS DOUBLE) / tot, 0.3) AS pw
+      |  FROM s, tot),
+      |z AS (SELECT SUM(pw) AS z FROM w)
+      |SELECT source,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(src_tokens AS BIGINT) AS src_tokens,
+      |  ROUND(p, 6) AS token_share,
+      |  ROUND(pw / z, 6) AS mix_weight,
+      |  ROUND(100000.0 * pw / z, 2) AS budget_tokens,
+      |  ROUND(100000.0 * pw / z / src_tokens, 6) AS oversample_factor
+      |FROM w, z ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_text_stats" -> (q15TextStats _),
@@ -5180,7 +5240,8 @@ object ExtQueries {
     "q122_source_divergence" -> (q122SourceDivergence _),
     "q123_bfs_hops" -> (q123BfsHops _),
     "q124_snapshot_diff" -> (q124SnapshotDiff _),
-    "q125_chunking" -> (q125Chunking _))
+    "q125_chunking" -> (q125Chunking _),
+    "q126_temperature_mix" -> (q126TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q18_minhash" -> q18Sql,
@@ -5280,5 +5341,6 @@ object ExtQueries {
     "q122_source_divergence" -> q122Sql,
     "q123_bfs_hops" -> q123Sql,
     "q124_snapshot_diff" -> q124Sql,
-    "q125_chunking" -> q125Sql)
+    "q125_chunking" -> q125Sql,
+    "q126_temperature_mix" -> q126Sql)
 }
