@@ -18,7 +18,7 @@ object ExtQueries {
   // re-read each table
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def cached(spark: SparkSession, sfDir: String, name: String)(
+  private[queries] def cached(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame =
     tableCache.getOrElseUpdate((spark, sfDir, name), build.cache())
   // non-DataFrame reusable artifacts (e.g. a benchmark Bloom filter)
@@ -28,10 +28,10 @@ object ExtQueries {
       name: String)(build: => T): T =
     artifactCache.getOrElseUpdate((spark, sfDir, name), build).asInstanceOf[T]
 
-  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "documents")(
       spark.read.parquet(s"$sfDir/documents.parquet"))
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def emb(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "embeddings")(
       spark.read.parquet(s"$sfDir/embeddings.parquet"))
   /** events.parquet's `ts` physical type has varied across driver testdata
@@ -44,7 +44,7 @@ object ExtQueries {
     * epoch arithmetic (`unix_micros`, bigint casts — both disallowed on NTZ)
     * matches DuckDB's naive-timestamp epoch math bit-for-bit.
     */
-  private def events(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def events(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "events")(
       Events.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet")))
 
@@ -56,7 +56,7 @@ object ExtQueries {
     * expensive explode never re-runs per query. source/lang are functionally
     * dependent on doc_id, so including them in the grouping changes nothing.
     */
-  private def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "token_counts")(
       docs(spark, sfDir).select(col("doc_id"), col("source"), col("lang"),
         explode(TextStats.tokens(lower(col("text")))).as("t"))
@@ -717,7 +717,7 @@ object ExtQueries {
     * filter, boundary window) and q79 ranks over it. source/lang are
     * functionally dependent on doc_id, so carrying both costs nothing.
     */
-  private def docQuality(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def docQuality(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "doc_quality")(
       docs(spark, sfDir).select(col("doc_id"), col("source"), col("lang"),
         round(TextStats.qualityScore(col("text")), 3).as("q"),
