@@ -56,6 +56,38 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("approx_users"), col("n_events"))
 
+  /** Running Welch's t-test monitor per event type — the streaming twin of
+    * the batch q134 A/B audit ([[graft.queries.Round7Queries.q134WelchAb]]).
+    * Cohort A = even user_id, matching the batch split. State is the six
+    * sufficient statistics (n, Σx, Σx²) per cohort per event type —
+    * O(types), never O(events) — so the monitor runs indefinitely in
+    * update/complete mode without a watermark; the t statistic and
+    * Welch–Satterthwaite df are recomputed declaratively from the merged
+    * sums at every trigger. `var = (Σx² − (Σx)²/n)/(n−1)` is the mergeable
+    * form of the batch `var_samp`.
+    */
+  def streamingAbMonitor(events: DataFrame): DataFrame = {
+    val a = col("user_id") % 2 === 0
+    val g = events.groupBy("event_type").agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+      sum(when(a, col("value"))).as("s_a"),
+      sum(when(!a, col("value"))).as("s_b"),
+      sum(when(a, col("value") * col("value"))).as("ss_a"),
+      sum(when(!a, col("value") * col("value"))).as("ss_b"))
+    val ma = col("s_a") / col("n_a")
+    val mb = col("s_b") / col("n_b")
+    val va = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) / (col("n_a") - 1)
+    val vb = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) / (col("n_b") - 1)
+    val se2 = va / col("n_a") + vb / col("n_b")
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(se2)).as("t_stat"),
+      (se2 * se2 / (
+        (va / col("n_a")) * (va / col("n_a")) / (col("n_a") - 1) +
+        (vb / col("n_b")) * (vb / col("n_b")) / (col("n_b") - 1))).as("welch_df"))
+  }
+
   /** Session windows via the built-in session_window (gap-based), the
     * streaming twin of [[graft.ext.Events.sessionize]].
     */

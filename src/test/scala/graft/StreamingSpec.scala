@@ -655,4 +655,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamPanel == batchPanel,
       s"stream $streamPanel\nbatch  $batchPanel")
   }
+
+  test("streaming A/B monitor ≡ batch Welch t-test on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .transform(e => graft.ext.Events.normalizeTs(e))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val batch = graft.queries.Round7Queries.q134WelchAb(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("t_stat"), r.getAs[Double]("welch_df")))).toMap
+
+    val input = MemoryStream[EventRow](21, spark, None)
+    input.addData(ev.as[EventRow].collect().toSeq)
+    val out = runToMemory(StreamOps.streamingAbMonitor(input.toDF()),
+      "ab_monitor", mode = "complete") {}
+    val stream = out.collect().map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("t_stat"), r.getAs[Double]("welch_df")))).toMap
+
+    assert(stream.keySet == batch.keySet)
+    stream.foreach { case (k, (na, nb, t, df)) =>
+      val (bna, bnb, bt, bdf) = batch(k)
+      assert(na == bna && nb == bnb, s"$k cohort sizes")
+      // batch rounds t to 4 and df to 2 decimals; sufficient-statistics
+      // variance vs Welford var_samp also differ in float association
+      assertApprox(t, bt, tol = 1e-3, clue = s"$k t_stat")
+      assertApprox(df, bdf, tol = 1e-1, clue = s"$k welch_df")
+    }
+  }
 }
