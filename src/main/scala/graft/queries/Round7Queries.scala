@@ -567,6 +567,308 @@ object Round7Queries {
       |    AS welch_df
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---- q135 trimmed-mean robust A/B -----------------------------------------
+
+  /** Robust (10%-trimmed) A/B comparison per event type — the
+    * outlier-resistant companion to q134: per cohort, the mean of values
+    * inside that cohort's [p10, p90] band, the trimmed-mean lift, and how
+    * many observations each side trimmed. Heavy-tailed metrics (revenue)
+    * flip plain-mean A/B signs on a handful of whales; the trimmed contrast
+    * is the standard first defense. Quantile bounds come from one
+    * `percentile` pass per (type, cohort) — both engines interpolate
+    * `(n−1)·p` linearly, so the band edges (and thus the filter set) match
+    * bit-for-bit — then one conditional aggregation.
+    */
+  def q135TrimmedAb(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir).withColumn("cohort",
+      (col("user_id") % 2 === 0).cast("int"))
+    val bounds = e.groupBy("event_type", "cohort").agg(
+      expr("percentile(value, 0.1)").as("lo"),
+      expr("percentile(value, 0.9)").as("hi"))
+    val t = e.join(bounds, Seq("event_type", "cohort"))
+      .withColumn("inband", col("value") >= col("lo") && col("value") <= col("hi"))
+    t.groupBy("event_type").agg(
+        sum(when(col("cohort") === 1 && col("inband"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0 && col("inband"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1 && !col("inband"), 1L).otherwise(0L)).as("trimmed_a"),
+        sum(when(col("cohort") === 0 && !col("inband"), 1L).otherwise(0L)).as("trimmed_b"),
+        round(avg(when(col("cohort") === 1 && col("inband"), col("value"))), 6).as("tmean_a"),
+        round(avg(when(col("cohort") === 0 && col("inband"), col("value"))), 6).as("tmean_b"))
+      .withColumn("lift", round(col("tmean_a") - col("tmean_b"), 6))
+      .orderBy("event_type")
+  }
+
+  val q135Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, value, CAST(user_id % 2 = 0 AS INT) AS cohort
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, cohort,
+      |    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
+      |  FROM c GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c.event_type, c.cohort, c.value,
+      |    c.value >= b.lo AND c.value <= b.hi AS inband
+      |  FROM c JOIN b ON c.event_type = b.event_type AND c.cohort = b.cohort),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN cohort = 1 AND inband THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN cohort = 0 AND inband THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN cohort = 1 AND NOT inband THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_a,
+      |    CAST(SUM(CASE WHEN cohort = 0 AND NOT inband THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_b,
+      |    ROUND(AVG(CASE WHEN cohort = 1 AND inband THEN value END), 6) AS tmean_a,
+      |    ROUND(AVG(CASE WHEN cohort = 0 AND inband THEN value END), 6) AS tmean_b
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n_a, n_b, trimmed_a, trimmed_b, tmean_a, tmean_b,
+      |  ROUND(tmean_a - tmean_b, 6) AS lift
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ---- q136 cross-modal alignment audit -------------------------------------
+
+  /** Text↔embedding cross-modal alignment: documents joined to their
+    * embedding rows (doc_id = vec_id), per embedding label: coverage, mean
+    * text quality, mean token count, and the dominant language with its
+    * share. The sanity panel before any joint text/embedding training run —
+    * a label whose dominant-language share is ~1/|langs| embeds noise, one
+    * whose mean quality sags pollutes its cluster. One broadcast-joined
+    * pass + a first-appearance-stable argmax via window rank.
+    */
+  def q136ModalAlignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = cached(spark, sfDir, "q136_joined")(
+      docQuality(spark, sfDir).join(
+        emb(spark, sfDir).select(col("vec_id").as("doc_id"), col("label")),
+        Seq("doc_id")))
+    val byLabel = joined.groupBy("label").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("q")), 6).as("mean_quality"),
+      round(avg(col("tokens")), 6).as("mean_tokens"))
+    val langCounts = joined.groupBy("label", "lang")
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("lc").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("lang").as("top_lang"), col("lc"))
+    byLabel.join(langCounts, Seq("label"))
+      .withColumn("top_lang_share",
+        round(col("lc").cast("double") / col("n_docs"), 6))
+      .drop("lc")
+      .orderBy("label")
+  }
+
+  /** DuckDB replica of [[graft.ext.TextStats.qualityScore]] over documents —
+    * the same formula the q39 oracle uses (length, word-length band,
+    * punctuation ratio), rounded to 3 like `docQuality`.
+    */
+  private val docQualitySqlCte: String =
+    """dq AS (
+      |  SELECT doc_id, source, lang,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents)""".stripMargin
+
+  val q136Sql: String =
+    s"""WITH $docQualitySqlCte,
+      |j AS (
+      |  SELECT e.label, dq.lang, dq.tokens, dq.q, dq.doc_id
+      |  FROM dq JOIN embeddings e ON dq.doc_id = e.vec_id),
+      |bl AS (
+      |  SELECT label, COUNT(*) AS n_docs,
+      |    ROUND(AVG(q), 6) AS mean_quality,
+      |    ROUND(AVG(tokens), 6) AS mean_tokens
+      |  FROM j GROUP BY 1),
+      |lc AS (
+      |  SELECT label, lang, COUNT(*) AS lc,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY COUNT(*) DESC, lang)
+      |      AS rn
+      |  FROM j GROUP BY 1, 2)
+      |SELECT bl.label, bl.n_docs, bl.mean_quality, bl.mean_tokens,
+      |  lc.lang AS top_lang,
+      |  ROUND(CAST(lc.lc AS DOUBLE) / bl.n_docs, 6) AS top_lang_share
+      |FROM bl JOIN lc ON bl.label = lc.label AND lc.rn = 1
+      |ORDER BY bl.label""".stripMargin
+
+  // ---- q137 quality-threshold filter sweep ----------------------------------
+
+  /** Filter-threshold sweep — the tuning curve read before fixing a quality
+    * cutoff: for each threshold t ∈ {0.0,0.1,…,0.9}, the documents and
+    * tokens surviving `q ≥ t` and the surviving token fraction. Computed as
+    * a quality-decile histogram plus one suffix cumsum over ≤10 rows — the
+    * whole sweep costs one keyed aggregation regardless of corpus size,
+    * instead of ten filtered re-scans.
+    */
+  def q137FilterSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+      // decile floor: q ∈ [0,1], clamp 1.0 into the 0.9 bucket
+      .withColumn("bucket", least(floor(col("q") * 10), lit(9L)))
+    val hist = d.groupBy("bucket").agg(
+      count(lit(1)).as("bn"), sum(col("tokens")).as("bt"))
+    val total = d.agg(sum(col("tokens")).as("all_tokens"))
+    // suffix cumsum over ≤10 decile rows: docs/tokens surviving q ≥ bucket/10
+    hist.crossJoin(total)
+      .withColumn("surviving_docs", sum(col("bn")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("surviving_tokens", sum(col("bt")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        round(col("bucket").cast("double") / 10, 1).as("threshold"),
+        col("surviving_docs"), col("surviving_tokens"),
+        round(col("surviving_tokens").cast("double") / col("all_tokens"), 6)
+          .as("token_fraction"))
+      .orderBy("threshold")
+  }
+
+  val q137Sql: String =
+    s"""WITH $docQualitySqlCte,
+      |b AS (
+      |  SELECT LEAST(FLOOR(q * 10), 9) AS bucket, COUNT(*) AS bn,
+      |    SUM(tokens) AS bt
+      |  FROM dq GROUP BY 1),
+      |tot AS (SELECT SUM(tokens) AS all_tokens FROM dq),
+      |acc AS (
+      |  SELECT bucket,
+      |    SUM(bn) OVER (ORDER BY bucket DESC) AS surviving_docs,
+      |    SUM(bt) OVER (ORDER BY bucket DESC) AS surviving_tokens
+      |  FROM b)
+      |SELECT ROUND(bucket / 10.0, 1) AS threshold,
+      |  CAST(surviving_docs AS BIGINT) AS surviving_docs,
+      |  CAST(surviving_tokens AS BIGINT) AS surviving_tokens,
+      |  ROUND(CAST(surviving_tokens AS DOUBLE) / tot.all_tokens, 6)
+      |    AS token_fraction
+      |FROM acc CROSS JOIN tot ORDER BY threshold""".stripMargin
+
+  // ---- q138 chi-square independence lang × source ---------------------------
+
+  /** Chi-square test of independence between language and source — "is the
+    * language mix the same across sources?", the first contingency check on
+    * any multi-source multilingual corpus. Expected counts from the margin
+    * products, χ² accumulated in (lang, source) cell order via an ordered
+    * running window (the q111/q112 technique) so the float sum is
+    * bit-identical across engines, plus degrees of freedom and the
+    * Cramér's V effect size. O(|langs|·|sources|) after one keyed count.
+    */
+  def q138Chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = docs(spark, sfDir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val langM = cells.groupBy("lang").agg(sum(col("o")).as("ml"))
+    val srcM = cells.groupBy("source").agg(sum(col("o")).as("ms"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("lang")).as("nl"),
+      count_distinct(col("source")).as("ns"))
+    // complete grid (zero cells contribute E, not 0) — margins × margins
+    val grid = langM.crossJoin(srcM)
+      .join(cells, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(tot)
+      .withColumn("e", col("ml").cast("double") * col("ms") / col("n"))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    // ordered accumulation: one running sum in (lang, source) order, take last
+    val chi2 = grid
+      .withColumn("cum", sum(col("term")).over(
+        Window.orderBy("lang", "source")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lang").desc, col("source").desc)))
+      .filter(col("rn") === 1)
+    chi2.select(
+      col("n").as("n_docs"),
+      ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+      round(col("cum"), 6).as("chi2"),
+      round(sqrt(col("cum") / (col("n") *
+        least(col("nl") - 1, col("ns") - 1))), 6).as("cramers_v"))
+  }
+
+  val q138Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |lm AS (SELECT lang, SUM(o) AS ml FROM cells GROUP BY 1),
+      |sm AS (SELECT source, SUM(o) AS ms FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS nl,
+      |    COUNT(DISTINCT source) AS ns
+      |  FROM cells),
+      |grid AS (
+      |  SELECT lm.lang, sm.source, lm.ml, sm.ms, COALESCE(c.o, 0) AS o
+      |  FROM lm CROSS JOIN sm
+      |  LEFT JOIN cells c ON c.lang = lm.lang AND c.source = sm.source),
+      |terms AS (
+      |  SELECT g.lang, g.source,
+      |    POWER(g.o - CAST(g.ml AS DOUBLE) * g.ms / t.n, 2)
+      |      / (CAST(g.ml AS DOUBLE) * g.ms / t.n) AS term
+      |  FROM grid g CROSS JOIN tot t),
+      |acc AS (
+      |  SELECT SUM(term) OVER (ORDER BY lang, source) AS cum,
+      |    ROW_NUMBER() OVER (ORDER BY lang DESC, source DESC) AS rn
+      |  FROM terms)
+      |SELECT t.n AS n_docs,
+      |  CAST((t.nl - 1) * (t.ns - 1) AS BIGINT) AS dof,
+      |  ROUND(a.cum, 6) AS chi2,
+      |  ROUND(SQRT(a.cum / (t.n * LEAST(t.nl - 1, t.ns - 1))), 6) AS cramers_v
+      |FROM acc a CROSS JOIN tot t WHERE a.rn = 1""".stripMargin
+
+  // ---- q139 Wilson conversion intervals -------------------------------------
+
+  /** Per-source purchase-conversion rate with the Wilson 95% score interval
+    * — the proportion CI that stays inside [0,1] at small n, which is what
+    * you publish on a dashboard instead of the naive Wald interval. A user
+    * counts as converted if they have ≥1 purchase event; the proportion is
+    * over distinct active users per event-source bucket (user_id % 20 → a
+    * deterministic traffic-split stand-in). Closed-form arithmetic over one
+    * distinct-user aggregation.
+    */
+  def q139WilsonCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 1.959963984540054 // Φ⁻¹(0.975)
+    val users = events(spark, sfDir)
+      .withColumn("bucket", col("user_id") % 20)
+      .groupBy("bucket", "user_id").agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+    users.groupBy("bucket").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_converted"))
+      .withColumn("p", col("n_converted").cast("double") / col("n_users"))
+      .withColumn("den", lit(1.0) + lit(z * z) / col("n_users"))
+      .withColumn("center",
+        (col("p") + lit(z * z) / (col("n_users") * 2)) / col("den"))
+      .withColumn("margin",
+        lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n_users") +
+          lit(z * z) / (lit(4.0) * col("n_users") * col("n_users"))) / col("den"))
+      .select(col("bucket"), col("n_users"), col("n_converted"),
+        round(col("p"), 6).as("conversion"),
+        round(col("center") - col("margin"), 6).as("wilson_lo"),
+        round(col("center") + col("margin"), 6).as("wilson_hi"))
+      .orderBy("bucket")
+  }
+
+  val q139Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 20 AS bucket, user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT bucket, COUNT(*) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_converted
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT bucket, n_users, n_converted,
+      |    CAST(n_converted AS DOUBLE) / n_users AS p,
+      |    1.959963984540054 AS z
+      |  FROM s)
+      |SELECT bucket, n_users, n_converted,
+      |  ROUND(p, 6) AS conversion,
+      |  ROUND((p + z*z / (n_users * 2)) / (1.0 + z*z / n_users)
+      |    - z * SQRT(p * (1.0 - p) / n_users + z*z / (4.0 * n_users * n_users))
+      |      / (1.0 + z*z / n_users), 6) AS wilson_lo,
+      |  ROUND((p + z*z / (n_users * 2)) / (1.0 + z*z / n_users)
+      |    + z * SQRT(p * (1.0 - p) / n_users + z*z / (4.0 * n_users * n_users))
+      |      / (1.0 + z*z / n_users), 6) AS wilson_hi
+      |FROM w ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_gopher_rules" -> (q127GopherRules _),
     "q128_ks_drift" -> (q128KsDrift _),
@@ -575,7 +877,12 @@ object Round7Queries {
     "q131_padding_efficiency" -> (q131PaddingEfficiency _),
     "q132_centroid_drift" -> (q132CentroidDrift _),
     "q133_minhash_accuracy" -> (q133MinhashAccuracy _),
-    "q134_welch_ab" -> (q134WelchAb _))
+    "q134_welch_ab" -> (q134WelchAb _),
+    "q135_trimmed_ab" -> (q135TrimmedAb _),
+    "q136_modal_alignment" -> (q136ModalAlignment _),
+    "q137_filter_sweep" -> (q137FilterSweep _),
+    "q138_chi2_independence" -> (q138Chi2Independence _),
+    "q139_wilson_ci" -> (q139WilsonCi _))
 
   val oracles: Map[String, String] = Map(
     "q127_gopher_rules" -> q127Sql,
@@ -585,5 +892,10 @@ object Round7Queries {
     "q131_padding_efficiency" -> q131Sql,
     "q132_centroid_drift" -> q132Sql,
     "q133_minhash_accuracy" -> q133Sql,
-    "q134_welch_ab" -> q134Sql)
+    "q134_welch_ab" -> q134Sql,
+    "q135_trimmed_ab" -> q135Sql,
+    "q136_modal_alignment" -> q136Sql,
+    "q137_filter_sweep" -> q137Sql,
+    "q138_chi2_independence" -> q138Sql,
+    "q139_wilson_ci" -> q139Sql)
 }

@@ -112,6 +112,67 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("q135 trimmed A/B: trims ≤ 20%+ε of each cohort, means inside band") {
+    val r = Round7Queries.q135TrimmedAb(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val na = row.getAs[Long]("n_a"); val ta = row.getAs[Long]("trimmed_a")
+      val nb = row.getAs[Long]("n_b"); val tb = row.getAs[Long]("trimmed_b")
+      // p10/p90 band keeps ≥ 80% of each cohort (interpolated bounds can
+      // exclude at most ~20% plus the boundary ties)
+      assert(ta.toDouble / (na + ta) <= 0.25, s"trimmed_a $ta of ${na + ta}")
+      assert(tb.toDouble / (nb + tb) <= 0.25, s"trimmed_b $tb of ${nb + tb}")
+      assert(math.abs(row.getAs[Double]("lift") -
+        (row.getAs[Double]("tmean_a") - row.getAs[Double]("tmean_b"))) < 1e-9)
+    }
+  }
+
+  test("q136 modal alignment: coverage = corpus, shares in (0,1]") {
+    val r = Round7Queries.q136ModalAlignment(spark, sf).collect()
+    assert(r.length == 10)
+    val total = r.map(_.getAs[Long]("n_docs")).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    r.foreach { row =>
+      val share = row.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(Set("en", "de", "fr", "es", "zh")(row.getAs[String]("top_lang")))
+    }
+  }
+
+  test("q137 filter sweep: survivors monotone non-increasing in threshold") {
+    val r = Round7Queries.q137FilterSweep(spark, sf).orderBy("threshold").collect()
+    assert(r.nonEmpty)
+    val docs = r.map(_.getAs[Long]("surviving_docs"))
+    val toks = r.map(_.getAs[Long]("surviving_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    // threshold 0 (lowest bucket present) keeps everything
+    assertApprox(r.head.getAs[Double]("token_fraction"), 1.0, tol = 1e-9)
+  }
+
+  test("q138 chi-square: nonnegative, Cramér's V in [0,1], dof correct") {
+    val r = Round7Queries.q138Chi2Independence(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("chi2") >= 0.0)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(row.getAs[Long]("dof") == (5 - 1) * (20 - 1))
+  }
+
+  test("q139 Wilson CI: interval contains point estimate, inside [0,1]") {
+    val r = Round7Queries.q139WilsonCi(spark, sf).collect()
+    // sf0.001 has few users: some of the 20 buckets may be empty
+    assert(r.nonEmpty && r.length <= 20)
+    r.foreach { row =>
+      val p = row.getAs[Double]("conversion")
+      val lo = row.getAs[Double]("wilson_lo")
+      val hi = row.getAs[Double]("wilson_hi")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9)
+    }
+  }
+
   test("q134 Welch A/B: df between min(n)−1 and n_a+n_b−2, cohorts partition") {
     val r = Round7Queries.q134WelchAb(spark, sf).collect()
     assert(r.nonEmpty)
