@@ -582,9 +582,29 @@ object Round7Queries {
   def q135TrimmedAb(spark: SparkSession, sfDir: String): DataFrame = {
     val e = events(spark, sfDir).withColumn("cohort",
       (col("user_id") % 2 === 0).cast("int"))
-    val bounds = e.groupBy("event_type", "cohort").agg(
-      expr("percentile(value, 0.1)").as("lo"),
-      expr("percentile(value, 0.9)").as("hi"))
+    // Band edges via explicit rank interpolation (k = p·(n−1), i = ⌊k⌋,
+    // v[i+1]·(1−f) + v[i+2]·f) instead of the built-in percentile:
+    // Spark's `percentile` and DuckDB's `quantile_cont` interpolate with
+    // differently-associated float expressions, and a 1-ulp edge difference
+    // flips membership for rows sitting exactly on the cut (observed at
+    // sf0.1). Writing the arithmetic out pins both engines to the identical
+    // IEEE operation sequence; the two nonzero terms meet in a commutative
+    // two-addend sum, so accumulation order cannot perturb it either.
+    val ranked = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "cohort").orderBy("value")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type", "cohort")))
+    def edge(p: Double): Column = {
+      val k = (col("n") - 1).cast("double") * p
+      val i = floor(k)
+      val f = k - i
+      sum(when(col("rn") === i + 1, col("value") * (lit(1.0) - f))
+        .when(col("rn") === i + 2, col("value") * f)
+        .otherwise(lit(0.0)))
+    }
+    val bounds = ranked.groupBy("event_type", "cohort").agg(
+      edge(0.1).as("lo"), edge(0.9).as("hi"))
     val t = e.join(bounds, Seq("event_type", "cohort"))
       .withColumn("inband", col("value") >= col("lo") && col("value") <= col("hi"))
     t.groupBy("event_type").agg(
@@ -602,10 +622,31 @@ object Round7Queries {
     """WITH c AS (
       |  SELECT event_type, value, CAST(user_id % 2 = 0 AS INT) AS cohort
       |  FROM events),
+      |r AS (
+      |  SELECT event_type, cohort, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, cohort ORDER BY value)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type, cohort) AS n
+      |  FROM c),
       |b AS (
       |  SELECT event_type, cohort,
-      |    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
-      |  FROM c GROUP BY 1, 2),
+      |    SUM(CASE
+      |      WHEN rn = FLOOR(CAST(n - 1 AS DOUBLE) * 0.1) + 1
+      |        THEN value * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.1
+      |          - FLOOR(CAST(n - 1 AS DOUBLE) * 0.1)))
+      |      WHEN rn = FLOOR(CAST(n - 1 AS DOUBLE) * 0.1) + 2
+      |        THEN value * (CAST(n - 1 AS DOUBLE) * 0.1
+      |          - FLOOR(CAST(n - 1 AS DOUBLE) * 0.1))
+      |      ELSE 0.0 END) AS lo,
+      |    SUM(CASE
+      |      WHEN rn = FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) + 1
+      |        THEN value * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.9
+      |          - FLOOR(CAST(n - 1 AS DOUBLE) * 0.9)))
+      |      WHEN rn = FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) + 2
+      |        THEN value * (CAST(n - 1 AS DOUBLE) * 0.9
+      |          - FLOOR(CAST(n - 1 AS DOUBLE) * 0.9))
+      |      ELSE 0.0 END) AS hi
+      |  FROM r GROUP BY 1, 2),
       |t AS (
       |  SELECT c.event_type, c.cohort, c.value,
       |    c.value >= b.lo AND c.value <= b.hi AS inband
