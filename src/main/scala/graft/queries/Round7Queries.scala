@@ -910,6 +910,87 @@ object Round7Queries {
       |      / (1.0 + z*z / n_users), 6) AS wilson_hi
       |FROM w ORDER BY bucket""".stripMargin
 
+  // ---- q140 pivoted daily activity matrix -----------------------------------
+
+  /** Daily activity matrix via relational pivot: one row per day, one count
+    * column per event type — the wide layout dashboards and downstream
+    * spreadsheet-ish consumers ask for. Uses `groupBy().pivot()` with an
+    * explicit value list, which keeps the plan a single aggregation (Spark
+    * skips the extra distinct-values job and the column set is fixed at
+    * plan time — the scalable form; an open-ended pivot would scan twice
+    * and produce a data-dependent schema). The oracle is the classic
+    * conditional-aggregation spelling.
+    */
+  def q140PivotDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, sfDir)
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .groupBy("day").pivot("event_type", types).count()
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+
+  val q140Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q141 interval RANGE-frame trailing window ----------------------------
+
+  /** Trailing 7-day activity via a RANGE window frame over integer epoch
+    * days — the frame variant q28's rolling Sharpe (ROWS frame) cannot
+    * express: with gaps in the daily series, `ROWS 6 PRECEDING` spans more
+    * than a week while `RANGE 6 PRECEDING` is calendar-correct without
+    * densifying the series first. Integer day arithmetic keeps the frame
+    * bound exact in both engines; the input is the daily aggregate, so the
+    * window runs over O(days·types) rows partitioned by type.
+    */
+  def q141RangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("epoch_day")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("trail7_events", sum(col("x")).over(w))
+      .withColumn("trail7_days", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("epoch_day").cast("int")), "yyyy-MM-dd").as("day"),
+        col("x").as("n_events"), col("trail7_events"), col("trail7_days"),
+        round(col("trail7_events").cast("double") / col("trail7_days"), 6)
+          .as("trail7_daily_avg"))
+      .orderBy("event_type", "day")
+  }
+
+  val q141Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, epoch_day, x,
+      |    SUM(x) OVER (PARTITION BY event_type ORDER BY epoch_day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_events,
+      |    COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_days
+      |  FROM daily)
+      |SELECT event_type,
+      |  CAST(DATE '1970-01-01' + CAST(epoch_day AS INT) AS VARCHAR) AS day,
+      |  CAST(x AS BIGINT) AS n_events,
+      |  CAST(trail7_events AS BIGINT) AS trail7_events,
+      |  CAST(trail7_days AS BIGINT) AS trail7_days,
+      |  ROUND(CAST(trail7_events AS DOUBLE) / trail7_days, 6)
+      |    AS trail7_daily_avg
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_gopher_rules" -> (q127GopherRules _),
     "q128_ks_drift" -> (q128KsDrift _),
@@ -923,7 +1004,9 @@ object Round7Queries {
     "q136_modal_alignment" -> (q136ModalAlignment _),
     "q137_filter_sweep" -> (q137FilterSweep _),
     "q138_chi2_independence" -> (q138Chi2Independence _),
-    "q139_wilson_ci" -> (q139WilsonCi _))
+    "q139_wilson_ci" -> (q139WilsonCi _),
+    "q140_pivot_daily" -> (q140PivotDaily _),
+    "q141_range_window" -> (q141RangeWindow _))
 
   val oracles: Map[String, String] = Map(
     "q127_gopher_rules" -> q127Sql,
@@ -938,5 +1021,7 @@ object Round7Queries {
     "q136_modal_alignment" -> q136Sql,
     "q137_filter_sweep" -> q137Sql,
     "q138_chi2_independence" -> q138Sql,
-    "q139_wilson_ci" -> q139Sql)
+    "q139_wilson_ci" -> q139Sql,
+    "q140_pivot_daily" -> q140Sql,
+    "q141_range_window" -> q141Sql)
 }

@@ -173,6 +173,24 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("q140 pivot: cell mass equals the event count") {
+    val r = Round7Queries.q140PivotDaily(spark, sf).collect()
+    assert(r.nonEmpty)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val mass = r.map(row => types.map(row.getAs[Long]).sum).sum
+    assert(mass == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("q141 range window: trailing frame ≤ 7 calendar days and ⊇ current") {
+    val r = Round7Queries.q141RangeWindow(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val days = row.getAs[Long]("trail7_days")
+      assert(days >= 1 && days <= 7)
+      assert(row.getAs[Long]("trail7_events") >= row.getAs[Long]("n_events"))
+    }
+  }
+
   test("q134 Welch A/B: df between min(n)−1 and n_a+n_b−2, cohorts partition") {
     val r = Round7Queries.q134WelchAb(spark, sf).collect()
     assert(r.nonEmpty)
