@@ -316,6 +316,35 @@ class PlanSpec extends SparkSpec {
       !novelty.contains("SinglePartition"), s"q121 plan: $novelty")
   }
 
+  test("round-7 audits plan without cartesians; row-local audits have no nested loop") {
+    // scalar 1-row attaches (q131 naive, q128 n_g, q137 total) are
+    // BroadcastNestedLoopJoin by construction — assert only no cartesian
+    for (name <- Seq("q127_gopher_rules", "q128_ks_drift", "q129_vocab_growth",
+        "q130_cusum_changepoint", "q131_padding_efficiency",
+        "q134_welch_ab", "q135_trimmed_ab", "q137_filter_sweep",
+        "q139_wilson_ci", "q140_pivot_daily", "q141_range_window")) {
+      val plan = graft.queries.Round7Queries.all(name)(spark,
+        "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian: $plan")
+    }
+    // q127 (rule audit) and q140 (pivot) are pure keyed aggregations: one
+    // shuffle on the grouping key, no join of any kind, no global exchange
+    for (name <- Seq("q127_gopher_rules", "q140_pivot_daily")) {
+      val plan = graft.queries.Round7Queries.all(name)(spark,
+        "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plans a join: $plan")
+      assert(!plan.contains("SinglePartition") || name == "q140_pivot_daily",
+        s"$name has a global exchange: $plan")
+    }
+    // q141's RANGE window is partitioned by event_type — never a global sort
+    val q141 = graft.queries.Round7Queries.all("q141_range_window")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!q141.contains("SinglePartition") ||
+      q141.contains("rangepartitioning"),
+      s"q141 window not key-partitioned: $q141")
+  }
+
   test("salted aggregation matches direct aggregation for semigroup metrics") {
     val sf = SeriesFrame((1 to 500).map(i => (s"k${i % 2}", i, 1.0 + i * 1e-4))
       .toDF("a", "t", "r"), Seq("a"), "t", "r")
