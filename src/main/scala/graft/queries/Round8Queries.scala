@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, Similarity, Splits}
+
+/** Round-8 extension queries (q142+): the curation decisions a training-data
+  * pipeline makes AFTER the per-document audits — semantic decontamination
+  * against a benchmark embedding set, SemDeDup-style within-cluster pruning,
+  * per-domain frequency capping, epoch-capped token-budget waterfilling,
+  * cross-split span-leakage verification, and length-curriculum staging over
+  * the distributed global rank. Every query carries a DuckDB oracle replaying
+  * the identical arithmetic; shared inputs come from [[ExtQueries]]' session
+  * caches (`docs`, `docQuality`, `emb`) so nothing re-reads per query.
+  */
+object Round8Queries {
+
+  import ExtQueries.{cached, docs, docQuality, emb}
+
+  /** The q39/q79 docQuality CTE — per-doc 3-dp quality + whitespace token
+    * count — shared verbatim by the q144 oracle.
+    */
+  private val docQualitySqlCte: String =
+    """  SELECT doc_id, source, lang,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents""".stripMargin
+
+  // ---- q142 semantic decontamination ---------------------------------------
+
+  /** Embedding-level benchmark decontamination: every 20th vector plays the
+    * benchmark/eval set, the rest the training corpus, and a corpus vector
+    * is contaminated when its cosine to ANY benchmark vector reaches 0.35.
+    * This is the semantic complement of the span-based q44/q50 (paraphrased
+    * eval leakage survives exact n-gram matching). The benchmark side is
+    * tiny by construction (eval sets are), so the scan is a broadcast
+    * nested-loop over the corpus — the corpus never shuffles — followed by
+    * one keyed max per vector. The threshold compares UNROUNDED doubles:
+    * both engines fold the dot product sequentially in double precision
+    * (the q37-documented equivalence), and max is order-independent.
+    */
+  def q142SemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"),
+      sqrt(Similarity.norm2(col("embedding"))).as("n"))
+    val bench = broadcast(e.filter(col("vec_id") % 20 === 0)
+      .select(col("v").as("bv"), col("n").as("bn")))
+    val corpus = e.filter(col("vec_id") % 20 =!= 0)
+    val cos = Similarity.dot(col("v"), col("bv")) / (col("n") * col("bn"))
+    val per = corpus.crossJoin(bench)
+      .groupBy("vec_id", "label").agg(max(cos).as("mc"))
+    per.groupBy("label").agg(
+      count(lit(1)).as("n_corpus"),
+      sum((col("mc") >= 0.35).cast("long")).as("n_contaminated"),
+      round(max(col("mc")), 6).as("max_cos"),
+      round(avg(when(col("mc") >= 0.35, col("mc"))), 6).as("avg_contam_cos"))
+      .orderBy("label")
+  }
+
+  val q142Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+      |  FROM embeddings),
+      |b AS (SELECT v, n FROM v WHERE vec_id % 20 = 0),
+      |c AS (SELECT vec_id, label, v, n FROM v WHERE vec_id % 20 <> 0),
+      |p AS (
+      |  SELECT c.vec_id, any_value(c.label) AS label,
+      |         MAX(list_dot_product(c.v, b.v) / (c.n * b.n)) AS mc
+      |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+      |SELECT label, COUNT(*) AS n_corpus,
+      |  CAST(SUM(CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  ROUND(MAX(mc), 6) AS max_cos,
+      |  ROUND(AVG(CASE WHEN mc >= 0.35 THEN mc END), 6) AS avg_contam_cos
+      |FROM p GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- q143 SemDeDup within-cluster semantic prune --------------------------
+
+  /** SemDeDup-shaped semantic pruning: assign every embedding to its nearest
+    * seed centroid (the q57 assignment — argmin over 4-dp distances, ties to
+    * the lower centroid id), mine exact cosine pairs at 0.4, keep only
+    * SAME-CLUSTER pairs, connected-component them, and prune every member of
+    * a component except its minimum-id representative. Per cluster: members,
+    * pruned, kept. At 100 TB the cluster scoping is the point — candidate
+    * pairs come from within-list joins (IVF lists in
+    * [[Similarity.cosineNearDuplicates]]'s banded form), never the corpus
+    * cross join; the gate runs the exact quadratic path at fixture scale and
+    * the oracle replays closure with a recursive CTE (q36/q63 pattern).
+    */
+  def q143SemdedupPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val assign = cached(spark, sfDir, "kmeans_assign") {
+      e.crossJoin(cent)
+        .select(col("vec_id"), col("cid"), round(d2, 4).as("d2"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster_id"))
+    }
+    val pairs = Similarity
+      .cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
+      .select(col("id1"), col("id2"))
+    val intra = pairs
+      .join(assign.select(col("vec_id").as("id1"), col("cluster_id").as("c1")), "id1")
+      .join(assign.select(col("vec_id").as("id2"), col("cluster_id").as("c2")), "id2")
+      .filter(col("c1") === col("c2"))
+      .select("id1", "id2")
+    val groups = Dedup.duplicateGroups(intra)
+    assign
+      .join(groups.select(col("id").as("vec_id"), col("group_id")), Seq("vec_id"), "left")
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("group_id").isNotNull && col("group_id") =!= col("vec_id"), 1L)
+          .otherwise(0L)).as("n_pruned"))
+      .withColumn("n_kept", col("n_members") - col("n_pruned"))
+      .orderBy("cluster_id")
+  }
+
+  val q143Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |a AS (
+      |  SELECT vec_id, cluster_id FROM (
+      |    SELECT e.vec_id, cc.cid AS cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> (e.v[i] - cc.cv[i]) * (e.v[i] - cc.cv[i]))), 4), cc.cid) AS rn
+      |    FROM e CROSS JOIN cc) z WHERE rn = 1),
+      |nv AS (
+      |  SELECT vec_id AS id, v,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS n FROM e),
+      |p AS (
+      |  SELECT x.id AS id1, y.id AS id2
+      |  FROM nv x JOIN nv y ON x.id < y.id
+      |  WHERE list_dot_product(x.v, y.v) / (x.n * y.n) >= 0.4),
+      |pc AS (
+      |  SELECT p.id1, p.id2 FROM p
+      |  JOIN a a1 ON p.id1 = a1.vec_id
+      |  JOIN a a2 ON p.id2 = a2.vec_id
+      |  WHERE a1.cluster_id = a2.cluster_id),
+      |edges AS (SELECT id1 AS x, id2 AS y FROM pc
+      |          UNION ALL SELECT id2, id1 FROM pc),
+      |reach AS (
+      |  SELECT x AS id, y AS r FROM edges
+      |  UNION
+      |  SELECT e2.x, r.r FROM edges e2 JOIN reach r ON e2.y = r.id),
+      |g AS (SELECT id, LEAST(id, MIN(r)) AS group_id FROM reach GROUP BY id)
+      |SELECT a.cluster_id, COUNT(*) AS n_members,
+      |  CAST(SUM(CASE WHEN g.group_id IS NOT NULL AND g.group_id <> a.vec_id
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |  CAST(COUNT(*) - SUM(CASE WHEN g.group_id IS NOT NULL AND g.group_id <> a.vec_id
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM a LEFT JOIN g ON a.vec_id = g.id
+      |GROUP BY a.cluster_id ORDER BY a.cluster_id""".stripMargin
+
+  // ---- q144 per-domain frequency capping ------------------------------------
+
+  /** Domain/source frequency capping: keep at most 50 documents per source,
+    * best quality first (3-dp quality, doc_id tie-break), and report what the
+    * cap keeps and drops per source. The kept set comes from the bounded
+    * [[graft.functions.TopKAgg]] aggregator — map-side truncated buffers, at
+    * most k rows per source per partition on the exchange — NOT a
+    * `row_number()` window, which would ship a hot domain's entire row set
+    * to one reducer (the defining skew hazard of domain capping: domain
+    * frequency IS the skew). Totals come from an ordinary keyed aggregation;
+    * the kept ids re-join `docQuality` on doc_id to price the kept tokens.
+    */
+  def q144DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+    val totals = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens_total"))
+    val keptIds = d.groupBy("source")
+      .agg(graft.functions.TopKAgg.topK(col("q"), col("doc_id"), 50).as("tk"))
+      .select(col("source"), explode(col("tk")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"))
+    val kept = keptIds
+      .join(d.select(col("doc_id"), col("q"), col("tokens")), "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("tokens")).as("tokens_kept"),
+        round(avg(col("q")), 6).as("avg_kept_quality"))
+    totals.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+        col("avg_kept_quality"))
+      .orderBy("source")
+  }
+
+  val q144Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= 50 THEN tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |  CAST(SUM(CASE WHEN rk > 50 THEN tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       |  ROUND(AVG(CASE WHEN rk <= 50 THEN q END), 6) AS avg_kept_quality
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q145 epoch-capped token-budget waterfilling --------------------------
+
+  /** Data-constrained mixture allocation: give each source a share of a
+    * global token budget (half the corpus) under a single-epoch cap — no
+    * source contributes more tokens than it has. The classic waterfilling
+    * solution Σ min(T_s, C) = B has a closed sorted-cumsum form: order
+    * sources by supply, and the unique cut k where the candidate level
+    * C = (B − prefix_k)/(n − k) falls between the k-th and (k+1)-th supply
+    * is the fill level. Per-source supplies reduce to ONE keyed aggregation
+    * (5 rows here, millions of domains at scale — still one agg + one sort
+    * of #domains rows); the window runs over that post-aggregation frame,
+    * never over documents. All comparisons are on exactly-computed doubles
+    * (integer token sums, one division); rounding only at report time.
+    */
+  def q145EpochAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docQuality(spark, sfDir).groupBy("source")
+      .agg(sum(col("tokens")).as("tokens"))
+      .withColumn("T", col("tokens").cast("double"))
+    val tot = t.agg(sum(col("T")).as("__tt"),
+      count(lit(1)).cast("double").as("__n"))
+    // post-aggregation frame: one row per source — the global window is
+    // bounded by the domain count, the same fencing as q72's box panel
+    val w = Window.orderBy(col("T"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = t.crossJoin(tot)
+      .withColumn("__B", col("__tt") * 0.5)
+      .withColumn("__k", row_number().over(Window.orderBy(col("T"), col("source")))
+        .cast("double") - 1.0)
+      .withColumn("__prefix", sum(col("T")).over(w) - col("T"))
+      .withColumn("__cand", (col("__B") - col("__prefix")) / (col("__n") - col("__k")))
+      .withColumn("__prevT", coalesce(
+        lag(col("T"), 1).over(Window.orderBy(col("T"), col("source"))), lit(0.0)))
+    val level = ranked
+      .filter(col("__cand") <= col("T") && col("__cand") >= col("__prevT"))
+      .agg(min(col("__cand")).as("__C"))
+    ranked.crossJoin(level)
+      .select(col("source"), col("tokens"),
+        round(least(col("T"), col("__C")), 6).as("allocation"),
+        round(least(col("T"), col("__C")) / col("T"), 6).as("fill_fraction"),
+        (col("T") > col("__C")).as("capped"))
+      .orderBy("source")
+  }
+
+  val q145Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tt AS (SELECT SUM(CAST(tokens AS DOUBLE)) AS tt,
+      |              CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+      |r AS (
+      |  SELECT t.source, t.tokens, CAST(t.tokens AS DOUBLE) AS T,
+      |    tt.tt * 0.5 AS B, tt.n AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(t.tokens AS DOUBLE), t.source) AS DOUBLE) - 1.0 AS k,
+      |    SUM(CAST(t.tokens AS DOUBLE)) OVER (ORDER BY CAST(t.tokens AS DOUBLE), t.source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - CAST(t.tokens AS DOUBLE) AS prefix,
+      |    COALESCE(LAG(CAST(t.tokens AS DOUBLE), 1) OVER (
+      |      ORDER BY CAST(t.tokens AS DOUBLE), t.source), 0.0) AS prevT
+      |  FROM t, tt),
+      |c AS (
+      |  SELECT MIN((B - prefix) / (n - k)) AS C FROM r
+      |  WHERE (B - prefix) / (n - k) <= T AND (B - prefix) / (n - k) >= prevT)
+      |SELECT r.source, r.tokens,
+      |  ROUND(LEAST(r.T, c.C), 6) AS allocation,
+      |  ROUND(LEAST(r.T, c.C) / r.T, 6) AS fill_fraction,
+      |  r.T > c.C AS capped
+      |FROM r, c ORDER BY r.source""".stripMargin
+
+  // ---- q146 cross-split span-leakage audit ----------------------------------
+
+  /** Train/test leakage verification: after the deterministic md5 split
+    * (q34), how many TEST documents share an 8-token span with ANY TRAIN
+    * document, per language — the audit run before trusting an eval number.
+    * Span sets are the session-cached row-local shingle hashes; the overlap
+    * is one distinct-span projection of the train side plus a semi-join on
+    * the span key (keyed equi-join — the 100-TB shape; the hot-span salting
+    * of [[Dedup.spanDuplication]] applies unchanged if a boilerplate span
+    * goes viral). Spark joins 64-bit span hashes, the oracle span strings —
+    * the q18/q44/q47-documented equivalence.
+    */
+  def q146SplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Splits.withSplit(docs(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+    val spans = cached(spark, sfDir, "split_spans8") {
+      Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), explode(col("sset")).as("g"))
+    }
+    val withSplit = spans.join(d, "doc_id")
+    val trainSpans = withSplit.filter(col("split") === "train")
+      .select("g").distinct()
+    val leaked = withSplit.filter(col("split") === "test")
+      .join(trainSpans, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("leak", lit(1L))
+    d.filter(col("split") === "test")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_test"),
+        sum(coalesce(col("leak"), lit(0L))).as("n_leaked"),
+        round(sum(coalesce(col("leak"), lit(0L))).cast("double") / count(lit(1)), 6)
+          .as("leak_rate"))
+      .orderBy("lang")
+  }
+
+  val q146Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |    string_split_regex(lower(text), '\s+') AS t
+      |  FROM s),
+      |sh AS (
+      |  SELECT doc_id, lang, split,
+      |    list_distinct(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END) AS spans
+      |  FROM lab),
+      |ex AS (SELECT doc_id, lang, split, unnest(spans) AS g FROM sh),
+      |tr AS (SELECT DISTINCT g FROM ex WHERE split = 'train'),
+      |leaked AS (
+      |  SELECT DISTINCT e.doc_id FROM ex e JOIN tr ON e.g = tr.g
+      |  WHERE e.split = 'test')
+      |SELECT l.lang, COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+      |  ROUND(CAST(SUM(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS leak_rate
+      |FROM lab l LEFT JOIN leaked ON l.doc_id = leaked.doc_id
+      |WHERE l.split = 'test'
+      |GROUP BY l.lang ORDER BY l.lang""".stripMargin
+
+  // ---- q147 length-curriculum staging ---------------------------------------
+
+  /** Sequence-length curriculum: rank every document by token count
+    * (doc_id tie-break) with the DISTRIBUTED prefix-sum rank
+    * ([[Curation.withGlobalOffset]] — range partition + partition-local
+    * windows, never a global window), cut the corpus into 4 equal-count
+    * stages, and report each stage's composition per source. The order key
+    * is a single exact integer (tokens·10⁷ + doc_id), so stage membership
+    * is bit-deterministic in both engines; the oracle uses the textbook
+    * global ROW_NUMBER the scan replaces.
+    */
+  def q147LengthCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .withColumn("__key", col("tokens") * lit(10000000L) + col("doc_id"))
+      .withColumn("__one", lit(1L))
+    val ranked = Curation.withGlobalOffset(d, "__key", "__one", "rk0")
+    val tot = d.agg(count(lit(1)).cast("double").as("__n"))
+    ranked.crossJoin(tot)
+      .withColumn("stage",
+        floor(col("rk0").cast("double") * 4.0 / col("__n")).cast("long"))
+      .groupBy("stage", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        min(col("tokens")).as("min_tokens"),
+        max(col("tokens")).as("max_tokens"))
+      .orderBy("stage", "source")
+  }
+
+  val q147Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY tokens * 10000000 + doc_id) - 1 AS rk0
+      |  FROM d),
+      |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)
+      |SELECT CAST(FLOOR(CAST(rk0 AS DOUBLE) * 4.0 / t.n) AS BIGINT) AS stage,
+      |  source, COUNT(*) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(tokens) AS BIGINT) AS max_tokens
+      |FROM r, t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_semantic_decontam" -> (q142SemanticDecontam _),
+    "q143_semdedup_prune" -> (q143SemdedupPrune _),
+    "q144_domain_cap" -> (q144DomainCap _),
+    "q145_epoch_allocation" -> (q145EpochAllocation _),
+    "q146_split_leakage" -> (q146SplitLeakage _),
+    "q147_length_curriculum" -> (q147LengthCurriculum _))
+
+  val oracles: Map[String, String] = Map(
+    "q142_semantic_decontam" -> q142Sql,
+    "q143_semdedup_prune" -> q143Sql,
+    "q144_domain_cap" -> q144Sql,
+    "q145_epoch_allocation" -> q145Sql,
+    "q146_split_leakage" -> q146Sql,
+    "q147_length_curriculum" -> q147Sql)
+}

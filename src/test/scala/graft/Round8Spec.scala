@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Round8Queries
+
+/** Invariant tests for the round-8 curation-decision queries (q142–q147)
+  * over the sf0.001 driver testdata — conservation, bound, and
+  * cross-formulation properties the oracle compare cannot express.
+  */
+class Round8Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q142 semantic decontam: corpus partition, flags bounded, cos ≤ 1") {
+    val r = Round8Queries.q142SemanticDecontam(spark, sf).collect()
+    assert(r.nonEmpty)
+    val nCorpus = r.map(_.getAs[Long]("n_corpus")).sum
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val nBench = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(nCorpus == nVecs - nBench)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_contaminated") <= row.getAs[Long]("n_corpus"))
+      assert(row.getAs[Double]("max_cos") <= 1.0 + 1e-9)
+      // every flagged vector's cosine is ≥ the threshold, so the average is
+      val avg = row.getAs[java.lang.Double]("avg_contam_cos")
+      if (avg != null) assert(avg >= 0.35 - 1e-9 && avg <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q143 semdedup: clusters partition the corpus, kept + pruned = members") {
+    val r = Round8Queries.q143SemdedupPrune(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 8)
+    val members = r.map(_.getAs[Long]("n_members")).sum
+    assert(members == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") + row.getAs[Long]("n_pruned") ==
+        row.getAs[Long]("n_members"))
+      // every component keeps exactly one representative → kept ≥ 1 whenever
+      // the cluster has members
+      assert(row.getAs[Long]("n_kept") >= 1)
+    }
+  }
+
+  test("q144 domain cap: kept ≤ min(cap, n), token mass conserved") {
+    val r = Round8Queries.q144DomainCap(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_docs")
+      val kept = row.getAs[Long]("n_kept")
+      assert(kept <= 50 && kept <= n)
+      assert(kept == math.min(50L, n))
+      assert(row.getAs[Long]("tokens_kept") >= 0)
+      assert(row.getAs[Long]("tokens_dropped") >= 0)
+    }
+  }
+
+  test("q144 kept set ≡ the window-rank formulation (TopKAgg equivalence)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        round(graft.ext.TextStats.qualityScore(col("text")), 3).as("q"),
+        graft.ext.TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    val windowed = d.withColumn("rk", row_number().over(w))
+      .groupBy("source").agg(
+        sum(when(col("rk") <= 50, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= 50, col("tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source").collect()
+    val agg = Round8Queries.q144DomainCap(spark, sf).orderBy("source").collect()
+    assert(agg.length == windowed.length)
+    agg.zip(windowed).foreach { case (a, wr) =>
+      assert(a.getAs[String]("source") == wr.getAs[String]("source"))
+      assert(a.getAs[Long]("n_kept") == wr.getAs[Long]("n_kept"))
+      assert(a.getAs[Long]("tokens_kept") == wr.getAs[Long]("tokens_kept"))
+    }
+  }
+
+  test("q145 waterfill: allocations sum to the budget, caps respected") {
+    val r = Round8Queries.q145EpochAllocation(spark, sf).collect()
+    assert(r.nonEmpty)
+    val totalTokens = r.map(_.getAs[Long]("tokens")).sum
+    val allocated = r.map(_.getAs[Double]("allocation")).sum
+    // Σ min(T, C) = B = ΣT/2 (rounding at 6 dp per source)
+    assert(math.abs(allocated - totalTokens / 2.0) < 1e-3 * r.length,
+      s"allocated $allocated vs budget ${totalTokens / 2.0}")
+    r.foreach { row =>
+      val t = row.getAs[Long]("tokens").toDouble
+      val a = row.getAs[Double]("allocation")
+      assert(a >= -1e-9 && a <= t + 1e-6)
+      val f = row.getAs[Double]("fill_fraction")
+      assert(f >= 0.0 && f <= 1.0 + 1e-9)
+      // uncapped sources are fully funded
+      if (!row.getAs[Boolean]("capped")) assert(math.abs(a - t) < 1e-6)
+    }
+    // capped sources all sit at the common fill level C
+    val cappedAllocs = r.filter(_.getAs[Boolean]("capped"))
+      .map(_.getAs[Double]("allocation"))
+    if (cappedAllocs.length >= 2)
+      assert(cappedAllocs.max - cappedAllocs.min < 1e-6)
+  }
+
+  test("q146 split leakage: leaked ≤ test docs, rate consistent") {
+    val r = Round8Queries.q146SplitLeakage(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_test")
+      val leaked = row.getAs[Long]("n_leaked")
+      assert(leaked >= 0 && leaked <= n)
+      assert(math.abs(row.getAs[Double]("leak_rate") - leaked.toDouble / n) < 1e-6)
+    }
+    // the test split itself must match the q34 partitioning
+    val nTest = r.map(_.getAs[Long]("n_test")).sum
+    val expect = graft.ext.Splits
+      .withSplit(spark.read.parquet(s"$sf/documents.parquet"), "doc_id")
+      .filter(col("split") === "test").count()
+    assert(nTest == expect)
+  }
+
+  test("q147 curriculum: stages partition the corpus into near-equal counts" +
+    " and are ordered by length") {
+    val r = Round8Queries.q147LengthCurriculum(spark, sf).collect()
+    assert(r.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == n)
+    val perStage = r.groupBy(_.getAs[Long]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(perStage.keySet == Set(0L, 1L, 2L, 3L))
+    // equal-count cut: stage sizes differ by at most 1
+    assert(perStage.values.max - perStage.values.min <= 1)
+    // monotone: a later stage's max token count ≥ an earlier stage's min;
+    // stage boundaries cut the sorted order, so max(stage i) ≤ min(stage i+1)
+    // up to the key tie-break (token counts themselves are non-decreasing)
+    val maxPer = r.groupBy(_.getAs[Long]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("max_tokens")).max).toMap
+    val minPer = r.groupBy(_.getAs[Long]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("min_tokens")).min).toMap
+    for (s <- 0L to 2L) assert(maxPer(s) <= minPer(s + 1))
+  }
+
+  test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
+    " cartesian, no unbounded global window over row-level data") {
+    val sfDir = sf
+    // q142's corpus side must not shuffle: the only join is broadcast
+    val plan142 = Round8Queries.q142SemanticDecontam(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan142.contains("BroadcastNestedLoopJoin") ||
+      plan142.contains("BroadcastExchange"), plan142.take(500))
+    // q146's span join is a keyed equi-join (semi), never nested-loop
+    val plan146 = Round8Queries.q146SplitLeakage(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan146.contains("CartesianProduct"))
+    assert(plan146.contains("LeftSemi"), plan146.take(800))
+    // q144 aggregates through the bounded TopKAgg, not a row_number window
+    val plan144 = Round8Queries.q144DomainCap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan144.contains("ObjectHashAggregate"), plan144.take(500))
+    assert(!plan144.toLowerCase.contains("window"), plan144.take(800))
+    // q147 uses partition-local windows only (the distributed rank)
+    val plan147 = Round8Queries.q147LengthCurriculum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan147.contains("CartesianProduct"))
+  }
+}
