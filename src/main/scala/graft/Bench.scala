@@ -33,25 +33,35 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures a bounded tail of stdout; with 70+ queries the line
-    // can outgrow that window (round 4 lost the head of the line, i.e. the
-    // headline total). Persist the full JSON to a file in the repo root so the
-    // artifact is always self-evident, then print it as the absolute last line.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(m: Map[String, Double]): String = {
+      val qs = m.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(results)
+    // The driver captures a bounded tail of stdout; with 140+ queries the
+    // full line outgrows that window (rounds 4-5 lost the head of the line,
+    // i.e. the headline total — BENCH_r05 recorded parsed:null). Persist the
+    // full JSON to a file in the repo root so the artifact is always
+    // self-evident, print it for whole-capture consumers, and make the
+    // ABSOLUTE LAST stdout line a compact variant (total + the 25 slowest
+    // queries, ~1 KB) that stays intact inside any tail window.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       // surface the failure (a stale artifact silently surviving is the
       // exact failure mode this file exists to fix) but keep stdout clean
-      // for the JSON line below
+      // for the JSON lines below
       case e: java.io.IOException =>
         System.err.println(s"WARN could not write BENCH_LATEST.json: $e")
     }
     spark.stop()
-    println(json)
+    println(full)
+    println(line(results.toSeq.sortBy(-_._2).take(25).toMap))
   }
 }

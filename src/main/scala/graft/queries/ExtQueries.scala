@@ -602,7 +602,7 @@ object ExtQueries {
     * graph — cached per (session, sf): q36 gates it directly and q60's
     * near-dup stage consumes the same frame.
     */
-  private def dupGroups(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def dupGroups(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "dup_groups") {
       val sigs = cached(spark, sfDir, "simhash_portable")(
         Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))

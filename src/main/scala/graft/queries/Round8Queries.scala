@@ -390,13 +390,200 @@ object Round8Queries {
       |  CAST(MAX(tokens) AS BIGINT) AS max_tokens
       |FROM r, t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q148 shard-mixing audit ----------------------------------------------
+
+  /** Output-shard homogeneity audit: after deterministic hashing of every
+    * document into 16 training shards (an md5 derivation independent of the
+    * q34 split hash — the key is prefixed), does each shard reproduce the
+    * global source mixture? Reports the per-shard chi-square statistic
+    * against expected counts n_shard·p_source. A shard whose chi2 blows past
+    * the df=19 critical band would feed a training run source-skewed batches.
+    * Everything reduces to one (shard, source) keyed aggregation plus
+    * broadcast-size marginals; the chi2 sum is an ORDER-PINNED window cumsum
+    * over the source axis (the q122/q138 technique) so both engines add the
+    * same doubles in the same sequence.
+    */
+  def q148ShardMixing(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(
+      pmod(Dedup.portableTokenHash(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(16)).as("shard"),
+      col("source"))
+    val cells = d.groupBy("shard", "source").agg(count(lit(1)).as("o"))
+    val shardTot = cells.groupBy("shard").agg(sum(col("o")).as("n_shard"))
+    val srcTot = cells.groupBy("source").agg(sum(col("o")).as("n_src"))
+    val tot = srcTot.agg(sum(col("n_src")).as("__N"))
+    // complete grid: absent (shard, source) cells contribute e (o=0)
+    val grid = shardTot.crossJoin(broadcast(srcTot))
+      .join(cells, Seq("shard", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("n_shard").cast("double") * col("n_src") / col("__N"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+    val wCum = Window.partitionBy("shard").orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy("shard").orderBy(col("source").desc)
+    grid
+      .withColumn("chi2_cum", sum(col("term")).over(wCum))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("n_shard").as("n_docs"),
+        round(col("chi2_cum"), 6).as("chi2"))
+      .orderBy("shard")
+  }
+
+  val q148Sql: String =
+    """WITH d AS (
+      |  SELECT CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) % 16 AS shard, source
+      |  FROM documents),
+      |cells AS (SELECT shard, source, COUNT(*) AS o FROM d GROUP BY 1, 2),
+      |st AS (SELECT shard, CAST(SUM(o) AS BIGINT) AS n_shard FROM cells GROUP BY 1),
+      |sc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_src FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS N FROM sc),
+      |grid AS (
+      |  SELECT st.shard, st.n_shard, sc.source,
+      |    COALESCE(cells.o, 0) AS o,
+      |    CAST(st.n_shard AS DOUBLE) * sc.n_src / tot.N AS e
+      |  FROM st CROSS JOIN sc
+      |  LEFT JOIN cells ON cells.shard = st.shard AND cells.source = sc.source, tot),
+      |terms AS (
+      |  SELECT shard, n_shard, source,
+      |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+      |  FROM grid),
+      |cum AS (
+      |  SELECT shard, n_shard, source,
+      |    SUM(term) OVER (PARTITION BY shard ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi2_cum,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY source DESC) AS rn
+      |  FROM terms)
+      |SELECT shard, n_shard AS n_docs, ROUND(chi2_cum, 6) AS chi2
+      |FROM cum WHERE rn = 1 ORDER BY shard""".stripMargin
+
+  // ---- q149 near-duplicate split leakage ------------------------------------
+
+  /** The near-dup complement of q146: a test document leaks even when no
+    * 8-token span survives verbatim, if it is a NEAR-duplicate (simhash
+    * hamming ≤ 3) of a training document. Reuses the session-cached q36
+    * duplicate-group frame — group membership already encodes transitive
+    * near-duplication — and flags test docs whose group contains any train
+    * doc. At scale this is two keyed joins over the group frame (pairs-sized,
+    * corpus-independent); the oracle replays the q36 recursive closure plus
+    * the md5 split.
+    */
+  def q149NeardupLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Splits.withSplit(docs(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"))
+    val g = ExtQueries.dupGroups(spark, sfDir)
+      .select(col("id").as("doc_id"), col("group_id"))
+    val withSplit = g.join(d, "doc_id")
+    val trainGroups = withSplit.filter(col("split") === "train")
+      .select("group_id").distinct()
+    val leaked = withSplit.filter(col("split") === "test")
+      .join(trainGroups, Seq("group_id"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("leak", lit(1L))
+    d.filter(col("split") === "test")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_test"),
+        sum(coalesce(col("leak"), lit(0L))).as("n_neardup_leaked"),
+        round(sum(coalesce(col("leak"), lit(0L))).cast("double") / count(lit(1)), 6)
+          .as("leak_rate"))
+      .orderBy("lang")
+  }
+
+  val q149Sql: String =
+    s"""WITH g AS (SELECT id, group_id FROM (${ExtQueries.q36Sql}) t),
+       |sp AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |         AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |         AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |tg AS (
+       |  SELECT DISTINCT g.group_id FROM g JOIN sp ON g.id = sp.doc_id
+       |  WHERE sp.split = 'train'),
+       |leaked AS (
+       |  SELECT DISTINCT g.id FROM g JOIN sp ON g.id = sp.doc_id
+       |  WHERE sp.split = 'test' AND g.group_id IN (SELECT group_id FROM tg))
+       |SELECT sp.lang, COUNT(*) AS n_test,
+       |  CAST(SUM(CASE WHEN leaked.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neardup_leaked,
+       |  ROUND(CAST(SUM(CASE WHEN leaked.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS leak_rate
+       |FROM sp LEFT JOIN leaked ON sp.doc_id = leaked.id
+       |WHERE sp.split = 'test'
+       |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin
+
+  // ---- q150 effective token count after dedup -------------------------------
+
+  /** Dedup economics per source: how many tokens actually remain after
+    * (1) exact dedup — one keeper (min doc_id) per md5(text) class — and
+    * (2) near-dup pruning — only group representatives (min doc_id per q36
+    * component) survive. "Effective dataset size" is the number mixture
+    * planning must use; raw token counts overstate a crawl-heavy source.
+    * Both dedup verdicts are row-level flags from keyed frames (the md5
+    * keeper is one groupBy over digests; the near-dup frame is the cached
+    * component output), so the panel is a flag-join + one aggregation.
+    */
+  def q150EffectiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), md5(col("text")).as("dig")),
+        "doc_id")
+    val keeper = d.groupBy("dig").agg(min(col("doc_id")).as("keep_id"))
+    val g = ExtQueries.dupGroups(spark, sfDir)
+      .select(col("id").as("doc_id"), col("group_id"))
+    d.join(keeper, "dig")
+      .join(g, Seq("doc_id"), "left")
+      .withColumn("exact_kept", col("doc_id") === col("keep_id"))
+      .withColumn("final_kept", col("exact_kept") &&
+        (col("group_id").isNull || col("group_id") === col("doc_id")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(when(col("exact_kept"), col("tokens")).otherwise(0L)).as("tokens_exact"),
+        sum(when(col("final_kept"), col("tokens")).otherwise(0L)).as("tokens_final"),
+        round(sum(when(col("final_kept"), col("tokens")).otherwise(0L)).cast("double")
+          / sum(col("tokens")), 6).as("retention"))
+      .orderBy("source")
+  }
+
+  val q150Sql: String =
+    s"""WITH g AS (SELECT id, group_id FROM (${ExtQueries.q36Sql}) t),
+       |d AS (
+       |  SELECT doc_id, source, md5(text) AS dig,
+       |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+       |  FROM documents),
+       |k AS (SELECT dig, MIN(doc_id) AS keep_id FROM d GROUP BY dig),
+       |f AS (
+       |  SELECT d.source, d.tokens,
+       |    d.doc_id = k.keep_id AS exact_kept,
+       |    d.doc_id = k.keep_id AND (g.group_id IS NULL OR g.group_id = d.doc_id)
+       |      AS final_kept
+       |  FROM d JOIN k ON d.dig = k.dig
+       |  LEFT JOIN g ON d.doc_id = g.id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN exact_kept THEN tokens ELSE 0 END) AS BIGINT) AS tokens_exact,
+       |  CAST(SUM(CASE WHEN final_kept THEN tokens ELSE 0 END) AS BIGINT) AS tokens_final,
+       |  ROUND(CAST(SUM(CASE WHEN final_kept THEN tokens ELSE 0 END) AS DOUBLE)
+       |    / SUM(tokens), 6) AS retention
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
     "q144_domain_cap" -> (q144DomainCap _),
     "q145_epoch_allocation" -> (q145EpochAllocation _),
     "q146_split_leakage" -> (q146SplitLeakage _),
-    "q147_length_curriculum" -> (q147LengthCurriculum _))
+    "q147_length_curriculum" -> (q147LengthCurriculum _),
+    "q148_shard_mixing" -> (q148ShardMixing _),
+    "q149_neardup_leakage" -> (q149NeardupLeakage _),
+    "q150_effective_tokens" -> (q150EffectiveTokens _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -404,5 +591,8 @@ object Round8Queries {
     "q144_domain_cap" -> q144Sql,
     "q145_epoch_allocation" -> q145Sql,
     "q146_split_leakage" -> q146Sql,
-    "q147_length_curriculum" -> q147Sql)
+    "q147_length_curriculum" -> q147Sql,
+    "q148_shard_mixing" -> q148Sql,
+    "q149_neardup_leakage" -> q149Sql,
+    "q150_effective_tokens" -> q150Sql)
 }

@@ -139,6 +139,49 @@ class Round8Spec extends SparkSpec {
     for (s <- 0L to 2L) assert(maxPer(s) <= minPer(s + 1))
   }
 
+  test("q148 shard mixing: shards partition the corpus, chi2 ≥ 0") {
+    val r = Round8Queries.q148ShardMixing(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 16)
+    val n = r.map(_.getAs[Long]("n_docs")).sum
+    assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
+    r.foreach { row =>
+      assert(row.getAs[Double]("chi2") >= 0.0)
+      assert(row.getAs[Long]("n_docs") > 0)
+    }
+  }
+
+  test("q149 near-dup leakage: leaked ⊆ test, consistent with q146-style rate") {
+    val r = Round8Queries.q149NeardupLeakage(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_test")
+      val leaked = row.getAs[Long]("n_neardup_leaked")
+      assert(leaked >= 0 && leaked <= n)
+      assert(math.abs(row.getAs[Double]("leak_rate") - leaked.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("q150 effective tokens: monotone pipeline, retention in (0,1]") {
+    val r = Round8Queries.q150EffectiveTokens(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val total = row.getAs[Long]("tokens_total")
+      val exact = row.getAs[Long]("tokens_exact")
+      val fin = row.getAs[Long]("tokens_final")
+      // each dedup stage only removes tokens
+      assert(fin <= exact && exact <= total)
+      val ret = row.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+    // global conservation: per-source totals sum to the corpus token count
+    val total = r.map(_.getAs[Long]("tokens_total")).sum
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + lit(1)))
+      .head.getLong(0)
+    assert(total == corpus)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
