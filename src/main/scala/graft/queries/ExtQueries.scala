@@ -636,8 +636,16 @@ object ExtQueries {
     * [[Similarity.cosineNearDuplicates]], recall-floor-tested in ExtSpec
     * against this exact truth on planted near-duplicates.
     */
+  /** Exact cosine pairs at the 0.4 gate threshold, cached per (session, sf):
+    * q37 reports them, q63 components them, and q143 cluster-scopes them —
+    * one quadratic verification scan instead of three.
+    */
+  private[queries] def cosinePairs04(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "cosine_pairs_04")(
+      Similarity.cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4))
+
   def q37CosinePairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
+    cosinePairs04(spark, sfDir)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
       .orderBy("id1", "id2")
 
@@ -2059,8 +2067,7 @@ object ExtQueries {
     */
   def q63SemanticGroups(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.duplicateGroups(
-      Similarity.cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
-        .select(col("id1"), col("id2")))
+      cosinePairs04(spark, sfDir).select(col("id1"), col("id2")))
       .orderBy("id")
 
   val q63Sql: String =

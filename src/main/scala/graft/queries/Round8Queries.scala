@@ -108,8 +108,7 @@ object Round8Queries {
         .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster_id"))
     }
-    val pairs = Similarity
-      .cosinePairsExact(emb(spark, sfDir), "vec_id", "embedding", 0.4)
+    val pairs = ExtQueries.cosinePairs04(spark, sfDir)
       .select(col("id1"), col("id2"))
     val intra = pairs
       .join(assign.select(col("vec_id").as("id1"), col("cluster_id").as("c1")), "id1")
