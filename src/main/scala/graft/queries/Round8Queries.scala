@@ -573,6 +573,131 @@ object Round8Queries {
        |    / SUM(tokens), 6) AS retention
        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q151 supply-feasible temperature mixture -----------------------------
+
+  /** The feasible version of temperature sampling: q126's p^α weights say
+    * what mixture we WANT; this query computes the mixture we can HAVE when
+    * each source's supply is finite. Targets are τ=0.5 temperature shares
+    * (t_s ∝ √T_s); the budget is 60% of the corpus; the allocation solves
+    * Σ min(T_s, λ·t_s·B) = B — weighted waterfilling, closed-form after
+    * sorting sources by the saturation ratio r_s = T_s/(t_s·B): with the k
+    * lowest-ratio sources saturated, λ_k = (B − ΣT_≤k)/(B·(1 − Σt_≤k)), and
+    * the unique k has r_k ≤ λ_k ≤ r_{k+1}. Supplies reduce to one keyed
+    * aggregation; windows run over the per-source frame only (domain-count
+    * bounded, like q145). All comparisons are on exactly-computed doubles;
+    * rounding at report time.
+    */
+  def q151TemperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docQuality(spark, sfDir).groupBy("source")
+      .agg(sum(col("tokens")).as("tokens"))
+      .withColumn("T", col("tokens").cast("double"))
+      .withColumn("w", sqrt(col("T")))
+    val tot = t.agg(sum(col("T")).as("__tt"), sum(col("w")).as("__tw"))
+    val base = t.crossJoin(tot)
+      .withColumn("B", col("__tt") * 0.6)
+      .withColumn("t_share", col("w") / col("__tw"))
+      .withColumn("r", col("T") / (col("t_share") * col("B")))
+    val ord = Window.orderBy(col("r"), col("source"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__prefT", sum(col("T")).over(cum) - col("T"))
+      .withColumn("__preft", sum(col("t_share")).over(cum) - col("t_share"))
+      .withColumn("__cand",
+        (col("B") - col("__prefT")) / (col("B") * (lit(1.0) - col("__preft"))))
+      .withColumn("__prevR", coalesce(lag(col("r"), 1).over(ord), lit(0.0)))
+    val level = ranked
+      .filter(col("__cand") <= col("r") && col("__cand") >= col("__prevR"))
+      .agg(min(col("__cand")).as("__L"))
+    ranked.crossJoin(level)
+      .withColumn("alloc", least(col("T"), col("__L") * col("t_share") * col("B")))
+      .select(col("source"), col("tokens"),
+        round(col("t_share"), 6).as("target_share"),
+        round(col("alloc"), 6).as("allocation"),
+        round(col("alloc") / col("B"), 6).as("realized_share"),
+        (col("T") < col("__L") * col("t_share") * col("B")).as("saturated"))
+      .orderBy("source")
+  }
+
+  val q151Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tt AS (SELECT SUM(CAST(tokens AS DOUBLE)) AS tt,
+      |              SUM(SQRT(CAST(tokens AS DOUBLE))) AS tw FROM t),
+      |base AS (
+      |  SELECT t.source, t.tokens, CAST(t.tokens AS DOUBLE) AS T,
+      |    tt.tt * 0.6 AS B,
+      |    SQRT(CAST(t.tokens AS DOUBLE)) / tt.tw AS t_share,
+      |    CAST(t.tokens AS DOUBLE) / (SQRT(CAST(t.tokens AS DOUBLE)) / tt.tw * (tt.tt * 0.6)) AS r
+      |  FROM t, tt),
+      |rk AS (
+      |  SELECT *,
+      |    SUM(T) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - T AS prefT,
+      |    SUM(t_share) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t_share AS preft,
+      |    COALESCE(LAG(r, 1) OVER (ORDER BY r, source), 0.0) AS prevR
+      |  FROM base),
+      |c AS (
+      |  SELECT MIN((B - prefT) / (B * (1.0 - preft))) AS L FROM rk
+      |  WHERE (B - prefT) / (B * (1.0 - preft)) <= r
+      |    AND (B - prefT) / (B * (1.0 - preft)) >= prevR)
+      |SELECT rk.source, rk.tokens,
+      |  ROUND(rk.t_share, 6) AS target_share,
+      |  ROUND(LEAST(rk.T, c.L * rk.t_share * rk.B), 6) AS allocation,
+      |  ROUND(LEAST(rk.T, c.L * rk.t_share * rk.B) / rk.B, 6) AS realized_share,
+      |  rk.T < c.L * rk.t_share * rk.B AS saturated
+      |FROM rk, c ORDER BY rk.source""".stripMargin
+
+  // ---- q152 cross-lingual semantic duplicate audit --------------------------
+
+  /** Translated/cross-lingual duplication: text-level dedup (exact, span,
+    * simhash) is blind to a document re-expressed in another language, but
+    * the embedding space is not. Joins the cached ≥0.4 cosine pair frame
+    * with each side's language (doc_id = vec_id, the q136 alignment) and
+    * reports the language-pair duplication matrix — same-language pairs are
+    * ordinary near-dups; CROSS-language cells are what only this audit can
+    * see. Pair frame is pairs-sized (corpus-independent); the language side
+    * is a broadcast-scale projection keyed by id.
+    */
+  def q152CrosslingualDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val p = ExtQueries.cosinePairs04(spark, sfDir)
+      .join(langs.select(col("doc_id").as("id1"), col("lang").as("l1")), "id1")
+      .join(langs.select(col("doc_id").as("id2"), col("lang").as("l2")), "id2")
+      // unordered language pair: (min, max) so (en,fr) and (fr,en) fold
+      .withColumn("lang_a", least(col("l1"), col("l2")))
+      .withColumn("lang_b", greatest(col("l1"), col("l2")))
+    p.groupBy("lang_a", "lang_b").agg(
+      count(lit(1)).as("n_pairs"),
+      round(avg(col("cos")), 6).as("avg_cos"),
+      round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val q152Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.id AS id1, b.id AS id2,
+      |         list_dot_product(a.v, b.v) / (a.n * b.n) AS cos
+      |  FROM v a JOIN v b ON a.id < b.id),
+      |f AS (SELECT id1, id2, cos FROM p WHERE cos >= 0.4),
+      |j AS (
+      |  SELECT f.cos,
+      |    LEAST(d1.lang, d2.lang) AS lang_a,
+      |    GREATEST(d1.lang, d2.lang) AS lang_b
+      |  FROM f
+      |  JOIN documents d1 ON f.id1 = d1.doc_id
+      |  JOIN documents d2 ON f.id2 = d2.doc_id)
+      |SELECT lang_a, lang_b, COUNT(*) AS n_pairs,
+      |  ROUND(AVG(cos), 6) AS avg_cos,
+      |  ROUND(MAX(cos), 6) AS max_cos
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -582,7 +707,9 @@ object Round8Queries {
     "q147_length_curriculum" -> (q147LengthCurriculum _),
     "q148_shard_mixing" -> (q148ShardMixing _),
     "q149_neardup_leakage" -> (q149NeardupLeakage _),
-    "q150_effective_tokens" -> (q150EffectiveTokens _))
+    "q150_effective_tokens" -> (q150EffectiveTokens _),
+    "q151_temperature_mixture" -> (q151TemperatureMixture _),
+    "q152_crosslingual_dups" -> (q152CrosslingualDups _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -593,5 +720,7 @@ object Round8Queries {
     "q147_length_curriculum" -> q147Sql,
     "q148_shard_mixing" -> q148Sql,
     "q149_neardup_leakage" -> q149Sql,
-    "q150_effective_tokens" -> q150Sql)
+    "q150_effective_tokens" -> q150Sql,
+    "q151_temperature_mixture" -> q151Sql,
+    "q152_crosslingual_dups" -> q152Sql)
 }

@@ -182,6 +182,47 @@ class Round8Spec extends SparkSpec {
     assert(total == corpus)
   }
 
+  test("q151 temperature mixture: budget exhausted, caps respected," +
+    " unsaturated shares proportional to targets") {
+    val r = Round8Queries.q151TemperatureMixture(spark, sf).collect()
+    assert(r.nonEmpty)
+    val totalTokens = r.map(_.getAs[Long]("tokens")).sum
+    val allocated = r.map(_.getAs[Double]("allocation")).sum
+    assert(math.abs(allocated - totalTokens * 0.6) < 1e-3 * r.length,
+      s"allocated $allocated vs budget ${totalTokens * 0.6}")
+    assert(math.abs(r.map(_.getAs[Double]("realized_share")).sum - 1.0) < 1e-4)
+    val ratios = r.filterNot(_.getAs[Boolean]("saturated")).map { row =>
+      row.getAs[Double]("realized_share") / row.getAs[Double]("target_share")
+    }
+    r.foreach { row =>
+      val a = row.getAs[Double]("allocation")
+      val t = row.getAs[Long]("tokens").toDouble
+      assert(a <= t + 1e-6)
+      // saturated ⟺ the whole supply is allocated
+      assert(row.getAs[Boolean]("saturated") == (math.abs(a - t) < 1e-3))
+    }
+    // unsaturated sources all sit at the same water level λ
+    if (ratios.length >= 2) assert(ratios.max - ratios.min < 1e-4)
+  }
+
+  test("q152 cross-lingual dups: unordered pairs, cos within (0.4, 1]") {
+    val r = Round8Queries.q152CrosslingualDups(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[String]("lang_a") <= row.getAs[String]("lang_b"))
+      val avg = row.getAs[Double]("avg_cos"); val mx = row.getAs[Double]("max_cos")
+      assert(avg >= 0.4 - 1e-9 && avg <= mx + 1e-9)
+      assert(mx <= 1.0 + 1e-9)
+      assert(row.getAs[Long]("n_pairs") > 0)
+    }
+    // mass check: the matrix partitions the full ≥0.4 pair set
+    val nPairs = r.map(_.getAs[Long]("n_pairs")).sum
+    val truth = graft.ext.Similarity.cosinePairsExact(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding", 0.4)
+      .count()
+    assert(nPairs == truth)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
