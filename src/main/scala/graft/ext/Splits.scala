@@ -36,6 +36,52 @@ object Splits {
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), weights))
 
+  /** Deterministic output-shard assignment in [0, shards) — an md5
+    * derivation INDEPENDENT of [[bucket]]'s split hash (the key is
+    * prefixed), so shard and split membership don't correlate.
+    */
+  def shardId(id: Column, shards: Int): Column =
+    pmod(Dedup.portableTokenHash(concat(lit("shard:"), id.cast("string"))),
+      lit(shards))
+
+  /** Shard source-mixing chi2 epilogue over a (shard, source, o) count-cell
+    * frame: per shard, the chi-square statistic of its source composition
+    * against expected counts n_shard·p_source. Shared by the batch audit
+    * (q148) and the streaming cell aggregation
+    * ([[graft.streaming.StreamOps.shardCellsStream]]) — cells are the
+    * commutative sufficient statistic, the epilogue is a marginal-sized
+    * computation. The chi2 sum is an ORDER-PINNED window cumsum over the
+    * source axis so engines add the same doubles in the same sequence.
+    */
+  def shardMixingChi2(cells: DataFrame): DataFrame = {
+    val shardTot = cells.groupBy("shard").agg(sum(col("o")).as("n_shard"))
+    val srcTot = cells.groupBy("source").agg(sum(col("o")).as("n_src"))
+    val tot = srcTot.agg(sum(col("n_src")).as("__N"))
+    // complete grid: absent (shard, source) cells contribute e (o=0)
+    val grid = shardTot.crossJoin(broadcast(srcTot))
+      .join(cells, Seq("shard", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("n_shard").cast("double") * col("n_src") / col("__N"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("source").desc)
+    grid
+      .withColumn("chi2_cum", sum(col("term")).over(wCum))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("n_shard").as("n_docs"),
+        round(col("chi2_cum"), 6).as("chi2"))
+      .orderBy("shard")
+  }
+
   /** Deterministic per-stratum subsampling: keep a row iff its bucket falls
     * below the stratum's percentage (strata absent from the map are dropped).
     * The hash-threshold form of stratified sampling — reproducible, and the

@@ -328,7 +328,7 @@ object ExtQueries {
     * sid)` — interpolated by the q21 session-stats oracle and the q85
     * overlap-join oracle so the 1800 s sessionization algebra lives once.
     */
-  private val sessionCtes: String =
+  private[queries] val sessionCtes: String =
     """e AS (
       |  SELECT user_id, event_id, ts,
       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

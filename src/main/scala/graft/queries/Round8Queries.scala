@@ -403,34 +403,10 @@ object Round8Queries {
     * same doubles in the same sequence.
     */
   def q148ShardMixing(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(
-      pmod(Dedup.portableTokenHash(concat(lit("shard:"), col("doc_id").cast("string"))),
-        lit(16)).as("shard"),
-      col("source"))
-    val cells = d.groupBy("shard", "source").agg(count(lit(1)).as("o"))
-    val shardTot = cells.groupBy("shard").agg(sum(col("o")).as("n_shard"))
-    val srcTot = cells.groupBy("source").agg(sum(col("o")).as("n_src"))
-    val tot = srcTot.agg(sum(col("n_src")).as("__N"))
-    // complete grid: absent (shard, source) cells contribute e (o=0)
-    val grid = shardTot.crossJoin(broadcast(srcTot))
-      .join(cells, Seq("shard", "source"), "left")
-      .na.fill(0L, Seq("o"))
-      .crossJoin(broadcast(tot))
-      .withColumn("e",
-        col("n_shard").cast("double") * col("n_src") / col("__N"))
-      .withColumn("term",
-        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
-          / col("e"))
-    val wCum = Window.partitionBy("shard").orderBy("source")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLast = Window.partitionBy("shard").orderBy(col("source").desc)
-    grid
-      .withColumn("chi2_cum", sum(col("term")).over(wCum))
-      .withColumn("rn", row_number().over(wLast))
-      .filter(col("rn") === 1)
-      .select(col("shard"), col("n_shard").as("n_docs"),
-        round(col("chi2_cum"), 6).as("chi2"))
-      .orderBy("shard")
+    val cells = docs(spark, sfDir)
+      .select(Splits.shardId(col("doc_id"), 16).as("shard"), col("source"))
+      .groupBy("shard", "source").agg(count(lit(1)).as("o"))
+    Splits.shardMixingChi2(cells)
   }
 
   val q148Sql: String =
@@ -698,6 +674,63 @@ object Round8Queries {
       |  ROUND(MAX(cos), 6) AS max_cos
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q153 peak session concurrency (±1 sweep) -----------------------------
+
+  /** Peak concurrent sessions per day — the classic interval-counting sweep:
+    * each session contributes +1 at its start second and −1 one second after
+    * its end (closed intervals), deltas collapse to one row per (second,
+    * sign) via a keyed aggregation, and the running sum over the swept
+    * timeline is the concurrency curve. The running sum is the DISTRIBUTED
+    * prefix scan ([[Curation.withGlobalOffset]] over the unique t·2+sign
+    * key) — at 100 TB the sweep is two keyed shuffles plus the scan's
+    * range-partitioned partition-local windows, never a global window over
+    * events. Sign ordering (+1 before −1 at the same second) makes the
+    * curve count sessions overlapping each instant.
+    */
+  def q153PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = graft.ext.Events.sessionize(
+      ExtQueries.events(spark, sfDir), "user_id", "ts")
+    val per = s.groupBy(col("user_id"), col("session_id")).agg(
+      min(col("ts").cast("long")).as("start_s"),
+      max(col("ts").cast("long")).as("end_s"))
+    val deltas = per
+      .select(col("start_s").as("t"), lit(0L).as("bit"), lit(1L).as("d"))
+      .unionByName(per.select((col("end_s") + 1).as("t"), lit(1L).as("bit"),
+        lit(-1L).as("d")))
+      .groupBy("t", "bit").agg(sum(col("d")).as("d"))
+      .withColumn("__key", col("t") * 2 + col("bit"))
+    val run = Curation.withGlobalOffset(deltas, "__key", "d", "__pre")
+      .withColumn("conc", col("__pre") + col("d"))
+    run
+      .withColumn("day", date_format(timestamp_seconds(col("t")), "yyyy-MM-dd"))
+      .groupBy("day").agg(
+        max(col("conc")).as("peak_concurrency"),
+        sum(when(col("bit") === 0, col("d")).otherwise(0L)).as("n_sessions_started"))
+      .orderBy("day")
+  }
+
+  val q153Sql: String =
+    s"""WITH ${ExtQueries.sessionCtes},
+       |per AS (
+       |  SELECT user_id, sid,
+       |    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       |    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s
+       |  FROM c GROUP BY 1, 2),
+       |d0 AS (
+       |  SELECT start_s AS t, 0 AS bit, 1 AS d FROM per
+       |  UNION ALL SELECT end_s + 1, 1, -1 FROM per),
+       |dd AS (SELECT t, bit, CAST(SUM(d) AS BIGINT) AS d FROM d0 GROUP BY 1, 2),
+       |run AS (
+       |  SELECT t, bit, d,
+       |    SUM(d) OVER (ORDER BY t * 2 + bit
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |  FROM dd)
+       |SELECT CAST(CAST(make_timestamp(t * 1000000) AS DATE) AS VARCHAR) AS day,
+       |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       |  CAST(SUM(CASE WHEN bit = 0 THEN d ELSE 0 END) AS BIGINT)
+       |    AS n_sessions_started
+       |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -709,7 +742,8 @@ object Round8Queries {
     "q149_neardup_leakage" -> (q149NeardupLeakage _),
     "q150_effective_tokens" -> (q150EffectiveTokens _),
     "q151_temperature_mixture" -> (q151TemperatureMixture _),
-    "q152_crosslingual_dups" -> (q152CrosslingualDups _))
+    "q152_crosslingual_dups" -> (q152CrosslingualDups _),
+    "q153_peak_concurrency" -> (q153PeakConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -722,5 +756,6 @@ object Round8Queries {
     "q149_neardup_leakage" -> q149Sql,
     "q150_effective_tokens" -> q150Sql,
     "q151_temperature_mixture" -> q151Sql,
-    "q152_crosslingual_dups" -> q152Sql)
+    "q152_crosslingual_dups" -> q152Sql,
+    "q153_peak_concurrency" -> q153Sql)
 }

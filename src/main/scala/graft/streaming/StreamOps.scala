@@ -177,6 +177,22 @@ object StreamOps {
     graft.ext.Sketches.cmCells(
       items.withColumn("__one", lit(1L)), itemCol, "__one", d, w)
 
+  /** Streaming shard-mixing cells: per-(shard, source) document counts as a
+    * continuous aggregation (Complete/Update mode). Counts are the
+    * commutative sufficient statistic of the shard-homogeneity audit, so
+    * the cross-batch state equals the batch cell frame over the same rows
+    * and the [[graft.ext.Splits.shardMixingChi2]] epilogue turns either
+    * into the identical chi2 panel (asserted in StreamingSpec) — the
+    * continuous-ingestion form of q148: as documents stream into output
+    * shards, the mixing audit stays current without rescanning the corpus.
+    * State is one counter per (shard, source) cell — marginal-sized.
+    */
+  def shardCellsStream(docs: DataFrame, shards: Int = 16,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame =
+    docs.select(graft.ext.Splits.shardId(col(idCol), shards).as("shard"),
+        col(sourceCol).as("source"))
+      .groupBy("shard", "source").agg(count(lit(1)).as("o"))
+
   /** Streaming running top-k per group: a truncated merge under the TOTAL
     * order (score desc, id asc — [[graft.functions.TopKAgg]]) is
     * commutative and associative, so the cross-batch state lands on

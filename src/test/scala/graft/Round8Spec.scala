@@ -223,6 +223,27 @@ class Round8Spec extends SparkSpec {
     assert(nPairs == truth)
   }
 
+  test("q153 peak concurrency: curve nonnegative, closes at zero, peak bounds") {
+    val r = Round8Queries.q153PeakConcurrency(spark, sf).collect()
+    assert(r.nonEmpty)
+    val started = r.map(_.getAs[Long]("n_sessions_started")).sum
+    // every session contributes one +1: total starts = session count
+    val sessions = graft.ext.Events.sessionize(
+      graft.ext.Events.normalizeTs(
+        spark.read.parquet(s"$sf/events.parquet")), "user_id", "ts")
+      .select("user_id", "session_id").distinct().count()
+    assert(started == sessions, s"starts $started vs sessions $sessions")
+    r.foreach { row =>
+      val peak = row.getAs[Long]("peak_concurrency")
+      assert(peak >= 0)
+      // a day's peak cannot exceed the total session count
+      assert(peak <= sessions)
+      assert(row.getAs[String]("day").matches("\\d{4}-\\d{2}-\\d{2}"))
+    }
+    // at least one day must reach concurrency ≥ 1 (sessions exist)
+    assert(r.map(_.getAs[Long]("peak_concurrency")).max >= 1)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf

@@ -456,6 +456,32 @@ class StreamingSpec extends SparkSpec {
       s"stream cells $streamCells vs batch $batchCells")
   }
 
+  test("streaming shard-mixing cells across batches ≡ batch chi2 on the documents fixture") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val rows = d.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](31, spark, None)
+    // two micro-batches exercise the cross-batch count merge
+    input.addData(rows.take(rows.length / 2))
+    input.addData(rows.drop(rows.length / 2))
+    val memCells = runToMemory(
+      StreamOps.shardCellsStream(input.toDF().toDF("doc_id", "source")),
+      "shard_cells", mode = "complete") {}
+    // re-root the memory view: the epilogue self-joins the cell frame, and
+    // the MemoryPlan view exposes identical attribute ids on every branch
+    val streamCells = memCells.as[(Long, String, Long)].collect().toSeq
+      .toDF("shard", "source", "o")
+    val streamChi2 = graft.ext.Splits.shardMixingChi2(streamCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchChi2 = graft.queries.Round8Queries
+      .q148ShardMixing(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // cells are integer counts (order-insensitive) and the epilogue pins its
+    // float summation order → exact equality of the whole panel
+    assert(streamChi2 == batchChi2, s"stream $streamChi2 vs batch $batchChi2")
+  }
+
   test("streaming running top-k across batches ≡ batch top-k on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
