@@ -731,6 +731,93 @@ object Round8Queries {
        |    AS n_sessions_started
        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q154 discrete conversion survival (Kaplan–Meier) ---------------------
+
+  /** Time-to-first-purchase survival table: for each day offset k since a
+    * user's first event, the at-risk count, conversions, discrete hazard
+    * h_k = conv_k / at_risk_k, and Kaplan–Meier survival S_k = Π_{j≤k}(1−h_j)
+    * with right-censoring at the corpus end. The scalable shape: one
+    * user-keyed aggregation → an EXIT-offset histogram (bounded by the day
+    * span, not the user count — at-risk counts come from the exclusive
+    * cumsum of exits, never a per-k rescan of users), then windows over the
+    * ≤span-sized offset grid. The survival product runs through the custom
+    * [[graft.functions.GraftProduct]] running-window aggregate; the oracle
+    * replays it with DuckDB's `product()` window — both multiply the
+    * identical exact hazard ratios in k order.
+    */
+  def q154ConversionSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftProduct.product
+    val ev = ExtQueries.events(spark, sfDir)
+    val perUser = ev.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("entry"),
+      min(when(col("event_type") === "purchase", to_date(col("ts")))).as("convd"))
+    val end = ev.agg(max(to_date(col("ts"))).as("gend"))
+    val u = perUser.crossJoin(broadcast(end))
+      .withColumn("conv_off", datediff(col("convd"), col("entry")).cast("long"))
+      .withColumn("censor", datediff(col("gend"), col("entry")).cast("long"))
+      .withColumn("exit",
+        coalesce(least(col("conv_off"), col("censor")), col("censor")))
+    val exits = u.groupBy("exit").agg(
+      count(lit(1)).as("n_exit"),
+      sum(when(col("conv_off") === col("exit"), 1L).otherwise(0L)).as("n_conv"))
+    val total = u.agg(count(lit(1)).as("n_total"), max(col("exit")).as("max_e"))
+    val grid = total.select(
+      explode(sequence(lit(0L), col("max_e"))).as("k"), col("n_total"))
+    // post-aggregation frame: ≤ day-span rows — bounded global windows
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(exits.withColumnRenamed("exit", "k"), Seq("k"), "left")
+      .na.fill(0L, Seq("n_exit", "n_conv"))
+      .withColumn("at_risk",
+        col("n_total") - (sum(col("n_exit")).over(w) - col("n_exit")))
+      .withColumn("hazard", col("n_conv").cast("double") / col("at_risk"))
+      .withColumn("survival", product(lit(1.0) - col("hazard")).over(w))
+      .select(col("k"), col("at_risk"), col("n_conv").as("conversions"),
+        round(col("hazard"), 6).as("hazard"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("k")
+  }
+
+  val q154Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS entry,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS convd
+      |  FROM events GROUP BY user_id),
+      |ge AS (SELECT MAX(CAST(ts AS DATE)) AS gend FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(convd - entry AS BIGINT) AS conv_off,
+      |    CAST(gend - entry AS BIGINT) AS censor,
+      |    COALESCE(LEAST(CAST(convd - entry AS BIGINT), CAST(gend - entry AS BIGINT)),
+      |             CAST(gend - entry AS BIGINT)) AS ex
+      |  FROM pu, ge),
+      |exits AS (
+      |  SELECT ex, COUNT(*) AS n_exit,
+      |    CAST(SUM(CASE WHEN conv_off = ex THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY ex),
+      |tot AS (SELECT COUNT(*) AS n_total, MAX(ex) AS max_e FROM u),
+      |grid AS (
+      |  SELECT unnest(range(0, max_e + 1)) AS k, n_total FROM tot),
+      |j AS (
+      |  SELECT g.k, g.n_total,
+      |    COALESCE(e.n_exit, 0) AS n_exit, COALESCE(e.n_conv, 0) AS n_conv
+      |  FROM grid g LEFT JOIN exits e ON g.k = e.ex),
+      |r AS (
+      |  SELECT k, n_conv,
+      |    n_total - (SUM(n_exit) OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_exit) AS at_risk
+      |  FROM j),
+      |h AS (
+      |  SELECT k, at_risk, n_conv,
+      |    CAST(n_conv AS DOUBLE) / at_risk AS hazard
+      |  FROM r)
+      |SELECT k, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(n_conv AS BIGINT) AS conversions,
+      |  ROUND(hazard, 6) AS hazard,
+      |  ROUND(product(1.0 - hazard) OVER (ORDER BY k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS survival
+      |FROM h ORDER BY k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -743,7 +830,8 @@ object Round8Queries {
     "q150_effective_tokens" -> (q150EffectiveTokens _),
     "q151_temperature_mixture" -> (q151TemperatureMixture _),
     "q152_crosslingual_dups" -> (q152CrosslingualDups _),
-    "q153_peak_concurrency" -> (q153PeakConcurrency _))
+    "q153_peak_concurrency" -> (q153PeakConcurrency _),
+    "q154_conversion_survival" -> (q154ConversionSurvival _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -757,5 +845,6 @@ object Round8Queries {
     "q150_effective_tokens" -> q150Sql,
     "q151_temperature_mixture" -> q151Sql,
     "q152_crosslingual_dups" -> q152Sql,
-    "q153_peak_concurrency" -> q153Sql)
+    "q153_peak_concurrency" -> q153Sql,
+    "q154_conversion_survival" -> q154Sql)
 }

@@ -244,6 +244,30 @@ class Round8Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("peak_concurrency")).max >= 1)
   }
 
+  test("q154 survival: at-risk monotone non-increasing from the user count," +
+    " survival monotone non-increasing in [0,1]") {
+    val r = Round8Queries.q154ConversionSurvival(spark, sf).orderBy("k").collect()
+    assert(r.nonEmpty)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.head.getAs[Long]("at_risk") == users)
+    val atRisk = r.map(_.getAs[Long]("at_risk"))
+    assert(atRisk.zip(atRisk.tail).forall { case (a, b) => a >= b })
+    val surv = r.map(_.getAs[Double]("survival"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0 + 1e-9))
+    r.foreach { row =>
+      assert(row.getAs[Long]("conversions") <= row.getAs[Long]("at_risk"))
+      val h = row.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    // conversions sum to the number of converting users
+    val conv = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("conversions")).sum == conv)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
