@@ -316,12 +316,27 @@ object ExtQueries {
 
   // ---- q21 sessionization --------------------------------------------------
 
+  /** Per-session interval summary (user, session, event count, start/end
+    * epoch seconds), cached per (session, sf): q21's session stats, the
+    * q85/q87 co-presence interval join, and q153's concurrency sweep all
+    * start from this one sessionize + keyed aggregation.
+    */
+  private[queries] def sessionIntervals(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "session_intervals") {
+      Events.sessionize(events(spark, sfDir), "user_id", "ts")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts").cast("long")).as("start_s"),
+          max(col("ts").cast("long")).as("end_s"))
+    }
+
   def q21Sessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Events.sessionStats(events(spark, sfDir))
-    s.select(col("user_id"), col("n_sessions"),
-      round(col("avg_events"), 6).as("avg_events"),
-      round(col("avg_duration_s"), 6).as("avg_duration_s"),
-      col("max_duration_s")).orderBy("user_id")
+    val dur = col("end_s") - col("start_s")
+    sessionIntervals(spark, sfDir).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_sessions"),
+      round(avg(col("n_events")), 6).as("avg_events"),
+      round(avg(dur), 6).as("avg_duration_s"),
+      max(dur).as("max_duration_s")).orderBy("user_id")
   }
 
   /** Shared gaps-and-islands session CTE chain ending in `c(user_id, ts,
@@ -2798,10 +2813,8 @@ object ExtQueries {
     */
   private def copresencePairs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "copresence_pairs") {
-      val sess = Events.sessionize(events(spark, sfDir), "user_id", "ts")
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("ts").cast("long")).as("s"),
-          max(col("ts").cast("long")).as("e"))
+      val sess = sessionIntervals(spark, sfDir)
+        .select(col("user_id"), col("start_s").as("s"), col("end_s").as("e"))
       graft.ext.RangeJoin.overlapJoin(
         sess.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1")),
         "s1", "e1",

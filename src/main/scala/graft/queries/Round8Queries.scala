@@ -688,11 +688,7 @@ object Round8Queries {
     * curve count sessions overlapping each instant.
     */
   def q153PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = graft.ext.Events.sessionize(
-      ExtQueries.events(spark, sfDir), "user_id", "ts")
-    val per = s.groupBy(col("user_id"), col("session_id")).agg(
-      min(col("ts").cast("long")).as("start_s"),
-      max(col("ts").cast("long")).as("end_s"))
+    val per = ExtQueries.sessionIntervals(spark, sfDir)
     val deltas = per
       .select(col("start_s").as("t"), lit(0L).as("bit"), lit(1L).as("d"))
       .unionByName(per.select((col("end_s") + 1).as("t"), lit(1L).as("bit"),
