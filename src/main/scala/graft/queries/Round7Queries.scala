@@ -447,15 +447,20 @@ object Round7Queries {
       sample.select(col("doc_id"), explode(col("s")).as("g"))
         .groupBy("doc_id")
         .agg(minAggs.head, minAggs.tail: _*))
-    val ex = sample.select(col("doc_id"), size(col("s")).as("sz"),
-      explode(col("s")).as("g"))
-    val pairs = ex.as("x").join(ex.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz1"),
-        first(col("y.sz")).as("sz2"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")))
+    // the exact-Jaccard pair universe is itself a reusable calibration
+    // artifact (sample-bounded): cache it like the signature frames so the
+    // inverted-index join runs once per (session, sf)
+    val pairs = cached(spark, sfDir, "q133_pairs") {
+      val ex = sample.select(col("doc_id"), size(col("s")).as("sz"),
+        explode(col("s")).as("g"))
+      ex.as("x").join(ex.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz1"),
+          first(col("y.sz")).as("sz2"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")))
+    }
     val s1 = sigs.toDF("doc_id" +: (0 until nPerms).map(i => s"a$i"): _*)
     val s2 = sigs.toDF("doc_id" +: (0 until nPerms).map(i => s"b$i"): _*)
     val est = (0 until nPerms).map(i =>
