@@ -814,6 +814,54 @@ object Round8Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS survival
       |FROM h ORDER BY k""".stripMargin
 
+  // ---- q155 shipping-priority top-k (TPC-H Q3 shape) ------------------------
+
+  /** TPC-H Q3-shaped shipping-priority query: unshipped-revenue top 10 for a
+    * market segment at a cutoff date. The plan shape is the canonical star
+    * probe: the segment filter broadcasts through customer into orders, the
+    * fact side (lineitem) is filtered by shipdate at the SCAN (pushdown) and
+    * joins orders on the order key — a keyed shuffle join, since orders is
+    * NOT broadcastable at real scale — then one partial-aggregated revenue
+    * rollup. The global top-10 is `orderBy().limit()`, which Spark plans as
+    * TakeOrderedAndProject: per-partition bounded top-k merged on the
+    * driver, never a global sort. Revenue is ROUNDED before ranking
+    * (orderkey tie-break) so both engines order identical keys.
+    */
+  def q155ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(to_date(col("o_orderdate")) < lit(cutoff))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(to_date(col("l_shipdate")) > lit(cutoff))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q155Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |  o_orderpriority,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -827,7 +875,8 @@ object Round8Queries {
     "q151_temperature_mixture" -> (q151TemperatureMixture _),
     "q152_crosslingual_dups" -> (q152CrosslingualDups _),
     "q153_peak_concurrency" -> (q153PeakConcurrency _),
-    "q154_conversion_survival" -> (q154ConversionSurvival _))
+    "q154_conversion_survival" -> (q154ConversionSurvival _),
+    "q155_shipping_priority" -> (q155ShippingPriority _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -842,5 +891,6 @@ object Round8Queries {
     "q151_temperature_mixture" -> q151Sql,
     "q152_crosslingual_dups" -> q152Sql,
     "q153_peak_concurrency" -> q153Sql,
-    "q154_conversion_survival" -> q154Sql)
+    "q154_conversion_survival" -> q154Sql,
+    "q155_shipping_priority" -> q155Sql)
 }

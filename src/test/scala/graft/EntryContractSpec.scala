@@ -23,7 +23,7 @@ class EntryContractSpec extends SparkSpec {
     SparkEntry.queries.keySet.foreach { n =>
       assert(n.matches("q\\d+_[a-z0-9_]+"), s"non-canonical query name: $n")
     }
-    assert(SparkEntry.queries.size >= 124,
+    assert(SparkEntry.queries.size >= 154,
       s"query count regressed: ${SparkEntry.queries.size}")
   }
 

@@ -268,6 +268,20 @@ class Round8Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("conversions")).sum == conv)
   }
 
+  test("q155 shipping priority: TakeOrderedAndProject top-k, broadcast" +
+    " segment filter, shipdate pushed to the lineitem scan") {
+    val df = Round8Queries.q155ShippingPriority(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+    val r = df.collect()
+    assert(r.length <= 10 && r.nonEmpty)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    r.foreach(row => assert(row.getAs[Double]("revenue") > 0.0))
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
