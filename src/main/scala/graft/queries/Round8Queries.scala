@@ -862,6 +862,47 @@ object Round8Queries {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---- q156 fulfillment-latency percentiles ---------------------------------
+
+  /** Order-to-ship latency distribution per order priority: exact
+    * linear-interpolated p50/p90/p99 over integer day latencies from the
+    * orders⋈lineitem join (order side broadcast-scale after column pruning;
+    * at real scale the join is the keyed fact shuffle). Latencies are exact
+    * integers, so the interpolated quantiles are small rationals both
+    * engines compute identically (`percentile` ≡ `quantile_cont`, the q05
+    * equivalence) — rounded only at report time.
+    */
+  def q156FulfillmentLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", datediff(col("sd"), col("od")).cast("double"))
+      .groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_lines"),
+        round(avg(col("lat")), 6).as("avg_days"),
+        round(expr("percentile(lat, 0.5)"), 6).as("p50_days"),
+        round(expr("percentile(lat, 0.9)"), 6).as("p90_days"),
+        round(expr("percentile(lat, 0.99)"), 6).as("p99_days"),
+        max(col("lat")).cast("long").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q156Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS DOUBLE) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  ROUND(AVG(lat), 6) AS avg_days,
+      |  ROUND(quantile_cont(lat, 0.5), 6) AS p50_days,
+      |  ROUND(quantile_cont(lat, 0.9), 6) AS p90_days,
+      |  ROUND(quantile_cont(lat, 0.99), 6) AS p99_days,
+      |  CAST(MAX(lat) AS BIGINT) AS max_days
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -876,7 +917,8 @@ object Round8Queries {
     "q152_crosslingual_dups" -> (q152CrosslingualDups _),
     "q153_peak_concurrency" -> (q153PeakConcurrency _),
     "q154_conversion_survival" -> (q154ConversionSurvival _),
-    "q155_shipping_priority" -> (q155ShippingPriority _))
+    "q155_shipping_priority" -> (q155ShippingPriority _),
+    "q156_fulfillment_latency" -> (q156FulfillmentLatency _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -892,5 +934,6 @@ object Round8Queries {
     "q152_crosslingual_dups" -> q152Sql,
     "q153_peak_concurrency" -> q153Sql,
     "q154_conversion_survival" -> q154Sql,
-    "q155_shipping_priority" -> q155Sql)
+    "q155_shipping_priority" -> q155Sql,
+    "q156_fulfillment_latency" -> q156Sql)
 }

@@ -282,6 +282,21 @@ class Round8Spec extends SparkSpec {
     r.foreach(row => assert(row.getAs[Double]("revenue") > 0.0))
   }
 
+  test("q156 latency percentiles: ordered p50 ≤ p90 ≤ p99 ≤ max, lines conserved") {
+    val r = Round8Queries.q156FulfillmentLatency(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val p50 = row.getAs[Double]("p50_days")
+      val p90 = row.getAs[Double]("p90_days")
+      val p99 = row.getAs[Double]("p99_days")
+      val mx = row.getAs[Long]("max_days").toDouble
+      assert(p50 <= p90 + 1e-9 && p90 <= p99 + 1e-9 && p99 <= mx + 1e-9)
+      assert(row.getAs[Double]("avg_days") <= mx)
+    }
+    val lines = r.map(_.getAs[Long]("n_lines")).sum
+    assert(lines == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
