@@ -903,6 +903,66 @@ object Round8Queries {
       |  CAST(MAX(lat) AS BIGINT) AS max_days
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q157 multi-signal duplicate groups -----------------------------------
+
+  /** Duplicate clusters that only appear when SIGNALS ARE COMBINED: the
+    * simhash near-dup pair graph (text) and the cosine pair graph
+    * (semantic, doc_id = vec_id) union into one edge list, connected
+    * components run over the union, and each group reports how many edges
+    * each signal contributed — a group with `text_edges = 0` was invisible
+    * to every text-level dedup pass, and a chain A~text~B~sem~C is ONE
+    * cluster here but two under single-signal grouping. Both pair frames
+    * are session-cached; the CC engine is the shared adaptive one. Output
+    * is group-level (pairs-sized, corpus-independent).
+    */
+  def q157MultisignalGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = cached(spark, sfDir, "simhash_portable")(
+      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
+    val textPairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
+      maxHamming = 3, bits = 60, bands = 4)
+      .select(col("id1"), col("id2"), lit("text").as("signal"))
+    val semPairs = ExtQueries.cosinePairs04(spark, sfDir)
+      .select(col("id1"), col("id2"), lit("sem").as("signal"))
+    val edges = textPairs.unionByName(semPairs)
+    val groups = Dedup.duplicateGroups(edges.select("id1", "id2").distinct())
+    val edgeGroups = edges
+      .join(groups.select(col("id").as("id1"), col("group_id")), "id1")
+      .groupBy("group_id").agg(
+        sum((col("signal") === "text").cast("long")).as("text_edges"),
+        sum((col("signal") === "sem").cast("long")).as("sem_edges"))
+    groups.groupBy("group_id").agg(count(lit(1)).as("n_members"))
+      .join(edgeGroups, "group_id")
+      .select(col("group_id"), col("n_members"), col("text_edges"),
+        col("sem_edges"))
+      .orderBy("group_id")
+  }
+
+  val q157Sql: String =
+    s"""WITH RECURSIVE tp AS (
+       |  SELECT id1, id2, 'text' AS signal FROM (${ExtQueries.q19Sql}) a),
+       |sp AS (
+       |  SELECT id1, id2, 'sem' AS signal FROM (${ExtQueries.q37Sql}) b),
+       |ed AS (SELECT * FROM tp UNION ALL SELECT * FROM sp),
+       |du AS (SELECT DISTINCT id1, id2 FROM ed),
+       |edges AS (SELECT id1 AS x, id2 AS y FROM du
+       |          UNION ALL SELECT id2, id1 FROM du),
+       |reach AS (
+       |  SELECT x AS id, y AS r FROM edges
+       |  UNION
+       |  SELECT e.x, r.r FROM edges e JOIN reach r ON e.y = r.id),
+       |g AS (SELECT id, LEAST(id, MIN(r)) AS group_id FROM reach GROUP BY id),
+       |eg AS (
+       |  SELECT g.group_id,
+       |    CAST(SUM(CASE WHEN ed.signal = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS text_edges,
+       |    CAST(SUM(CASE WHEN ed.signal = 'sem' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS sem_edges
+       |  FROM ed JOIN g ON ed.id1 = g.id GROUP BY g.group_id)
+       |SELECT g.group_id, COUNT(*) AS n_members, eg.text_edges, eg.sem_edges
+       |FROM g JOIN eg ON g.group_id = eg.group_id
+       |GROUP BY g.group_id, eg.text_edges, eg.sem_edges
+       |ORDER BY g.group_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -918,7 +978,8 @@ object Round8Queries {
     "q153_peak_concurrency" -> (q153PeakConcurrency _),
     "q154_conversion_survival" -> (q154ConversionSurvival _),
     "q155_shipping_priority" -> (q155ShippingPriority _),
-    "q156_fulfillment_latency" -> (q156FulfillmentLatency _))
+    "q156_fulfillment_latency" -> (q156FulfillmentLatency _),
+    "q157_multisignal_groups" -> (q157MultisignalGroups _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -935,5 +996,6 @@ object Round8Queries {
     "q153_peak_concurrency" -> q153Sql,
     "q154_conversion_survival" -> q154Sql,
     "q155_shipping_priority" -> q155Sql,
-    "q156_fulfillment_latency" -> q156Sql)
+    "q156_fulfillment_latency" -> q156Sql,
+    "q157_multisignal_groups" -> q157Sql)
 }

@@ -297,6 +297,23 @@ class Round8Spec extends SparkSpec {
     assert(lines == spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("q157 multi-signal groups: members ≥ 2, every group has ≥ 1 edge," +
+    " union refines the single-signal partitions") {
+    val r = Round8Queries.q157MultisignalGroups(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_members") >= 2)
+      assert(row.getAs[Long]("text_edges") + row.getAs[Long]("sem_edges") >= 1)
+    }
+    // the union graph can only MERGE single-signal components, never split:
+    // group count ≤ text-only group count + sem-only group count
+    val textGroups = graft.queries.ExtQueries
+      .q36DupGroups(spark, sf).select("group_id").distinct().count()
+    val semGroups = graft.queries.ExtQueries
+      .q63SemanticGroups(spark, sf).select("group_id").distinct().count()
+    assert(r.length <= textGroups + semGroups)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
