@@ -244,12 +244,8 @@ object ExtQueries {
     * it once and the timed loop measures the band-join + verify, i.e. the
     * engine, not the verification machinery.
     */
-  def q19Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = cached(spark, sfDir, "simhash_portable")(
-      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
-    Dedup.simhashNearDuplicatesFromHashes(sigs, maxHamming = 3, bits = 60, bands = 4)
-      .orderBy("id1", "id2")
-  }
+  def q19Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(spark, sfDir).orderBy("id1", "id2")
 
   /** Shared CTE chain reconstructing each doc's portable 60-bit simhash
     * (md5 token hashes → 60 vote sums → sign bits) ending in
@@ -617,13 +613,21 @@ object ExtQueries {
     * graph — cached per (session, sf): q36 gates it directly and q60's
     * near-dup stage consumes the same frame.
     */
-  private[queries] def dupGroups(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "dup_groups") {
+  /** Portable-simhash near-dup pair list, cached per (session, sf): the
+    * q36/q60 group engine and q157's multi-signal union both read it.
+    */
+  private[queries] def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "simhash_pairs") {
       val sigs = cached(spark, sfDir, "simhash_portable")(
         Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
-      val pairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
+      Dedup.simhashNearDuplicatesFromHashes(sigs,
         maxHamming = 3, bits = 60, bands = 4)
-      Dedup.duplicateGroups(pairs.select(col("id1"), col("id2")))
+    }
+
+  private[queries] def dupGroups(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "dup_groups") {
+      Dedup.duplicateGroups(
+        simhashPairs(spark, sfDir).select(col("id1"), col("id2")))
     }
 
   def q36DupGroups(spark: SparkSession, sfDir: String): DataFrame =

@@ -916,10 +916,7 @@ object Round8Queries {
     * is group-level (pairs-sized, corpus-independent).
     */
   def q157MultisignalGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = cached(spark, sfDir, "simhash_portable")(
-      Dedup.simhashPortable(docs(spark, sfDir), "doc_id", "text"))
-    val textPairs = Dedup.simhashNearDuplicatesFromHashes(sigs,
-      maxHamming = 3, bits = 60, bands = 4)
+    val textPairs = ExtQueries.simhashPairs(spark, sfDir)
       .select(col("id1"), col("id2"), lit("text").as("signal"))
     val semPairs = ExtQueries.cosinePairs04(spark, sfDir)
       .select(col("id1"), col("id2"), lit("sem").as("signal"))
