@@ -193,6 +193,30 @@ object StreamOps {
         col(sourceCol).as("source"))
       .groupBy("shard", "source").agg(count(lit(1)).as("o"))
 
+  /** Streaming semantic decontamination — the continuous-ingestion guard of
+    * the q142 batch audit: each arriving embedding's max cosine against the
+    * benchmark set, computed ROW-LOCALLY against plan-literal normalized
+    * benchmark vectors (codegen'd [[graft.functions.VectorExprs]] dots, a
+    * `greatest` fold over the benchmark axis). Completely stateless — no
+    * watermark, no store — because the benchmark side is fixed; this is the
+    * same bounded-side contract as the batch broadcast nested-loop. Keep
+    * the benchmark small (eval sets are); at thousands of benchmark rows
+    * switch to the batch job's broadcast join instead of plan literals.
+    */
+  def semanticDecontamStream(vecs: DataFrame, bench: Seq[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", threshold: Double = 0.35): DataFrame = {
+    require(bench.size >= 2, "benchmark must have at least 2 vectors")
+    val v = col(vecCol).cast("array<double>")
+    val vn = sqrt(graft.ext.Similarity.norm2(v))
+    val dots = bench.map { b =>
+      val bn = math.sqrt(b.map(x => x * x).sum)
+      graft.ext.Similarity.dot(v, typedLit(b.toSeq)) / (vn * lit(bn))
+    }
+    vecs.select(col(idCol), col(labelCol), greatest(dots: _*).as("mc"))
+      .withColumn("flagged", col("mc") >= threshold)
+  }
+
   /** Streaming running top-k per group: a truncated merge under the TOTAL
     * order (score desc, id asc — [[graft.functions.TopKAgg]]) is
     * commutative and associative, so the cross-batch state lands on

@@ -482,6 +482,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamChi2 == batchChi2, s"stream $streamChi2 vs batch $batchChi2")
   }
 
+  test("streaming semantic decontamination ≡ batch per-vector max-cosine") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val bench = emb.filter(col("vec_id") % 20 === 0).orderBy("vec_id")
+      .collect().map(_.getAs[Seq[Double]]("embedding").toArray).toSeq
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val rows = corpus.as[(Long, Seq[Double], Int)].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Double], Int)](32, spark, None)
+    input.addData(rows.take(rows.length / 2))
+    input.addData(rows.drop(rows.length / 2))
+    val streamed = runToMemory(
+      StreamOps.semanticDecontamStream(
+        input.toDF().toDF("vec_id", "embedding", "label"), bench),
+      "sem_decontam") {}
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // batch truth: the q142 inner frame (broadcast nested-loop max per vec)
+    val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"),
+      sqrt(graft.ext.Similarity.norm2(col("embedding"))).as("n"))
+    val b = broadcast(e.filter(col("vec_id") % 20 === 0)
+      .select(col("v").as("bv"), col("n").as("bn")))
+    val cos = graft.ext.Similarity.dot(col("v"), col("bv")) / (col("n") * col("bn"))
+    val batch = e.filter(col("vec_id") % 20 =!= 0).crossJoin(b)
+      .groupBy("vec_id").agg(max(cos).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    // identical double sequences on both paths → exact equality
+    streamed.foreach { case (id, (mc, flagged)) =>
+      assert(mc == batch(id), s"vec $id: stream $mc vs batch ${batch(id)}")
+      assert(flagged == (mc >= 0.35))
+    }
+  }
+
   test("streaming running top-k across batches ≡ batch top-k on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
