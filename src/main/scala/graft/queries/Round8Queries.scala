@@ -960,6 +960,81 @@ object Round8Queries {
        |GROUP BY g.group_id, eg.text_edges, eg.sem_edges
        |ORDER BY g.group_id""".stripMargin
 
+  // ---- q158 weekly growth accounting ----------------------------------------
+
+  /** Growth accounting over weekly active users: per week, actives split
+    * into NEW (first-ever week), RETAINED (also active the previous week)
+    * and RESURRECTED (active before, but not last week), plus CHURNED
+    * (active last week, absent this week — last week's actives minus this
+    * week's retained). Shapes: one distinct (user, week) projection, a
+    * per-USER lag window for the retained flag (keyed, never global), one
+    * week-keyed aggregation, and a single lag over the ≤weeks-sized panel
+    * for churn. All counts are exact integers.
+    */
+  def q158GrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+    val uw = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    val wUser = Window.partitionBy("user_id").orderBy("week")
+    val flagged = uw
+      .withColumn("first_week", min(col("week")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_week", lag(col("week"), 1).over(wUser))
+      .withColumn("is_new", col("week") === col("first_week"))
+      .withColumn("is_retained",
+        col("prev_week").isNotNull && datediff(col("week"), col("prev_week")) === 7)
+    val panel = flagged.groupBy("week").agg(
+      count(lit(1)).as("n_active"),
+      sum(col("is_new").cast("long")).as("n_new"),
+      sum(col("is_retained").cast("long")).as("n_retained"))
+      .withColumn("n_resurrected",
+        col("n_active") - col("n_new") - col("n_retained"))
+    // churn needs last week's actives: one lag over the weeks-sized panel
+    val wPanel = Window.orderBy("week")
+    panel
+      .withColumn("prev_active", lag(col("n_active"), 1).over(wPanel))
+      .withColumn("prev_week", lag(col("week"), 1).over(wPanel))
+      .withColumn("n_churned",
+        when(col("prev_week").isNotNull && datediff(col("week"), col("prev_week")) === 7,
+          col("prev_active") - col("n_retained"))
+          .when(col("prev_week").isNotNull, col("prev_active"))
+          .otherwise(lit(0L)))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy("week")
+  }
+
+  val q158Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, week,
+      |    MIN(week) OVER (PARTITION BY user_id ORDER BY week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_week,
+      |    LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      |  FROM uw),
+      |panel AS (
+      |  SELECT week, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN prev_week IS NOT NULL AND week - prev_week = 7
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      |  FROM f GROUP BY week),
+      |p2 AS (
+      |  SELECT *, n_active - n_new - n_retained AS n_resurrected,
+      |    LAG(n_active) OVER (ORDER BY week) AS prev_active,
+      |    LAG(week) OVER (ORDER BY week) AS prev_week
+      |  FROM panel)
+      |SELECT CAST(week AS VARCHAR) AS week,
+      |  CAST(n_active AS BIGINT) AS n_active, n_new, n_retained,
+      |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(CASE WHEN prev_week IS NOT NULL AND week - prev_week = 7
+      |       THEN prev_active - n_retained
+      |       WHEN prev_week IS NOT NULL THEN prev_active
+      |       ELSE 0 END AS BIGINT) AS n_churned
+      |FROM p2 ORDER BY week""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -976,7 +1051,8 @@ object Round8Queries {
     "q154_conversion_survival" -> (q154ConversionSurvival _),
     "q155_shipping_priority" -> (q155ShippingPriority _),
     "q156_fulfillment_latency" -> (q156FulfillmentLatency _),
-    "q157_multisignal_groups" -> (q157MultisignalGroups _))
+    "q157_multisignal_groups" -> (q157MultisignalGroups _),
+    "q158_growth_accounting" -> (q158GrowthAccounting _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -994,5 +1070,6 @@ object Round8Queries {
     "q154_conversion_survival" -> q154Sql,
     "q155_shipping_priority" -> q155Sql,
     "q156_fulfillment_latency" -> q156Sql,
-    "q157_multisignal_groups" -> q157Sql)
+    "q157_multisignal_groups" -> q157Sql,
+    "q158_growth_accounting" -> q158Sql)
 }

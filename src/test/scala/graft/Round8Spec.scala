@@ -314,6 +314,25 @@ class Round8Spec extends SparkSpec {
     assert(r.length <= textGroups + semGroups)
   }
 
+  test("q158 growth accounting: actives decompose exactly, churn bounded") {
+    val r = Round8Queries.q158GrowthAccounting(spark, sf).orderBy("week").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_active") ==
+        row.getAs[Long]("n_new") + row.getAs[Long]("n_retained") +
+          row.getAs[Long]("n_resurrected"))
+      Seq("n_new", "n_retained", "n_resurrected", "n_churned")
+        .foreach(c => assert(row.getAs[Long](c) >= 0, s"$c negative"))
+    }
+    // first week: everyone is new, nobody churned
+    assert(r.head.getAs[Long]("n_new") == r.head.getAs[Long]("n_active"))
+    assert(r.head.getAs[Long]("n_churned") == 0)
+    // Σ new over all weeks = distinct users ever
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_new")).sum == users)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
