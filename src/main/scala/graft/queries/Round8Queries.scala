@@ -1035,6 +1035,70 @@ object Round8Queries {
       |       ELSE 0 END AS BIGINT) AS n_churned
       |FROM p2 ORDER BY week""".stripMargin
 
+  // ---- q159 funnel inter-stage latency --------------------------------------
+
+  /** The timing complement of q33's conversion funnel: per stage transition
+    * (first view → first later click → first later purchase, the q33
+    * semantics exactly), the distribution of time-to-convert — n, median,
+    * p90, max seconds. Stage times come from the same chain of keyed
+    * aggregations + keyed joins (no windows over raw events); deltas are
+    * exact integer microseconds, so the interpolated percentiles are small
+    * rationals both engines compute identically, divided to seconds only at
+    * report time.
+    */
+  def q159FunnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ExtQueries.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val a0 = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t0"))
+    val a1 = base.filter(col("event_type") === "click").join(a0, "user_id")
+      .filter(col("us") > col("t0"))
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val a2 = base.filter(col("event_type") === "purchase").join(a1, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val d01 = a0.join(a1, "user_id")
+      .select(lit("view_to_click").as("stage"),
+        (col("t1") - col("t0")).cast("double").as("d_us"))
+    val d12 = a1.join(a2, "user_id")
+      .select(lit("click_to_purchase").as("stage"),
+        (col("t2") - col("t1")).cast("double").as("d_us"))
+    d01.unionByName(d12).groupBy("stage").agg(
+      count(lit(1)).as("n_users"),
+      round(expr("percentile(d_us, 0.5)") / 1e6, 6).as("median_s"),
+      round(expr("percentile(d_us, 0.9)") / 1e6, 6).as("p90_s"),
+      round(max(col("d_us")) / 1e6, 6).as("max_s"))
+      .orderBy("stage")
+  }
+
+  val q159Sql: String =
+    """WITH u0 AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0
+      |  FROM events GROUP BY 1),
+      |u1 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      |  FROM events e JOIN u0 USING (user_id)
+      |  WHERE e.event_type = 'click' AND u0.t0 IS NOT NULL AND epoch_us(e.ts) > u0.t0
+      |  GROUP BY 1),
+      |u2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN u1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u1.t1
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT 'view_to_click' AS stage,
+      |    CAST(u1.t1 - u0.t0 AS DOUBLE) AS d_us
+      |  FROM u0 JOIN u1 USING (user_id)
+      |  UNION ALL
+      |  SELECT 'click_to_purchase' AS stage,
+      |    CAST(u2.t2 - u1.t1 AS DOUBLE) AS d_us
+      |  FROM u1 JOIN u2 USING (user_id))
+      |SELECT stage, COUNT(*) AS n_users,
+      |  ROUND(quantile_cont(d_us, 0.5) / 1e6, 6) AS median_s,
+      |  ROUND(quantile_cont(d_us, 0.9) / 1e6, 6) AS p90_s,
+      |  ROUND(MAX(d_us) / 1e6, 6) AS max_s
+      |FROM d GROUP BY stage ORDER BY stage""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1052,7 +1116,8 @@ object Round8Queries {
     "q155_shipping_priority" -> (q155ShippingPriority _),
     "q156_fulfillment_latency" -> (q156FulfillmentLatency _),
     "q157_multisignal_groups" -> (q157MultisignalGroups _),
-    "q158_growth_accounting" -> (q158GrowthAccounting _))
+    "q158_growth_accounting" -> (q158GrowthAccounting _),
+    "q159_funnel_latency" -> (q159FunnelLatency _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1071,5 +1136,6 @@ object Round8Queries {
     "q155_shipping_priority" -> q155Sql,
     "q156_fulfillment_latency" -> q156Sql,
     "q157_multisignal_groups" -> q157Sql,
-    "q158_growth_accounting" -> q158Sql)
+    "q158_growth_accounting" -> q158Sql,
+    "q159_funnel_latency" -> q159Sql)
 }

@@ -333,6 +333,24 @@ class Round8Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_new")).sum == users)
   }
 
+  test("q159 funnel latency: counts equal the q33 funnel stages, percentiles" +
+    " ordered, deltas positive") {
+    val r = Round8Queries.q159FunnelLatency(spark, sf).collect()
+      .map(row => row.getAs[String]("stage") -> row).toMap
+    assert(r.keySet == Set("view_to_click", "click_to_purchase"))
+    val funnel = graft.queries.ExtQueries.q33Funnel(spark, sf).head
+    assert(r("view_to_click").getAs[Long]("n_users") ==
+      funnel.getAs[Long]("n_click"))
+    assert(r("click_to_purchase").getAs[Long]("n_users") ==
+      funnel.getAs[Long]("n_purchase"))
+    r.values.foreach { row =>
+      val med = row.getAs[Double]("median_s")
+      val p90 = row.getAs[Double]("p90_s")
+      val mx = row.getAs[Double]("max_s")
+      assert(med > 0.0 && med <= p90 + 1e-9 && p90 <= mx + 1e-9)
+    }
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
