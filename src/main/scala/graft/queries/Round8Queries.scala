@@ -1099,6 +1099,129 @@ object Round8Queries {
       |  ROUND(MAX(d_us) / 1e6, 6) AS max_s
       |FROM d GROUP BY stage ORDER BY stage""".stripMargin
 
+  // ---- q160 quality×length mutual information -------------------------------
+
+  /** Mutual information between quality deciles and power-of-two length
+    * buckets — the continuous-feature complement of q138's categorical
+    * chi-square: MI(X;Y) = Σ p log(p/(pₓ·p_y)) in nats, with the marginal
+    * entropies and normalized MI. One keyed aggregation builds the ≤10×~12
+    * cell grid; the float sums run as ORDER-PINNED window cumsums over the
+    * (x, y) axes (the q122/q138 technique) so both engines add identical
+    * doubles in identical order. High NMI means the quality score is mostly
+    * re-measuring length — exactly what a filter-design review checks.
+    */
+  def q160MutualInformation(spark: SparkSession, sfDir: String): DataFrame = {
+    // floor(log2(tokens)) via the binary-string length — exact integer
+    // arithmetic in both engines (a float log2 could straddle a floor
+    // boundary by one ulp at exact powers of two)
+    val d = docQuality(spark, sfDir)
+      .select(least(floor(col("q") * 10), lit(9L)).cast("long").as("x"),
+        (length(bin(col("tokens"))) - 1).cast("long").as("y"))
+    val cells = d.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("x").agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy("y").agg(sum(col("c")).as("cy"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val grid = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+    val p = col("c").cast("double") / col("n")
+    val px = col("cx").cast("double") / col("n")
+    val py = col("cy").cast("double") / col("n")
+    val terms = grid.select(col("x"), col("y"), col("n"),
+      (p * log(p / (px * py))).as("mi_term"),
+      // per-cell entropy shares so Hx/Hy accumulate in the same pinned order
+      (p * log(px)).as("hx_term"), (p * log(py)).as("hy_term"))
+    val w = Window.partitionBy(lit(0)).orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy(lit(0)).orderBy(col("x").desc, col("y").desc)
+    terms
+      .withColumn("mi", sum(col("mi_term")).over(w))
+      .withColumn("hx", -sum(col("hx_term")).over(w))
+      .withColumn("hy", -sum(col("hy_term")).over(w))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("n").as("n_docs"), round(col("mi"), 6).as("mi_nats"),
+        round(col("hx"), 6).as("h_quality"), round(col("hy"), 6).as("h_length"),
+        round(col("mi") / least(col("hx"), col("hy")), 6).as("nmi"))
+  }
+
+  val q160Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte),
+       |b AS (
+       |  SELECT LEAST(CAST(FLOOR(q * 10) AS BIGINT), 9) AS x,
+       |    CAST(LENGTH(bin(tokens)) - 1 AS BIGINT) AS y
+       |  FROM d),
+       |cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |terms AS (
+       |  SELECT cells.x, cells.y, tot.n,
+       |    (CAST(c AS DOUBLE) / n) * LN((CAST(c AS DOUBLE) / n)
+       |      / ((CAST(cx AS DOUBLE) / n) * (CAST(cy AS DOUBLE) / n))) AS mi_term,
+       |    (CAST(c AS DOUBLE) / n) * LN(CAST(cx AS DOUBLE) / n) AS hx_term,
+       |    (CAST(c AS DOUBLE) / n) * LN(CAST(cy AS DOUBLE) / n) AS hy_term
+       |  FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+       |cum AS (
+       |  SELECT n,
+       |    SUM(mi_term) OVER (ORDER BY x, y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mi,
+       |    -SUM(hx_term) OVER (ORDER BY x, y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hx,
+       |    -SUM(hy_term) OVER (ORDER BY x, y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hy,
+       |    ROW_NUMBER() OVER (ORDER BY x DESC, y DESC) AS rn
+       |  FROM terms)
+       |SELECT n AS n_docs, ROUND(mi, 6) AS mi_nats,
+       |  ROUND(hx, 6) AS h_quality, ROUND(hy, 6) AS h_length,
+       |  ROUND(mi / LEAST(hx, hy), 6) AS nmi
+       |FROM cum WHERE rn = 1""".stripMargin
+
+  // ---- q161 deterministic subsample-stability band --------------------------
+
+  /** Error-bar diagnostic for a corpus statistic (mean quality) without
+    * RNG: 64 deterministic half-samples — replicate i keeps a doc iff the
+    * md5-derived bucket of (i, doc_id) falls below 50 — each yield a
+    * replicate mean, and the band is the p2.5/p97.5 spread of those means
+    * (a subsample stability interval; half-sample spread upper-bounds the
+    * full-sample sampling error). The replicate expansion is a row-local
+    * 64-way flat map (one explode over a literal range — no shuffle until
+    * the replicate-keyed aggregation), reproducible bit-for-bit by any
+    * engine with md5.
+    */
+  def q161SubsampleStability(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir).select(col("doc_id"), col("q"))
+      .select(col("doc_id"), col("q"),
+        explode(sequence(lit(0), lit(63))).as("rep"))
+      .filter(pmod(Dedup.portableTokenHash(
+        concat(col("rep").cast("string"), lit(":"), col("doc_id").cast("string"))),
+        lit(100)) < 50)
+    val reps = d.groupBy("rep").agg(avg(col("q")).as("m"))
+    reps.agg(
+      count(lit(1)).as("n_replicates"),
+      round(avg(col("m")), 6).as("mean_of_means"),
+      round(expr("percentile(m, 0.025)"), 6).as("band_lo"),
+      round(expr("percentile(m, 0.975)"), 6).as("band_hi"),
+      round(max(col("m")) - min(col("m")), 6).as("band_range"))
+  }
+
+  val q161Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte),
+       |ex AS (
+       |  SELECT doc_id, q, unnest(range(0, 64)) AS rep FROM d),
+       |kept AS (
+       |  SELECT rep, q FROM ex
+       |  WHERE CAST('0x' || substr(md5(CAST(rep AS VARCHAR) || ':' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 50),
+       |reps AS (SELECT rep, AVG(q) AS m FROM kept GROUP BY rep)
+       |SELECT COUNT(*) AS n_replicates,
+       |  ROUND(AVG(m), 6) AS mean_of_means,
+       |  ROUND(quantile_cont(m, 0.025), 6) AS band_lo,
+       |  ROUND(quantile_cont(m, 0.975), 6) AS band_hi,
+       |  ROUND(MAX(m) - MIN(m), 6) AS band_range
+       |FROM reps""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1117,7 +1240,9 @@ object Round8Queries {
     "q156_fulfillment_latency" -> (q156FulfillmentLatency _),
     "q157_multisignal_groups" -> (q157MultisignalGroups _),
     "q158_growth_accounting" -> (q158GrowthAccounting _),
-    "q159_funnel_latency" -> (q159FunnelLatency _))
+    "q159_funnel_latency" -> (q159FunnelLatency _),
+    "q160_mutual_information" -> (q160MutualInformation _),
+    "q161_subsample_stability" -> (q161SubsampleStability _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1137,5 +1262,7 @@ object Round8Queries {
     "q156_fulfillment_latency" -> q156Sql,
     "q157_multisignal_groups" -> q157Sql,
     "q158_growth_accounting" -> q158Sql,
-    "q159_funnel_latency" -> q159Sql)
+    "q159_funnel_latency" -> q159Sql,
+    "q160_mutual_information" -> q160Sql,
+    "q161_subsample_stability" -> q161Sql)
 }

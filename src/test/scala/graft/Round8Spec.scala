@@ -351,6 +351,36 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q160 mutual information: 0 ≤ MI ≤ min(H), NMI in [0,1]") {
+    val r = Round8Queries.q160MutualInformation(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val mi = row.getAs[Double]("mi_nats")
+    val hx = row.getAs[Double]("h_quality")
+    val hy = row.getAs[Double]("h_length")
+    assert(mi >= -1e-9)
+    assert(hx > 0.0 && hy > 0.0)
+    assert(mi <= math.min(hx, hy) + 1e-9)
+    val nmi = row.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+    assert(row.getAs[Long]("n_docs") ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("q161 subsample stability: band contains the center, 64 replicates") {
+    val r = Round8Queries.q161SubsampleStability(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_replicates") == 64)
+    val lo = row.getAs[Double]("band_lo")
+    val hi = row.getAs[Double]("band_hi")
+    val m = row.getAs[Double]("mean_of_means")
+    assert(lo <= m + 1e-9 && m <= hi + 1e-9)
+    assert(row.getAs[Double]("band_range") >= hi - lo - 1e-9)
+    // half-sample means of a bounded [0,1] score sit inside [0,1]
+    assert(lo >= 0.0 && hi <= 1.0)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
