@@ -341,16 +341,16 @@ object ExtQueries {
     */
   private[queries] val sessionCtes: String =
     """e AS (
-      |  SELECT user_id, event_id, ts,
+      |  SELECT user_id, event_id, event_type, ts,
       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM events),
       |n AS (
-      |  SELECT user_id, event_id, ts,
+      |  SELECT user_id, event_id, event_type, ts,
       |         CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
       |              THEN 1 ELSE 0 END AS ns
       |  FROM e),
       |c AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, event_id, event_type, ts,
       |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM n)""".stripMargin

@@ -1222,6 +1222,80 @@ object Round8Queries {
        |  ROUND(MAX(m) - MIN(m), 6) AS band_range
        |FROM reps""".stripMargin
 
+  // ---- q162 session path analysis -------------------------------------------
+
+  /** Top-5 session journeys: the first three event types of every session
+    * concatenated into a path string ("view>click>purchase"), counted and
+    * ranked. Event ordering inside a session is the SAME keyed
+    * (user-partitioned) window sessionization already pays for; the
+    * journey assembly sorts a ≤3-element struct array row-locally
+    * (`collect_list` alone is partition-order-nondeterministic — the
+    * `sort_array` over (rank, type) structs pins it), and ranking runs over
+    * the tiny journey-count frame with the count-then-string tie-break.
+    */
+  def q162SessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = graft.ext.Events.sessionize(
+      ExtQueries.events(spark, sfDir), "user_id", "ts")
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val heads = s.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val journeys = heads.groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type").as("t")))),
+        e => e.getField("t")), ">").as("journey"))
+    val counts = journeys.groupBy("journey").agg(count(lit(1)).as("n_sessions"))
+    val rw = Window.orderBy(col("n_sessions").desc, col("journey"))
+    counts.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("rank"), col("journey"), col("n_sessions"))
+      .orderBy("rank")
+  }
+
+  val q162Sql: String =
+    s"""WITH ${ExtQueries.sessionCtes},
+       |r AS (
+       |  SELECT user_id, sid, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+       |  FROM c),
+       |j AS (
+       |  SELECT user_id, sid,
+       |    string_agg(event_type, '>' ORDER BY rn) AS journey
+       |  FROM r WHERE rn <= 3 GROUP BY user_id, sid),
+       |cnt AS (SELECT journey, COUNT(*) AS n_sessions FROM j GROUP BY journey),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, journey) AS rank
+       |  FROM cnt)
+       |SELECT CAST(rank AS BIGINT) AS rank, journey, n_sessions
+       |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin
+
+  // ---- q163 unpivot/melt round trip -----------------------------------------
+
+  /** The relational MELT (q140's pivot inverted): the wide daily activity
+    * matrix unpivots back to long (day, event_type, n) with Spark's native
+    * `unpivot`, zero-count cells dropped, and the per-type panel must equal
+    * what a direct aggregation of the raw events produces — the
+    * pivot∘unpivot identity as an oracle-checked contract. Unpivot is a
+    * row-local projection (each wide row fans to a fixed column list), so
+    * the whole round trip costs one extra narrow pass over the
+    * days×types frame.
+    */
+  def q163UnpivotDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Round7Queries.q140PivotDaily(spark, sfDir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    wide.unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("total_events"))
+      .orderBy("event_type")
+  }
+
+  val q163Sql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(*) AS total_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1242,7 +1316,9 @@ object Round8Queries {
     "q158_growth_accounting" -> (q158GrowthAccounting _),
     "q159_funnel_latency" -> (q159FunnelLatency _),
     "q160_mutual_information" -> (q160MutualInformation _),
-    "q161_subsample_stability" -> (q161SubsampleStability _))
+    "q161_subsample_stability" -> (q161SubsampleStability _),
+    "q162_session_paths" -> (q162SessionPaths _),
+    "q163_unpivot_daily" -> (q163UnpivotDaily _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1264,5 +1340,7 @@ object Round8Queries {
     "q158_growth_accounting" -> q158Sql,
     "q159_funnel_latency" -> q159Sql,
     "q160_mutual_information" -> q160Sql,
-    "q161_subsample_stability" -> q161Sql)
+    "q161_subsample_stability" -> q161Sql,
+    "q162_session_paths" -> q162Sql,
+    "q163_unpivot_daily" -> q163Sql)
 }

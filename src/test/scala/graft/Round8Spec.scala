@@ -381,6 +381,35 @@ class Round8Spec extends SparkSpec {
     assert(lo >= 0.0 && hi <= 1.0)
   }
 
+  test("q162 session paths: ranked journeys, counts bounded by session count") {
+    val r = Round8Queries.q162SessionPaths(spark, sf).orderBy("rank").collect()
+    assert(r.nonEmpty && r.length <= 5)
+    val sessions = graft.ext.Events.sessionize(
+      graft.ext.Events.normalizeTs(
+        spark.read.parquet(s"$sf/events.parquet")), "user_id", "ts")
+      .select("user_id", "session_id").distinct().count()
+    val counts = r.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.sum <= sessions)
+    r.foreach { row =>
+      val j = row.getAs[String]("journey")
+      assert(j.split(">").length <= 3 && j.nonEmpty)
+    }
+  }
+
+  test("q163 unpivot: melt(pivot(events)) ≡ direct per-type aggregation") {
+    val r = Round8Queries.q163UnpivotDaily(spark, sf).collect()
+    assert(r.nonEmpty)
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[String]("event_type") -> x.getAs[Long]("n")).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("total_events") ==
+        direct(row.getAs[String]("event_type")))
+    }
+    assert(r.map(_.getAs[Long]("total_events")).sum == direct.values.sum)
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
