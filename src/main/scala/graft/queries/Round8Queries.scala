@@ -1305,6 +1305,78 @@ object Round8Queries {
       |  COUNT(*) AS total_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q164 retention-decay fit ---------------------------------------------
+
+  /** Log-linear decay fit of each cohort's retention curve: with retention
+    * r_k = users at offset k / cohort size, fit ln(r_k) = a + b·k by OLS
+    * and report the decay rate b and the implied half-life −ln2/b — the
+    * model a growth team fits to q35's raw retention triangle. x-moments
+    * are exact integers; the float moments (Σy, Σxy over the ≤weeks-long
+    * curve) accumulate through an ORDER-PINNED window cumsum per cohort so
+    * both engines add identical doubles in offset order. Cohorts need ≥ 3
+    * observed offsets and a strictly-negative slope to report a half-life.
+    */
+  def q164RetentionDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val ret = graft.ext.Events.cohortRetention(ExtQueries.events(spark, sfDir))
+    val n0 = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("n0"))
+    val t = ret.join(n0, "cohort_week")
+      .withColumn("x", col("week_offset").cast("double"))
+      .withColumn("y", log(col("n_users").cast("double") / col("n0")))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy("cohort_week").orderBy(col("week_offset").desc)
+    val fitted = t
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1 && col("n") >= 3)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+    fitted.select(
+      date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+      col("n0").as("cohort_size"),
+      col("n").cast("long").as("n_offsets"),
+      round(col("slope"), 6).as("decay_rate"),
+      round(when(col("slope") < 0, -log(lit(2.0)) / col("slope")), 6)
+        .as("half_life_weeks"))
+      .orderBy("cohort_week")
+  }
+
+  val q164Sql: String =
+    s"""WITH ret AS (SELECT * FROM (${ExtQueries.q35Sql}) z),
+       |n0 AS (SELECT cohort_week, n_users AS n0 FROM ret WHERE week_offset = 0),
+       |t AS (
+       |  SELECT ret.cohort_week, ret.week_offset, n0.n0,
+       |    CAST(ret.week_offset AS DOUBLE) AS x,
+       |    LN(CAST(ret.n_users AS DOUBLE) / n0.n0) AS y
+       |  FROM ret JOIN n0 USING (cohort_week)),
+       |c AS (
+       |  SELECT cohort_week, n0,
+       |    CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+       |    SUM(x) OVER win AS sx, SUM(x * x) OVER win AS sxx,
+       |    SUM(y) OVER win AS sy, SUM(x * y) OVER win AS sxy,
+       |    ROW_NUMBER() OVER (PARTITION BY cohort_week
+       |      ORDER BY week_offset DESC) AS rn
+       |  FROM t
+       |  WINDOW win AS (PARTITION BY cohort_week ORDER BY week_offset
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT cohort_week, n0, n,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+       |  FROM c WHERE rn = 1 AND n >= 3)
+       |SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+       |  CAST(n0 AS BIGINT) AS cohort_size,
+       |  CAST(n AS BIGINT) AS n_offsets,
+       |  ROUND(slope, 6) AS decay_rate,
+       |  ROUND(CASE WHEN slope < 0 THEN -LN(2.0) / slope END, 6)
+       |    AS half_life_weeks
+       |FROM f ORDER BY cohort_week""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1327,7 +1399,8 @@ object Round8Queries {
     "q160_mutual_information" -> (q160MutualInformation _),
     "q161_subsample_stability" -> (q161SubsampleStability _),
     "q162_session_paths" -> (q162SessionPaths _),
-    "q163_unpivot_daily" -> (q163UnpivotDaily _))
+    "q163_unpivot_daily" -> (q163UnpivotDaily _),
+    "q164_retention_decay" -> (q164RetentionDecay _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1351,5 +1424,6 @@ object Round8Queries {
     "q160_mutual_information" -> q160Sql,
     "q161_subsample_stability" -> q161Sql,
     "q162_session_paths" -> q162Sql,
-    "q163_unpivot_daily" -> q163Sql)
+    "q163_unpivot_daily" -> q163Sql,
+    "q164_retention_decay" -> q164Sql)
 }

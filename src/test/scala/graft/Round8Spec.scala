@@ -410,6 +410,19 @@ class Round8Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("total_events")).sum == direct.values.sum)
   }
 
+  test("q164 retention decay: slopes finite, half-life positive iff decaying") {
+    val r = Round8Queries.q164RetentionDecay(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_offsets") >= 3)
+      assert(row.getAs[Long]("cohort_size") > 0)
+      val b = row.getAs[Double]("decay_rate")
+      assert(!b.isNaN && !b.isInfinite)
+      val hl = row.getAs[java.lang.Double]("half_life_weeks")
+      if (b < 0) { assert(hl != null && hl > 0.0) } else assert(hl == null)
+    }
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
