@@ -99,6 +99,41 @@ object Curation {
       .drop("__pid", "__local")
   }
 
+  /** Waterfilling allocation under per-source supply caps: split `budget`
+    * across suppliers so that uncapped sources share a common fill level C
+    * with Σ min(supply, C) = budget — the q145/q151 solve exposed as a
+    * reusable operator. Closed sorted-cumsum form: order sources by supply,
+    * and the unique cut where the candidate level (budget − prefix)/(n − k)
+    * falls between adjacent supplies is C. The window runs over the
+    * POST-AGGREGATION per-source frame (domain-count bounded); validated
+    * against an independent bisection solver over random supplies in
+    * PropertySpec.
+    *
+    * @param supplies (keyCol, supplyCol) one row per source, supply > 0
+    * @return (keyCol, supplyCol, allocation, capped)
+    */
+  def waterfillAllocations(supplies: DataFrame, keyCol: String,
+      supplyCol: String, budget: Double): DataFrame = {
+    val t = supplies.select(col(keyCol), col(supplyCol).cast("double").as("__T"))
+    val tot = t.agg(count(lit(1)).cast("double").as("__n"))
+    val ord = Window.orderBy(col("__T"), col(keyCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = t.crossJoin(tot)
+      .withColumn("__k", row_number().over(ord).cast("double") - 1.0)
+      .withColumn("__prefix", sum(col("__T")).over(cum) - col("__T"))
+      .withColumn("__cand",
+        (lit(budget) - col("__prefix")) / (col("__n") - col("__k")))
+      .withColumn("__prevT", coalesce(lag(col("__T"), 1).over(ord), lit(0.0)))
+    // no valid cut ⇔ budget ≥ Σ supply: everything is fully funded
+    val level = ranked
+      .filter(col("__cand") <= col("__T") && col("__cand") >= col("__prevT"))
+      .agg(coalesce(min(col("__cand")), lit(Double.MaxValue)).as("__C"))
+    ranked.crossJoin(level)
+      .select(col(keyCol), col("__T").as(supplyCol),
+        least(col("__T"), col("__C")).as("allocation"),
+        (col("__T") > col("__C")).as("capped"))
+  }
+
   /** Row-level diff between two corpus snapshots — the incremental-ingest
     * audit (what changed between yesterday's crawl and today's?). Each
     * side collapses to `(id, content digest)`; a single full-outer merge

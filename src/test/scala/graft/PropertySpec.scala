@@ -134,4 +134,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("waterfill allocations match an independent bisection solver on random supplies") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random instances (no RNG objects — seeded hashing)
+    def supplies(seed: Int, n: Int): Seq[Double] =
+      (0 until n).map(i => 1.0 + math.abs((seed * 2654435761L + i * 40503L).toInt % 100000) / 10.0)
+    def bisect(ts: Seq[Double], budget: Double): Double = {
+      var lo = 0.0; var hi = ts.max
+      (0 until 200).foreach { _ =>
+        val mid = (lo + hi) / 2
+        if (ts.map(math.min(_, mid)).sum < budget) lo = mid else hi = mid
+      }
+      (lo + hi) / 2
+    }
+    for (seed <- 1 to 5; n <- Seq(3, 7, 23); frac <- Seq(0.25, 0.5, 0.9)) {
+      val ts = supplies(seed * 31 + n, n)
+      val budget = ts.sum * frac
+      val df = ts.zipWithIndex.map { case (t, i) => (s"s$i", t) }.toDF("key", "supply")
+      val out = graft.ext.Curation
+        .waterfillAllocations(df, "key", "supply", budget)
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Double]("allocation"), r.getAs[Boolean]("capped"))).toMap
+      val c = bisect(ts, budget)
+      // budget exhausted exactly (the closed form is exact; bisection is the witness)
+      val alloc = out.values.map(_._1).sum
+      assert(math.abs(alloc - budget) < 1e-6 * budget,
+        s"seed=$seed n=$n frac=$frac: alloc $alloc vs budget $budget")
+      // per-source allocations agree with the bisection level
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val (a, capped) = out(s"s$i")
+        assert(math.abs(a - math.min(t, c)) < 1e-4 * math.max(t, 1.0),
+          s"seed=$seed n=$n frac=$frac s$i: $a vs ${math.min(t, c)}")
+        assert(capped == (t > c + 1e-6) || math.abs(t - c) < 1e-4)
+      }
+    }
+    // budget above total supply: everyone fully funded, nobody capped
+    val ts = supplies(7, 5)
+    val df = ts.zipWithIndex.map { case (t, i) => (s"s$i", t) }.toDF("key", "supply")
+    val out = graft.ext.Curation
+      .waterfillAllocations(df, "key", "supply", ts.sum * 2)
+      .collect()
+    out.foreach { r =>
+      assert(!r.getAs[Boolean]("capped"))
+      assert(math.abs(r.getAs[Double]("allocation") - r.getAs[Double]("supply")) < 1e-9)
+    }
+  }
 }
