@@ -3796,22 +3796,30 @@ object ExtQueries {
     * validity durations are averaged in exact integer microseconds before a
     * single double division so the panel is summation-order independent.
     */
+  /** SCD-2 regime intervals per user (run-length encoded event-type
+    * versions with [valid_from, valid_to) bounds), cached per (session,
+    * sf): q104 summarizes them and q165 joins facts to them at event time.
+    */
+  private[queries] def runIntervals(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "run_intervals") {
+      val e = events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = e
+        .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(wRun))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(count(lit(1)).as("run_events"), min(col("ts")).as("valid_from"))
+      val wNext = Window.partitionBy("user_id").orderBy("run_id")
+      runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+    }
+
   def q104RunIntervals(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val runs = e
-      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-      .withColumn("chg",
-        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
-          .otherwise(0L))
-      .withColumn("run_id", sum(col("chg")).over(wRun))
-      .groupBy(col("user_id"), col("run_id"), col("event_type"))
-      .agg(count(lit(1)).as("run_events"), min(col("ts")).as("valid_from"))
-    val wNext = Window.partitionBy("user_id").orderBy("run_id")
-    val scd = runs
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+    val scd = runIntervals(spark, sfDir)
       .withColumn("dur_us",
         when(col("valid_to").isNotNull,
           unix_micros(col("valid_to")) - unix_micros(col("valid_from"))))

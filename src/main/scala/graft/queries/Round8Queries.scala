@@ -1377,6 +1377,62 @@ object Round8Queries {
        |    AS half_life_weeks
        |FROM f ORDER BY cohort_week""".stripMargin
 
+  // ---- q165 point-in-time (SCD-2) enrichment --------------------------------
+
+  /** Point-in-time correctness: each purchase event joins the q104 SCD-2
+    * regime interval VALID AT ITS TIMESTAMP — `ts ∈ [valid_from, valid_to)`
+    * — never the current version (the classic look-ahead bug this join
+    * exists to prevent). A user's intervals partition their timeline, so
+    * every fact matches exactly one version; the join is user-keyed with a
+    * residual range predicate — a keyed shuffle at scale, with
+    * [[graft.ext.RangeJoin.overlapJoin]] as the bucketed form when one
+    * user's history is long. Panel: purchase count/value by the regime the
+    * buyer was in when paying.
+    */
+  def q165PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val facts = ExtQueries.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val dim = ExtQueries.runIntervals(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("regime"),
+        col("valid_from"), col("valid_to"))
+    facts.join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("regime").agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 6).as("total_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("regime")
+  }
+
+  val q165Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM o),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type AS regime, MIN(ts) AS valid_from
+      |  FROM r GROUP BY 1, 2, 3),
+      |scd AS (
+      |  SELECT *,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+      |  FROM runs),
+      |f AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT scd.regime, COUNT(*) AS n_purchases,
+      |  ROUND(SUM(f.value), 6) AS total_value,
+      |  ROUND(AVG(f.value), 6) AS avg_value
+      |FROM f JOIN scd ON f.user_id = scd.user_id
+      |  AND f.ts >= scd.valid_from
+      |  AND (scd.valid_to IS NULL OR f.ts < scd.valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1400,7 +1456,8 @@ object Round8Queries {
     "q161_subsample_stability" -> (q161SubsampleStability _),
     "q162_session_paths" -> (q162SessionPaths _),
     "q163_unpivot_daily" -> (q163UnpivotDaily _),
-    "q164_retention_decay" -> (q164RetentionDecay _))
+    "q164_retention_decay" -> (q164RetentionDecay _),
+    "q165_point_in_time" -> (q165PointInTime _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1425,5 +1482,6 @@ object Round8Queries {
     "q161_subsample_stability" -> q161Sql,
     "q162_session_paths" -> q162Sql,
     "q163_unpivot_daily" -> q163Sql,
-    "q164_retention_decay" -> q164Sql)
+    "q164_retention_decay" -> q164Sql,
+    "q165_point_in_time" -> q165Sql)
 }

@@ -423,6 +423,21 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q165 point-in-time: intervals partition the timeline — every purchase" +
+    " matches exactly one version") {
+    val r = Round8Queries.q165PointInTime(spark, sf).collect()
+    assert(r.nonEmpty)
+    val matched = r.map(_.getAs[Long]("n_purchases")).sum
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(matched == purchases, s"matched $matched of $purchases purchases")
+    // a purchase that opens its own run is enriched with the 'purchase'
+    // regime, so that regime must appear
+    assert(r.exists(_.getAs[String]("regime") == "purchase"))
+    r.foreach(row => assert(row.getAs[Double]("total_value") >=
+      row.getAs[Double]("avg_value") - 1e-9))
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
