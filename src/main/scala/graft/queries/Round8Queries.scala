@@ -1433,6 +1433,48 @@ object Round8Queries {
       |  AND (scd.valid_to IS NULL OR f.ts < scd.valid_to)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q166 lead-lag cross-correlation --------------------------------------
+
+  /** Does click volume LEAD purchase volume? Pearson cross-correlation of
+    * the two daily series at lags −3..+3: at lag k, corr(clicks_t,
+    * purchases_{t+k}) over days where both series exist. The lag fan-out is
+    * a row-local 7-way explode on the (≤days-sized) click series followed
+    * by one keyed date join — no window over raw events, and the corr
+    * aggregates run over day-count-sized groups. A positive-lag peak reads
+    * "clicks today, purchases k days later".
+    */
+  def q166LeadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+    def daily(t: String, out: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as(out))
+    val x = daily("click", "x")
+    val y = daily("purchase", "y")
+    x.withColumn("k", explode(sequence(lit(-3), lit(3))))
+      .withColumn("jday", date_add(col("day"), col("k")))
+      .join(y.withColumnRenamed("day", "jday"), "jday")
+      .groupBy(col("k").cast("long").as("lag_days")).agg(
+        count(lit(1)).as("n_days"),
+        round(corr(col("x"), col("y")), 6).as("xcorr"))
+      .orderBy("lag_days")
+  }
+
+  val q166Sql: String =
+    """WITH x AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |y AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |k AS (SELECT unnest(range(-3, 4)) AS k),
+      |p AS (
+      |  SELECT k.k, x.x, y.y
+      |  FROM x CROSS JOIN k JOIN y ON y.day = x.day + CAST(k.k AS INT))
+      |SELECT CAST(k AS BIGINT) AS lag_days, COUNT(*) AS n_days,
+      |  ROUND(corr(x, y), 6) AS xcorr
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_semantic_decontam" -> (q142SemanticDecontam _),
     "q143_semdedup_prune" -> (q143SemdedupPrune _),
@@ -1457,7 +1499,8 @@ object Round8Queries {
     "q162_session_paths" -> (q162SessionPaths _),
     "q163_unpivot_daily" -> (q163UnpivotDaily _),
     "q164_retention_decay" -> (q164RetentionDecay _),
-    "q165_point_in_time" -> (q165PointInTime _))
+    "q165_point_in_time" -> (q165PointInTime _),
+    "q166_lead_lag" -> (q166LeadLag _))
 
   val oracles: Map[String, String] = Map(
     "q142_semantic_decontam" -> q142Sql,
@@ -1483,5 +1526,6 @@ object Round8Queries {
     "q162_session_paths" -> q162Sql,
     "q163_unpivot_daily" -> q163Sql,
     "q164_retention_decay" -> q164Sql,
-    "q165_point_in_time" -> q165Sql)
+    "q165_point_in_time" -> q165Sql,
+    "q166_lead_lag" -> q166Sql)
 }

@@ -438,6 +438,19 @@ class Round8Spec extends SparkSpec {
       row.getAs[Double]("avg_value") - 1e-9))
   }
 
+  test("q166 lead-lag: 7 lags, correlations in [-1,1], lag-0 day counts full") {
+    val r = Round8Queries.q166LeadLag(spark, sf).orderBy("lag_days").collect()
+    assert(r.map(_.getAs[Long]("lag_days")).toSeq == (-3L to 3L).toSeq)
+    r.foreach { row =>
+      val c = row.getAs[Double]("xcorr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(row.getAs[Long]("n_days") >= 2)
+    }
+    // |lag| shrinks the overlap: lag 0 has at least as many days as lag ±3
+    val byLag = r.map(row => row.getAs[Long]("lag_days") -> row.getAs[Long]("n_days")).toMap
+    assert(byLag(0L) >= byLag(3L) && byLag(0L) >= byLag(-3L))
+  }
+
   test("round-8 plans: keyed shuffles and broadcast sides only — no shuffled" +
     " cartesian, no unbounded global window over row-level data") {
     val sfDir = sf
