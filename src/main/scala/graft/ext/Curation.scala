@@ -113,25 +113,86 @@ object Curation {
     * @return (keyCol, supplyCol, allocation, capped)
     */
   def waterfillAllocations(supplies: DataFrame, keyCol: String,
-      supplyCol: String, budget: Double): DataFrame = {
-    val t = supplies.select(col(keyCol), col(supplyCol).cast("double").as("__T"))
-    val tot = t.agg(count(lit(1)).cast("double").as("__n"))
+      supplyCol: String, budget: Double): DataFrame =
+    waterfillCore(supplies, keyCol, supplyCol, lit(budget))
+
+  /** [[waterfillAllocations]] with the budget expressed as a FRACTION of
+    * total supply (the q145 shape: "half the corpus"), computed in-plan so
+    * no driver round-trip is needed to learn the total first. */
+  def waterfillAllocationsFraction(supplies: DataFrame, keyCol: String,
+      supplyCol: String, budgetFraction: Double): DataFrame =
+    waterfillCore(supplies, keyCol, supplyCol, col("__tt") * budgetFraction)
+
+  /** `budgetExpr` may reference `__tt` (total supply as double). Output
+    * keeps `supplyCol` at its ORIGINAL dtype (callers join it into typed
+    * reports); `allocation` is unrounded. No valid cut ⇔ budget ≥ Σ supply
+    * ⇒ level = MaxValue ⇒ everything fully funded, nobody capped. */
+  private def waterfillCore(supplies: DataFrame, keyCol: String,
+      supplyCol: String, budgetExpr: org.apache.spark.sql.Column): DataFrame = {
+    val t = supplies.select(col(keyCol), col(supplyCol),
+      col(supplyCol).cast("double").as("__T"))
+    val tot = t.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__T")).as("__tt"))
     val ord = Window.orderBy(col("__T"), col(keyCol))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = t.crossJoin(tot)
+      .withColumn("__B", budgetExpr)
       .withColumn("__k", row_number().over(ord).cast("double") - 1.0)
       .withColumn("__prefix", sum(col("__T")).over(cum) - col("__T"))
       .withColumn("__cand",
-        (lit(budget) - col("__prefix")) / (col("__n") - col("__k")))
+        (col("__B") - col("__prefix")) / (col("__n") - col("__k")))
       .withColumn("__prevT", coalesce(lag(col("__T"), 1).over(ord), lit(0.0)))
     // no valid cut ⇔ budget ≥ Σ supply: everything is fully funded
     val level = ranked
       .filter(col("__cand") <= col("__T") && col("__cand") >= col("__prevT"))
       .agg(coalesce(min(col("__cand")), lit(Double.MaxValue)).as("__C"))
     ranked.crossJoin(level)
-      .select(col(keyCol), col("__T").as(supplyCol),
+      .select(col(keyCol), col(supplyCol),
         least(col("__T"), col("__C")).as("allocation"),
         (col("__T") > col("__C")).as("capped"))
+  }
+
+  /** WEIGHTED waterfilling (the q151 temperature-mixture solve): target
+    * shares t_s = w_s/Σw, budget B = `budgetFraction`·ΣT, and allocations
+    * min(T_s, λ·t_s·B) where the scale λ makes the allocations exhaust B.
+    * Each source's saturation ratio r_s = T_s/(t_s·B) orders the closed
+    * sorted-cumsum solve exactly as the unweighted form orders by supply.
+    * One keyed aggregation + windows over the POST-AGGREGATION per-source
+    * frame only. Same fallback as the unweighted core: no valid cut ⇔
+    * budget ≥ Σ supply ⇒ λ = MaxValue ⇒ all fully funded.
+    *
+    * Output: (keyCol, supplyCol [original dtype], target_share, allocation,
+    * budget, saturated) — `budget` is returned so callers can derive
+    * realized shares without recomputing the total.
+    */
+  def waterfillWeightedAllocations(supplies: DataFrame, keyCol: String,
+      supplyCol: String, weightCol: String,
+      budgetFraction: Double): DataFrame = {
+    val t = supplies.select(col(keyCol), col(supplyCol),
+      col(supplyCol).cast("double").as("__T"),
+      col(weightCol).cast("double").as("__w"))
+    val tot = t.agg(sum(col("__T")).as("__tt"), sum(col("__w")).as("__tw"))
+    val base = t.crossJoin(tot)
+      .withColumn("__B", col("__tt") * budgetFraction)
+      .withColumn("__ts", col("__w") / col("__tw"))
+      .withColumn("__r", col("__T") / (col("__ts") * col("__B")))
+    val ord = Window.orderBy(col("__r"), col(keyCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__prefT", sum(col("__T")).over(cum) - col("__T"))
+      .withColumn("__preft", sum(col("__ts")).over(cum) - col("__ts"))
+      .withColumn("__cand",
+        (col("__B") - col("__prefT")) / (col("__B") * (lit(1.0) - col("__preft"))))
+      .withColumn("__prevR", coalesce(lag(col("__r"), 1).over(ord), lit(0.0)))
+    val level = ranked
+      .filter(col("__cand") <= col("__r") && col("__cand") >= col("__prevR"))
+      .agg(coalesce(min(col("__cand")), lit(Double.MaxValue)).as("__L"))
+    ranked.crossJoin(level)
+      .select(col(keyCol), col(supplyCol),
+        col("__ts").as("target_share"),
+        least(col("__T"), col("__L") * col("__ts") * col("__B")).as("allocation"),
+        col("__B").as("budget"),
+        (col("__T") < col("__L") * col("__ts") * col("__B")).as("saturated"))
   }
 
   /** Row-level diff between two corpus snapshots — the incremental-ingest

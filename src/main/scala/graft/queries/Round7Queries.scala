@@ -851,7 +851,7 @@ object Round7Queries {
       |  SELECT SUM(term) OVER (ORDER BY lang, source) AS cum,
       |    ROW_NUMBER() OVER (ORDER BY lang DESC, source DESC) AS rn
       |  FROM terms)
-      |SELECT t.n AS n_docs,
+      |SELECT CAST(t.n AS BIGINT) AS n_docs,
       |  CAST((t.nl - 1) * (t.ns - 1) AS BIGINT) AS dof,
       |  ROUND(a.cum, 6) AS chi2,
       |  ROUND(SQRT(a.cum / (t.n * LEAST(t.nl - 1, t.ns - 1))), 6) AS cramers_v

@@ -207,14 +207,23 @@ object StreamOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", threshold: Double = 0.35): DataFrame = {
     require(bench.size >= 2, "benchmark must have at least 2 vectors")
+    // zero-norm guard: an all-zero vector on either side yields NaN cosine,
+    // which would silently poison the greatest-fold and the flagged verdict.
+    // Degenerate BENCHMARK vectors fail loudly here (config error);
+    // degenerate STREAM vectors get a null max-cosine (flagged stays false —
+    // nothing to compare), mirroring the batch q142 guard.
+    bench.zipWithIndex.foreach { case (b, i) =>
+      require(b.exists(_ != 0.0), s"benchmark vector $i has zero norm")
+    }
     val v = col(vecCol).cast("array<double>")
     val vn = sqrt(graft.ext.Similarity.norm2(v))
     val dots = bench.map { b =>
       val bn = math.sqrt(b.map(x => x * x).sum)
       graft.ext.Similarity.dot(v, typedLit(b.toSeq)) / (vn * lit(bn))
     }
-    vecs.select(col(idCol), col(labelCol), greatest(dots: _*).as("mc"))
-      .withColumn("flagged", col("mc") >= threshold)
+    vecs.select(col(idCol), col(labelCol),
+        when(vn > 0.0, greatest(dots: _*)).as("mc"))
+      .withColumn("flagged", coalesce(col("mc") >= threshold, lit(false)))
   }
 
   /** Streaming running top-k per group: a truncated merge under the TOTAL

@@ -226,6 +226,63 @@ class ReportsSpec extends SparkSpec {
     assert(j10 <= 24, s"full report should stay a fixed handful of jobs, got $j10")
   }
 
+  test("100-asset x 10-year report: cells match per-column Stats calls, job budget holds") {
+    import graft.stats.Stats
+    // the largest report fixture elsewhere is 10 assets x 20 days; this is
+    // the many-asset many-year shape a real multi-strategy report runs at.
+    // Deterministic seed → the float paths are reproducible, so formatted
+    // 2-dp parity between the report's long-format passes and the
+    // per-column Stats.* wide path is a stable assertion.
+    val nAssets = 100
+    val dates = Iterator.iterate(java.time.LocalDate.of(2014, 1, 1))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.of(2023, 12, 29)))
+      .filter(d => d.getDayOfWeek.getValue <= 5).toSeq
+    val rnd = new scala.util.Random(42)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType) +:
+        (1 to nAssets).map(i => org.apache.spark.sql.types.StructField(
+          s"a$i", org.apache.spark.sql.types.DoubleType)))
+    val rows = dates.map { d =>
+      org.apache.spark.sql.Row.fromSeq(java.sql.Date.valueOf(d) +:
+        Seq.fill(nAssets)(rnd.nextGaussian() / 100 + 0.0003))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+      .cache()
+    df.count()
+
+    var rep: Array[org.apache.spark.sql.Row] = null
+    val jobs = Instrument.jobCount(spark) {
+      rep = Reports.metrics(df, mode = "full").collect()
+    }
+    info(s"100-asset full report ran in $jobs jobs")
+    // the fixed budget from the long-format refactor: the same bound the
+    // 10-asset guard pins — actions must not grow with column count
+    assert(jobs <= 24, s"job budget blown at 100 assets: $jobs")
+
+    val byMetric = rep.map(r => r.getString(0) ->
+      (1 to nAssets).map(i => r.getString(i)).toArray).toMap
+    // (report row, Stats frame, display scale) — raw rows scale 1,
+    // percent rows scale 100, all through the same formatValue
+    val checks: Seq[(String, org.apache.spark.sql.DataFrame, Double)] = Seq(
+      ("Cumulative Return", Stats.comp(df), 100.0),
+      ("Sharpe", Stats.sharpe(df), 1.0),
+      ("Sortino", Stats.sortino(df), 1.0),
+      ("Volatility (ann.)", Stats.volatility(df), 100.0),
+      ("Max Drawdown", Stats.maxDrawdown(df), 100.0),
+      ("Skew", Stats.skew(df), 1.0),
+      ("Kurtosis", Stats.kurtosis(df), 1.0),
+      ("Win Days", Stats.winRate(df), 100.0))
+    checks.foreach { case (metric, frame, scale) =>
+      val row = frame.head()
+      val idx = frame.columns.zipWithIndex.toMap
+      (1 to nAssets).foreach { i =>
+        val want = Reports.formatValue(row.getDouble(idx(s"a$i")) * scale)
+        val got = byMetric(metric)(i - 1)
+        assert(got == want, s"$metric a$i: report=$got stats=$want")
+      }
+    }
+  }
+
   test("no unpartitioned (single-partition) windows anywhere in a full report") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plans = Instrument.optimizedPlans(spark) {

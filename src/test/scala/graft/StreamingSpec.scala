@@ -746,4 +746,50 @@ class StreamingSpec extends SparkSpec {
       assertApprox(df, bdf, tol = 1e-1, clue = s"$k welch_df")
     }
   }
+
+  test("copresence stream-stream join state stays bounded across many batches") {
+    // The scale failure mode of any stream-stream join is UNBOUNDED STATE:
+    // if Spark cannot derive a watermark-based eviction bound from the join
+    // condition, every row ever seen stays in the state store. Spark logs
+    // `StreamingJoinHelper: Error trying to extract state constraint` for
+    // the non-arithmetic conjuncts of the copresence condition (the bucket
+    // equality and the ownership clause), so this test PROVES the bound
+    // empirically from stateOperators metrics: 8 batches, each 1 hour later
+    // than the previous and each adding the same number of sessions, with a
+    // 30-minute watermark. Bounded eviction ⇒ state plateaus at ~2 batches'
+    // worth of rows; broken eviction ⇒ state grows linearly to 8 batches.
+    val input = MemoryStream[(Long, Timestamp, Timestamp)](22, spark, None)
+    val joined = StreamOps.streamingCopresence(
+      input.toDF().toDF("user_id", "session_start", "session_end"),
+      bucketWidth = 600L, maxDuration = "20 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("copresence_state")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      def batchAt(hour: Int): Seq[(Long, Timestamp, Timestamp)] =
+        (0 until 4).map { u =>
+          val s = base + hour * 3600000L + u * 60000L
+          (u.toLong, new Timestamp(s), new Timestamp(s + 5 * 60000L))
+        }
+      val totals = (0 until 8).map { h =>
+        input.addData(batchAt(h))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        val st = p.stateOperators
+        assert(st.nonEmpty, "no state operator in progress metrics")
+        st.map(_.numRowsTotal).sum
+      }
+      // per-batch state contribution: 4 sessions x ≤2 buckets x 2 sides
+      val perBatch = totals.head
+      assert(perBatch > 0, s"first batch left no state rows: $totals")
+      // bounded: the plateau stays within ~3 batches' worth (watermark 30min
+      // < 1h batch spacing, so at most the current batch + eviction lag
+      // should survive); unbounded growth would reach 8x by the last batch
+      assert(totals.last <= 3 * perBatch,
+        s"state grew unboundedly across batches: $totals")
+      // and growth must have stopped: the last three snapshots are flat
+      assert(totals(7) <= totals(5),
+        s"state still growing at batch 8: $totals")
+    } finally q.stop()
+  }
 }

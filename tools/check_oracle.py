@@ -15,6 +15,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -23,13 +24,27 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _is_float(x) -> bool:
+    return isinstance(x, (float, np.floating))
+
+
+def _is_int(x) -> bool:
+    return isinstance(x, (int, np.integer)) and not isinstance(x, (bool, np.bool_))
+
+
 def cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    if _is_float(a) and _is_float(b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # Type-strict across the int/float divide: the driver hashes canonical
+    # string renderings, so DuckDB HUGEINT->float 500.0 vs Spark BIGINT 500
+    # is a driver FAIL even though 500.0 == 500 in Python. Mirror that here
+    # so the replica can't green-light what the driver's hash rejects.
+    if (_is_float(a) and _is_int(b)) or (_is_int(a) and _is_float(b)):
+        return False
     return a == b
 
 
