@@ -23,42 +23,48 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Timed pass: all queries across a fixed `pool`-thread executor. At 166
-    // queries x ~0.3 s of per-job launch overhead, a sequential pass spends
-    // ~80% of its wall-time in the scheduler floor, not in plans; running a
-    // few queries concurrently overlaps those floors (local[32] has far more
-    // cores than any single small-SF query keeps busy) so the pass measures
-    // plan execution. Per-query seconds are still each query's own wall
-    // time; the headline total is the PASS WALL-CLOCK — "time to run the
-    // full suite" — which the parallel schedule makes a plans-dominated
-    // number. min-of-two passes on both, as before (box-noise hygiene:
-    // a GC hiccup or a noisy neighbor inflates one pass 10-100x).
-    def timedPass(): (Map[String, Double], Double) = {
+    // Two timed views, because they answer different questions:
+    //   - per-query seconds come from SEQUENTIAL passes (each query alone
+    //     on the box) — the isolated steady-state plan cost, comparable
+    //     across rounds. min-of-two (box-noise hygiene: a GC hiccup or a
+    //     noisy neighbor inflates one pass 10-100x).
+    //   - the headline `value` is the SUITE WALL-CLOCK of a `pool`-thread
+    //     parallel pass. At 166 queries x ~0.3 s of per-job launch
+    //     overhead, a sequential total is ~80% scheduler floor, not plans;
+    //     the parallel schedule overlaps those floors (local[32] has far
+    //     more cores than any single small-SF query keeps busy), so the
+    //     wall-clock measures plan throughput. A parallel pass's
+    //     per-query times would be contention-inflated (~2.5x observed at
+    //     pool=8), which is why they are NOT the published map.
+    def sequentialPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def parallelWall(): Double = {
       val exec = java.util.concurrent.Executors.newFixedThreadPool(pool)
       val t0 = System.nanoTime()
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-        name -> exec.submit(new java.util.concurrent.Callable[Double] {
-          def call(): Double = {
-            val q0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-            (System.nanoTime() - q0) / 1e9
-          }
+      val futures = SparkEntry.queries.toSeq.map { case (_, fn) =>
+        exec.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
         })
       }
-      val times = futures.map { case (name, f) => name -> f.get() }.toMap
+      futures.foreach(_.get())
       exec.shutdown()
-      (times, (System.nanoTime() - t0) / 1e9)
+      (System.nanoTime() - t0) / 1e9
     }
-    val (p1, w1) = timedPass()
-    val (p2, w2) = timedPass()
+    val p1 = sequentialPass()
+    val p2 = sequentialPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    val wall = math.min(w1, w2)
+    val wall = math.min(parallelWall(), parallelWall())
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // `value` = suite wall-clock (min of two parallel passes); the per-query
-    // map and `per_query_sum` keep the old sum-of-individual-times view so
-    // artifacts stay comparable across rounds. `queries_shown` marks the
-    // compact tail line's truncation as self-describing.
+    // `value` = suite wall-clock; `per_query_sum` = sum of the sequential
+    // per-query mins (the old headline, kept so artifacts stay comparable
+    // across rounds). `queries_shown` marks the compact tail line's
+    // truncation as self-describing.
     def line(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -1,0 +1,743 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 extension queries (q167+), two families:
+  *
+  *   1. TPC-H-shape JOIN-PLANNING queries (q167-q172) over the warehouse
+  *      tables — multi-way dimension chains, correlated per-group averages,
+  *      market-share conditionals, referential-integrity audits. The
+  *      reference has no join engine beyond benchmark alignment; these pin
+  *      the Spark-side join planning (broadcast the bounded dims, keyed
+  *      shuffle for fact-fact, no cartesians — guarded in Round9Spec) that
+  *      a 100-TB deployment of the same schema would need.
+  *   2. Distribution-audit statistics (q173-q179): Benford first-digit
+  *      conformance, Mann-Whitney U, Kolmogorov-Smirnov, PSI drift,
+  *      offline-CUSUM changepoint, EWMA anomaly scoring, Neyman-allocation
+  *      stratified sampling — the monitoring layer of a data pipeline.
+  *      All arithmetic is either exact-integer or order-pinned so the
+  *      DuckDB oracles replay it bit-for-bit.
+  */
+object Round9Queries {
+
+  import ExtQueries.docQuality
+
+  // warehouse tables are read UNCACHED on purpose: caching a whole table
+  // registers an InMemoryRelation that Spark substitutes into EVERY
+  // matching parquet scan session-wide, silently killing column pruning
+  // and filter pushdown for all other lineitem/orders queries (and the
+  // PlanSpec guards that pin them). Each q167-q172 projects/filters at the
+  // scan instead — the shape that matters at 100 TB.
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The q39/q79 docQuality CTE (same text as Round8Queries' private copy —
+    * duplicated so every oracle carries its full self-contained twin).
+    * Declared before the oracle strings that interpolate it: object vals
+    * initialize in declaration order.
+    */
+  private val docQualitySqlCte2: String =
+    """  SELECT doc_id, source, lang,
+      |    ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) AS q,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents""".stripMargin
+
+  // ---- q167 local supplier volume (TPC-H Q5 shape) --------------------------
+
+  /** Revenue per nation where the customer and the supplier sit in the SAME
+    * nation, for one region — the classic 6-table chain (lineitem ⋈ orders
+    * ⋈ customer ⋈ supplier ⋈ nation ⋈ region). Spark shape: the two facts
+    * (lineitem, orders) meet in ONE keyed shuffle on orderkey; customer,
+    * supplier, nation, region are broadcast (bounded dimensions at any
+    * scale factor — nation/region are fixed-size, customer/supplier grow
+    * but stay orders of magnitude under the facts; at true 100-TB customer
+    * scale the planner's size-based broadcast threshold degrades this to a
+    * keyed shuffle automatically, which is the right fallback). The
+    * same-nation equality is applied as a post-join filter on two broadcast
+    * lookups, never as a join of facts.
+    */
+  def q167LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = tbl(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val nation = tbl(spark, sfDir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = tbl(spark, sfDir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val orders = tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 6).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q167Sql: String =
+    """SELECT n_name, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- q168 market share (TPC-H Q8 shape) -----------------------------------
+
+  /** Yearly share of one supplier nation inside one region's customer
+    * market: for orders placed by EUROPE customers, what fraction of the
+    * revenue was supplied from NATION_7, per order year? Conditional
+    * aggregation over the same join chain as q167 — the share is a ratio of
+    * two sums over ONE pass, not two scans. Exact division of two rounded-
+    * at-6 sums would drift; both engines round only the final ratio.
+    */
+  def q168MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = tbl(spark, sfDir, "region").filter(col("r_name") === "EUROPE")
+    val nation = tbl(spark, sfDir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = tbl(spark, sfDir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = tbl(spark, sfDir, "supplier")
+      .join(broadcast(tbl(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val orders = tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(col("rev")), 6).as("market_revenue"),
+        round(sum(when(col("supp_nation") === "NATION_7", col("rev"))
+          .otherwise(lit(0.0))), 6).as("nation7_revenue"),
+        round(sum(when(col("supp_nation") === "NATION_7", col("rev"))
+          .otherwise(lit(0.0))) / sum(col("rev")), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q168Sql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS market_revenue,
+      |  ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS nation7_revenue,
+      |  ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q169 returned-item top customers (TPC-H Q10 shape) -------------------
+
+  /** Top-20 customers by revenue lost to returns (l_returnflag = 'R'):
+    * lineitem filtered to returns, one keyed shuffle onto orders, customer
+    * broadcast, then a bounded global top-k — `orderBy(...).limit(20)`
+    * plans as TakeOrderedAndProject (per-partition heaps + a 20-row driver
+    * merge), never a global sort. Deterministic tie-break on custkey.
+    */
+  def q169ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = tbl(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val orders = tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .agg(count(lit(1)).as("n_returned"),
+        round(sum(col("rev")), 6).as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q169Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, COUNT(*) AS n_returned,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS lost_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- q170 promo revenue share by month (TPC-H Q14 shape) ------------------
+
+  /** Monthly share of revenue from PROMO-type parts across 1996: part is a
+    * broadcast lookup keyed by partkey; the share is a conditional/total
+    * ratio in one aggregation pass, grouped by ship month.
+    */
+  def q170PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = tbl(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    tbl(spark, sfDir, "lineitem")
+      .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
+      .select(col("l_partkey"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("ship_month"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0.0))), 6).as("promo_revenue"),
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0.0))) / sum(col("rev")), 6).as("promo_pct"))
+      .orderBy("ship_month")
+  }
+
+  val q170Sql: String =
+    """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+      |  COUNT(*) AS n_items,
+      |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS promo_revenue,
+      |  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q171 small-quantity outliers (TPC-H Q17 shape) -----------------------
+
+  /** Per brand, the revenue locked in "small straggler" lineitems — rows
+    * whose quantity is under half their PART's average quantity. The
+    * correlated per-part average is ONE keyed aggregation over lineitem
+    * joined back on partkey (the standard decorrelation) — at scale that is
+    * agg-shuffle + same-key join, and AQE picks broadcast for the
+    * aggregated side when it is small. Quantities are small integers stored
+    * as doubles, so per-part sums are exact and `avg = sum/cnt` is the same
+    * double in both engines — the `< 0.5*avg` cut is deterministic.
+    */
+  def q171SmallQuantityOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val partAvg = li.groupBy("l_partkey")
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .withColumnRenamed("l_partkey", "pk")
+    val part = tbl(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice")), 6).as("locked_revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q171Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  ROUND(SUM(l_extendedprice), 6) AS locked_revenue
+      |FROM lineitem
+      |JOIN pa ON l_partkey = pk
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q172 order fan-out / referential-integrity audit ---------------------
+
+  /** Distribution of lineitems-per-order plus the referential orphans on
+    * both sides — the ingest-integrity audit run after every warehouse
+    * load. One keyed count over lineitem, a full-outer merge with order
+    * keys, and a histogram over the (bounded) fan-out domain; orders with
+    * no lineitems land in the fanout=0 bucket, lineitem orderkeys missing
+    * from orders are reported as the fanout=-1 sentinel row. No join
+    * carries payloads — only keys and counts.
+    */
+  def q172OrderFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = tbl(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fan"))
+    val orders = tbl(spark, sfDir, "orders").select(col("o_orderkey"))
+    perOrder.join(orders, col("l_orderkey") === col("o_orderkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, lit(-1L))
+          .when(col("l_orderkey").isNull, lit(0L))
+          .otherwise(col("fan")).as("fanout"))
+      .groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+      .orderBy("fanout")
+  }
+
+  val q172Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, COUNT(*) AS fan FROM lineitem GROUP BY 1)
+      |SELECT CASE WHEN o_orderkey IS NULL THEN -1
+      |            WHEN l_orderkey IS NULL THEN 0
+      |            ELSE fan END AS fanout,
+      |  COUNT(*) AS n_orders
+      |FROM po FULL OUTER JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q173 Mann-Whitney U (weekend vs weekday purchase values) -------------
+
+  /** Rank-sum test: do weekend purchases differ in value from weekday
+    * purchases? Nonparametric twin of the q141 Welch t-test — the right
+    * test when values are skewed. Values quantize to EXACT cent integers
+    * (the q113 convention), so tied ranks are well-defined: one aggregation
+    * to per-(cent, side) counts, an ordered prefix over the DISTINCT cent
+    * values (bounded by the price domain, ≤ ~50k rows, NOT by corpus size —
+    * the same post-aggregation fencing as the waterfill windows) yields
+    * average ranks, and U/z with the tie-corrected variance are closed-form
+    * over exact integer sufficient statistics — both engines replay the
+    * identical rationals.
+    */
+  def q173MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("vc"),
+        dayofweek(col("ts")).isin(1, 7).cast("long").as("is_we"))
+    val perV = ev.groupBy("vc").agg(
+      count(lit(1)).as("cnt"), sum(col("is_we")).as("w_cnt"))
+    val ord = Window.orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV
+      .withColumn("cum", sum(col("cnt")).over(ord) - col("cnt"))
+      .withColumn("avg_rank",
+        col("cum").cast("double") + (col("cnt").cast("double") + 1.0) / 2.0)
+    ranked.agg(
+        sum(col("w_cnt")).as("nw"),
+        sum(col("cnt") - col("w_cnt")).as("nd"),
+        sum(col("avg_rank") * col("w_cnt").cast("double")).as("rw"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      .select(
+        col("nw").as("n_weekend"), col("nd").as("n_weekday"),
+        round(col("rw") - col("nw").cast("double") *
+          (col("nw").cast("double") + 1.0) / 2.0, 6).as("u_stat"),
+        round(
+          (col("rw") - col("nw").cast("double") * (col("nw").cast("double") + 1.0) / 2.0
+            - col("nw").cast("double") * col("nd").cast("double") / 2.0) /
+          sqrt(col("nw").cast("double") * col("nd").cast("double") / 12.0 *
+            ((col("nw") + col("nd") + 1).cast("double") -
+              col("ties").cast("double") /
+                ((col("nw") + col("nd")).cast("double") *
+                 (col("nw") + col("nd") - 1).cast("double")))), 6).as("z_score"))
+  }
+
+  val q173Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS is_we
+      |  FROM events WHERE event_type = 'purchase'),
+      |pv AS (
+      |  SELECT vc, COUNT(*) AS cnt, CAST(SUM(is_we) AS BIGINT) AS w_cnt
+      |  FROM e GROUP BY 1),
+      |rk AS (
+      |  SELECT *,
+      |    SUM(cnt) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - cnt AS cum
+      |  FROM pv),
+      |ar AS (
+      |  SELECT *, CAST(cum AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+      |  FROM rk),
+      |s AS (
+      |  SELECT CAST(SUM(w_cnt) AS BIGINT) AS nw,
+      |    CAST(SUM(cnt - w_cnt) AS BIGINT) AS nd,
+      |    SUM(avg_rank * CAST(w_cnt AS DOUBLE)) AS rw,
+      |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |  FROM ar)
+      |SELECT nw AS n_weekend, nd AS n_weekday,
+      |  ROUND(rw - CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) + 1.0) / 2.0, 6) AS u_stat,
+      |  ROUND((rw - CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) + 1.0) / 2.0
+      |      - CAST(nw AS DOUBLE) * CAST(nd AS DOUBLE) / 2.0)
+      |    / SQRT(CAST(nw AS DOUBLE) * CAST(nd AS DOUBLE) / 12.0 *
+      |        (CAST(nw + nd + 1 AS DOUBLE)
+      |          - CAST(ties AS DOUBLE) / (CAST(nw + nd AS DOUBLE) * CAST(nw + nd - 1 AS DOUBLE)))),
+      |    6) AS z_score
+      |FROM s""".stripMargin
+
+  // ---- q174 Kolmogorov-Smirnov (per-language quality distributions) ---------
+
+  /** Two-sample KS: does English documents' quality distribution differ
+    * from everything else's? D = max |F_en − F_rest| over the merged
+    * support. Quality is 3-dp quantized, so the support is ≤1001 distinct
+    * values — the cumulative window is bounded by the metric's domain, not
+    * the corpus. ECDF values are exact rationals (int/int) and the decision
+    * threshold c(0.05)·√((n1+n2)/(n1·n2)) is closed-form; both engines
+    * compute the identical doubles.
+    */
+  def q174KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+      .select(col("q"), (col("lang") === "en").cast("long").as("is_en"))
+    val perQ = d.groupBy("q").agg(
+      sum(col("is_en")).as("en_c"), sum(lit(1L) - col("is_en")).as("rest_c"))
+    val ord = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perQ.agg(sum(col("en_c")).as("n_en"), sum(col("rest_c")).as("n_rest"))
+    val ecdf = perQ.crossJoin(tot)
+      .withColumn("f_en",
+        sum(col("en_c")).over(ord).cast("double") / col("n_en").cast("double"))
+      .withColumn("f_rest",
+        sum(col("rest_c")).over(ord).cast("double") / col("n_rest").cast("double"))
+      .withColumn("gap", abs(col("f_en") - col("f_rest")))
+    ecdf.groupBy(col("n_en"), col("n_rest"))
+      .agg(max(col("gap")).as("d_raw"))
+      .select(col("n_en"), col("n_rest"),
+        round(col("d_raw"), 6).as("ks_stat"),
+        round(lit(1.358) * sqrt((col("n_en") + col("n_rest")).cast("double") /
+          (col("n_en").cast("double") * col("n_rest").cast("double"))), 6)
+          .as("crit_05"),
+        (col("d_raw") > lit(1.358) * sqrt((col("n_en") + col("n_rest")).cast("double") /
+          (col("n_en").cast("double") * col("n_rest").cast("double"))))
+          .as("reject_05"))
+  }
+
+  val q174Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte2),
+       |pq AS (
+       |  SELECT q, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_c,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS rest_c
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(en_c) AS BIGINT) AS n_en,
+       |             CAST(SUM(rest_c) AS BIGINT) AS n_rest FROM pq),
+       |e AS (
+       |  SELECT pq.q, t.n_en, t.n_rest,
+       |    CAST(SUM(en_c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS DOUBLE) / CAST(t.n_en AS DOUBLE) AS f_en,
+       |    CAST(SUM(rest_c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS DOUBLE) / CAST(t.n_rest AS DOUBLE) AS f_rest
+       |  FROM pq, t),
+       |g AS (
+       |  SELECT n_en, n_rest, MAX(ABS(f_en - f_rest)) AS d_raw
+       |  FROM e GROUP BY 1, 2)
+       |SELECT n_en, n_rest, ROUND(d_raw, 6) AS ks_stat,
+       |  ROUND(1.358 * SQRT(CAST(n_en + n_rest AS DOUBLE)
+       |    / (CAST(n_en AS DOUBLE) * CAST(n_rest AS DOUBLE))), 6) AS crit_05,
+       |  d_raw > 1.358 * SQRT(CAST(n_en + n_rest AS DOUBLE)
+       |    / (CAST(n_en AS DOUBLE) * CAST(n_rest AS DOUBLE))) AS reject_05
+       |FROM g""".stripMargin
+
+  // ---- q175 decile-bin value drift (quantile-bin PSI) -----------------------
+
+  /** Population-stability drift over VALUE DECILES — the numeric complement
+    * of q112's categorical PSI: bin edges are the first half-month's value
+    * deciles (the `percentile` ≡ `quantile_cont` q05 equivalence on exact
+    * cent integers), both halves are histogrammed into those 10 bins, and
+    * PSI = Σ (p2−p1)·ln(p2/p1) with Laplace-smoothed shares (+0.5/bin) so
+    * an empty bin cannot produce ln(0). Bin assignment compares exact cents
+    * against the interpolated edges — deterministic in both engines.
+    */
+  def q175DecileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+      .select(round(col("value") * 100, 0).cast("long").as("vc"),
+        (to_date(col("ts")) <= lit("2024-01-15")).as("early"))
+    // the exact `percentile` aggregate (same interpolating function the
+    // q05 family pins against DuckDB's quantile_cont)
+    val probs = (1 to 9).map(_ / 10.0)
+    val exactEdges = ev.filter(col("early"))
+      .agg(expr(s"percentile(vc, array(${probs.mkString(",")}))").as("edges"))
+    val binned = ev.crossJoin(broadcast(exactEdges))
+      .withColumn("bin",
+        (0 to 8).map(i => (col("vc").cast("double") > col("edges")(i)).cast("int"))
+          .reduce(_ + _))
+      .groupBy("bin").agg(
+        sum(col("early").cast("long")).as("c1"),
+        sum((!col("early")).cast("long")).as("c2"))
+    val tot = binned.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    binned.crossJoin(tot)
+      .withColumn("p1", (col("c1").cast("double") + 0.5) / (col("n1").cast("double") + 5.0))
+      .withColumn("p2", (col("c2").cast("double") + 0.5) / (col("n2").cast("double") + 5.0))
+      .select(col("bin"), col("c1").as("n_early"), col("c2").as("n_late"),
+        round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 6)
+          .as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val q175Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+      |    CAST(ts AS DATE) <= DATE '2024-01-15' AS early
+      |  FROM events),
+      |ed AS (
+      |  SELECT quantile_cont(vc, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      |  FROM e WHERE early),
+      |b AS (
+      |  SELECT (CASE WHEN CAST(vc AS DOUBLE) > edges[1] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[2] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[3] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[4] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[5] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[6] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[7] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[8] THEN 1 ELSE 0 END
+      |        + CASE WHEN CAST(vc AS DOUBLE) > edges[9] THEN 1 ELSE 0 END) AS bin,
+      |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM e, ed GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM b)
+      |SELECT bin, c1 AS n_early, c2 AS n_late,
+      |  ROUND(((CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0)
+      |        - (CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0))
+      |    * LN(((CAST(c2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0))
+      |        / ((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0))), 6) AS psi_term
+      |FROM b, t ORDER BY bin""".stripMargin
+
+  // ---- q176 offline CUSUM changepoint ---------------------------------------
+
+  /** Changepoint day per event type by the offline CUSUM statistic: with
+    * daily counts x_t and their cumulative sum S_t, the deviation from the
+    * uniform-rate line D_t = S_t − (t/T)·S_T peaks at the most likely rate
+    * change. Counts are exact integers and the line term is one exact
+    * division, so argmax and the tie-break (earliest day) agree across
+    * engines. All windows are keyed by event_type over the bounded day
+    * panel.
+    */
+  def q176CusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ExtQueries.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("t", row_number().over(ord).cast("double"))
+      .withColumn("s", sum(col("x")).over(cum).cast("double"))
+      .withColumn("bigT", count(lit(1)).over(full).cast("double"))
+      .withColumn("sT", sum(col("x")).over(full).cast("double"))
+      .withColumn("d_abs", abs(col("s") - col("t") / col("bigT") * col("sT")))
+    dev.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d_abs").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        round(col("d_abs"), 6).as("max_dev"),
+        round(col("d_abs") / (col("sT") / col("bigT")), 6).as("dev_days"))
+      .orderBy("event_type")
+  }
+
+  val q176Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT event_type, day,
+      |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS t,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS bigT,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS DOUBLE) AS sT
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |d2 AS (
+      |  SELECT *, ABS(s - t / bigT * sT) AS d_abs,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(s - t / bigT * sT) DESC, day) AS rk
+      |  FROM dev)
+      |SELECT event_type, CAST(day AS VARCHAR) AS cp_day,
+      |  ROUND(d_abs, 6) AS max_dev,
+      |  ROUND(d_abs / (sT / bigT), 6) AS dev_days
+      |FROM d2 WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // ---- q177 EWMA anomaly scoring --------------------------------------------
+
+  /** Exponentially-weighted daily revenue baseline + anomaly flags: the
+    * monitoring chart every ingest pipeline runs. EWMA (adjust=true form)
+    * is computed CLOSED-FORM as a ratio of two ordered cumulative sums of
+    * exactly-representable terms (daily revenue in integer cents × r^-i
+    * weights), so no recursion and no engine-specific fold order; the
+    * anomaly flag compares a day's revenue against the PREVIOUS day's
+    * baseline with a fixed ±50% band. All windows keyed by event_type over
+    * the bounded day panel.
+    */
+  def q177EwmaAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    // α=0.3 ⇒ r=0.7 — as the LITERAL 0.7, not computed 1.0-0.3 (which is
+    // 0.70000000000000011, a different double than the oracle's 0.7, and
+    // pow() would amplify the difference past the 6-dp rounding)
+    val r = 0.7
+    val daily = ExtQueries.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("revc"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ew = daily
+      .withColumn("i", row_number().over(ord).cast("double"))
+      .withColumn("wx", col("revc").cast("double") * pow(lit(r), -col("i")))
+      .withColumn("w", pow(lit(r), -col("i")))
+      .withColumn("ewma", sum(col("wx")).over(cum) / sum(col("w")).over(cum))
+      .withColumn("prev_ewma", lag(col("ewma"), 1).over(ord))
+    ew.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("revc").as("rev_cents"),
+        round(col("ewma"), 6).as("ewma_cents"),
+        coalesce(
+          abs(col("revc").cast("double") - col("prev_ewma")) >
+            lit(0.5) * col("prev_ewma"),
+          lit(false)).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val q177Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revc
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |    AS DOUBLE) AS i
+      |  FROM daily),
+      |ew AS (
+      |  SELECT event_type, day, revc,
+      |    SUM(CAST(revc AS DOUBLE) * POWER(0.7, -i)) OVER cw
+      |      / SUM(POWER(0.7, -i)) OVER cw AS ewma
+      |  FROM idx
+      |  WINDOW cw AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |l AS (
+      |  SELECT *, LAG(ewma, 1) OVER (PARTITION BY event_type ORDER BY day)
+      |    AS prev_ewma
+      |  FROM ew)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, revc AS rev_cents,
+      |  ROUND(ewma, 6) AS ewma_cents,
+      |  COALESCE(ABS(CAST(revc AS DOUBLE) - prev_ewma) > 0.5 * prev_ewma,
+      |    FALSE) AS anomaly
+      |FROM l ORDER BY event_type, day""".stripMargin
+
+  // ---- q178 Neyman-allocation stratified sampling ---------------------------
+
+  /** Variance-proportional sample design: allocate a 100-doc budget across
+    * sources by Neyman allocation n_h ∝ N_h·σ_h (high-variance strata get
+    * more draws), then take each stratum's sample deterministically by md5
+    * order. σ_h comes from EXACT integer sufficient statistics (quality in
+    * 3-dp milli-units: Σm, Σm², n are exact, var = (nΣm² − (Σm)²)/(n(n−1))
+    * is one rational), and the allocation denominator Σ N_h·σ_h is an
+    * ORDER-PINNED window sum over the bounded source panel (the q122
+    * convention) so both engines fold it identically. Allocations are
+    * capped at the stratum size; the realized sample mean is exact
+    * milli-arithmetic.
+    */
+  def q178NeymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        round(col("q") * 1000, 0).cast("long").as("m"))
+    val strata = d.groupBy("source").agg(
+      count(lit(1)).as("nh"),
+      sum(col("m")).as("sm"),
+      sum(col("m") * col("m")).as("sm2"))
+      .withColumn("sigma",
+        sqrt(((col("nh") * col("sm2") - col("sm") * col("sm")).cast("double")) /
+          ((col("nh") * (col("nh") - 1)).cast("double"))) / 1000.0)
+      .withColumn("w", col("nh").cast("double") * col("sigma"))
+    val pinned = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = strata
+      .withColumn("wtot", sum(col("w")).over(pinned))
+      .withColumn("alloc",
+        least(round(lit(100.0) * col("w") / col("wtot"), 0).cast("long"),
+          col("nh")))
+    val picked = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")))))
+      .join(alloc.select(col("source"), col("alloc")), Seq("source"))
+      .filter(col("rk") <= col("alloc"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_sampled"), sum(col("m")).as("msum"))
+    alloc.join(picked, Seq("source"), "left")
+      .select(col("source"), col("nh").as("n_docs"),
+        round(col("sigma"), 6).as("sigma_q"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(col("msum").cast("double") /
+          (col("n_sampled").cast("double") * 1000.0), 6).as("sample_mean_q"))
+      .orderBy("source")
+  }
+
+  val q178Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte2),
+       |dm AS (
+       |  SELECT doc_id, source, CAST(ROUND(q * 1000) AS BIGINT) AS m FROM d),
+       |st AS (
+       |  SELECT source, COUNT(*) AS nh,
+       |    CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(m * m) AS BIGINT) AS sm2
+       |  FROM dm GROUP BY 1),
+       |sg AS (
+       |  SELECT *, SQRT(CAST(nh * sm2 - sm * sm AS DOUBLE)
+       |      / CAST(nh * (nh - 1) AS DOUBLE)) / 1000.0 AS sigma
+       |  FROM st),
+       |al AS (
+       |  SELECT *, CAST(nh AS DOUBLE) * sigma AS w,
+       |    SUM(CAST(nh AS DOUBLE) * sigma) OVER (ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wtot
+       |  FROM sg),
+       |a2 AS (
+       |  SELECT *, LEAST(CAST(ROUND(100.0 * w / wtot) AS BIGINT), nh) AS alloc
+       |  FROM al),
+       |rk AS (
+       |  SELECT dm.*, ROW_NUMBER() OVER (PARTITION BY dm.source
+       |    ORDER BY md5(CAST(dm.doc_id AS VARCHAR))) AS rk
+       |  FROM dm),
+       |pk AS (
+       |  SELECT rk.source, COUNT(*) AS n_sampled, CAST(SUM(rk.m) AS BIGINT) AS msum
+       |  FROM rk JOIN a2 ON rk.source = a2.source
+       |  WHERE rk.rk <= a2.alloc GROUP BY 1)
+       |SELECT a2.source, a2.nh AS n_docs, ROUND(a2.sigma, 6) AS sigma_q,
+       |  a2.alloc, COALESCE(pk.n_sampled, 0) AS n_sampled,
+       |  ROUND(CAST(pk.msum AS DOUBLE) / (CAST(pk.n_sampled AS DOUBLE) * 1000.0), 6)
+       |    AS sample_mean_q
+       |FROM a2 LEFT JOIN pk ON a2.source = pk.source
+       |ORDER BY a2.source""".stripMargin
+
+  // ---- registration ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_local_supplier_volume" -> (q167LocalSupplierVolume _),
+    "q168_market_share" -> (q168MarketShare _),
+    "q169_returned_items" -> (q169ReturnedItems _),
+    "q170_promo_share" -> (q170PromoShare _),
+    "q171_small_quantity_outliers" -> (q171SmallQuantityOutliers _),
+    "q172_order_fanout" -> (q172OrderFanout _),
+    "q173_mann_whitney" -> (q173MannWhitney _),
+    "q174_ks_test" -> (q174KsTest _),
+    "q175_decile_drift" -> (q175DecileDrift _),
+    "q176_cusum_changepoint" -> (q176CusumChangepoint _),
+    "q177_ewma_anomaly" -> (q177EwmaAnomaly _),
+    "q178_neyman_allocation" -> (q178NeymanAllocation _))
+
+  val oracles: Map[String, String] = Map(
+    "q167_local_supplier_volume" -> q167Sql,
+    "q168_market_share" -> q168Sql,
+    "q169_returned_items" -> q169Sql,
+    "q170_promo_share" -> q170Sql,
+    "q171_small_quantity_outliers" -> q171Sql,
+    "q172_order_fanout" -> q172Sql,
+    "q173_mann_whitney" -> q173Sql,
+    "q174_ks_test" -> q174Sql,
+    "q175_decile_drift" -> q175Sql,
+    "q176_cusum_changepoint" -> q176Sql,
+    "q177_ewma_anomaly" -> q177Sql,
+    "q178_neyman_allocation" -> q178Sql)
+}

@@ -604,4 +604,46 @@ object StreamOps {
           Iterator.single(UserSnapshot(userId, n, tot))
       }
   }
+
+  // ---- streaming EWMA anomaly monitor ---------------------------------------
+
+  case class DayRev(event_type: String, day: String, revc: Long)
+  case class EwmaState(a: Double, w: Double, prevEwma: Double, hasPrev: Boolean)
+  case class EwmaFlag(event_type: String, day: String, rev_cents: Long,
+      ewma_cents: Double, anomaly: Boolean)
+
+  /** Streaming twin of the q177 EWMA anomaly baseline: per series, state is
+    * the pair (A_t, W_t) of the adjust=true EWMA ratio — A_t = r·A_{t−1} +
+    * x_t, W_t = r·W_{t−1} + 1, ewma = A_t/W_t — two doubles per key, bounded
+    * forever. Mathematically identical to the batch closed form (a ratio of
+    * cumulative sums of x_i·r^{−i}); the recursive and closed-form float
+    * fold orders differ in the last ulps, so StreamingSpec asserts 1e-9
+    * relative parity rather than bit equality. Input contract: one row per
+    * (series, day) with days arriving in nondecreasing order per series —
+    * the shape an upstream watermarked daily rollup emits as windows close;
+    * within a micro-batch rows are sorted by day.
+    */
+  def ewmaAnomalyStream(daily: Dataset[DayRev], alpha: Double = 0.3,
+      band: Double = 0.5): Dataset[EwmaFlag] = {
+    import daily.sparkSession.implicits._
+    val r = 1.0 - alpha
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DayRev], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(0.0, 0.0, 0.0, false))
+          val out = List.newBuilder[EwmaFlag]
+          rows.toSeq.sortBy(_.day).foreach { d =>
+            val a = r * s.a + d.revc.toDouble
+            val w = r * s.w + 1.0
+            val ewma = a / w
+            val anomaly = s.hasPrev &&
+              math.abs(d.revc.toDouble - s.prevEwma) > band * s.prevEwma
+            out += EwmaFlag(key, d.day, d.revc, ewma, anomaly)
+            s = EwmaState(a, w, ewma, hasPrev = true)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Round9Queries
+
+/** Invariant + plan guards for the round-9 families: TPC-H-shape join
+  * planning (q167-q172) and distribution-audit statistics (q173-q178).
+  * Correctness vs DuckDB is the driver gate's job; these tests pin the
+  * conservation laws and the physical shapes that must survive refactors.
+  */
+class Round9Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q167 local supplier volume: ASIA nations only, broadcast dims, no cartesian") {
+    val df = Round9Queries.q167LocalSupplierVolume(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5, s"ASIA holds at most 5 nations, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0 && r.getAs[Long]("n_items") > 0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q167: $plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"dimension hops should broadcast: $plan")
+  }
+
+  test("q168 market share: share in [0,1] and nation7 <= market revenue") {
+    Round9Queries.q168MarketShare(spark, sf).collect().foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share $share")
+      assert(r.getAs[Double]("nation7_revenue") <= r.getAs[Double]("market_revenue") + 1e-6)
+    }
+  }
+
+  test("q169 returned items: bounded top-k plans TakeOrderedAndProject, ordered output") {
+    val df = Round9Queries.q169ReturnedItems(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 should be a bounded heap, not a global sort: $plan")
+    val revs = df.collect().map(_.getAs[Double]("lost_revenue"))
+    assert(revs.length <= 20)
+    assert(revs.sameElements(revs.sortBy(-_)), "not revenue-descending")
+  }
+
+  test("q170 promo share: percentages in [0,100], twelve months at most") {
+    val rows = Round9Queries.q170PromoShare(spark, sf).collect()
+    assert(rows.length <= 12)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("promo_pct")
+      assert(pct >= 0.0 && pct <= 100.0, s"pct $pct")
+    }
+  }
+
+  test("q171 small-quantity outliers: cut is strictly below the per-part mean") {
+    // every counted lineitem has quantity < 0.5*avg of its part, so the
+    // brand-level count can never exceed the total lineitems of that brand,
+    // and a one-lineitem part can never qualify (its qty IS the avg)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val singles = li.groupBy("l_partkey").count().filter(col("count") === 1)
+      .join(li, "l_partkey")
+      .filter(col("l_quantity") < lit(0.5) * col("l_quantity"))
+    assert(singles.count() == 0)
+    val rows = Round9Queries.q171SmallQuantityOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_small") > 0))
+  }
+
+  test("q172 order fanout: buckets conserve both orders and lineitems") {
+    val rows = Round9Queries.q172OrderFanout(spark, sf).collect()
+      .map(r => r.getAs[Long]("fanout") -> r.getAs[Long]("n_orders")).toMap
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val nLineitems = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // every order lands in exactly one bucket (fanout >= 0)
+    assert(rows.filterKeys(_ >= 0).values.sum == nOrders)
+    // lineitems of well-formed orders + orphaned lineitems' groups = total
+    val sumFan = rows.collect { case (f, n) if f > 0 => f * n }.sum
+    val orphanGroups = rows.getOrElse(-1L, 0L)
+    assert(orphanGroups == 0, "testdata should have no orphaned lineitems")
+    assert(sumFan == nLineitems, s"fanout-weighted sum $sumFan != $nLineitems")
+  }
+
+  test("q173 Mann-Whitney: U in [0, nw*nd] and counts conserve purchases") {
+    val r = Round9Queries.q173MannWhitney(spark, sf).head()
+    val nw = r.getAs[Long]("n_weekend"); val nd = r.getAs[Long]("n_weekday")
+    val u = r.getAs[Double]("u_stat")
+    assert(u >= 0.0 && u <= nw.toDouble * nd, s"U=$u outside [0, ${nw * nd}]")
+    assert(!r.getAs[Double]("z_score").isNaN)
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(nw + nd == purchases)
+  }
+
+  test("q174 KS: statistic in [0,1], critical value positive") {
+    val r = Round9Queries.q174KsTest(spark, sf).head()
+    val d = r.getAs[Double]("ks_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Double]("crit_05") > 0.0)
+    assert(r.getAs[Boolean]("reject_05") == (d > r.getAs[Double]("crit_05"))
+      || math.abs(d - r.getAs[Double]("crit_05")) < 1e-6)
+  }
+
+  test("q175 decile drift: ten bins conserve the event count, early bins ~decile-sized") {
+    val rows = Round9Queries.q175DecileDrift(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSet.subsetOf((0 to 9).toSet))
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val total = rows.map(r => r.getAs[Long]("n_early") + r.getAs[Long]("n_late")).sum
+    assert(total == nEvents, s"binned $total of $nEvents events")
+    // bin edges come from the early half's deciles: early counts per bin
+    // differ by at most the tie mass at an edge — sanity: no bin holds
+    // more than half the early rows
+    val early = rows.map(_.getAs[Long]("n_early"))
+    assert(early.max <= early.sum / 2, s"degenerate early binning: ${early.toSeq}")
+  }
+
+  test("q176 CUSUM changepoint: one row per event type, deviation sane") {
+    val rows = Round9Queries.q176CusumChangepoint(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type"))
+    assert(types.distinct.length == types.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_dev") >= 0.0)
+      assert(r.getAs[Double]("dev_days") >= 0.0)
+    }
+  }
+
+  test("q177 EWMA: baseline stays inside the daily-revenue envelope, day one never flags") {
+    val rows = Round9Queries.q177EwmaAnomaly(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[String]("day"))
+      // first day's flag must be false (no previous baseline)
+      assert(!sorted.head.getAs[Boolean]("anomaly"))
+      // EWMA is a convex combination of observed revenues
+      val revs = sorted.map(_.getAs[Long]("rev_cents").toDouble)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val e = r.getAs[Double]("ewma_cents")
+        val seen = revs.take(i + 1)
+        assert(e >= seen.min - 1e-6 && e <= seen.max + 1e-6,
+          s"ewma $e outside envelope [${seen.min}, ${seen.max}]")
+      }
+    }
+  }
+
+  test("q178 Neyman allocation: caps respected, realized sample = allocation") {
+    val rows = Round9Queries.q178NeymanAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var allocSum = 0L
+    rows.foreach { r =>
+      val alloc = r.getAs[Long]("alloc"); val nh = r.getAs[Long]("n_docs")
+      assert(alloc <= nh, s"allocation $alloc exceeds stratum $nh")
+      assert(r.getAs[Long]("n_sampled") == alloc)
+      allocSum += alloc
+      if (alloc > 0) {
+        val mean = r.getAs[Double]("sample_mean_q")
+        assert(mean >= 0.0 && mean <= 1.0, s"sample mean $mean")
+      }
+    }
+    // rounding + caps keep the total near the 100-doc budget, never wild
+    assert(allocSum <= 110, s"allocated $allocSum for a 100 budget")
+  }
+
+  test("round-9 TPC-H joins: no cartesian anywhere, facts meet in keyed joins") {
+    Seq(
+      Round9Queries.q167LocalSupplierVolume(spark, sf),
+      Round9Queries.q168MarketShare(spark, sf),
+      Round9Queries.q169ReturnedItems(spark, sf),
+      Round9Queries.q170PromoShare(spark, sf),
+      Round9Queries.q171SmallQuantityOutliers(spark, sf),
+      Round9Queries.q172OrderFanout(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian: $plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"BNLJ: $plan")
+    }
+  }
+}

@@ -747,6 +747,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA anomaly flags ≡ batch q177 over a 3-batch daily feed") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.Round9Queries.q177EwmaAnomaly(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("rev_cents"), r.getAs[Double]("ewma_cents"),
+          r.getAs[Boolean]("anomaly")))).toMap
+
+    // same daily rollup the batch computes, split chronologically in 3
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("revc"))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("revc"))
+      .as[StreamOps.DayRev].collect().sortBy(_.day)
+    val thirds = daily.grouped(math.max(1, (daily.length + 2) / 3)).toSeq
+
+    val input = MemoryStream[StreamOps.DayRev](23, spark, None)
+    thirds.foreach(b => input.addData(b.toSeq))
+    val out = runToMemory(
+      StreamOps.ewmaAnomalyStream(input.toDS()).toDF(), "ewma_stream") {}
+    val streamed = out.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("rev_cents"), r.getAs[Double]("ewma_cents"),
+          r.getAs[Boolean]("anomaly")))).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (rev, ewma, flag)) =>
+      val (brev, bewma, bflag) = batch(k)
+      assert(rev == brev, s"$k revenue")
+      // recursive vs closed-form fold orders differ in the last ulps, and
+      // the batch side is 6-dp rounded (assertApprox scales tol by |expected|)
+      assertApprox(ewma, bewma, tol = 1e-9, clue = s"$k ewma")
+      assert(flag == bflag, s"$k anomaly flag")
+    }
+  }
+
   test("copresence stream-stream join state stays bounded across many batches") {
     // The scale failure mode of any stream-stream join is UNBOUNDED STATE:
     // if Spark cannot derive a watermark-based eviction bound from the join
