@@ -75,21 +75,28 @@ object Round9Queries {
       .select(col("s_suppkey"), col("s_nationkey"))
     val orders = tbl(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+    // revenue quantizes to exact cents ROW-LOCALLY (the per-row double
+    // product is deterministic; only multi-row float sums are order-
+    // dependent) so the aggregate is an exact integer sum in both engines —
+    // the q171 lesson: raw double sums at 1e8+ magnitude jitter past 6-dp
+    // rounding under different partition fold orders
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 6).as("revenue"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("revc")).cast("double") / 100.0, 6).as("revenue"))
       .orderBy("n_name")
   }
 
   val q167Sql: String =
     """SELECT n_name, COUNT(*) AS n_items,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -126,28 +133,30 @@ object Round9Queries {
         year(to_date(col("o_orderdate"))).as("o_year"))
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
-        round(sum(col("rev")), 6).as("market_revenue"),
-        round(sum(when(col("supp_nation") === "NATION_7", col("rev"))
-          .otherwise(lit(0.0))), 6).as("nation7_revenue"),
-        round(sum(when(col("supp_nation") === "NATION_7", col("rev"))
-          .otherwise(lit(0.0))) / sum(col("rev")), 6).as("mkt_share"))
+        round(sum(col("revc")).cast("double") / 100.0, 6).as("market_revenue"),
+        round(sum(when(col("supp_nation") === "NATION_7", col("revc"))
+          .otherwise(lit(0L))).cast("double") / 100.0, 6).as("nation7_revenue"),
+        round(sum(when(col("supp_nation") === "NATION_7", col("revc"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(col("revc")).cast("double"), 6).as("mkt_share"))
       .orderBy("o_year")
   }
 
   val q168Sql: String =
     """SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS o_year,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS market_revenue,
-      |  ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
-      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS nation7_revenue,
-      |  ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
-      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-      |    / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS market_revenue,
+      |  ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0, 6) AS nation7_revenue,
+      |  ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE), 6) AS mkt_share
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -174,19 +183,20 @@ object Round9Queries {
     val li = tbl(spark, sfDir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .agg(count(lit(1)).as("n_returned"),
-        round(sum(col("rev")), 6).as("lost_revenue"))
+        round(sum(col("revc")).cast("double") / 100.0, 6).as("lost_revenue"))
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
   val q169Sql: String =
     """SELECT c_custkey, c_name, c_acctbal, COUNT(*) AS n_returned,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS lost_revenue
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS lost_revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -207,25 +217,27 @@ object Round9Queries {
       .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
       .select(col("l_partkey"),
         date_format(to_date(col("l_shipdate")), "yyyy-MM").as("ship_month"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_month"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(when(col("p_type") === "PROMO", col("rev"))
-          .otherwise(lit(0.0))), 6).as("promo_revenue"),
-        round(lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
-          .otherwise(lit(0.0))) / sum(col("rev")), 6).as("promo_pct"))
+        round(sum(when(col("p_type") === "PROMO", col("revc"))
+          .otherwise(lit(0L))).cast("double") / 100.0, 6).as("promo_revenue"),
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", col("revc"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(col("revc")).cast("double"), 6).as("promo_pct"))
       .orderBy("ship_month")
   }
 
   val q170Sql: String =
     """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
       |  COUNT(*) AS n_items,
-      |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
-      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 6) AS promo_revenue,
-      |  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-      |    / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS promo_pct
+      |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0, 6) AS promo_revenue,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE), 6) AS promo_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -242,8 +254,12 @@ object Round9Queries {
     * double in both engines — the `< 0.5*avg` cut is deterministic.
     */
   def q171SmallQuantityOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // extendedprice is a 2-dp amount: quantize to exact cents row-locally
+    // so the brand sums are exact integers (raw double sums at 1e8+
+    // magnitude flipped 6-dp rounding boundaries between engines at sf0.1)
     val li = tbl(spark, sfDir, "lineitem")
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pricec"))
     val partAvg = li.groupBy("l_partkey")
       .agg(avg(col("l_quantity")).as("avg_qty"))
       .withColumnRenamed("l_partkey", "pk")
@@ -254,7 +270,7 @@ object Round9Queries {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_small"),
-        round(sum(col("l_extendedprice")), 6).as("locked_revenue"))
+        round(sum(col("pricec")).cast("double") / 100.0, 6).as("locked_revenue"))
       .orderBy("p_brand")
   }
 
@@ -263,7 +279,7 @@ object Round9Queries {
       |  SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
       |  FROM lineitem GROUP BY 1)
       |SELECT p_brand, COUNT(*) AS n_small,
-      |  ROUND(SUM(l_extendedprice), 6) AS locked_revenue
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS locked_revenue
       |FROM lineitem
       |JOIN pa ON l_partkey = pk
       |JOIN part ON l_partkey = p_partkey
@@ -711,6 +727,290 @@ object Round9Queries {
        |FROM a2 LEFT JOIN pk ON a2.source = pk.source
        |ORDER BY a2.source""".stripMargin
 
+  // ---- q179 per-source KS + Benjamini-Hochberg FDR --------------------------
+
+  /** Multiple-testing-corrected source drift screen: each source's quality
+    * distribution is KS-tested against the REST of the corpus, the p-values
+    * (one-term asymptotic 2·exp(−2·m·D²), m = n_s·n_r/(n_s+n_r) — a closed
+    * form both engines compute identically, which is the point: no erf/CDF
+    * library dependence) are Benjamini-Hochberg corrected at q = 0.10, and
+    * every source at or below the BH cut is flagged. The per-source ECDFs
+    * come from ONE (source × quality) panel (bounded by #sources × the 3-dp
+    * support) with source-keyed windows; F_rest is (global − own)/(n − n_s)
+    * from a broadcast global panel — no per-source rescan. The BH step is
+    * an ordered window over the #sources panel.
+    */
+  def q179SourceDriftFdr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docQuality(spark, sfDir).select(col("source"), col("q"))
+    val perSQ = d.groupBy("source", "q").agg(count(lit(1)).as("c"))
+    val perQ = d.groupBy("q").agg(count(lit(1)).as("cg"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    // every (source, q-in-support) cell so the own-ECDF steps align with
+    // the global support: source x support grid from a small cross join
+    val sources = d.select("source").distinct()
+    val grid = sources.crossJoin(perQ)
+      .join(perSQ, Seq("source", "q"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val sOrd = Window.partitionBy("source").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cs", sum(col("c")).over(sOrd))
+      .withColumn("cgc", sum(col("cg")).over(sOrd))
+    val perSource = cum.groupBy("source").agg(sum(col("c")).as("ns"))
+    val stats = cum.join(perSource, Seq("source")).crossJoin(tot)
+      .withColumn("f_own", col("cs").cast("double") / col("ns").cast("double"))
+      .withColumn("f_rest", (col("cgc") - col("cs")).cast("double") /
+        (col("n") - col("ns")).cast("double"))
+      .groupBy(col("source"), col("ns"), col("n"))
+      .agg(max(abs(col("f_own") - col("f_rest"))).as("d_stat"))
+      .withColumn("m_eff", col("ns").cast("double") *
+        (col("n") - col("ns")).cast("double") / col("n").cast("double"))
+      .withColumn("p_raw",
+        least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("m_eff") *
+          col("d_stat") * col("d_stat"))))
+    val ordP = Window.orderBy(col("p_raw"), col("source"))
+    val m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bh = stats
+      .withColumn("rk", row_number().over(ordP).cast("double"))
+      .withColumn("m", count(lit(1)).over(m).cast("double"))
+      .withColumn("bh_ok", col("p_raw") <= col("rk") / col("m") * 0.10)
+      .withColumn("cut", max(when(col("bh_ok"), col("rk"))).over(m))
+      .withColumn("rejected",
+        coalesce(col("rk") <= col("cut"), lit(false)))
+    bh.select(col("source"), col("ns").as("n_docs"),
+        round(col("d_stat"), 6).as("ks_stat"),
+        round(col("p_raw"), 6).as("p_value"),
+        col("rk").cast("long").as("p_rank"), col("rejected"))
+      .orderBy("source")
+  }
+
+  val q179Sql: String =
+    s"""WITH d AS (
+       |$docQualitySqlCte2),
+       |psq AS (SELECT source, q, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |pq AS (SELECT q, COUNT(*) AS cg FROM d GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n FROM d),
+       |grid AS (
+       |  SELECT s.source, pq.q, pq.cg, COALESCE(psq.c, 0) AS c
+       |  FROM (SELECT DISTINCT source FROM d) s
+       |  CROSS JOIN pq
+       |  LEFT JOIN psq ON psq.source = s.source AND psq.q = pq.q),
+       |cum AS (
+       |  SELECT *,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+       |    SUM(cg) OVER (PARTITION BY source ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cgc
+       |  FROM grid),
+       |ps AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cum GROUP BY 1),
+       |st AS (
+       |  SELECT cum.source, ps.ns, t.n,
+       |    MAX(ABS(CAST(cs AS DOUBLE) / CAST(ps.ns AS DOUBLE)
+       |      - CAST(cgc - cs AS DOUBLE) / CAST(t.n - ps.ns AS DOUBLE))) AS d_stat
+       |  FROM cum JOIN ps ON cum.source = ps.source CROSS JOIN t
+       |  GROUP BY 1, 2, 3),
+       |pv AS (
+       |  SELECT *,
+       |    LEAST(1.0, 2.0 * EXP(-2.0
+       |      * (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * d_stat * d_stat)) AS p_raw
+       |  FROM st),
+       |bh AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p_raw, source) AS DOUBLE) AS rk,
+       |    CAST(COUNT(*) OVER () AS DOUBLE) AS m
+       |  FROM pv),
+       |cut AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN p_raw <= rk / m * 0.10 THEN rk END) OVER () AS cutrk
+       |  FROM bh)
+       |SELECT source, ns AS n_docs, ROUND(d_stat, 6) AS ks_stat,
+       |  ROUND(p_raw, 6) AS p_value, CAST(rk AS BIGINT) AS p_rank,
+       |  COALESCE(rk <= cutrk, FALSE) AS rejected
+       |FROM cut ORDER BY source""".stripMargin
+
+  // ---- q180 Theil-Sen robust trend ------------------------------------------
+
+  /** Robust daily-count trend per event type: the Theil-Sen estimator —
+    * the MEDIAN of all pairwise slopes (y_j−y_i)/(j−i) — shrugs off the
+    * outlier days that wreck OLS. The pair space is the bounded DAY PANEL
+    * squared (30 days → 435 pairs per series), generated by a keyed
+    * self-join on event_type with day₁ < day₂ — never a join over raw
+    * events. Counts are exact integers, day indexes exact, so each slope
+    * is one exact division and the interpolated median (`percentile` ≡
+    * `quantile_cont`) is the q05-pinned equivalence.
+    */
+  def q180TheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ExtQueries.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("double"))
+    val a = daily.select(col("event_type"), col("i").as("i1"),
+      col("x").cast("double").as("x1"))
+    val b = daily.select(col("event_type"), col("i").as("i2"),
+      col("x").cast("double").as("x2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("i1") < col("i2"))
+      .select(col("event_type"),
+        ((col("x2") - col("x1")) / (col("i2") - col("i1"))).as("slope"))
+    slopes.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"),
+        round(expr("percentile(slope, 0.1)"), 6).as("slope_p10"),
+        round(expr("percentile(slope, 0.9)"), 6).as("slope_p90"))
+      .orderBy("event_type")
+  }
+
+  val q180Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS i,
+      |    CAST(x AS DOUBLE) AS x
+      |  FROM daily),
+      |pairs AS (
+      |  SELECT a.event_type, (b.x - a.x) / (b.i - a.i) AS slope
+      |  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i)
+      |SELECT event_type, COUNT(*) AS n_pairs,
+      |  ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+      |  ROUND(quantile_cont(slope, 0.1), 6) AS slope_p10,
+      |  ROUND(quantile_cont(slope, 0.9), 6) AS slope_p90
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q181 revenue concentration (Gini + top-customer share) ---------------
+
+  /** Per-nation revenue inequality across customers: the Gini coefficient
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenue-ranked customers, plus
+    * the largest customer's share. Order totals quantize to exact cents, a
+    * LEFT join keeps zero-revenue customers in the population (they pull
+    * G up — dropping them is the classic inequality-overstatement bug...
+    * understatement bug: they'd be missing mass at the bottom), ranks are
+    * nation-keyed windows, and all sums are exact integers until the two
+    * final divisions.
+    */
+  def q181RevenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = tbl(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("revc"))
+      .groupBy("o_custkey").agg(sum(col("revc")).as("revc"))
+    val cust = tbl(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        coalesce(col("revc"), lit(0L)).as("revc"))
+    val rk = Window.partitionBy("c_nationkey").orderBy(col("revc"), col("c_custkey"))
+    val ranked = cust.withColumn("i", row_number().over(rk).cast("long"))
+    ranked.groupBy(col("c_nationkey").as("nationkey")).agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("revc")).as("rev_cents"),
+        sum(col("i") * col("revc")).as("iwr"),
+        max(col("revc")).as("max_revc"))
+      .select(col("nationkey"), col("n_cust"), col("rev_cents"),
+        round(lit(2.0) * col("iwr").cast("double") /
+          (col("n_cust").cast("double") * col("rev_cents").cast("double")) -
+          (col("n_cust") + 1).cast("double") / col("n_cust").cast("double"), 6)
+          .as("gini"),
+        round(col("max_revc").cast("double") / col("rev_cents").cast("double"), 6)
+          .as("top_customer_share"))
+      .orderBy("nationkey")
+  }
+
+  val q181Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revc
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT c_custkey, c_nationkey, COALESCE(o.revc, 0) AS revc
+      |  FROM customer LEFT JOIN o ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |    ORDER BY revc, c_custkey) AS BIGINT) AS i
+      |  FROM c)
+      |SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(revc) AS BIGINT) AS rev_cents,
+      |  ROUND(2.0 * CAST(SUM(i * revc) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(revc) AS DOUBLE))
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini,
+      |  ROUND(CAST(MAX(revc) AS DOUBLE) / CAST(SUM(revc) AS DOUBLE), 6)
+      |    AS top_customer_share
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q182 clean-supplier assortment (TPC-H Q16 shape) ---------------------
+
+  /** Distinct suppliers per (brand, size) EXCLUDING any supplier who ever
+    * shipped a returned item — the Q16 not-in-subquery shape, planned as an
+    * ANTI join on the supplier key (the tainted-supplier set is an
+    * aggregation, broadcast at any realistic supplier cardinality) followed
+    * by a distinct count over (brand, size, supplier). Never a correlated
+    * per-row subquery.
+    */
+  def q182CleanSupplierAssortment(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+    val tainted = li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey")).distinct()
+    val part = tbl(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(tainted), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("n_clean_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand", "p_size")
+  }
+
+  val q182Sql: String =
+    """SELECT p_brand, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS n_clean_suppliers,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (
+      |  SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q183 dormant rich customers (TPC-H Q22 shape) ------------------------
+
+  /** Customers with above-average balances and NO orders — the Q22 shape:
+    * one scalar aggregate (global average balance) broadcast as a single
+    * row, an ANTI join against order custkeys, grouped by market segment.
+    * The anti join keys on custkey (shuffle-able at any scale); nothing is
+    * correlated.
+    */
+  def q183DormantRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = tbl(spark, sfDir, "customer")
+    // cents-exact mean: Σcents/n is the same double in both engines
+    val avgBal = cust.agg(
+      (sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_balc"))
+    val orderKeys = tbl(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+    cust.select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("balc"))
+      .crossJoin(broadcast(avgBal))
+      .filter(col("balc").cast("double") > col("avg_balc"))
+      .join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_dormant"),
+        round(sum(col("balc")).cast("double") / 100.0, 6).as("total_balance"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q183Sql: String =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_balc
+      |  FROM customer)
+      |SELECT c_mktsegment, COUNT(*) AS n_dormant,
+      |  ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6)
+      |    AS total_balance
+      |FROM customer, ab
+      |WHERE CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE) > ab.avg_balc
+      |  AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registration ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -725,7 +1025,12 @@ object Round9Queries {
     "q175_decile_drift" -> (q175DecileDrift _),
     "q176_cusum_changepoint" -> (q176CusumChangepoint _),
     "q177_ewma_anomaly" -> (q177EwmaAnomaly _),
-    "q178_neyman_allocation" -> (q178NeymanAllocation _))
+    "q178_neyman_allocation" -> (q178NeymanAllocation _),
+    "q179_source_drift_fdr" -> (q179SourceDriftFdr _),
+    "q180_theil_sen" -> (q180TheilSen _),
+    "q181_revenue_gini" -> (q181RevenueGini _),
+    "q182_clean_supplier_assortment" -> (q182CleanSupplierAssortment _),
+    "q183_dormant_rich" -> (q183DormantRich _))
 
   val oracles: Map[String, String] = Map(
     "q167_local_supplier_volume" -> q167Sql,
@@ -739,5 +1044,10 @@ object Round9Queries {
     "q175_decile_drift" -> q175Sql,
     "q176_cusum_changepoint" -> q176Sql,
     "q177_ewma_anomaly" -> q177Sql,
-    "q178_neyman_allocation" -> q178Sql)
+    "q178_neyman_allocation" -> q178Sql,
+    "q179_source_drift_fdr" -> q179Sql,
+    "q180_theil_sen" -> q180Sql,
+    "q181_revenue_gini" -> q181Sql,
+    "q182_clean_supplier_assortment" -> q182Sql,
+    "q183_dormant_rich" -> q183Sql)
 }

@@ -160,6 +160,77 @@ class Round9Spec extends SparkSpec {
     assert(allocSum <= 110, s"allocated $allocSum for a 100 budget")
   }
 
+  test("q179 BH-FDR: rejection set is a prefix of the p-value order") {
+    val rows = Round9Queries.q179SourceDriftFdr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byRank = rows.sortBy(_.getAs[Long]("p_rank"))
+    // p monotone in rank, rejections form a prefix (the BH step-up property)
+    val ps = byRank.map(_.getAs[Double]("p_value"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    val flags = byRank.map(_.getAs[Boolean]("rejected"))
+    val firstKeep = flags.indexOf(false)
+    if (firstKeep >= 0)
+      assert(flags.drop(firstKeep).forall(!_), s"non-prefix rejections: ${flags.toSeq}")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("q180 Theil-Sen: pair counts are n(n-1)/2 and the median sits inside the band") {
+    Round9Queries.q180TheilSen(spark, sf).collect().foreach { r =>
+      val pairs = r.getAs[Long]("n_pairs")
+      // n days -> n(n-1)/2 pairs; solve back and check integrality
+      val n = (1 + math.sqrt(1.0 + 8.0 * pairs)) / 2
+      assert(math.abs(n - math.round(n)) < 1e-9, s"pair count $pairs not triangular")
+      val m = r.getAs[Double]("theil_sen_slope")
+      assert(m >= r.getAs[Double]("slope_p10") - 1e-9 &&
+        m <= r.getAs[Double]("slope_p90") + 1e-9)
+    }
+  }
+
+  test("q181 Gini: bounds [0, 1-1/n], zero-order customers included") {
+    val rows = Round9Queries.q181RevenueGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var counted = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_cust"); counted += n
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g <= 1.0 - 1.0 / n + 1e-9, s"gini $g out of bounds (n=$n)")
+      val ts = r.getAs[Double]("top_customer_share")
+      assert(ts >= 1.0 / n - 1e-9 && ts <= 1.0)
+    }
+    // the population is ALL customers, not just those with orders
+    assert(counted == spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+
+  test("q182 clean suppliers: anti join removes every tainted supplier") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val tainted = li.filter(col("l_returnflag") === "R")
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    // recompute the clean lineitem set directly and compare totals
+    val cleanCount = li.filter(!col("l_suppkey").isin(tainted.toSeq: _*)).count()
+    val rows = Round9Queries.q182CleanSupplierAssortment(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_lineitems")).sum == cleanCount)
+    val plan = Round9Queries.q182CleanSupplierAssortment(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"tainted-supplier exclusion should be an anti join: $plan")
+  }
+
+  test("q183 dormant rich: every counted customer has no orders and an above-average balance") {
+    val rows = Round9Queries.q183DormantRich(spark, sf).collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val withOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    val nCust = cust.count()
+    val dormant = rows.map(_.getAs[Long]("n_dormant")).sum
+    // dormant customers can never exceed customers without any order
+    assert(dormant <= nCust - math.min(withOrders, nCust))
+    val plan = Round9Queries.q183DormantRich(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no-orders should be an anti join: $plan")
+  }
+
   test("round-9 TPC-H joins: no cartesian anywhere, facts meet in keyed joins") {
     Seq(
       Round9Queries.q167LocalSupplierVolume(spark, sf),
