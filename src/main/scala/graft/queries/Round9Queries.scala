@@ -396,17 +396,19 @@ object Round9Queries {
       |    6) AS z_score
       |FROM s""".stripMargin
 
-  // ---- q174 Kolmogorov-Smirnov (per-language quality distributions) ---------
+  // ---- q174 Wasserstein-1 quality shift (English vs rest) -------------------
 
-  /** Two-sample KS: does English documents' quality distribution differ
-    * from everything else's? D = max |F_en − F_rest| over the merged
-    * support. Quality is 3-dp quantized, so the support is ≤1001 distinct
-    * values — the cumulative window is bounded by the metric's domain, not
-    * the corpus. ECDF values are exact rationals (int/int) and the decision
-    * threshold c(0.05)·√((n1+n2)/(n1·n2)) is closed-form; both engines
-    * compute the identical doubles.
+  /** Earth-mover (Wasserstein-1) distance between English documents'
+    * quality distribution and everything else's: W₁ = Σ |F_en − F_rest|·Δq
+    * over the sorted 3-dp support — the INTEGRAL of the ECDF gap, where
+    * q128's KS drift panel takes its SUP. The two react differently (KS to
+    * one sharp localized gap, W₁ to broad small shifts), which is why
+    * distribution-shift monitoring runs both. Support ≤ 1001 values, so
+    * the cumulative window is bounded by the metric's domain; ECDFs are
+    * exact rationals and Δq exact 3-dp steps, so both engines fold the
+    * identical products in the identical order (order-pinned window sum).
     */
-  def q174KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+  def q174WassersteinShift(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docQuality(spark, sfDir)
       .select(col("q"), (col("lang") === "en").cast("long").as("is_en"))
     val perQ = d.groupBy("q").agg(
@@ -419,17 +421,19 @@ object Round9Queries {
         sum(col("en_c")).over(ord).cast("double") / col("n_en").cast("double"))
       .withColumn("f_rest",
         sum(col("rest_c")).over(ord).cast("double") / col("n_rest").cast("double"))
-      .withColumn("gap", abs(col("f_en") - col("f_rest")))
-    ecdf.groupBy(col("n_en"), col("n_rest"))
-      .agg(max(col("gap")).as("d_raw"))
+      .withColumn("dq",
+        coalesce(lead(col("q"), 1).over(Window.orderBy("q")), col("q")) - col("q"))
+      .withColumn("seg", abs(col("f_en") - col("f_rest")) * col("dq"))
+    // order-pinned summation: fold the segments in q order so both engines
+    // accumulate the identical double sequence
+    val pinned = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ecdf.withColumn("w1", sum(col("seg")).over(pinned))
+      .groupBy(col("n_en"), col("n_rest"), col("w1"))
+      .agg(max(abs(col("f_en") - col("f_rest"))).as("sup_gap"))
       .select(col("n_en"), col("n_rest"),
-        round(col("d_raw"), 6).as("ks_stat"),
-        round(lit(1.358) * sqrt((col("n_en") + col("n_rest")).cast("double") /
-          (col("n_en").cast("double") * col("n_rest").cast("double"))), 6)
-          .as("crit_05"),
-        (col("d_raw") > lit(1.358) * sqrt((col("n_en") + col("n_rest")).cast("double") /
-          (col("n_en").cast("double") * col("n_rest").cast("double"))))
-          .as("reject_05"))
+        round(col("w1"), 6).as("w1_distance"),
+        round(col("sup_gap"), 6).as("ks_companion"))
   }
 
   val q174Sql: String =
@@ -446,17 +450,17 @@ object Round9Queries {
        |    CAST(SUM(en_c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
        |      AND CURRENT ROW) AS DOUBLE) / CAST(t.n_en AS DOUBLE) AS f_en,
        |    CAST(SUM(rest_c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
-       |      AND CURRENT ROW) AS DOUBLE) / CAST(t.n_rest AS DOUBLE) AS f_rest
+       |      AND CURRENT ROW) AS DOUBLE) / CAST(t.n_rest AS DOUBLE) AS f_rest,
+       |    COALESCE(LEAD(q, 1) OVER (ORDER BY q), q) - q AS dq
        |  FROM pq, t),
-       |g AS (
-       |  SELECT n_en, n_rest, MAX(ABS(f_en - f_rest)) AS d_raw
-       |  FROM e GROUP BY 1, 2)
-       |SELECT n_en, n_rest, ROUND(d_raw, 6) AS ks_stat,
-       |  ROUND(1.358 * SQRT(CAST(n_en + n_rest AS DOUBLE)
-       |    / (CAST(n_en AS DOUBLE) * CAST(n_rest AS DOUBLE))), 6) AS crit_05,
-       |  d_raw > 1.358 * SQRT(CAST(n_en + n_rest AS DOUBLE)
-       |    / (CAST(n_en AS DOUBLE) * CAST(n_rest AS DOUBLE))) AS reject_05
-       |FROM g""".stripMargin
+       |s AS (
+       |  SELECT *,
+       |    SUM(ABS(f_en - f_rest) * dq) OVER (ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w1
+       |  FROM e)
+       |SELECT n_en, n_rest, ROUND(w1, 6) AS w1_distance,
+       |  ROUND(MAX(ABS(f_en - f_rest)), 6) AS ks_companion
+       |FROM s GROUP BY 1, 2, w1""".stripMargin
 
   // ---- q175 decile-bin value drift (quantile-bin PSI) -----------------------
 
@@ -523,36 +527,49 @@ object Round9Queries {
       |        / ((CAST(c1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0))), 6) AS psi_term
       |FROM b, t ORDER BY bin""".stripMargin
 
-  // ---- q176 offline CUSUM changepoint ---------------------------------------
+  // ---- q176 Pettitt rank-based changepoint ----------------------------------
 
-  /** Changepoint day per event type by the offline CUSUM statistic: with
-    * daily counts x_t and their cumulative sum S_t, the deviation from the
-    * uniform-rate line D_t = S_t − (t/T)·S_T peaks at the most likely rate
-    * change. Counts are exact integers and the line term is one exact
-    * division, so argmax and the tie-break (earliest day) agree across
-    * engines. All windows are keyed by event_type over the bounded day
-    * panel.
+  /** Pettitt test per event type — the RANK-based changepoint detector,
+    * complementing q130's CUSUM (mean-shift cumsum): U_t = Σ_{i≤t,j>t}
+    * sgn(x_j − x_i) counts order relations across the split, so a single
+    * outlier day cannot drag the changepoint the way it drags a cumsum.
+    * K = max|U_t| with the closed-form significance p ≈ 2·exp(−6K²/(T³+T²)).
+    * The pair space is the bounded DAY PANEL (30 days → 435 pairs/series):
+    * a keyed self-join emits each pair's sign onto every split index it
+    * straddles (sequence + explode, ≤ T rows per pair), one keyed
+    * aggregation forms U_t, and argmax breaks ties on the earlier day.
+    * Everything is exact integer arithmetic until the final exp.
     */
-  def q176CusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+  def q176PettittChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = ExtQueries.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
-    val ord = Window.partitionBy("event_type").orderBy("day")
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val full = Window.partitionBy("event_type")
-    val dev = daily
-      .withColumn("t", row_number().over(ord).cast("double"))
-      .withColumn("s", sum(col("x")).over(cum).cast("double"))
-      .withColumn("bigT", count(lit(1)).over(full).cast("double"))
-      .withColumn("sT", sum(col("x")).over(full).cast("double"))
-      .withColumn("d_abs", abs(col("s") - col("t") / col("bigT") * col("sT")))
-    dev.withColumn("rk", row_number().over(
-        Window.partitionBy("event_type").orderBy(col("d_abs").desc, col("day"))))
-      .filter(col("rk") === 1)
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+    val a = daily.select(col("event_type"), col("i").as("i1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("i").as("i2"), col("x").as("x2"))
+    val contributions = a.join(b, Seq("event_type"))
+      .filter(col("i1") < col("i2"))
       .select(col("event_type"),
-        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
-        round(col("d_abs"), 6).as("max_dev"),
-        round(col("d_abs") / (col("sT") / col("bigT")), 6).as("dev_days"))
+        when(col("x2") > col("x1"), lit(1L))
+          .when(col("x2") < col("x1"), lit(-1L)).otherwise(lit(0L)).as("s"),
+        explode(sequence(col("i1"), col("i2") - 1)).as("t"))
+    val u = contributions.groupBy("event_type", "t")
+      .agg(sum(col("s")).as("u"))
+    val bigT = daily.groupBy("event_type").agg(count(lit(1)).as("bigT"))
+    val k = u.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("u")).desc, col("t"))))
+      .filter(col("rk") === 1)
+      .join(bigT, Seq("event_type"))
+      .join(daily.select(col("event_type"), col("i").as("t"),
+        col("day").as("cp_day")), Seq("event_type", "t"))
+    k.select(col("event_type"),
+        date_format(col("cp_day"), "yyyy-MM-dd").as("cp_day"),
+        abs(col("u")).as("k_stat"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          (col("u") * col("u")).cast("double") /
+          (col("bigT") * col("bigT") * col("bigT") +
+            col("bigT") * col("bigT")).cast("double"))), 6).as("p_approx"))
       .orderBy("event_type")
   }
 
@@ -560,29 +577,41 @@ object Round9Queries {
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
       |  FROM events GROUP BY 1, 2),
-      |dev AS (
-      |  SELECT event_type, day,
-      |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS t,
-      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s,
-      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS bigT,
-      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS DOUBLE) AS sT
-      |  FROM daily
-      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-      |d2 AS (
-      |  SELECT *, ABS(s - t / bigT * sT) AS d_abs,
-      |    ROW_NUMBER() OVER (PARTITION BY event_type
-      |      ORDER BY ABS(s - t / bigT * sT) DESC, day) AS rk
-      |  FROM dev)
-      |SELECT event_type, CAST(day AS VARCHAR) AS cp_day,
-      |  ROUND(d_abs, 6) AS max_dev,
-      |  ROUND(d_abs / (sT / bigT), 6) AS dev_days
-      |FROM d2 WHERE rk = 1 ORDER BY event_type""".stripMargin
+      |idx AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |contrib AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS s,
+      |    UNNEST(generate_series(a.i, b.i - 1)) AS t
+      |  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i),
+      |u AS (
+      |  SELECT event_type, t, CAST(SUM(s) AS BIGINT) AS u
+      |  FROM contrib GROUP BY 1, 2),
+      |bt AS (SELECT event_type, COUNT(*) AS bigT FROM daily GROUP BY 1),
+      |k AS (
+      |  SELECT u.*, ROW_NUMBER() OVER (PARTITION BY u.event_type
+      |    ORDER BY ABS(u.u) DESC, u.t) AS rk
+      |  FROM u)
+      |SELECT k.event_type, CAST(idx.day AS VARCHAR) AS cp_day,
+      |  ABS(k.u) AS k_stat,
+      |  ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * CAST(k.u * k.u AS DOUBLE)
+      |    / CAST(bt.bigT * bt.bigT * bt.bigT + bt.bigT * bt.bigT AS DOUBLE))), 6)
+      |    AS p_approx
+      |FROM k
+      |JOIN bt ON k.event_type = bt.event_type
+      |JOIN idx ON idx.event_type = k.event_type AND idx.i = k.t
+      |WHERE k.rk = 1 ORDER BY k.event_type""".stripMargin
 
   // ---- q177 EWMA anomaly scoring --------------------------------------------
 
   /** Exponentially-weighted daily revenue baseline + anomaly flags: the
-    * monitoring chart every ingest pipeline runs. EWMA (adjust=true form)
+    * monitoring chart every ingest pipeline runs. Sibling of q117's EWMA
+    * TREND (dyadic integer-exact decay, no flags): this one is the ALERTING
+    * form — adjust=true weighting, a ±50% band against the previous day's
+    * baseline, and a stateful streaming twin
+    * ([[graft.streaming.StreamOps.ewmaAnomalyStream]], 1e-9 batch parity). EWMA (adjust=true form)
     * is computed CLOSED-FORM as a ratio of two ordered cumulative sums of
     * exactly-representable terms (daily revenue in integer cents × r^-i
     * weights), so no recursion and no engine-specific fold order; the
@@ -729,8 +758,12 @@ object Round9Queries {
 
   // ---- q179 per-source KS + Benjamini-Hochberg FDR --------------------------
 
-  /** Multiple-testing-corrected source drift screen: each source's quality
-    * distribution is KS-tested against the REST of the corpus, the p-values
+  /** Multiple-testing-corrected source drift screen — the FDR layer the
+    * per-source drift family (q112 PSI, q122 JSD, q128 per-source-vs-corpus
+    * KS at fixed α) stops short of: with dozens of sources, fixed-α
+    * screens false-alarm constantly. Each source's QUALITY distribution is
+    * KS-tested against the REST of the corpus (leave-one-out, not
+    * vs-corpus — a big source cannot mask its own drift), the p-values
     * (one-term asymptotic 2·exp(−2·m·D²), m = n_s·n_r/(n_s+n_r) — a closed
     * form both engines compute identically, which is the point: no erf/CDF
     * library dependence) are Benjamini-Hochberg corrected at q = 0.10, and
@@ -882,7 +915,10 @@ object Round9Queries {
 
   // ---- q181 revenue concentration (Gini + top-customer share) ---------------
 
-  /** Per-nation revenue inequality across customers: the Gini coefficient
+  /** Per-nation revenue inequality across customers — the GROUP-keyed form
+    * of q109's global Gini/Lorenz (which ranks the whole corpus through the
+    * distributed prefix scan; here ranks are per-nation window partitions,
+    * the shape for "inequality per segment" panels): the Gini coefficient
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenue-ranked customers, plus
     * the largest customer's share. Order totals quantize to exact cents, a
     * LEFT join keeps zero-revenue customers in the population (they pull
@@ -1021,9 +1057,9 @@ object Round9Queries {
     "q171_small_quantity_outliers" -> (q171SmallQuantityOutliers _),
     "q172_order_fanout" -> (q172OrderFanout _),
     "q173_mann_whitney" -> (q173MannWhitney _),
-    "q174_ks_test" -> (q174KsTest _),
+    "q174_wasserstein_shift" -> (q174WassersteinShift _),
     "q175_decile_drift" -> (q175DecileDrift _),
-    "q176_cusum_changepoint" -> (q176CusumChangepoint _),
+    "q176_pettitt_changepoint" -> (q176PettittChangepoint _),
     "q177_ewma_anomaly" -> (q177EwmaAnomaly _),
     "q178_neyman_allocation" -> (q178NeymanAllocation _),
     "q179_source_drift_fdr" -> (q179SourceDriftFdr _),
@@ -1040,9 +1076,9 @@ object Round9Queries {
     "q171_small_quantity_outliers" -> q171Sql,
     "q172_order_fanout" -> q172Sql,
     "q173_mann_whitney" -> q173Sql,
-    "q174_ks_test" -> q174Sql,
+    "q174_wasserstein_shift" -> q174Sql,
     "q175_decile_drift" -> q175Sql,
-    "q176_cusum_changepoint" -> q176Sql,
+    "q176_pettitt_changepoint" -> q176Sql,
     "q177_ewma_anomaly" -> q177Sql,
     "q178_neyman_allocation" -> q178Sql,
     "q179_source_drift_fdr" -> q179Sql,

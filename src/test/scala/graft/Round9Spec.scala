@@ -92,13 +92,13 @@ class Round9Spec extends SparkSpec {
     assert(nw + nd == purchases)
   }
 
-  test("q174 KS: statistic in [0,1], critical value positive") {
-    val r = Round9Queries.q174KsTest(spark, sf).head()
-    val d = r.getAs[Double]("ks_stat")
-    assert(d >= 0.0 && d <= 1.0)
-    assert(r.getAs[Double]("crit_05") > 0.0)
-    assert(r.getAs[Boolean]("reject_05") == (d > r.getAs[Double]("crit_05"))
-      || math.abs(d - r.getAs[Double]("crit_05")) < 1e-6)
+  test("q174 Wasserstein-1: bounded by the sup-gap times the support range") {
+    val r = Round9Queries.q174WassersteinShift(spark, sf).head()
+    val w1 = r.getAs[Double]("w1_distance")
+    val sup = r.getAs[Double]("ks_companion")
+    assert(w1 >= 0.0 && sup >= 0.0 && sup <= 1.0)
+    // W1 = ∫|F1-F2| ≤ sup|F1-F2| · |support range| (quality spans ≤ 1.0)
+    assert(w1 <= sup * 1.0 + 1e-9, s"w1 $w1 exceeds sup-gap bound $sup")
   }
 
   test("q175 decile drift: ten bins conserve the event count, early bins ~decile-sized") {
@@ -114,13 +114,18 @@ class Round9Spec extends SparkSpec {
     assert(early.max <= early.sum / 2, s"degenerate early binning: ${early.toSeq}")
   }
 
-  test("q176 CUSUM changepoint: one row per event type, deviation sane") {
-    val rows = Round9Queries.q176CusumChangepoint(spark, sf).collect()
+  test("q176 Pettitt: K bounded by the pair count, p in (0,1], one row per type") {
+    val rows = Round9Queries.q176PettittChangepoint(spark, sf).collect()
     val types = rows.map(_.getAs[String]("event_type"))
-    assert(types.distinct.length == types.length)
+    assert(types.distinct.length == types.length && rows.nonEmpty)
+    val nDays = spark.read.parquet(s"$sf/events.parquet")
+      .select(to_date(col("ts"))).distinct().count()
     rows.foreach { r =>
-      assert(r.getAs[Double]("max_dev") >= 0.0)
-      assert(r.getAs[Double]("dev_days") >= 0.0)
+      val k = r.getAs[Long]("k_stat")
+      // |U_t| can never exceed the total number of (i<=t<j) pairs
+      assert(k >= 0 && k <= nDays * (nDays - 1) / 2, s"K=$k for T=$nDays")
+      val p = r.getAs[Double]("p_approx")
+      assert(p > 0.0 && p <= 1.0)
     }
   }
 
