@@ -1065,7 +1065,7 @@ object Queries {
     "q69_incremental_moments" -> (q69IncrementalMoments _),
     "q71_resample_ffill" -> (q71ResampleFfill _),
     "q74_star_join" -> (q74StarJoin _),
-    "q105_regional_revenue" -> (q105RegionalRevenue _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all
+    "q105_regional_revenue" -> (q105RegionalRevenue _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++ Round10Queries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -1094,5 +1094,5 @@ object Queries {
     "q69_incremental_moments" -> q69Sql,
     "q71_resample_ffill" -> q71Sql,
     "q74_star_join" -> q74Sql,
-    "q105_regional_revenue" -> q105Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles
+    "q105_regional_revenue" -> q105Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles ++ Round10Queries.oracles
 }

@@ -1,0 +1,948 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 extension queries (q184+), three families:
+  *
+  *   1. The remaining classic TPC-H JOIN SHAPES the suite had not yet
+  *      pinned (q184-q189): existential semi-join with a cross-table
+  *      inequality (Q4), bidirectional nation-pair volume (Q7), multi-way
+  *      profit rollup (Q9), group-vs-global-scalar HAVING (Q11), fact
+  *      pre-aggregation feeding a relative-threshold customer cut (Q18),
+  *      and a lag-bucket conditional-count matrix (Q12's shape re-expressed
+  *      over the columns this schema has). Together with q155/q167-q172/
+  *      q179-q183 this closes out the TPC-H shape catalogue expressible on
+  *      the driver's star schema.
+  *   2. EXACT-INTEGER TIME-SERIES DIAGNOSTICS over the hourly event-revenue
+  *      grid (q190-q193): Durbin-Watson, Ljung-Box ACF panel, Lo-MacKinlay
+  *      variance-ratio, and a diurnal harmonic (single-DFT-bin) fit. Every
+  *      sum that crosses rows is an exact BIGINT in cents (or cents², or a
+  *      lag cross-product of cents) — the only doubles are final scalar
+  *      expressions over those exact aggregates, so partition fold order
+  *      cannot move the published 6-dp values in either engine.
+  *   3. RANK / NONPARAMETRIC statistics at fact-table scale (q194-q197):
+  *      Spearman rho via exact half-integer average ranks, Kruskal-Wallis H
+  *      across event types, Brown-Forsythe robust variance homogeneity on
+  *      |x - group-median| (medians of ints are exact half-integers →
+  *      deviations are exact in doubled units), and Kendall tau-b computed
+  *      from a decile contingency table (pair concordance over 100 cells,
+  *      never over row pairs).
+  *
+  * Reference scope note: alphastats (reference `stats.py`) ships Pearson
+  * correlation and distribution moments but none of these shapes; they are
+  * extension inventory for the large-scale pipeline audit layer, same
+  * charter as q173-q183.
+  */
+object Round10Queries {
+
+  import ExtQueries.{cached, events}
+
+  // warehouse tables read UNCACHED on purpose (see Round9Queries: caching a
+  // whole table would substitute an InMemoryRelation into every matching
+  // scan session-wide and kill pruning/pushdown suite-wide)
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- q184 priority wait audit (TPC-H Q4 shape) ----------------------------
+
+  /** Orders per priority class that have at least one line item shipped more
+    * than 60 days after the order date — the classic existential
+    * ship-lateness audit (TPC-H Q4's EXISTS with a cross-table inequality).
+    * Spark shape: LEFT SEMI join orders←lineitem on the order key with the
+    * date inequality folded into the join condition, so the planner keeps
+    * it a single keyed shuffle (no distinct, no join-back; the semi join
+    * stops probing an order on its first late item). The 60-day comparison
+    * is timestamp arithmetic — exact, no floats anywhere.
+    */
+  def q184PriorityWait(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q184Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q185 bidirectional nation-pair volume (TPC-H Q7 shape) ---------------
+
+  /** Shipping volume between every ORDERED pair of distinct nations
+    * (supplier nation → customer nation) per ship year — TPC-H Q7
+    * generalized from one nation pair to the full 25×24 directed matrix
+    * (bounded output at any scale factor: pairs × years, not data-sized).
+    * Spark shape: ONE keyed fact-fact shuffle (lineitem ⋈ orders on order
+    * key); supplier, customer and the two nation lookups are broadcast.
+    * Revenue quantizes to exact cents row-locally (q171 lesson) so the sums
+    * are exact BIGINTs in both engines.
+    */
+  def q185NationPairVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = tbl(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = tbl(spark, sfDir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val orders = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("revc")).cast("double") / 100.0, 6).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  val q185Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS INT) AS ship_year, COUNT(*) AS n_items,
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q186 product-line profit (TPC-H Q9 shape) ----------------------------
+
+  /** Profit contribution of one product family ('red' parts) by supplier
+    * nation and ship year — TPC-H Q9's multi-way rollup with the part cost
+    * proxied by `p_retailprice · quantity` (this schema has no partsupp
+    * table). Per-row margin quantizes to exact cents (quantity is integral
+    * 1..50, so `retail_cents · qty` is an exact BIGINT product, not a float
+    * multiply), making the profit sum exact. Spark shape: the part-family
+    * filter prunes at the broadcast dimension BEFORE the fact join, the
+    * lineitem⋈orders fact shuffle only carries rows that survived the
+    * part semi-filter.
+    */
+  def q186ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = tbl(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val part = tbl(spark, sfDir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("retailc"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("profitc", col("revc") - col("retailc") * col("qty"))
+      .groupBy(col("supp_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("profitc")).cast("double") / 100.0, 6).as("profit"))
+      .orderBy("supp_nation", "ship_year")
+  }
+
+  val q186Sql: String =
+    """SELECT n_name AS supp_nation, CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+      |  COUNT(*) AS n_items,
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |    - CAST(ROUND(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0, 6) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q187 above-share nations (TPC-H Q11 shape) ---------------------------
+
+  /** Supplier nations whose shipped revenue exceeds 1.5× the equal-share
+    * slice of global revenue (total/25) — TPC-H Q11's HAVING-against-a-
+    * global-scalar shape, made scale-free so it selects the same kind of
+    * rows at every scale factor. Spark shape: ONE aggregation produces the
+    * per-nation revenue; the global total is the SUM of that 25-row frame
+    * (never a second fact scan), cross-joined back as a broadcast scalar.
+    * Exact-cents sums; the share and threshold comparison happen on exact
+    * BIGINTs (compare `25·rev > 3·total/2` in integers — no float compare
+    * at the cut, so membership is bit-deterministic).
+    */
+  def q187AboveShareNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = tbl(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+    val perNation = li
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"))
+      .agg(sum(col("revc")).as("revc"), count(lit(1)).as("n_items"))
+    val total = perNation.agg(sum(col("revc")).as("totalc"))
+    perNation.crossJoin(broadcast(total))
+      // integer-exact cut: rev > 1.5 * total / 25  ⇔  50·rev > 3·total
+      .filter(col("revc") * lit(50L) > col("totalc") * lit(3L))
+      .select(col("supp_nation"), col("n_items"),
+        round(col("revc").cast("double") / 100.0, 6).as("revenue"),
+        round(col("revc").cast("double") / col("totalc").cast("double"), 6)
+          .as("share"))
+      .orderBy("supp_nation")
+  }
+
+  val q187Sql: String =
+    """WITH pn AS (
+      |  SELECT n_name AS supp_nation,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revc,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |t AS (SELECT SUM(revc) AS totalc FROM pn)
+      |SELECT supp_nation, n_items,
+      |  ROUND(CAST(revc AS DOUBLE) / 100.0, 6) AS revenue,
+      |  ROUND(CAST(revc AS DOUBLE) / CAST(totalc AS DOUBLE), 6) AS share
+      |FROM pn, t
+      |WHERE revc * 50 > totalc * 3
+      |ORDER BY supp_nation""".stripMargin
+
+  // ---- q188 large-volume customers (TPC-H Q18 shape) ------------------------
+
+  /** Customers whose lifetime ordered quantity exceeds 2× the average
+    * customer's — TPC-H Q18's "large volume customer" cut with a scale-free
+    * relative threshold. Spark shape: quantity pre-aggregates per ORDER on
+    * the lineitem side FIRST (map-side-combinable, shrinks the fact before
+    * the orders join), then rolls up per customer; the threshold is a
+    * broadcast scalar from the same per-customer frame; the customer name
+    * attaches by broadcast only to the few surviving rows. The cut compares
+    * exact integers (`n_cust · qty > 2 · total_qty`), so membership cannot
+    * flip on float jitter.
+    */
+  def q188LargeVolumeCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("oqty"), sum(col("revc")).as("orevc"))
+    val orders = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val perCust = perOrder
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("oqty")).as("total_qty"),
+        sum(col("orevc")).as("revc"))
+    val thresh = perCust.agg(
+      sum(col("total_qty")).as("all_qty"), count(lit(1)).as("n_cust"))
+    val cust = tbl(spark, sfDir, "customer").select(col("c_custkey"), col("c_name"))
+    perCust.crossJoin(broadcast(thresh))
+      .filter(col("total_qty") * col("n_cust") > col("all_qty") * lit(2L))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_qty"),
+        round(col("revc").cast("double") / 100.0, 6).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  val q188Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS n_orders,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revc
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |t AS (SELECT SUM(total_qty) AS all_qty, COUNT(*) AS n_cust FROM pc)
+      |SELECT c_custkey, c_name, n_orders, CAST(total_qty AS BIGINT) AS total_qty,
+      |  ROUND(CAST(revc AS DOUBLE) / 100.0, 6) AS revenue
+      |FROM pc
+      |CROSS JOIN t
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE total_qty * n_cust > all_qty * 2
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q189 ship-lag priority matrix (TPC-H Q12 shape) ----------------------
+
+  /** Line items bucketed by ship lag (half-year buckets of days between
+    * order and ship date, clamped to [-4, 4]) × a priority split — TPC-H
+    * Q12's conditional-count matrix re-expressed over the columns this
+    * schema has (no l_shipmode). Counts urgent-or-high versus lower
+    * priority orders per lag bucket; everything is integer date arithmetic
+    * and conditional counts — exact by construction. One keyed fact-fact
+    * shuffle; the CASE splits are map-side partial aggregates.
+    */
+  def q189ShipLagPriorityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = tbl(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("is_hi"))
+    val li = tbl(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .withColumn("lag_bucket",
+        greatest(least(floor(col("lag_days") / 180.0), lit(4L)), lit(-4L)))
+      .groupBy(col("lag_bucket"))
+      .agg(sum(col("is_hi")).as("n_high_priority"),
+        sum(lit(1L) - col("is_hi")).as("n_low_priority"),
+        round(avg(col("lag_days").cast("double")), 6).as("avg_lag_days"))
+      .orderBy("lag_bucket")
+  }
+
+  val q189Sql: String =
+    """SELECT GREATEST(LEAST(CAST(FLOOR(DATEDIFF('day', o_orderdate, l_shipdate) / 180.0) AS BIGINT), 4), -4) AS lag_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_low_priority,
+      |  ROUND(AVG(CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS DOUBLE)), 6) AS avg_lag_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- shared hourly event-revenue grid -------------------------------------
+
+  /** Zero-filled hourly revenue grid per event type: one row per
+    * (event_type, hour) over the COMPLETE global [min, max] hour span of
+    * the events table, `xc` = exact cents (BIGINT) of that hour's summed
+    * event value, 0 where the hour had no events. `i` is the hour index
+    * from the global start; `hd` the UTC hour-of-day. The grid is
+    * time-bounded (span × 5 types ≈ 3,600 rows at every scale factor), so
+    * the q190-q193 self-joins and windows over it are O(grid), never
+    * O(data): at 100 TB the single data-sized stage is the first
+    * groupBy(type, hour) — a map-side-combinable exact-integer sum.
+    * Cached once per (session, sf) like the other shared frames.
+    */
+  private def hourlySeries(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "hourly_revenue_grid") {
+      val ev = events(spark, sfDir).select(col("event_type"),
+        floor(col("ts").cast("long") / 3600).cast("long").as("h"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val agg = ev.groupBy(col("event_type"), col("h"))
+        .agg(sum(col("cents")).as("xc"))
+      val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"),
+          col("h0"))
+      grid.join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), (col("h") - col("h0")).as("i"),
+          (col("h") % 24).as("hd"), coalesce(col("xc"), lit(0L)).as("xc"))
+    }
+
+  /** The SQL twin of [[hourlySeries]] — every q190-q193 oracle interpolates
+    * this CTE chain so each oracle stays self-contained.
+    */
+  private val hourlySeriesCte: String =
+    """ev AS (
+      |  SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, h, SUM(cents) AS xc FROM ev GROUP BY 1, 2),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+      |hours AS (SELECT UNNEST(range(h0, h1 + 1)) AS h, h0 FROM b),
+      |s AS (
+      |  SELECT t.event_type, g.h - g.h0 AS i, g.h % 24 AS hd,
+      |    COALESCE(a.xc, 0) AS xc
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN hours g
+      |  LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = g.h)""".stripMargin
+
+  // ---- q190 Durbin-Watson autocorrelation audit -----------------------------
+
+  /** Durbin-Watson statistic of each event type's hourly revenue series:
+    * DW = Σ(xᵢ−xᵢ₋₁)² / Σ(xᵢ−x̄)² — the classic 0..4 serial-correlation
+    * gauge (≈2 none, →0 positive, →4 negative). Every cross-row sum is an
+    * exact BIGINT (cents and cents² of the lag differences via one window
+    * lag per type); the mean-centered denominator comes from the algebraic
+    * identity Σ(x−x̄)² = Σx² − S²/n so no float ever crosses a partition
+    * fold. 5 output rows.
+    */
+  def q190DurbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = hourlySeries(spark, sfDir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
+    val d = s.withColumn("prev", lag(col("xc"), 1).over(w))
+      .withColumn("dsq",
+        when(col("prev").isNotNull,
+          (col("xc") - col("prev")) * (col("xc") - col("prev"))).otherwise(lit(0L)))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+        sum(col("xc") * col("xc")).as("sxx"), sum(col("dsq")).as("sdd"))
+      .select(col("event_type"), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double") / 100.0, 6)
+          .as("mean_hourly_rev"),
+        round(col("sdd").cast("double") /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")), 6).as("dw"))
+      .orderBy("event_type")
+  }
+
+  val q190Sql: String =
+    s"""WITH $hourlySeriesCte,
+       |d AS (
+       |  SELECT event_type, xc,
+       |    xc - LAG(xc) OVER (PARTITION BY event_type ORDER BY i) AS dx
+       |  FROM s)
+       |SELECT event_type, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(xc) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_hourly_rev,
+       |  ROUND(CAST(SUM(COALESCE(dx * dx, 0)) AS DOUBLE) /
+       |    (CAST(SUM(xc * xc) AS DOUBLE)
+       |      - CAST(SUM(xc) AS DOUBLE) * CAST(SUM(xc) AS DOUBLE) / COUNT(*)), 6) AS dw
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q191 Ljung-Box ACF panel ---------------------------------------------
+
+  /** Sample autocorrelations ρ₁..ρ₅ of the hourly purchase-revenue series
+    * with the cumulative Ljung-Box Q statistic at each lag
+    * (Q_k = n(n+2) Σ_{j≤k} ρ_j²/(n−j)). Each ρ_k expands to exact-BIGINT
+    * ingredients — lag cross-product Σxᵢxᵢ₊ₖ, head/tail partial sums, and
+    * the global S, SS — combined in one fixed scalar expression, so float
+    * summation order cannot move the 6-dp output. The lag join is over the
+    * bounded grid (720 × 5 rows), not the data. The Q accumulation is an
+    * ordered window over 5 rows — a fixed fold order in both engines.
+    */
+  def q191LjungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = hourlySeries(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("i"), col("xc"))
+    val a = s.withColumn("k", explode(array((1 to 5).map(lit): _*)))
+    val bS = s.select(col("i").as("j"), col("xc").as("yc"))
+    val perK = a.join(bS, col("j") === col("i") + col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("xc") * col("yc")).as("p"),
+        sum(col("xc")).as("hs"), sum(col("yc")).as("ts"))
+    val g = s.agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+      sum(col("xc") * col("xc")).as("sxx"))
+    val rho = perK.crossJoin(broadcast(g))
+      .withColumn("xb", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("num",
+        col("p").cast("double") - col("xb") * (col("hs") + col("ts")).cast("double")
+          + (col("n") - col("k")).cast("double") * col("xb") * col("xb"))
+      .withColumn("den",
+        col("sxx").cast("double") - col("n").cast("double") * col("xb") * col("xb"))
+      .withColumn("rho", col("num") / col("den"))
+    val wq = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rho
+      .withColumn("lb_q",
+        sum(col("rho") * col("rho") / (col("n") - col("k")).cast("double")).over(wq)
+          * col("n").cast("double") * (col("n").cast("double") + 2.0))
+      .select(col("k").cast("int").as("lag"), round(col("rho"), 6).as("rho"),
+        round(col("lb_q"), 6).as("lb_q"))
+      .orderBy("lag")
+  }
+
+  val q191Sql: String =
+    s"""WITH $hourlySeriesCte,
+       |p AS (SELECT i, xc FROM s WHERE event_type = 'purchase'),
+       |g AS (SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(xc * xc) AS sxx FROM p),
+       |ks AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5)) v(k)),
+       |perk AS (
+       |  SELECT ks.k, SUM(a.xc * b.xc) AS pp, SUM(a.xc) AS hs, SUM(b.xc) AS ts
+       |  FROM ks
+       |  JOIN p a ON TRUE
+       |  JOIN p b ON b.i = a.i + ks.k
+       |  GROUP BY 1),
+       |rho AS (
+       |  SELECT k, n,
+       |    (CAST(pp AS DOUBLE)
+       |      - (CAST(sx AS DOUBLE) / n) * CAST(hs + ts AS DOUBLE)
+       |      + (n - k) * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       |    / (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS r
+       |  FROM perk CROSS JOIN g)
+       |SELECT CAST(k AS INT) AS lag, ROUND(r, 6) AS rho,
+       |  ROUND(SUM(r * r / (n - k)) OVER (ORDER BY k)
+       |    * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0), 6) AS lb_q
+       |FROM rho ORDER BY lag""".stripMargin
+
+  // ---- q192 variance-ratio random-walk test ---------------------------------
+
+  /** Lo-MacKinlay-style variance ratio of the hourly purchase-revenue
+    * series: VR(q) = Var(xᵢ−xᵢ₋q) / (q · Var(xᵢ−xᵢ₋₁)) for q ∈ {2,4,8} —
+    * ≈1 under a random walk, <1 mean-reverting, >1 trending. All lag
+    * differences and their squares are exact BIGINTs from the same bounded
+    * grid self-join as q191; variances use the Σd² − (Σd)²/m identity over
+    * those exact sums.
+    */
+  def q192VarianceRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = hourlySeries(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("i"), col("xc"))
+    val a = s.withColumn("q", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+    val bS = s.select(col("i").as("j"), col("xc").as("yc"))
+    val perQ = a.join(bS, col("j") === col("i") + col("q"))
+      .select(col("q"), (col("yc") - col("xc")).as("d"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("m"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sdd"))
+      .withColumn("v",
+        (col("sdd").cast("double") -
+          col("sd").cast("double") * col("sd").cast("double") /
+            col("m").cast("double")) / col("m").cast("double"))
+    val base = perQ.filter(col("q") === 1)
+      .select(col("v").as("v1"))
+    perQ.filter(col("q") =!= 1).crossJoin(broadcast(base))
+      .select(col("q").cast("int").as("q"),
+        round(col("v") / lit(1.0e4), 6).as("var_q_dollars2"),
+        round(col("v") / (col("q").cast("double") * col("v1")), 6).as("vr"))
+      .orderBy("q")
+  }
+
+  val q192Sql: String =
+    s"""WITH $hourlySeriesCte,
+       |p AS (SELECT i, xc FROM s WHERE event_type = 'purchase'),
+       |qs AS (SELECT q FROM (VALUES (1), (2), (4), (8)) v(q)),
+       |perq AS (
+       |  SELECT qs.q, COUNT(*) AS m, SUM(b.xc - a.xc) AS sd,
+       |    SUM((b.xc - a.xc) * (b.xc - a.xc)) AS sdd
+       |  FROM qs
+       |  JOIN p a ON TRUE
+       |  JOIN p b ON b.i = a.i + qs.q
+       |  GROUP BY 1),
+       |v AS (
+       |  SELECT q,
+       |    (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+       |      / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE) AS v
+       |  FROM perq)
+       |SELECT CAST(a.q AS INT) AS q, ROUND(a.v / 10000.0, 6) AS var_q_dollars2,
+       |  ROUND(a.v / (a.q * b.v), 6) AS vr
+       |FROM v a CROSS JOIN (SELECT v FROM v WHERE q = 1) b
+       |WHERE a.q <> 1 ORDER BY a.q""".stripMargin
+
+  // ---- q193 diurnal harmonic fit --------------------------------------------
+
+  /** First-harmonic (24-hour period) fit of the hourly purchase-revenue
+    * series: the DFT-bin projection b = (2/n)Σ xᵢcos(2πhdᵢ/24),
+    * c = (2/n)Σ xᵢsin(2πhdᵢ/24) — equal to the OLS cosine/sine
+    * coefficients on this balanced grid — plus the harmonic amplitude
+    * √(b²+c²) and the share of centered energy the harmonic explains.
+    * The data collapses to 24 exact (hour-of-day, Σcents) rows FIRST; the
+    * 24 trig terms then accumulate through an ORDERED window (hd 0→23), a
+    * fixed fold order in both engines, so the only float sums are 24-term
+    * sequential folds over identical operands.
+    */
+  def q193DiurnalHarmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = hourlySeries(spark, sfDir).filter(col("event_type") === "purchase")
+    val perHd = s.groupBy(col("hd"))
+      .agg(sum(col("xc")).as("sh"), count(lit(1)).as("nh"))
+      .withColumn("cosw", cos(lit(2.0 * math.Pi) * col("hd").cast("double") / 24.0))
+      .withColumn("sinw", sin(lit(2.0 * math.Pi) * col("hd").cast("double") / 24.0))
+    val g = s.agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+      sum(col("xc") * col("xc")).as("sxx"))
+    val wOrd = Window.orderBy(col("hd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = perHd
+      .withColumn("bacc", sum(col("cosw") * col("sh").cast("double")).over(wOrd))
+      .withColumn("cacc", sum(col("sinw") * col("sh").cast("double")).over(wOrd))
+      .withColumn("rn", row_number().over(Window.orderBy(col("hd").desc)))
+      .filter(col("rn") === 1)
+    acc.crossJoin(broadcast(g))
+      .withColumn("bc", lit(2.0) * col("bacc") / col("n").cast("double"))
+      .withColumn("cc", lit(2.0) * col("cacc") / col("n").cast("double"))
+      .withColumn("ss",
+        col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+      .select(col("n"),
+        round(col("bc") / 100.0, 6).as("cos_coef"),
+        round(col("cc") / 100.0, 6).as("sin_coef"),
+        round(sqrt(col("bc") * col("bc") + col("cc") * col("cc")) / 100.0, 6)
+          .as("amplitude"),
+        round((col("bc") * col("bc") + col("cc") * col("cc")) *
+          col("n").cast("double") / 2.0 / col("ss"), 6).as("energy_share"))
+  }
+
+  val q193Sql: String =
+    s"""WITH $hourlySeriesCte,
+       |p AS (SELECT hd, xc FROM s WHERE event_type = 'purchase'),
+       |perhd AS (
+       |  SELECT hd, SUM(xc) AS sh,
+       |    COS(2 * PI() * hd / 24.0) AS cosw, SIN(2 * PI() * hd / 24.0) AS sinw
+       |  FROM p GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(xc * xc) AS sxx FROM p),
+       |acc AS (
+       |  SELECT SUM(cosw * CAST(sh AS DOUBLE)) OVER (ORDER BY hd) AS bacc,
+       |    SUM(sinw * CAST(sh AS DOUBLE)) OVER (ORDER BY hd) AS cacc,
+       |    ROW_NUMBER() OVER (ORDER BY hd DESC) AS rn
+       |  FROM perhd)
+       |SELECT n,
+       |  ROUND(2.0 * bacc / n / 100.0, 6) AS cos_coef,
+       |  ROUND(2.0 * cacc / n / 100.0, 6) AS sin_coef,
+       |  ROUND(SQRT((2.0 * bacc / n) * (2.0 * bacc / n)
+       |    + (2.0 * cacc / n) * (2.0 * cacc / n)) / 100.0, 6) AS amplitude,
+       |  ROUND(((2.0 * bacc / n) * (2.0 * bacc / n) + (2.0 * cacc / n) * (2.0 * cacc / n))
+       |    * n / 2.0
+       |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
+       |    AS energy_share
+       |FROM acc CROSS JOIN g WHERE rn = 1""".stripMargin
+
+  // ---- q194 Spearman vs Pearson at fact scale -------------------------------
+
+  /** Pearson r and Spearman ρ between line-item quantity and discounted
+    * revenue over the full lineitem table. Spearman uses textbook
+    * average-ranks-with-ties, but built SCALABLY: ranks are derived per
+    * DISTINCT VALUE (group → count → exclusive prefix via the distributed
+    * [[graft.ext.Curation.withGlobalOffset]] scan, never a global window
+    * over rows), and doubled average ranks 2r = 2·prefix + count + 1 are
+    * exact BIGINTs, so every cross-row sum (Σ2rx, Σ(2rx)², Σ2rx·2ry, and
+    * the raw-value Pearson sums in cents) is exact; only the final
+    * correlation formula runs in doubles. PRECONDITION (documented like
+    * q147's packed key): the Σ(2r)² products stay under 2^63 up to ~1M
+    * rows per distinct-value domain — at larger scale swap the BIGINT sums
+    * for Spark's decimal aggregation.
+    */
+  def q194SpearmanPearson(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("y"))
+    def doubledRanks(vals: DataFrame, c: String): DataFrame = {
+      val perV = vals.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      graft.ext.Curation.withGlobalOffset(perV, c, "cnt", "pre")
+        .select(col(c), (col("pre") * 2 + col("cnt") + 1).as(s"r2_$c"))
+    }
+    val rx = doubledRanks(li.select("x"), "x")
+    val ry = doubledRanks(li.select("y"), "y")
+    val ranked = li
+      .join(broadcast(rx), "x") // ≤50 distinct quantities — broadcast lookup
+      .join(ry, "y") // revenue cents are near-unique — keyed shuffle
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("r2_x")).as("rsx"), sum(col("r2_y")).as("rsy"),
+      sum(col("r2_x") * col("r2_x")).as("rsxx"),
+      sum(col("r2_y") * col("r2_y")).as("rsyy"),
+      sum(col("r2_x") * col("r2_y")).as("rsxy"))
+    def corr6(n: String, sx: String, sy: String, sxx: String, syy: String,
+        sxy: String) = {
+      val nd = col(n).cast("double")
+      round((nd * col(sxy).cast("double") -
+          col(sx).cast("double") * col(sy).cast("double")) /
+        sqrt((nd * col(sxx).cast("double") -
+            col(sx).cast("double") * col(sx).cast("double")) *
+          (nd * col(syy).cast("double") -
+            col(sy).cast("double") * col(sy).cast("double"))), 6)
+    }
+    agg.select(col("n"),
+      corr6("n", "sx", "sy", "sxx", "syy", "sxy").as("pearson_r"),
+      corr6("n", "rsx", "rsy", "rsxx", "rsyy", "rsxy").as("spearman_rho"))
+  }
+
+  val q194Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |rx AS (
+      |  SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2x
+      |  FROM (SELECT x, COUNT(*) AS cnt FROM li GROUP BY 1)),
+      |ry AS (
+      |  SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2y
+      |  FROM (SELECT y, COUNT(*) AS cnt FROM li GROUP BY 1)),
+      |j AS (
+      |  SELECT li.x, li.y, rx.r2x, ry.r2y
+      |  FROM li JOIN rx ON li.x = rx.x JOIN ry ON li.y = ry.y),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+      |    SUM(x * y) AS sxy,
+      |    SUM(r2x) AS rsx, SUM(r2y) AS rsy, SUM(r2x * r2x) AS rsxx,
+      |    SUM(r2y * r2y) AS rsyy, SUM(r2x * r2y) AS rsxy
+      |  FROM j)
+      |SELECT n,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(rsxy AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsy AS DOUBLE))
+      |    / SQRT((CAST(n AS DOUBLE) * CAST(rsxx AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(rsyy AS DOUBLE) - CAST(rsy AS DOUBLE) * CAST(rsy AS DOUBLE))), 6) AS spearman_rho
+      |FROM a""".stripMargin
+
+  // ---- q195 Kruskal-Wallis across event types -------------------------------
+
+  /** Kruskal-Wallis H test of event value across the 5 event types —
+    * "does any event type's value distribution stochastically dominate?"
+    * without normality assumptions. Same exact-rank machinery as q194/q173:
+    * per-distinct-cents counts → exclusive prefix → doubled average ranks
+    * (exact BIGINT), doubled per-group rank sums 2R_j by joining the
+    * per-(value, type) counts back onto the per-value ranks. H and its
+    * tie-corrected variant are fixed scalar expressions over the exact
+    * aggregates (Σt³−t over value multiplicities for the correction).
+    */
+  def q195KruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+    val perV = ev.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+    val ranksV = graft.ext.Curation.withGlobalOffset(perV, "vc", "cnt", "pre")
+      .select(col("vc"), col("cnt"),
+        (col("pre") * 2 + col("cnt") + 1).as("r2"))
+    val perVT = ev.groupBy(col("vc"), col("event_type")).agg(count(lit(1)).as("ct"))
+    val perGroup = perVT.join(ranksV.select("vc", "r2"), "vc")
+      .groupBy(col("event_type"))
+      .agg(sum(col("ct")).as("nj"), sum(col("r2") * col("ct")).as("r2j"))
+    val ties = ranksV.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"),
+      sum(col("cnt")).as("n"))
+    val hRaw = perGroup.crossJoin(broadcast(ties))
+      // Σ R_j²/n_j with R_j = r2j/2 → Σ (r2j/2)²/n_j; keep in doubles from
+      // the exact BIGINT r2j (r2j² would overflow at 1e5+ rows)
+      .select(col("event_type"), col("nj"), col("r2j"), col("t3"), col("n"),
+        (col("r2j").cast("double") / 2.0) * (col("r2j").cast("double") / 2.0) /
+          col("nj").cast("double")).toDF(
+        "event_type", "nj", "r2j", "t3", "n", "rr")
+    hRaw.groupBy(col("t3"), col("n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("rr")).as("srr"),
+        round(max(col("r2j").cast("double") / 2.0 / col("nj").cast("double")), 6)
+          .as("max_mean_rank"))
+      .withColumn("h",
+        lit(12.0) / (col("n").cast("double") * (col("n").cast("double") + 1.0)) *
+          col("srr") - lit(3.0) * (col("n").cast("double") + 1.0))
+      .withColumn("tie_c",
+        lit(1.0) - col("t3").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double")))
+      .select(col("n"), col("n_groups"), round(col("h"), 6).as("h"),
+        round(col("h") / col("tie_c"), 6).as("h_tie_corrected"),
+        col("max_mean_rank"))
+  }
+
+  val q195Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+      |perv AS (SELECT vc, COUNT(*) AS cnt FROM ev GROUP BY 1),
+      |ranks AS (
+      |  SELECT vc, cnt, 2 * (SUM(cnt) OVER (ORDER BY vc) - cnt) + cnt + 1 AS r2
+      |  FROM perv),
+      |pervt AS (SELECT vc, event_type, COUNT(*) AS ct FROM ev GROUP BY 1, 2),
+      |pg AS (
+      |  SELECT event_type, SUM(ct) AS nj, SUM(r2 * ct) AS r2j
+      |  FROM pervt JOIN ranks USING (vc) GROUP BY 1),
+      |t AS (
+      |  SELECT SUM(cnt * cnt * cnt - cnt) AS t3, SUM(cnt) AS n FROM perv),
+      |agg AS (
+      |  SELECT t.n, t.t3, COUNT(*) AS n_groups,
+      |    SUM((CAST(r2j AS DOUBLE) / 2.0) * (CAST(r2j AS DOUBLE) / 2.0)
+      |      / CAST(nj AS DOUBLE)) AS srr,
+      |    ROUND(MAX(CAST(r2j AS DOUBLE) / 2.0 / CAST(nj AS DOUBLE)), 6) AS max_mean_rank
+      |  FROM pg CROSS JOIN t GROUP BY 1, 2)
+      |SELECT CAST(n AS BIGINT) AS n, n_groups,
+      |  ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * srr
+      |    - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+      |  ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * srr
+      |    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      |    / (1.0 - CAST(t3 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h_tie_corrected,
+      |  max_mean_rank
+      |FROM agg""".stripMargin
+
+  // ---- q196 Brown-Forsythe variance homogeneity -----------------------------
+
+  /** Brown-Forsythe test: does ship-lag DISPERSION differ across return
+    * flags? One-way ANOVA F on zᵢ = |lagᵢ − median_group| — the
+    * median-based Levene variant that is robust to non-normality. Group
+    * medians of integer day-lags are exact half-integers, so DOUBLED
+    * deviations 2z are exact BIGINTs and all ANOVA sums (Σ2z, Σ(2z)² per
+    * group) are exact; the 2× scale cancels in F. The medians come from one
+    * exact `percentile` per group (bounded group count), then join back as
+    * a broadcast lookup — no window over the fact table.
+    */
+  def q196BrownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val o = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val lagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+    val med = lagged.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(lag, 0.5) * 2"), 0).cast("long").as("m2"))
+    val z = lagged.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), abs(col("lag") * 2 - col("m2")).as("z2"))
+    val perG = z.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("nj"), sum(col("z2")).as("sz"),
+        sum(col("z2") * col("z2")).as("szz"))
+    val g = perG.agg(sum(col("nj")).as("n"), sum(col("sz")).as("tz"),
+      count(lit(1)).as("k"))
+    perG.crossJoin(broadcast(g))
+      .select(col("nj"), col("sz"), col("szz"), col("n"), col("tz"), col("k"),
+        // per-group contributions to SSB and SSW from exact sums:
+        // SSB_j = n_j (z̄_j − z̄)², SSW_j = Σz² − (Σz)²/n_j
+        (col("nj").cast("double") *
+          (col("sz").cast("double") / col("nj").cast("double") -
+            col("tz").cast("double") / col("n").cast("double")) *
+          (col("sz").cast("double") / col("nj").cast("double") -
+            col("tz").cast("double") / col("n").cast("double"))).as("ssb_j"),
+        (col("szz").cast("double") -
+          col("sz").cast("double") * col("sz").cast("double") /
+            col("nj").cast("double")).as("ssw_j"))
+      .groupBy(col("n"), col("k"))
+      .agg(sum(col("ssb_j")).as("ssb"), sum(col("ssw_j")).as("ssw"))
+      .select(col("n"), (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        round((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")), 6).as("f_stat"))
+  }
+
+  val q196Sql: String =
+    """WITH lagged AS (
+      |  SELECT l_returnflag,
+      |    CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |med AS (
+      |  SELECT l_returnflag,
+      |    CAST(ROUND(QUANTILE_CONT(lag, 0.5) * 2) AS BIGINT) AS m2
+      |  FROM lagged GROUP BY 1),
+      |z AS (
+      |  SELECT lagged.l_returnflag, ABS(lag * 2 - m2) AS z2
+      |  FROM lagged JOIN med USING (l_returnflag)),
+      |pg AS (
+      |  SELECT l_returnflag, COUNT(*) AS nj, SUM(z2) AS sz, SUM(z2 * z2) AS szz
+      |  FROM z GROUP BY 1),
+      |g AS (SELECT SUM(nj) AS n, SUM(sz) AS tz, COUNT(*) AS k FROM pg),
+      |parts AS (
+      |  SELECT n, k,
+      |    CAST(nj AS DOUBLE)
+      |      * (CAST(sz AS DOUBLE) / nj - CAST(tz AS DOUBLE) / n)
+      |      * (CAST(sz AS DOUBLE) / nj - CAST(tz AS DOUBLE) / n) AS ssb_j,
+      |    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / nj AS ssw_j
+      |  FROM pg CROSS JOIN g)
+      |SELECT CAST(n AS BIGINT) AS n, k - 1 AS df1, CAST(n - k AS BIGINT) AS df2,
+      |  ROUND((SUM(ssb_j) / (k - 1)) / (SUM(ssw_j) / (n - k)), 6) AS f_stat
+      |FROM parts GROUP BY n, k""".stripMargin
+
+  // ---- q197 Kendall tau-b via decile contingency ----------------------------
+
+  /** Kendall tau-b between quantity and discounted revenue, computed the
+    * only way that scales: both variables discretize to deciles via exact
+    * integer cumulative counts (all ties share a bucket — no ntile
+    * tie-break nondeterminism), and concordant/discordant pair counts come
+    * from the 10×10 CONTINGENCY TABLE self-join (≤100 cells → ≤10k cell
+    * pairs of exact products) — never from row-pair enumeration. Tie terms
+    * use the bucket marginals; every count is an exact BIGINT and tau-b's
+    * square root runs over doubles only at the end.
+    */
+  def q197KendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("y"))
+    def buckets(vals: DataFrame, c: String): DataFrame = {
+      val perV = vals.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val tot = perV.agg(sum(col("cnt")).as("n"))
+      graft.ext.Curation.withGlobalOffset(perV, c, "cnt", "pre")
+        .crossJoin(broadcast(tot))
+        // decile = ceil(10·cum_inclusive/n); exact in doubles < 2^53
+        .select(col(c),
+          least(ceil((col("pre") + col("cnt")).cast("double") * 10.0 /
+            col("n").cast("double")).cast("long"), lit(10L)).as(s"b_$c"))
+    }
+    val bx = buckets(li.select("x"), "x")
+    val by = buckets(li.select("y"), "y")
+    val cells = li.join(broadcast(bx), "x").join(by, "y")
+      .groupBy(col("b_x"), col("b_y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤100 rows; reused by 4 aggregates below
+    val a = cells.select(col("b_x").as("i1"), col("b_y").as("j1"), col("c").as("c1"))
+    val b = cells.select(col("b_x").as("i2"), col("b_y").as("j2"), col("c").as("c2"))
+    val conc = a.join(b, col("i2") > col("i1") && col("j2") > col("j1"))
+      .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)).as("nc"))
+    val disc = a.join(b, col("i2") > col("i1") && col("j2") < col("j1"))
+      .agg(coalesce(sum(col("c1") * col("c2")), lit(0L)).as("nd"))
+    val tx = cells.groupBy(col("b_x")).agg(sum(col("c")).as("r"))
+      .agg(sum(col("r") * (col("r") - 1) / 2).as("tx"), sum(col("r")).as("n"))
+    val ty = cells.groupBy(col("b_y")).agg(sum(col("c")).as("r"))
+      .agg(sum(col("r") * (col("r") - 1) / 2).as("ty"))
+    conc.crossJoin(disc).crossJoin(tx).crossJoin(ty)
+      .withColumn("n0", col("n") * (col("n") - 1) / 2)
+      .select(col("n"), col("nc").as("concordant"), col("nd").as("discordant"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("tx")).cast("double") *
+            (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+  }
+
+  val q197Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |bx AS (
+      |  SELECT x, LEAST(CAST(CEIL(CAST(SUM(cnt) OVER (ORDER BY x) AS DOUBLE) * 10.0
+      |    / (SELECT COUNT(*) FROM li)) AS BIGINT), 10) AS b_x
+      |  FROM (SELECT x, COUNT(*) AS cnt FROM li GROUP BY 1)),
+      |by_ AS (
+      |  SELECT y, LEAST(CAST(CEIL(CAST(SUM(cnt) OVER (ORDER BY y) AS DOUBLE) * 10.0
+      |    / (SELECT COUNT(*) FROM li)) AS BIGINT), 10) AS b_y
+      |  FROM (SELECT y, COUNT(*) AS cnt FROM li GROUP BY 1)),
+      |cells AS (
+      |  SELECT b_x, b_y, COUNT(*) AS c
+      |  FROM li JOIN bx USING (x) JOIN by_ USING (y)
+      |  GROUP BY 1, 2),
+      |conc AS (
+      |  SELECT COALESCE(SUM(a.c * b.c), 0) AS nc
+      |  FROM cells a JOIN cells b ON b.b_x > a.b_x AND b.b_y > a.b_y),
+      |disc AS (
+      |  SELECT COALESCE(SUM(a.c * b.c), 0) AS nd
+      |  FROM cells a JOIN cells b ON b.b_x > a.b_x AND b.b_y < a.b_y),
+      |tx AS (
+      |  SELECT SUM(r * (r - 1) / 2) AS tx, SUM(r) AS n
+      |  FROM (SELECT b_x, SUM(c) AS r FROM cells GROUP BY 1)),
+      |ty AS (
+      |  SELECT SUM(r * (r - 1) / 2) AS ty
+      |  FROM (SELECT b_y, SUM(c) AS r FROM cells GROUP BY 1))
+      |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS concordant,
+      |  CAST(nd AS BIGINT) AS discordant,
+      |  ROUND(CAST(nc - nd AS DOUBLE)
+      |    / SQRT(CAST(n * (n - 1) / 2 - tx AS DOUBLE)
+      |         * CAST(n * (n - 1) / 2 - ty AS DOUBLE)), 6) AS tau_b
+      |FROM conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
+  // ---- registration (extended at the bottom of this file) -------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_priority_wait" -> (q184PriorityWait _),
+    "q185_nation_pair_volume" -> (q185NationPairVolume _),
+    "q186_product_profit" -> (q186ProductProfit _),
+    "q187_above_share_nations" -> (q187AboveShareNations _),
+    "q188_large_volume_customers" -> (q188LargeVolumeCustomers _),
+    "q189_ship_lag_priority_mix" -> (q189ShipLagPriorityMix _),
+    "q190_durbin_watson" -> (q190DurbinWatson _),
+    "q191_ljung_box" -> (q191LjungBox _),
+    "q192_variance_ratio" -> (q192VarianceRatio _),
+    "q193_diurnal_harmonic" -> (q193DiurnalHarmonic _),
+    "q194_spearman_pearson" -> (q194SpearmanPearson _),
+    "q195_kruskal_wallis" -> (q195KruskalWallis _),
+    "q196_brown_forsythe" -> (q196BrownForsythe _),
+    "q197_kendall_tau" -> (q197KendallTau _))
+
+  val oracles: Map[String, String] = Map(
+    "q184_priority_wait" -> q184Sql,
+    "q185_nation_pair_volume" -> q185Sql,
+    "q186_product_profit" -> q186Sql,
+    "q187_above_share_nations" -> q187Sql,
+    "q188_large_volume_customers" -> q188Sql,
+    "q189_ship_lag_priority_mix" -> q189Sql,
+    "q190_durbin_watson" -> q190Sql,
+    "q191_ljung_box" -> q191Sql,
+    "q192_variance_ratio" -> q192Sql,
+    "q193_diurnal_harmonic" -> q193Sql,
+    "q194_spearman_pearson" -> q194Sql,
+    "q195_kruskal_wallis" -> q195Sql,
+    "q196_brown_forsythe" -> q196Sql,
+    "q197_kendall_tau" -> q197Sql)
+}

@@ -80,9 +80,16 @@ def main() -> int:
             failures += 1
             continue
         bad = []
-        for i in range(len(want)):
-            for c in want.columns:
-                a, b = want.iloc[i][c], got.iloc[i][c]
+        # Column-wise access (want[c].values[i]) preserves each column's
+        # dtype. Row-wise df.iloc[i][c] builds a row Series upcast to the
+        # row's common dtype, which silently turns int64 cells into float64
+        # whenever ANY column of the row is float — hiding exactly the
+        # DuckDB HUGEINT->float vs Spark BIGINT divergence (q138 class)
+        # that the driver's canonical hash rejects.
+        for c in want.columns:
+            wv, gv = want[c].values, got[c].values
+            for i in range(len(want)):
+                a, b = wv[i], gv[i]
                 if not cell_eq(a, b):
                     bad.append((i, c, a, b))
         if bad:
