@@ -602,10 +602,10 @@ object Round10Queries {
     * over rows), and doubled average ranks 2r = 2·prefix + count + 1 are
     * exact BIGINTs, so every cross-row sum (Σ2rx, Σ(2rx)², Σ2rx·2ry, and
     * the raw-value Pearson sums in cents) is exact; only the final
-    * correlation formula runs in doubles. PRECONDITION (documented like
-    * q147's packed key): the Σ(2r)² products stay under 2^63 up to ~1M
-    * rows per distinct-value domain — at larger scale swap the BIGINT sums
-    * for Spark's decimal aggregation.
+    * correlation formula runs in doubles. The squared/cross sums aggregate as
+    * DECIMAL(38,0) — exact 128-bit integers matching DuckDB's HUGEINT —
+    * because Σy² passes 2^63 already at sf0.1 (int64 wraps negative and
+    * the correlation surfaces as NaN).
     */
   def q194SpearmanPearson(spark: SparkSession, sfDir: String): DataFrame = {
     val li = tbl(spark, sfDir, "lineitem")
@@ -625,12 +625,17 @@ object Round10Queries {
     val agg = ranked.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"),
+      // squared/cross sums run on DECIMAL(38,0): Σy² at fact scale passes
+      // 2^63 (revenue cents² × 6e5 rows ≈ 7e19 — int64 sum wraps negative
+      // and the correlation surfaces as NaN; caught by the sf0.1 gate),
+      // and decimal matches DuckDB's 128-bit HUGEINT sums exactly
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
       sum(col("r2_x")).as("rsx"), sum(col("r2_y")).as("rsy"),
-      sum(col("r2_x") * col("r2_x")).as("rsxx"),
-      sum(col("r2_y") * col("r2_y")).as("rsyy"),
-      sum(col("r2_x") * col("r2_y")).as("rsxy"))
+      sum(col("r2_x").cast("decimal(19,0)") * col("r2_x").cast("decimal(19,0)")).as("rsxx"),
+      sum(col("r2_y").cast("decimal(19,0)") * col("r2_y").cast("decimal(19,0)")).as("rsyy"),
+      sum(col("r2_x").cast("decimal(19,0)") * col("r2_y").cast("decimal(19,0)")).as("rsxy"))
     def corr6(n: String, sx: String, sy: String, sxx: String, syy: String,
         sxy: String) = {
       val nd = col(n).cast("double")
@@ -912,6 +917,306 @@ object Round10Queries {
       |         * CAST(n * (n - 1) / 2 - ty AS DOUBLE)), 6) AS tau_b
       |FROM conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
+  // ---- q198 sole-blame supplier (TPC-H Q21 shape) ---------------------------
+
+  /** Suppliers that were the ONLY late shipper on a multi-supplier order —
+    * TPC-H Q21's nested EXISTS/NOT-EXISTS re-expressed as one per-order
+    * aggregation: count distinct suppliers, count distinct LATE suppliers
+    * (ship > order date + 60d), and keep orders where the late set is a
+    * singleton on a ≥2-supplier order; `max` of the singleton set recovers
+    * the culprit without a second join. Blame rolls up per supplier
+    * nation. One keyed fact-fact shuffle + one keyed re-aggregation — the
+    * correlated-subquery pair becomes two map-side-combinable aggs.
+    */
+  def q198SoleBlameSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(col("late_supp")).as("nls"),
+        max(col("late_supp")).as("blame"))
+      .filter(col("ns") >= 2 && col("nls") === 1)
+    val nation = tbl(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    perOrder.join(broadcast(supp), col("blame") === col("s_suppkey"))
+      .groupBy(col("supp_nation"))
+      .agg(count(lit(1)).as("n_blamed_orders"),
+        countDistinct(col("blame")).as("n_suppliers"))
+      .orderBy("supp_nation")
+  }
+
+  val q198Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns,
+      |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN l_suppkey END) AS nls,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN l_suppkey END) AS blame
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
+      |SELECT n_name AS supp_nation, COUNT(*) AS n_blamed_orders,
+      |  COUNT(DISTINCT blame) AS n_suppliers
+      |FROM po
+      |JOIN supplier ON blame = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE ns >= 2 AND nls = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q199 top supplier per year (TPC-H Q15 shape) -------------------------
+
+  /** The top-revenue supplier(s) of each ship year — TPC-H Q15's
+    * "revenue view + scalar max" with ties KEPT (the reference point of
+    * that query's semantics). The tie compare runs on exact cent BIGINTs,
+    * so membership can't flip on float jitter. The window max runs over
+    * the per-(year, supplier) AGGREGATE frame (bounded by |suppliers|×
+    * years, not data-sized), partitioned by year.
+    */
+  def q199TopSupplierPerYear(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), year(col("l_shipdate")).as("ship_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+    val perSY = li.groupBy(col("ship_year"), col("l_suppkey"))
+      .agg(sum(col("revc")).as("revc"), count(lit(1)).as("n_items"))
+    val wy = Window.partitionBy(col("ship_year"))
+    val supp = tbl(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_name"))
+    perSY.withColumn("mx", max(col("revc")).over(wy))
+      .filter(col("revc") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("ship_year"), col("s_suppkey"), col("s_name"), col("n_items"),
+        round(col("revc").cast("double") / 100.0, 6).as("revenue"))
+      .orderBy("ship_year", "s_suppkey")
+  }
+
+  val q199Sql: String =
+    """WITH psy AS (
+      |  SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year, l_suppkey,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revc,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *, MAX(revc) OVER (PARTITION BY ship_year) AS mx FROM psy)
+      |SELECT ship_year, s_suppkey, s_name, n_items,
+      |  ROUND(CAST(revc AS DOUBLE) / 100.0, 6) AS revenue
+      |FROM m JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE revc = mx
+      |ORDER BY ship_year, s_suppkey""".stripMargin
+
+  // ---- q200 Poisson bootstrap confidence interval ---------------------------
+
+  /** Poisson bootstrap of the mean order revenue — the bootstrap that
+    * actually works at 100 TB: instead of multinomial resampling (which
+    * needs the global row count per replicate), each (row, replicate b)
+    * draws an INDEPENDENT Poisson(1) weight from a deterministic
+    * md5-derived uniform, so the fan-out is row-local, embarrassingly
+    * parallel, and bit-reproducible in any engine with md5. B = 64
+    * replicates; each replicate mean is a ratio of two exact BIGINTs
+    * (Σw·cents / Σw); the 2.5/50/97.5 percentiles interpolate over the 64
+    * deterministic replicate means. Inverse-CDF thresholds are shared
+    * decimal literals, and the uniform u = h/2^60 rounds identically under
+    * IEEE int64→double in both engines.
+    */
+  def q200PoissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+      .groupBy(col("l_orderkey")).agg(sum(col("revc")).as("orevc"))
+    val point = perOrder.agg(count(lit(1)).as("n_orders"), sum(col("orevc")).as("total"))
+    val expanded = perOrder
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .withColumn("h", graft.ext.Dedup.portableTokenHash(
+        concat(lit("boot:"), col("b").cast("string"), lit(":"),
+          col("l_orderkey").cast("string"))))
+      .withColumn("u", col("h").cast("double") / lit(1.152921504606846976e18))
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .when(col("u") < 0.9994058151824183, 5L)
+          .when(col("u") < 0.9999167588507119, 6L)
+          .otherwise(7L))
+    val reps = expanded.groupBy(col("b"))
+      .agg((sum(col("w") * col("orevc")).cast("double") /
+        sum(col("w")).cast("double") / 100.0).as("m"))
+    reps.agg(
+        expr("percentile(m, 0.025)").as("lo"),
+        expr("percentile(m, 0.5)").as("mid"),
+        expr("percentile(m, 0.975)").as("hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_orders"),
+        round(col("total").cast("double") / col("n_orders").cast("double") / 100.0, 6)
+          .as("point_mean"),
+        round(col("lo"), 6).as("boot_p025"),
+        round(col("mid"), 6).as("boot_median"),
+        round(col("hi"), 6).as("boot_p975"))
+  }
+
+  val q200Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS orevc
+      |  FROM lineitem GROUP BY 1),
+      |pt AS (SELECT COUNT(*) AS n_orders, SUM(orevc) AS total FROM po),
+      |ex AS (
+      |  SELECT g.b, po.orevc,
+      |    CAST('0x' || substr(md5('boot:' || g.b || ':' || po.l_orderkey), 1, 15) AS BIGINT)
+      |      / 1.152921504606846976e18 AS u
+      |  FROM po CROSS JOIN generate_series(0, 63) AS g(b)),
+      |w AS (
+      |  SELECT b, orevc,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238462 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         WHEN u < 0.9999167588507119 THEN 6
+      |         ELSE 7 END AS w
+      |  FROM ex),
+      |reps AS (
+      |  SELECT b, CAST(SUM(w * orevc) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS m
+      |  FROM w GROUP BY 1)
+      |SELECT n_orders,
+      |  ROUND(CAST(total AS DOUBLE) / n_orders / 100.0, 6) AS point_mean,
+      |  ROUND(QUANTILE_CONT(m, 0.025), 6) AS boot_p025,
+      |  ROUND(QUANTILE_CONT(m, 0.5), 6) AS boot_median,
+      |  ROUND(QUANTILE_CONT(m, 0.975), 6) AS boot_p975
+      |FROM reps CROSS JOIN pt
+      |GROUP BY n_orders, total""".stripMargin
+
+  // ---- q201 delete-one-nation block jackknife -------------------------------
+
+  /** Block (delete-one-group) jackknife standard error for the ratio
+    * statistic θ = total revenue / total quantity, with supplier NATIONS as
+    * the 25 blocks — the grouped jackknife is how you put an error bar on
+    * a ratio at cluster scale: per-block sufficient statistics are exact
+    * BIGINTs, each leave-one-out replicate θ₍ⱼ₎ = (R−rⱼ)/(Q−qⱼ) is pure
+    * scalar math, and the replicate moments accumulate through an ORDERED
+    * 25-row window so both engines fold the same doubles in the same
+    * order. Also reports the largest single-block influence |θ₍ⱼ₎ − θ̂|.
+    */
+  def q201NationJackknife(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = tbl(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("revc"))
+    val perNation = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("revc")).as("rj"), sum(col("qty")).as("qj"))
+    val tot = perNation.agg(sum(col("rj")).as("r"), sum(col("qj")).as("q"),
+      count(lit(1)).as("g"))
+    val loo = perNation.crossJoin(broadcast(tot))
+      .withColumn("theta_j",
+        (col("r") - col("rj")).cast("double") / (col("q") - col("qj")).cast("double"))
+      .withColumn("theta_hat", col("r").cast("double") / col("q").cast("double"))
+    val wOrd = Window.orderBy(col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loo
+      .withColumn("s1", sum(col("theta_j")).over(wOrd))
+      .withColumn("s2", sum(col("theta_j") * col("theta_j")).over(wOrd))
+      .withColumn("mi", max(abs(col("theta_j") - col("theta_hat")))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_name").desc)))
+      .filter(col("rn") === 1)
+      .select(col("g"),
+        round(col("theta_hat") / 100.0, 6).as("theta_hat"),
+        round(sqrt((col("g") - 1).cast("double") / col("g").cast("double") *
+          (col("s2") - col("s1") * col("s1") / col("g").cast("double"))) / 100.0, 6)
+          .as("jackknife_se"),
+        round(col("mi") / 100.0, 6).as("max_influence"))
+  }
+
+  val q201Sql: String =
+    """WITH pn AS (
+      |  SELECT n_name,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS rj,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS qj
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |t AS (SELECT SUM(rj) AS r, SUM(qj) AS q, COUNT(*) AS g FROM pn),
+      |loo AS (
+      |  SELECT n_name, g,
+      |    CAST(r - rj AS DOUBLE) / CAST(q - qj AS DOUBLE) AS theta_j,
+      |    CAST(r AS DOUBLE) / CAST(q AS DOUBLE) AS theta_hat
+      |  FROM pn CROSS JOIN t),
+      |acc AS (
+      |  SELECT g, theta_hat,
+      |    SUM(theta_j) OVER (ORDER BY n_name) AS s1,
+      |    SUM(theta_j * theta_j) OVER (ORDER BY n_name) AS s2,
+      |    MAX(ABS(theta_j - theta_hat)) OVER () AS mi,
+      |    ROW_NUMBER() OVER (ORDER BY n_name DESC) AS rn
+      |  FROM loo)
+      |SELECT g, ROUND(theta_hat / 100.0, 6) AS theta_hat,
+      |  ROUND(SQRT(CAST(g - 1 AS DOUBLE) / g * (s2 - s1 * s1 / g)) / 100.0, 6)
+      |    AS jackknife_se,
+      |  ROUND(mi / 100.0, 6) AS max_influence
+      |FROM acc WHERE rn = 1""".stripMargin
+
+  // ---- q202 language diversity panel ----------------------------------------
+
+  /** Per-source language-diversity panel over the documents corpus:
+    * Shannon entropy H (nats), Simpson concentration Σp², and Hill-number
+    * effective language count e^H — the standard diversity triple a
+    * mixture curator watches per source. Counts are exact; the ≤|langs|
+    * entropy terms accumulate through a source-partitioned ORDERED window
+    * (lang ascending), so both engines fold identical doubles identically.
+    */
+  def q202LangDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir).select(col("source"), col("lang"))
+    val cells = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_langs"))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(totals), "source")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("hacc", sum(-col("p") * log(col("p"))).over(wOrd))
+      .withColumn("sacc", sum(col("p") * col("p")).over(wOrd))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("lang").desc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n").as("n_docs"), col("n_langs"),
+        round(col("hacc"), 6).as("shannon_h"),
+        round(col("sacc"), 6).as("simpson"),
+        round(exp(col("hacc")), 6).as("effective_langs"))
+      .orderBy("source")
+  }
+
+  val q202Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_langs
+      |  FROM cells GROUP BY 1),
+      |acc AS (
+      |  SELECT cells.source, t.n, t.n_langs,
+      |    SUM(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))
+      |      OVER (PARTITION BY cells.source ORDER BY lang) AS hacc,
+      |    SUM((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))
+      |      OVER (PARTITION BY cells.source ORDER BY lang) AS sacc,
+      |    ROW_NUMBER() OVER (PARTITION BY cells.source ORDER BY lang DESC) AS rn
+      |  FROM cells JOIN t ON cells.source = t.source)
+      |SELECT source, n AS n_docs, n_langs,
+      |  ROUND(hacc, 6) AS shannon_h, ROUND(sacc, 6) AS simpson,
+      |  ROUND(EXP(hacc), 6) AS effective_langs
+      |FROM acc WHERE rn = 1 ORDER BY source""".stripMargin
+
   // ---- registration (extended at the bottom of this file) -------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -928,7 +1233,12 @@ object Round10Queries {
     "q194_spearman_pearson" -> (q194SpearmanPearson _),
     "q195_kruskal_wallis" -> (q195KruskalWallis _),
     "q196_brown_forsythe" -> (q196BrownForsythe _),
-    "q197_kendall_tau" -> (q197KendallTau _))
+    "q197_kendall_tau" -> (q197KendallTau _),
+    "q198_sole_blame_supplier" -> (q198SoleBlameSupplier _),
+    "q199_top_supplier_per_year" -> (q199TopSupplierPerYear _),
+    "q200_poisson_bootstrap" -> (q200PoissonBootstrap _),
+    "q201_nation_jackknife" -> (q201NationJackknife _),
+    "q202_lang_diversity" -> (q202LangDiversity _))
 
   val oracles: Map[String, String] = Map(
     "q184_priority_wait" -> q184Sql,
@@ -944,5 +1254,10 @@ object Round10Queries {
     "q194_spearman_pearson" -> q194Sql,
     "q195_kruskal_wallis" -> q195Sql,
     "q196_brown_forsythe" -> q196Sql,
-    "q197_kendall_tau" -> q197Sql)
+    "q197_kendall_tau" -> q197Sql,
+    "q198_sole_blame_supplier" -> q198Sql,
+    "q199_top_supplier_per_year" -> q199Sql,
+    "q200_poisson_bootstrap" -> q200Sql,
+    "q201_nation_jackknife" -> q201Sql,
+    "q202_lang_diversity" -> q202Sql)
 }

@@ -192,6 +192,64 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("tau_b")) <= 1.0)
   }
 
+  test("q198 sole blame: blamed orders are a subset of multi-supplier orders") {
+    val rows = Round10Queries.q198SoleBlameSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_suppliers") <= r.getAs[Long]("n_blamed_orders")))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val multi = li.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("ns")).filter(col("ns") >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_blamed_orders")).sum <= multi)
+  }
+
+  test("q199 top suppliers: per year all kept rows tie at the year maximum") {
+    val rows = Round10Queries.q199TopSupplierPerYear(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("ship_year")).foreach { case (_, ties) =>
+      assert(ties.map(_.getAs[Double]("revenue")).distinct.length == 1,
+        "kept rows within a year must share the max revenue")
+    }
+  }
+
+  test("q200 Poisson bootstrap: deterministic, ordered CI bracketing the point") {
+    val a = Round10Queries.q200PoissonBootstrap(spark, sf).head()
+    val b = Round10Queries.q200PoissonBootstrap(spark, sf).head()
+    assert(a == b, "md5-derived bootstrap must be bit-deterministic")
+    val (lo, mid, hi) = (a.getAs[Double]("boot_p025"),
+      a.getAs[Double]("boot_median"), a.getAs[Double]("boot_p975"))
+    assert(lo <= mid && mid <= hi)
+    val point = a.getAs[Double]("point_mean")
+    assert(point > lo && point < hi,
+      s"point $point outside bootstrap CI [$lo, $hi]")
+  }
+
+  test("q201 jackknife: one block per populated nation, nonnegative SE") {
+    val r = Round10Queries.q201NationJackknife(spark, sf).head()
+    // blocks = nations that actually supplied lineitems at this sf
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_suppkey")
+    val s2n = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val populated = li.join(s2n, col("l_suppkey") === col("s_suppkey"))
+      .select("s_nationkey").distinct().count()
+    assert(r.getAs[Long]("g") == populated)
+    assert(r.getAs[Double]("theta_hat") > 0)
+    assert(r.getAs[Double]("jackknife_se") >= 0)
+    assert(r.getAs[Double]("max_influence") >= 0)
+  }
+
+  test("q202 diversity: effective langs bounded by lang count, Simpson in range") {
+    val rows = Round10Queries.q202LangDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_langs").toDouble
+      assert(r.getAs[Double]("effective_langs") <= k + 1e-6)
+      val s = r.getAs[Double]("simpson")
+      assert(s >= 1.0 / k - 1e-9 && s <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("shannon_h") <= math.log(k) + 1e-6)
+    }
+  }
+
   test("q194 rank machinery avoids cartesians on the data-sized path") {
     // the distinct-value rank scans run through withGlobalOffset's range
     // partitioning and join back as keyed/broadcast joins — nothing
