@@ -3329,7 +3329,7 @@ object ExtQueries {
     * the explode + df-count + window pipeline would run once per join side)
     * and the verified pairs are cached.
     */
-  private def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = cached(spark, sfDir, "shingle_sets")(
       Dedup.shingleSets(docs(spark, sfDir), "doc_id", "text", shingleSize = 3))
     val idx = cached(spark, sfDir, "q95_prefix_idx")(

@@ -1217,6 +1217,151 @@ object Round10Queries {
       |  ROUND(EXP(hacc), 6) AS effective_langs
       |FROM acc WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---- q203 LSH candidate-stage quality audit -------------------------------
+
+  /** Precision/recall of the MinHash-LSH CANDIDATE stage against the exact
+    * Jaccard ≥ 0.5 truth, for two bandings of the same 16-hash signature
+    * (8 bands × 2 rows and 4 bands × 4 rows) — the self-audit a dedup
+    * pipeline publishes before anyone trusts its near-dup rates: banding
+    * shallower (2-row bands) buys recall at the cost of candidate volume,
+    * and this query measures BOTH sides of that trade on live data. Unlike
+    * q18 (whose verification step makes the gated output exact regardless
+    * of the candidate stage), the candidate sets themselves are the gated
+    * quantity here, so the signatures must be bit-replayable: this is a
+    * PORTABLE MinHash — md5 token hashes and all permutation arithmetic in
+    * Z mod 1e9+7 (DuckDB errors on int64 overflow where Spark wraps, so
+    * full-width xxhash permutations are not oracle-computable; the q32
+    * fingerprint takes the same route). Signature construction is
+    * row-local (array_min over a transformed hash array — no shuffle);
+    * candidates come from the banded equi-join; truth reuses the cached
+    * exact q95 prefix-join pairs filtered to ≥ 0.5 (a boundary compare of
+    * an exact small-integer ratio — deterministic in both engines).
+    */
+  def q203LshQualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.Exprs.bindOnce
+    val p = 1000000007L
+    val sigs = cached(spark, sfDir, "portable_minhash_16") {
+      val toksRaw = graft.ext.TextStats.tokens(lower(col("text")))
+      ExtQueries.docs(spark, sfDir)
+        .select(col("doc_id"), toksRaw.as("__t"))
+        .filter(size(col("__t")) >= 3)
+        .select(col("doc_id"), bindOnce(
+          transform(col("__t"), t =>
+            pmod(graft.ext.Dedup.portableTokenHash(t), lit(p))), th =>
+          bindOnce(
+            transform(sequence(lit(0), size(th) - 3), i =>
+              pmod(element_at(th, i + 1)
+                + pmod(element_at(th, i + 2) * lit(131L), lit(p))
+                + pmod(element_at(th, i + 3) * lit(137L), lit(p)), lit(p))),
+            hs => array((0 until 16).map { i =>
+              val a = ((2L * i + 1L) * 2654435761L) % p
+              val b = ((i + 1L) * 982451653L) % p
+              array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(p))))
+            }: _*))).as("sg"))
+    }
+    def candidates(bands: Int): DataFrame = {
+      val per = 16 / bands
+      val rows = sigs.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          struct((0 until per).map(j => col("sg")(b * per + j)): _*)): _*)))
+        .toDF("doc_id", "band", "key")
+      rows.alias("a").join(rows.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+    }
+    val truth = prefixJaccardPairsHalf(spark, sfDir)
+    def metrics(bands: Int): DataFrame = {
+      val c = candidates(bands)
+      val tp = c.join(truth, Seq("id1", "id2"), "left_semi")
+      c.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(bands).as("bands"), lit(16 / bands).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_candidates").cast("double"), 6)
+            .as("precision"),
+          round(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"))
+    }
+    metrics(8).unionAll(metrics(4)).orderBy(col("bands").desc)
+  }
+
+  /** Exact-truth pair set for q203: the cached q95 prefix-join pairs
+    * (threshold 0.4) filtered up to 0.5 on the UNROUNDED exact ratio
+    * (q95's published surface rounds to 6 dp, which could flip a
+    * J ∈ [0.4999995, 0.5) pair across the boundary; the cached frame keeps
+    * the exact quotient). Sound because {J ≥ 0.5} ⊂ {J ≥ 0.4}.
+    */
+  private def prefixJaccardPairsHalf(spark: SparkSession, sfDir: String): DataFrame =
+    ExtQueries.prefixJaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"))
+
+  val q203Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+      |ipairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+      |         any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT id1, id2 FROM ipairs
+      |  WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= 0.5),
+      |thd AS (
+      |  SELECT doc_id, list_transform(t,
+      |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th
+      |  FROM toks WHERE len(t) >= 3),
+      |shh AS (
+      |  SELECT doc_id, list_transform(range(1, len(th) - 1),
+      |    i -> (th[i] + (th[i+1] * 131) % 1000000007 + (th[i+2] * 137) % 1000000007)
+      |         % 1000000007) AS hs
+      |  FROM thd),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(hs,
+      |      h -> (h * (((2*i + 1) * 2654435761) % 1000000007)
+      |            + ((i + 1) * 982451653) % 1000000007) % 1000000007))) AS sg
+      |  FROM shh),
+      |br8 AS (
+      |  SELECT doc_id, g.b, sg[2*g.b + 1] AS k1, sg[2*g.b + 2] AS k2
+      |  FROM sig CROSS JOIN generate_series(0, 7) AS g(b)),
+      |c8 AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM br8 a JOIN br8 b
+      |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+      |br4 AS (
+      |  SELECT doc_id, g.b, sg[4*g.b + 1] AS k1, sg[4*g.b + 2] AS k2,
+      |    sg[4*g.b + 3] AS k3, sg[4*g.b + 4] AS k4
+      |  FROM sig CROSS JOIN generate_series(0, 3) AS g(b)),
+      |c4 AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM br4 a JOIN br4 b
+      |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
+      |    AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      |m8 AS (
+      |  SELECT 8 AS bands, 2 AS rows_per_band,
+      |    (SELECT COUNT(*) FROM c8) AS n_candidates,
+      |    (SELECT COUNT(*) FROM truth) AS n_truth,
+      |    (SELECT COUNT(*) FROM c8 JOIN truth USING (id1, id2)) AS n_tp),
+      |m4 AS (
+      |  SELECT 4 AS bands, 4 AS rows_per_band,
+      |    (SELECT COUNT(*) FROM c4) AS n_candidates,
+      |    (SELECT COUNT(*) FROM truth) AS n_truth,
+      |    (SELECT COUNT(*) FROM c4 JOIN truth USING (id1, id2)) AS n_tp)
+      |SELECT bands, rows_per_band, n_candidates, n_truth, n_tp,
+      |  ROUND(CAST(n_tp AS DOUBLE) / n_candidates, 6) AS precision,
+      |  ROUND(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall
+      |FROM (SELECT * FROM m8 UNION ALL SELECT * FROM m4)
+      |ORDER BY bands DESC""".stripMargin
+
   // ---- registration (extended at the bottom of this file) -------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1238,7 +1383,8 @@ object Round10Queries {
     "q199_top_supplier_per_year" -> (q199TopSupplierPerYear _),
     "q200_poisson_bootstrap" -> (q200PoissonBootstrap _),
     "q201_nation_jackknife" -> (q201NationJackknife _),
-    "q202_lang_diversity" -> (q202LangDiversity _))
+    "q202_lang_diversity" -> (q202LangDiversity _),
+    "q203_lsh_quality_audit" -> (q203LshQualityAudit _))
 
   val oracles: Map[String, String] = Map(
     "q184_priority_wait" -> q184Sql,
@@ -1259,5 +1405,6 @@ object Round10Queries {
     "q199_top_supplier_per_year" -> q199Sql,
     "q200_poisson_bootstrap" -> q200Sql,
     "q201_nation_jackknife" -> q201Sql,
-    "q202_lang_diversity" -> q202Sql)
+    "q202_lang_diversity" -> q202Sql,
+    "q203_lsh_quality_audit" -> q203Sql)
 }

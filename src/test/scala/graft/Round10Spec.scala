@@ -250,6 +250,23 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q203 LSH audit: 4x4 candidates nest inside 8x2, rates bounded") {
+    val rows = Round10Queries.q203LshQualityAudit(spark, sf).collect()
+      .map(r => r.getAs[Int]("bands") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_tp"),
+          r.getAs[Long]("n_truth"), r.getAs[Double]("precision"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(4, 8))
+    val (c8, tp8, t8, p8, r8) = rows(8)
+    val (c4, tp4, t4, p4, r4) = rows(4)
+    assert(t8 == t4, "both configs audit the same truth set")
+    // a full 4-slice band match contains two matching 2-slice bands, so
+    // the 4x4 candidate set nests inside 8x2 — counts and recall monotone
+    assert(c4 <= c8 && tp4 <= tp8)
+    Seq(p8, r8, p4, r4).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(r4 <= r8 + 1e-9)
+  }
+
   test("q194 rank machinery avoids cartesians on the data-sized path") {
     // the distinct-value rank scans run through withGlobalOffset's range
     // partitioning and join back as keyed/broadcast joins — nothing
