@@ -1382,6 +1382,128 @@ object Round10Queries {
       |FROM (SELECT * FROM m8 UNION ALL SELECT * FROM m4)
       |ORDER BY bands DESC""".stripMargin
 
+  // ---- q204 closed-form multiple regression ---------------------------------
+
+  /** Two-regressor OLS at fact scale, solved in CLOSED FORM from exact
+    * integer moment sums — revenue_cents ~ quantity + discount_pct over
+    * all of lineitem. The distributed work is ONE aggregation producing
+    * the 10 entries of [X'X | X'y] (quantity 1..50, discount points 0..10
+    * and revenue cents are all exact BIGINTs; Σy² takes the q194
+    * DECIMAL(38,0) route past 2^63); the 3×3 normal-equation solve is a
+    * fixed Cramer expansion over those exact scalars, so both engines
+    * evaluate identical doubles — no iterative fitting, no per-row
+    * residual pass (SSE comes from the Σy² − β·X'y identity). Also
+    * reports each regressor's PARTIAL correlation with revenue
+    * controlling the other, from the same moment matrix. At 100 TB this
+    * is one map-side-combinable pass regardless of width growth:
+    * k regressors need k(k+3)/2 moments, still one aggregate.
+    */
+  def q204MultipleRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100, 0).cast("long").as("d"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("y"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("d")).as("sd"), sum(col("y")).as("sy"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("d") * col("d")).as("sdd"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+      sum(col("q") * col("d")).as("sqd"),
+      sum(col("q") * col("y")).as("sqy"), sum(col("d") * col("y")).as("sdy"))
+    // Cramer's rule over the 3x3 normal equations [n Σq Σd; Σq Σq² Σqd;
+    // Σd Σqd Σd²] β = [Σy Σqy Σdy] — every minor is a fixed expression
+    // over exact scalars
+    def D(c: String) = col(c).cast("double")
+    val det = m.select(col("*"),
+      (D("n") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sqd") - D("sqq") * D("sd"))).as("det"),
+      (D("sy") * (D("sqq") * D("sdd") - D("sqd") * D("sqd"))
+        - D("sq") * (D("sqy") * D("sdd") - D("sqd") * D("sdy"))
+        + D("sd") * (D("sqy") * D("sqd") - D("sqq") * D("sdy"))).as("det_a"),
+      (D("n") * (D("sqy") * D("sdd") - D("sdy") * D("sqd"))
+        - D("sy") * (D("sq") * D("sdd") - D("sqd") * D("sd"))
+        + D("sd") * (D("sq") * D("sdy") - D("sqy") * D("sd"))).as("det_b1"),
+      (D("n") * (D("sqq") * D("sdy") - D("sqd") * D("sqy"))
+        - D("sq") * (D("sq") * D("sdy") - D("sqy") * D("sd"))
+        + D("sy") * (D("sq") * D("sqd") - D("sqq") * D("sd"))).as("det_b2"))
+    val beta = det
+      .withColumn("a", col("det_a") / col("det"))
+      .withColumn("b1", col("det_b1") / col("det"))
+      .withColumn("b2", col("det_b2") / col("det"))
+      // SSE = Σy² − (aΣy + b1Σqy + b2Σdy); SST = Σy² − (Σy)²/n
+      .withColumn("sse", D("syy") - col("a") * D("sy") - col("b1") * D("sqy")
+        - col("b2") * D("sdy"))
+      .withColumn("sst", D("syy") - D("sy") * D("sy") / D("n"))
+      // pairwise correlations for the partials
+      .withColumn("rqy", (D("n") * D("sqy") - D("sq") * D("sy")) /
+        sqrt((D("n") * D("sqq") - D("sq") * D("sq")) *
+          (D("n") * D("syy") - D("sy") * D("sy"))))
+      .withColumn("rdy", (D("n") * D("sdy") - D("sd") * D("sy")) /
+        sqrt((D("n") * D("sdd") - D("sd") * D("sd")) *
+          (D("n") * D("syy") - D("sy") * D("sy"))))
+      .withColumn("rqd", (D("n") * D("sqd") - D("sq") * D("sd")) /
+        sqrt((D("n") * D("sqq") - D("sq") * D("sq")) *
+          (D("n") * D("sdd") - D("sd") * D("sd"))))
+    beta.select(col("n"),
+      round(col("a") / 100.0, 6).as("intercept"),
+      round(col("b1") / 100.0, 6).as("beta_qty"),
+      round(col("b2") / 100.0, 6).as("beta_disc_pct"),
+      round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"),
+      round((col("rqy") - col("rdy") * col("rqd")) /
+        sqrt((lit(1.0) - col("rdy") * col("rdy")) *
+          (lit(1.0) - col("rqd") * col("rqd"))), 6).as("partial_qty"),
+      round((col("rdy") - col("rqy") * col("rqd")) /
+        sqrt((lit(1.0) - col("rqy") * col("rqy")) *
+          (lit(1.0) - col("rqd") * col("rqd"))), 6).as("partial_disc"))
+  }
+
+  val q204Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(d) AS DOUBLE) AS sd,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(q * q) AS DOUBLE) AS sqq, CAST(SUM(d * d) AS DOUBLE) AS sdd,
+      |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+      |    CAST(SUM(q * d) AS DOUBLE) AS sqd,
+      |    CAST(SUM(q * y) AS DOUBLE) AS sqy, CAST(SUM(d * y) AS DOUBLE) AS sdy,
+      |    COUNT(*) AS n_rows
+      |  FROM li),
+      |dets AS (
+      |  SELECT *,
+      |    n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+      |      + sd * (sq * sqd - sqq * sd) AS det,
+      |    sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+      |      + sd * (sqy * sqd - sqq * sdy) AS det_a,
+      |    n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd)
+      |      + sd * (sq * sdy - sqy * sd) AS det_b1,
+      |    n * (sqq * sdy - sqd * sqy) - sq * (sq * sdy - sqy * sd)
+      |      + sy * (sq * sqd - sqq * sd) AS det_b2
+      |  FROM m),
+      |beta AS (
+      |  SELECT *, det_a / det AS a, det_b1 / det AS b1, det_b2 / det AS b2,
+      |    (n * sqy - sq * sy) / SQRT((n * sqq - sq * sq) * (n * syy - sy * sy)) AS rqy,
+      |    (n * sdy - sd * sy) / SQRT((n * sdd - sd * sd) * (n * syy - sy * sy)) AS rdy,
+      |    (n * sqd - sq * sd) / SQRT((n * sqq - sq * sq) * (n * sdd - sd * sd)) AS rqd
+      |  FROM dets)
+      |SELECT n_rows AS n,
+      |  ROUND(a / 100.0, 6) AS intercept,
+      |  ROUND(b1 / 100.0, 6) AS beta_qty,
+      |  ROUND(b2 / 100.0, 6) AS beta_disc_pct,
+      |  ROUND(1.0 - (syy - a * sy - b1 * sqy - b2 * sdy)
+      |    / (syy - sy * sy / n), 6) AS r2,
+      |  ROUND((rqy - rdy * rqd) / SQRT((1.0 - rdy * rdy) * (1.0 - rqd * rqd)), 6)
+      |    AS partial_qty,
+      |  ROUND((rdy - rqy * rqd) / SQRT((1.0 - rqy * rqy) * (1.0 - rqd * rqd)), 6)
+      |    AS partial_disc
+      |FROM beta""".stripMargin
+
   // ---- registration (extended at the bottom of this file) -------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1404,7 +1526,8 @@ object Round10Queries {
     "q200_poisson_bootstrap" -> (q200PoissonBootstrap _),
     "q201_nation_jackknife" -> (q201NationJackknife _),
     "q202_lang_diversity" -> (q202LangDiversity _),
-    "q203_lsh_quality_audit" -> (q203LshQualityAudit _))
+    "q203_lsh_quality_audit" -> (q203LshQualityAudit _),
+    "q204_multiple_regression" -> (q204MultipleRegression _))
 
   val oracles: Map[String, String] = Map(
     "q184_priority_wait" -> q184Sql,
@@ -1426,5 +1549,6 @@ object Round10Queries {
     "q200_poisson_bootstrap" -> q200Sql,
     "q201_nation_jackknife" -> q201Sql,
     "q202_lang_diversity" -> q202Sql,
-    "q203_lsh_quality_audit" -> q203Sql)
+    "q203_lsh_quality_audit" -> q203Sql,
+    "q204_multiple_regression" -> q204Sql)
 }

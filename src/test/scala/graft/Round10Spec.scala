@@ -267,6 +267,36 @@ class Round10Spec extends SparkSpec {
     assert(r4 <= r8 + 1e-9)
   }
 
+  test("q204 closed-form OLS matches a driver-side normal-equation solve") {
+    val r = Round10Queries.q204MultipleRegression(spark, sf).head()
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+    Seq("partial_qty", "partial_disc").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c $v")
+    }
+    // independent driver-side solve on the collected rows (dollars scale)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("double"),
+        round(col("l_discount") * 100, 0).cast("double"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("double"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    val n = rows.length.toDouble
+    var (sq, sd2, sy, sqq, sdd, sqd, sqy, sdy) = (0d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)
+    rows.foreach { case (q, d, y) =>
+      sq += q; sd2 += d; sy += y; sqq += q * q; sdd += d * d
+      sqd += q * d; sqy += q * y; sdy += d * y
+    }
+    val det = n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd2) +
+      sd2 * (sq * sqd - sqq * sd2)
+    val detB1 = n * (sqy * sdd - sdy * sqd) - sy * (sq * sdd - sqd * sd2) +
+      sd2 * (sq * sdy - sqy * sd2)
+    val expB1 = detB1 / det / 100.0
+    assert(math.abs(r.getAs[Double]("beta_qty") - expB1) < 1e-4,
+      s"beta_qty ${r.getAs[Double]("beta_qty")} vs driver $expB1")
+  }
+
   test("q194 rank machinery avoids cartesians on the data-sized path") {
     // the distinct-value rank scans run through withGlobalOffset's range
     // partitioning and join back as keyed/broadcast joins — nothing
