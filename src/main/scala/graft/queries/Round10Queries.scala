@@ -1504,6 +1504,168 @@ object Round10Queries {
       |    AS partial_disc
       |FROM beta""".stripMargin
 
+  // ---- q205 forecast backtest (seasonal-naive, MASE-scored) -----------------
+
+  /** Backtest panel for the simplest defensible forecasters on the daily
+    * revenue series: seasonal-naive (x̂_d = x_{d−7}) scored by MAE, RMSE
+    * and MASE (MAE relative to the one-day-naive baseline — Hyndman's
+    * scale-free standard; < 1 means the seasonal model beats persistence).
+    * The daily grid is zero-filled over the full [min, max] date span so
+    * lags are true calendar shifts; all error sums are exact BIGINTs in
+    * cents (|x−x̂| of exact integers), one 5-partition window pass.
+    */
+  def q205ForecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_type"),
+      to_date(col("ts")).as("d"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val agg = ev.groupBy(col("event_type"), col("d")).agg(sum(col("cents")).as("xc"))
+    val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val series = grid.join(agg, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("xc"), lit(0L)).as("xc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    series
+      .withColumn("f7", lag(col("xc"), 7).over(w))
+      .withColumn("f1", lag(col("xc"), 1).over(w))
+      .filter(col("f7").isNotNull) // scored days have both lags
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("xc") - col("f7"))).as("ae7"),
+        sum((col("xc") - col("f7")) * (col("xc") - col("f7"))).as("se7"),
+        sum(abs(col("xc") - col("f1"))).as("ae1"))
+      .select(col("event_type"), col("n_scored"),
+        round(col("ae7").cast("double") / col("n_scored").cast("double") / 100.0, 6)
+          .as("mae"),
+        round(sqrt(col("se7").cast("double") / col("n_scored").cast("double")) / 100.0, 6)
+          .as("rmse"),
+        round(col("ae7").cast("double") / col("ae1").cast("double"), 6).as("mase"))
+      .orderBy("event_type")
+  }
+
+  val q205Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |agg AS (SELECT event_type, d, SUM(cents) AS xc FROM ev GROUP BY 1, 2),
+      |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+      |days AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+      |s AS (
+      |  SELECT t.event_type, CAST(g.d AS DATE) AS d, COALESCE(a.xc, 0) AS xc
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN days g
+      |  LEFT JOIN agg a ON a.event_type = t.event_type AND a.d = CAST(g.d AS DATE)),
+      |lagged AS (
+      |  SELECT event_type, xc,
+      |    LAG(xc, 7) OVER (PARTITION BY event_type ORDER BY d) AS f7,
+      |    LAG(xc, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1
+      |  FROM s)
+      |SELECT event_type, COUNT(*) AS n_scored,
+      |  ROUND(CAST(SUM(ABS(xc - f7)) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mae,
+      |  ROUND(SQRT(CAST(SUM((xc - f7) * (xc - f7)) AS DOUBLE) / COUNT(*)) / 100.0, 6) AS rmse,
+      |  ROUND(CAST(SUM(ABS(xc - f7)) AS DOUBLE) / CAST(SUM(ABS(xc - f1)) AS DOUBLE), 6) AS mase
+      |FROM lagged WHERE f7 IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q206 CUPED-adjusted A/B readout --------------------------------------
+
+  /** CUPED variance reduction for an A/B readout at user grain — the
+    * standard trick for shrinking experiment confidence intervals at
+    * scale: regress the post-period metric on the pre-period covariate
+    * (θ = cov/var, pooled) and compare arms on y − θ(x − x̄). Population =
+    * every user with any event; pre/post split the fixed [min, min+15d)
+    * boundary; arm = user_id parity (a deterministic traffic-split
+    * stand-in, same device as q139). Everything distributed is an exact
+    * BIGINT sum at user grain (per-user cents, squares and cross products
+    * via DECIMAL(38,0)); θ, the adjusted means and the variance-reduction
+    * ratio are fixed scalar expressions, so the output is deterministic in
+    * both engines. Reports the raw and CUPED arm difference plus the
+    * pooled variance-reduction factor 1 − var(y*)/var(y).
+    */
+  def q206CupedAb(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(to_date(col("ts")) < date_add(col("d0"), 15),
+          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L)).as("pre"),
+        when(to_date(col("ts")) >= date_add(col("d0"), 15),
+          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L)).as("post"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val perArm = perUser.groupBy(col("arm")).agg(
+      count(lit(1)).as("nj"), sum(col("x")).as("sxj"), sum(col("y")).as("syj"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
+    def D(c: String) = col(c).cast("double")
+    val wide = perArm.groupBy().pivot("arm", Seq(0, 1)).agg(
+      first(col("nj")).as("n"), first(col("sxj")).as("sx"), first(col("syj")).as("sy"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        (D("n") * D("sxy") - D("sx") * D("sy")) /
+          (D("n") * D("sxx") - D("sx") * D("sx")))
+      .withColumn("vy", (D("syy") - D("sy") * D("sy") / D("n")) / D("n"))
+      .withColumn("vx", (D("sxx") - D("sx") * D("sx") / D("n")) / D("n"))
+      .withColumn("cxy", (D("sxy") - D("sx") * D("sy") / D("n")) / D("n"))
+    wide.select(col("n"),
+      round(col("theta"), 6).as("theta"),
+      round((D("1_sy") / D("1_n") - D("0_sy") / D("0_n")) / 100.0, 6)
+        .as("diff_raw"),
+      // CUPED: ȳ*_j = ȳ_j − θ(x̄_j − x̄); the global x̄ term cancels in the
+      // arm difference, leaving diff_cuped = diff_raw − θ·(x̄₁ − x̄₀)
+      round((D("1_sy") / D("1_n") - D("0_sy") / D("0_n")
+        - col("theta") * (D("1_sx") / D("1_n") - D("0_sx") / D("0_n"))) / 100.0, 6)
+        .as("diff_cuped"),
+      // pooled var(y − θx) = var(y) − 2θcov + θ²var(x) = var(y) − cov²/var(x)
+      round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6)
+        .as("var_reduction"))
+  }
+
+  val q206Sql: String =
+    """WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 15 DAY
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+      |    SUM(CASE WHEN CAST(ts AS DATE) >= d0 + INTERVAL 15 DAY
+      |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events CROSS JOIN b GROUP BY 1),
+      |pa AS (
+      |  SELECT user_id % 2 AS arm, COUNT(*) AS nj,
+      |    SUM(x) AS sxj, SUM(y) AS syj
+      |  FROM pu GROUP BY 1),
+      |g AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM pu),
+      |w AS (
+      |  SELECT g.*,
+      |    (SELECT nj FROM pa WHERE arm = 0) AS n0,
+      |    (SELECT sxj FROM pa WHERE arm = 0) AS sx0,
+      |    (SELECT syj FROM pa WHERE arm = 0) AS sy0,
+      |    (SELECT nj FROM pa WHERE arm = 1) AS n1,
+      |    (SELECT sxj FROM pa WHERE arm = 1) AS sx1,
+      |    (SELECT syj FROM pa WHERE arm = 1) AS sy1,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n AS vy,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n AS vx,
+      |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n AS cxy
+      |  FROM g)
+      |SELECT CAST(n AS BIGINT) AS n, ROUND(theta, 6) AS theta,
+      |  ROUND((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / 100.0, 6) AS diff_raw,
+      |  ROUND((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+      |    - theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)) / 100.0, 6) AS diff_cuped,
+      |  ROUND(cxy * cxy / (vx * vy), 6) AS var_reduction
+      |FROM w""".stripMargin
+
   // ---- registration (extended at the bottom of this file) -------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1527,7 +1689,9 @@ object Round10Queries {
     "q201_nation_jackknife" -> (q201NationJackknife _),
     "q202_lang_diversity" -> (q202LangDiversity _),
     "q203_lsh_quality_audit" -> (q203LshQualityAudit _),
-    "q204_multiple_regression" -> (q204MultipleRegression _))
+    "q204_multiple_regression" -> (q204MultipleRegression _),
+    "q205_forecast_backtest" -> (q205ForecastBacktest _),
+    "q206_cuped_ab" -> (q206CupedAb _))
 
   val oracles: Map[String, String] = Map(
     "q184_priority_wait" -> q184Sql,
@@ -1550,5 +1714,7 @@ object Round10Queries {
     "q201_nation_jackknife" -> q201Sql,
     "q202_lang_diversity" -> q202Sql,
     "q203_lsh_quality_audit" -> q203Sql,
-    "q204_multiple_regression" -> q204Sql)
+    "q204_multiple_regression" -> q204Sql,
+    "q205_forecast_backtest" -> q205Sql,
+    "q206_cuped_ab" -> q206Sql)
 }
