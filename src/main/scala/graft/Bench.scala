@@ -61,17 +61,19 @@ object Bench {
     val wall = math.min(parallelWall(), parallelWall())
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // `value` = suite wall-clock; `per_query_sum` = sum of the sequential
-    // per-query mins (the old headline, kept so artifacts stay comparable
-    // across rounds). `queries_shown` marks the compact tail line's
-    // truncation as self-describing.
+    // `value` = the sequential per-query total — the quantity BASELINE.md's
+    // 2x gate has been measured against since round 1, so cross-round
+    // comparisons stay apples-to-apples. The pool-parallel suite wall-clock
+    // (which overlaps the ~0.3 s/job scheduler floor) is published under its
+    // own key `parallel_wall`, never as the headline. `queries_shown` marks
+    // the compact tail line's truncation as self-describing.
     def line(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val shown =
         if (m.size < results.size) s""","queries_shown":${m.size}""" else ""
-      s"""{"metric":"total","value":${fmt(wall)},"unit":"sec","mode":"parallel$pool","per_query_sum":${fmt(results.values.sum)},"queries":$qs$shown,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"queries":$qs$shown,"sf":"$sfDir"}"""
     }
     val full = line(results)
     // The driver captures a bounded tail of stdout; with 140+ queries the
@@ -81,10 +83,23 @@ object Bench {
     // self-evident, print it for whole-capture consumers, and make the
     // ABSOLUTE LAST stdout line a compact variant (total + the 25 slowest
     // queries, ~1 KB) that stays intact inside any tail window.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
+    // BENCH_SEQ_LATEST.json: just the sequential min-of-two per-query map,
+    // as its own artifact so round-over-round per-query regression diffing
+    // never depends on the driver's bounded stdout tail.
+    val seqOnly = {
+      val qs = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"per_query_seq_min2","total":${fmt(results.values.sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LATEST.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SEQ_LATEST.json"),
+        (seqOnly + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
       // surface the failure (a stale artifact silently surviving is the
       // exact failure mode this file exists to fix) but keep stdout clean
       // for the JSON lines below

@@ -649,7 +649,10 @@ object Round10Queries {
       sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
       sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
       sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-      sum(col("r2_x")).as("rsx"), sum(col("r2_y")).as("rsy"),
+      // linear doubled-rank sums are ~n² (Σ2r ≤ 2n²) — past 2^63 near
+      // n = 3e9 rows, so they ride decimal like the squared sums
+      sum(col("r2_x").cast("decimal(19,0)")).as("rsx"),
+      sum(col("r2_y").cast("decimal(19,0)")).as("rsy"),
       sum(col("r2_x").cast("decimal(19,0)") * col("r2_x").cast("decimal(19,0)")).as("rsxx"),
       sum(col("r2_y").cast("decimal(19,0)") * col("r2_y").cast("decimal(19,0)")).as("rsyy"),
       sum(col("r2_x").cast("decimal(19,0)") * col("r2_y").cast("decimal(19,0)")).as("rsxy"))
@@ -720,9 +723,14 @@ object Round10Queries {
     val perVT = ev.groupBy(col("vc"), col("event_type")).agg(count(lit(1)).as("ct"))
     val perGroup = perVT.join(ranksV.select("vc", "r2"), "vc")
       .groupBy(col("event_type"))
-      .agg(sum(col("ct")).as("nj"), sum(col("r2") * col("ct")).as("r2j"))
+      // r2·ct and its sum are ~n² — decimal operands so neither the product
+      // nor the sum can wrap int64 at fact scale (DuckDB is HUGEINT here)
+      .agg(sum(col("ct")).as("nj"),
+        sum(col("r2").cast("decimal(19,0)") * col("ct").cast("decimal(19,0)")).as("r2j"))
     val ties = ranksV.agg(
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"),
+      // cnt³ wraps int64 once any single value's multiplicity passes 2.1e6
+      sum(col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)") *
+        col("cnt").cast("decimal(19,0)") - col("cnt").cast("decimal(19,0)")).as("t3"),
       sum(col("cnt")).as("n"))
     val hRaw = perGroup.crossJoin(broadcast(ties))
       // Σ R_j²/n_j with R_j = r2j/2 → Σ (r2j/2)²/n_j; keep in doubles from

@@ -612,28 +612,49 @@ object Round9Queries {
     * form — adjust=true weighting, a ±50% band against the previous day's
     * baseline, and a stateful streaming twin
     * ([[graft.streaming.StreamOps.ewmaAnomalyStream]], 1e-9 batch parity). EWMA (adjust=true form)
-    * is computed CLOSED-FORM as a ratio of two ordered cumulative sums of
-    * exactly-representable terms (daily revenue in integer cents × r^-i
-    * weights), so no recursion and no engine-specific fold order; the
+    * is computed CLOSED-FORM as a ratio of ordered cumulative sums — but
+    * BLOCK-DECOMPOSED: naive per-row weights r^-i overflow double at
+    * i ≈ 2050 (~5.6 years of days), so rows are cut into 512-row blocks per
+    * key and weights are taken relative to the block start. Every exponent
+    * then stays inside [-1024, 512] for ANY series length, and history older
+    * than the previous block is truncated — its relative weight is below
+    * r^512 ≈ 1e-79, i.e. under double resolution, so the truncation is
+    * invisible (and far inside the streaming twin's 1e-9 parity band). The
     * anomaly flag compares a day's revenue against the PREVIOUS day's
     * baseline with a fixed ±50% band. All windows keyed by event_type over
-    * the bounded day panel.
+    * the bounded day panel; the block-totals side of the join is n/512 rows
+    * → broadcast.
     */
   def q177EwmaAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     // α=0.3 ⇒ r=0.7 — as the LITERAL 0.7, not computed 1.0-0.3 (which is
     // 0.70000000000000011, a different double than the oracle's 0.7, and
     // pow() would amplify the difference past the 6-dp rounding)
     val r = 0.7
+    val B = 512
     val daily = ExtQueries.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("revc"))
     val ord = Window.partitionBy("event_type").orderBy("day")
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ew = daily
-      .withColumn("i", row_number().over(ord).cast("double"))
-      .withColumn("wx", col("revc").cast("double") * pow(lit(r), -col("i")))
-      .withColumn("w", pow(lit(r), -col("i")))
-      .withColumn("ewma", sum(col("wx")).over(cum) / sum(col("w")).over(cum))
+    val blocked = daily
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("blk", ((col("rn") - 1) / lit(B)).cast("long"))
+      .withColumn("off", (col("rn") - col("blk") * B).cast("double"))
+    val cumB = Window.partitionBy("event_type", "blk").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = blocked
+      .withColumn("p", sum(col("revc").cast("double") * pow(lit(r), -col("off"))).over(cumB))
+      .withColumn("q", sum(pow(lit(r), -col("off"))).over(cumB))
+    // previous-block carry: the cumsum value at each FULL block's last row
+    // (blocks are full except the final one, which is never a "previous")
+    val totals = cum.filter(col("off") === B.toDouble)
+      .select(col("event_type"), (col("blk") + 1).as("blk"),
+        col("p").as("tp"), col("q").as("tq"))
+    val ew = cum.join(broadcast(totals), Seq("event_type", "blk"), "left")
+      .withColumn("ewma",
+        (pow(lit(r), col("off")) * col("p") +
+          pow(lit(r), col("off") + B) * coalesce(col("tp"), lit(0.0))) /
+        (pow(lit(r), col("off")) * col("q") +
+          pow(lit(r), col("off") + B) * coalesce(col("tq"), lit(0.0))))
       .withColumn("prev_ewma", lag(col("ewma"), 1).over(ord))
     ew.select(col("event_type"),
         date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -652,16 +673,29 @@ object Round9Queries {
       |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revc
       |  FROM events GROUP BY 1, 2),
       |idx AS (
-      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
-      |    AS DOUBLE) AS i
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
       |  FROM daily),
-      |ew AS (
-      |  SELECT event_type, day, revc,
-      |    SUM(CAST(revc AS DOUBLE) * POWER(0.7, -i)) OVER cw
-      |      / SUM(POWER(0.7, -i)) OVER cw AS ewma
-      |  FROM idx
-      |  WINDOW cw AS (PARTITION BY event_type ORDER BY day
+      |blks AS (
+      |  SELECT *, (rn - 1) // 512 AS blk,
+      |    CAST(rn - ((rn - 1) // 512) * 512 AS DOUBLE) AS off
+      |  FROM idx),
+      |cum AS (
+      |  SELECT *,
+      |    SUM(CAST(revc AS DOUBLE) * POWER(0.7, -off)) OVER cw AS p,
+      |    SUM(POWER(0.7, -off)) OVER cw AS q
+      |  FROM blks
+      |  WINDOW cw AS (PARTITION BY event_type, blk ORDER BY day
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (
+      |  SELECT event_type, blk + 1 AS blk, p AS tp, q AS tq
+      |  FROM cum WHERE off = 512),
+      |ew AS (
+      |  SELECT c.event_type, c.day, c.revc,
+      |    (POWER(0.7, c.off) * c.p + POWER(0.7, c.off + 512) * COALESCE(t.tp, 0))
+      |      / (POWER(0.7, c.off) * c.q + POWER(0.7, c.off + 512) * COALESCE(t.tq, 0))
+      |      AS ewma
+      |  FROM cum c LEFT JOIN tot t
+      |    ON t.event_type = c.event_type AND t.blk = c.blk),
       |l AS (
       |  SELECT *, LAG(ewma, 1) OVER (PARTITION BY event_type ORDER BY day)
       |    AS prev_ewma

@@ -65,6 +65,10 @@ object BootstrapScaleProbe {
         sum(col("w")).cast("double")).as("m"))
       .collect()
     val secs = (System.nanoTime() - t0) / 1e9
+    // task-end events arrive asynchronously on the listener bus — drain it
+    // before reading the counter, or late events undercount shuffle rows
+    // (the `written <= bound` assertion could then pass spuriously)
+    org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
     val written = shuffleRows.get()
 
     val ms = reps0.map(_.getAs[Double]("m"))
