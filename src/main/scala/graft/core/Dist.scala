@@ -1,5 +1,8 @@
 package graft.core
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{abs, exp, lit, when}
+
 /** Standard-normal CDF / inverse-CDF, driver-side scalar math.
   *
   * The reference uses Python's `statistics.NormalDist` (reference:
@@ -92,4 +95,80 @@ object Dist {
       if (x < 0) erfc - 1.0 else 1.0 - erfc
     }
   }
+
+  // ---- distributed / oracle-replayable Φ ----------------------------------
+  //
+  // The same Cody erf, emitted BOTH as a Spark Column expression (pure
+  // builtin arithmetic — stays inside whole-stage codegen) and as an ANSI
+  // SQL string for the DuckDB oracle. Both are generated from one set of
+  // coefficient tables with the same Horner association, so the two engines
+  // evaluate the identical rational approximation — agreement is ~1 ulp,
+  // far inside the 6-dp gate rounding. This is what lets Φ-based metrics
+  // (probabilistic Sharpe ratio) be oracle-gated instead of parity-only.
+
+  private val P1 = Seq(-0.356098437018154e-1, 0.699638348861914e1,
+    0.219792616182942e2, 0.242667955230532e3)
+  private val Q1 = Seq(1.0, 0.150827976304078e2, 0.911649054045149e2,
+    0.215058875869861e3)
+  private val P2 = Seq(-0.136864857382717e-6, 0.564195517478974,
+    0.721175825088309e1, 0.431622272220567e2, 0.152989285046940e3,
+    0.339320816734344e3, 0.451918953711873e3, 0.300459261020162e3)
+  private val Q2 = Seq(1.0, 0.127827273196294e2, 0.770001529352295e2,
+    0.277585444743988e3, 0.638980264465631e3, 0.931354094850610e3,
+    0.790950925327898e3, 0.300459260956983e3)
+  private val P3 = Seq(0.223192459734185e-1, 0.278661308609648,
+    0.226956593539687, 0.494730910623251e-1)
+  private val Q3 = Seq(1.0, 0.198733201817135e1, 0.105167510706793e1,
+    0.191308926107830)
+  private val InvSqrtPi = 0.564189583547756287
+  private val Sqrt2 = math.sqrt(2.0)
+
+  private def hornerCol(cs: Seq[Double], t: Column): Column =
+    cs.tail.foldLeft(lit(cs.head): Column)((acc, c) => acc * t + lit(c))
+
+  private def hornerSql(cs: Seq[Double], t: String): String =
+    cs.tail.foldLeft(cs.head.toString)((acc, c) => s"($acc) * $t + $c")
+
+  /** erf as a Column over builtin arithmetic (same branches/Horner order as
+    * the scalar [[erf]]). Codegen-friendly: no UDF, no custom expression.
+    */
+  def erfCol(y: Column): Column = {
+    val ay = abs(y)
+    val t1 = y * y
+    val b1 = y * hornerCol(P1, t1) / hornerCol(Q1, t1)
+    val ec2 = exp(-ay * ay) * hornerCol(P2, ay) / hornerCol(Q2, ay)
+    val b2 = when(y < 0, ec2 - lit(1.0)).otherwise(lit(1.0) - ec2)
+    val t3 = lit(1.0) / (ay * ay)
+    val ec3 = exp(-ay * ay) / ay *
+      (lit(InvSqrtPi) - t3 * hornerCol(P3, t3) / hornerCol(Q3, t3))
+    val b3 = when(y < 0, ec3 - lit(1.0)).otherwise(lit(1.0) - ec3)
+    when(ay < 0.5, b1).when(ay < 4.0, b2).otherwise(b3)
+  }
+
+  /** Φ(x) as a Column. */
+  def normCdfCol(x: Column): Column =
+    lit(0.5) * (lit(1.0) + erfCol(x / lit(Sqrt2)))
+
+  /** erf as a SQL expression string over column reference `y` (and its
+    * precomputed absolute value `ay` — pass `ABS(y)` pre-bound in a prior
+    * CTE to keep the emitted text bounded). Mirrors [[erfCol]] exactly.
+    */
+  def erfSql(y: String, ay: String): String = {
+    val t1 = s"(($y) * ($y))"
+    val b1 = s"($y) * (${hornerSql(P1, t1)}) / (${hornerSql(Q1, t1)})"
+    val ec2 = s"EXP(-($ay) * ($ay)) * (${hornerSql(P2, s"($ay)")}) / (${hornerSql(Q2, s"($ay)")})"
+    val b2 = s"CASE WHEN ($y) < 0 THEN ($ec2) - 1.0 ELSE 1.0 - ($ec2) END"
+    val t3 = s"(1.0 / (($ay) * ($ay)))"
+    val ec3 = s"EXP(-($ay) * ($ay)) / ($ay) * ($InvSqrtPi - $t3 * (${hornerSql(P3, t3)}) / (${hornerSql(Q3, t3)}))"
+    val b3 = s"CASE WHEN ($y) < 0 THEN ($ec3) - 1.0 ELSE 1.0 - ($ec3) END"
+    s"""CASE WHEN ($ay) < 0.5 THEN ($b1)
+       |     WHEN ($ay) < 4.0 THEN ($b2)
+       |     ELSE ($b3) END""".stripMargin
+  }
+
+  /** Φ as a SQL expression string; `y`/`ay` must be pre-bound to x/√2 and
+    * its absolute value (see [[erfSql]]).
+    */
+  def normCdfSql(y: String, ay: String): String =
+    s"0.5 * (1.0 + (${erfSql(y, ay)}))"
 }

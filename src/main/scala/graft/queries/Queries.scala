@@ -1036,6 +1036,114 @@ object Queries {
       |  nation, revenue, n_orders, n_customers
       |FROM g ORDER BY rank""".stripMargin
 
+  // ---- q207 tail metrics: PSR / serenity / smart+adjusted sortino ----------
+
+  /** Tail-metrics panel per asset — the last §2.b functions without a
+    * DuckDB-oracle gate: probabilistic Sharpe ratio (reference:
+    * alphastats/stats.py:255-336, incl. the "excess kurtosis minus 3 again"
+    * quirk), serenity index (stats.py:1549-1567), and the
+    * adjusted/smart sortino wrappers (stats.py:1364-1395: ÷√2 and
+    * ÷autocorr-penalty of q02's gated sortino).
+    *
+    * One pipeline, all key-partitioned: the drawdown curve and the
+    * previous-non-null lag come from asset-partitioned windows, the dd-VaR
+    * threshold broadcasts via a whole-asset window (same shuffle key), and
+    * everything else is a single per-asset aggregation. PSR's Φ evaluates
+    * through [[graft.core.Dist.erfCol]] — builtin arithmetic inside
+    * whole-stage codegen — and the oracle replays the identical Cody
+    * rational approximation via [[graft.core.Dist.normCdfSql]].
+    */
+  def q207TailMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = assetReturns(spark, sfDir)
+    val dd = GroupedStats.withDrawdown(sf).df
+    val prevW = Window.partitionBy(col("asset")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wholeA = Window.partitionBy(col("asset"))
+    val z05 = Dist.invCdf(0.05)
+    val enriched = dd
+      .withColumn("__prev", last(col("r"), ignoreNulls = true).over(prevW))
+      .withColumn("__ddvar",
+        avg(col("__dd")).over(wholeA) + lit(z05) * stddev_samp(col("__dd")).over(wholeA))
+    val agg = enriched.groupBy(col("asset")).agg(
+      count(col("r")).as("n"),
+      corr(col("__prev"), col("r")).as("rho"),
+      Exprs.sharpe(col("r"), 0.0, 252, annualize = false).as("b"),
+      Exprs.sortino(col("r"), 0.0, 252, annualize = true).as("sortino"),
+      Exprs.skew(col("r")).as("sk"),
+      Exprs.kurtosis(col("r")).as("ku"),
+      sum(col("r")).as("sumr"),
+      stddev_samp(col("r")).as("sd"),
+      sum(col("__dd") * col("__dd")).as("dd2"),
+      coalesce(avg(when(col("__dd") < col("__ddvar"), col("__dd"))),
+        first(col("__ddvar"))).as("ddcvar"))
+    val pen = Exprs.autocorrPenalty(col("rho"), col("n"))
+    val nd = col("n").cast("double")
+    val b = col("b")
+    val sigma = sqrt((lit(1.0) + lit(0.5) * b * b - col("sk") * b +
+      (col("ku") - lit(3.0)) / lit(4.0) * b * b) / (nd - lit(1.0)))
+    val psr = Dist.normCdfCol(b / sigma)
+    val ulcer = sqrt(col("dd2") / (nd - lit(1.0)))
+    val serenity = col("sumr") / (ulcer * (-col("ddcvar") / col("sd")))
+    agg.select(col("asset"),
+        r6(psr).as("psr"),
+        r6(serenity).as("serenity"),
+        r6(col("sortino") / lit(math.sqrt(2.0))).as("adjusted_sortino"),
+        r6(col("sortino") / pen).as("smart_sortino"),
+        r6(col("sortino") / pen / lit(math.sqrt(2.0))).as("smart_adjusted_sortino"))
+      .orderBy("asset")
+  }
+
+  val q207Sql: String = {
+    val sqrt2 = math.sqrt(2.0).toString
+    s"""$RetCte,
+       |$DdCte,
+       |lagd AS (
+       |  SELECT asset, d, r, ddv,
+       |         LAG(r) OVER (PARTITION BY asset ORDER BY d) AS p
+       |  FROM dd),
+       |s AS (
+       |  SELECT asset, COUNT(r) AS n, CORR(p, r) AS rho,
+       |         AVG(r) / STDDEV_SAMP(r) AS b,
+       |         AVG(r) / SQRT(AVG(POWER(CASE WHEN r < 0 THEN r ELSE 0 END, 2))) * $S252 AS sortino,
+       |         CAST(COUNT(r) AS DOUBLE) AS nd, AVG(r) AS m,
+       |         AVG(r * r) AS p2, AVG(r * r * r) AS p3, AVG(r * r * r * r) AS p4,
+       |         SUM(r) AS sumr, STDDEV_SAMP(r) AS sd,
+       |         SUM(ddv * ddv) AS dd2,
+       |         AVG(ddv) + ($Z05) * STDDEV_SAMP(ddv) AS ddvar
+       |  FROM lagd GROUP BY asset),
+       |cv AS (
+       |  SELECT dd.asset,
+       |         COALESCE(AVG(CASE WHEN dd.ddv < s.ddvar THEN dd.ddv END),
+       |                  MIN(s.ddvar)) AS ddcvar
+       |  FROM dd JOIN s USING (asset) GROUP BY dd.asset),
+       |mo AS (
+       |  SELECT s.*, cv.ddcvar,
+       |    SQRT(nd * (nd - 1)) / (nd - 2) * ((p3 - 3 * m * p2 + 2 * m * m * m) / POWER(p2 - m * m, 1.5)) AS sk,
+       |    (nd - 1) / ((nd - 2) * (nd - 3)) * ((nd + 1) * ((p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m) / ((p2 - m * m) * (p2 - m * m)) - 3) + 6) AS ku,
+       |    SQRT(1.0 + 2.0 * (CASE
+       |      WHEN ABS(rho) = 0 THEN 0.0
+       |      WHEN ABS(1.0 - ABS(rho)) < 1e-12
+       |        THEN (n - 1.0) - (n - 1.0) * ((n - 1.0) + 1.0) / (2.0 * n)
+       |      ELSE ABS(rho) * (1.0 - POW(ABS(rho), n - 1.0)) / (1.0 - ABS(rho))
+       |           - (ABS(rho) * (1.0 - ((n - 1.0) + 1.0) * POW(ABS(rho), n - 1.0)
+       |                          + (n - 1.0) * POW(ABS(rho), n - 1.0) * ABS(rho))
+       |              / ((1.0 - ABS(rho)) * (1.0 - ABS(rho)))) / n
+       |      END)) AS penalty
+       |  FROM s JOIN cv USING (asset)),
+       |zed AS (
+       |  SELECT *,
+       |    (b / SQRT((1.0 + 0.5 * b * b - sk * b + (ku - 3.0) / 4.0 * b * b) / (nd - 1.0))) / $sqrt2 AS y
+       |  FROM mo),
+       |yy AS (SELECT *, ABS(y) AS ay FROM zed)
+       |SELECT asset,
+       |  ROUND(${Dist.normCdfSql("y", "ay")}, 6) AS psr,
+       |  ROUND(sumr / (SQRT(dd2 / (nd - 1.0)) * (-ddcvar / sd)), 6) AS serenity,
+       |  ROUND(sortino / $sqrt2, 6) AS adjusted_sortino,
+       |  ROUND(sortino / penalty, 6) AS smart_sortino,
+       |  ROUND(sortino / penalty / $sqrt2, 6) AS smart_adjusted_sortino
+       |FROM yy ORDER BY asset""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1065,7 +1173,8 @@ object Queries {
     "q69_incremental_moments" -> (q69IncrementalMoments _),
     "q71_resample_ffill" -> (q71ResampleFfill _),
     "q74_star_join" -> (q74StarJoin _),
-    "q105_regional_revenue" -> (q105RegionalRevenue _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++ Round10Queries.all
+    "q105_regional_revenue" -> (q105RegionalRevenue _),
+    "q207_tail_metrics" -> (q207TailMetrics _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++ Round10Queries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -1094,5 +1203,6 @@ object Queries {
     "q69_incremental_moments" -> q69Sql,
     "q71_resample_ffill" -> q71Sql,
     "q74_star_join" -> q74Sql,
-    "q105_regional_revenue" -> q105Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles ++ Round10Queries.oracles
+    "q105_regional_revenue" -> q105Sql,
+    "q207_tail_metrics" -> q207Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles ++ Round10Queries.oracles
 }
