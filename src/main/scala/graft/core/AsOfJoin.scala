@@ -44,14 +44,25 @@ object AsOfJoin {
         passThrough.map(col) ++ valueCols.map(col): _*)
   }
 
-  /** Row-position zip of two frames (no time axis). Driver-scale utility —
-    * global row_number over ingestion order, as in the reference's
-    * horizontal concat path.
+  /** Row-position zip of two frames (no time axis), as in the reference's
+    * horizontal concat path. Positions come from `RDD.zipWithIndex` —
+    * per-partition offsets from a lightweight size pass, so no global
+    * single-partition window and no driver materialization; the subsequent
+    * equi-join on the unique position key is an ordinary keyed shuffle.
+    * "Position" means ingestion (partition) order, the same contract the
+    * reference's frame concat has — only meaningful for frames with a
+    * deterministic row order (in-memory panels, sorted reads).
     */
   def positional(left: DataFrame, right: DataFrame): DataFrame = {
-    def indexed(df: DataFrame): DataFrame =
-      df.withColumn("__rn",
-        row_number().over(Window.orderBy(monotonically_increasing_id())))
+    def indexed(df: DataFrame): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__rn", org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
     indexed(left).join(indexed(right), Seq("__rn"), "full_outer")
       .orderBy("__rn").drop("__rn")
   }

@@ -69,4 +69,32 @@ class Round11Spec extends SparkSpec {
     }
     assert(panel.size == 3)
   }
+
+  test("positional concat is distributed and order-exact across partitions") {
+    import spark.implicits._
+    val n = 10000
+    // deliberately multi-partition on both sides, different partition counts
+    val left = spark.sparkContext.parallelize(0 until n, 7)
+      .map(i => (i, s"L$i")).toDF("li", "lv")
+    val right = spark.sparkContext.parallelize(0 until n, 11)
+      .map(i => (i * 2, s"R$i")).toDF("ri", "rv")
+    val zipped = graft.core.AsOfJoin.positional(left, right).collect()
+    assert(zipped.length == n)
+    zipped.foreach { r =>
+      val i = r.getAs[Int]("li")
+      assert(r.getAs[String]("lv") == s"L$i")
+      assert(r.getAs[Int]("ri") == i * 2, s"row $i misaligned")
+      assert(r.getAs[String]("rv") == s"R$i")
+    }
+    // ragged lengths: full-outer keeps the longer side, nulls the shorter
+    val shortRight = spark.sparkContext.parallelize(0 until 10, 3)
+      .map(i => Tuple1(i * 3)).toDF("ri")
+    val ragged = graft.core.AsOfJoin.positional(left, shortRight).collect()
+    assert(ragged.length == n)
+    assert(ragged.count(r => !r.isNullAt(r.fieldIndex("ri"))) == 10)
+    // the physical plan must not funnel the data through one partition
+    val plan = graft.core.AsOfJoin.positional(left, right)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"plan serializes:\n$plan")
+  }
 }
