@@ -58,7 +58,12 @@ object AsOfJoin {
       val schema = org.apache.spark.sql.types.StructType(
         df.schema.fields :+ org.apache.spark.sql.types.StructField(
           "__rn", org.apache.spark.sql.types.LongType, nullable = false))
-      val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      // zipWithIndex runs two jobs (partition-size pass, then the zip); an
+      // eager localCheckpoint freezes partition contents so both passes see
+      // identical rows even when the upstream's intra-partition order is
+      // nondeterministic (e.g. post-shuffle). Blocks are freed on RDD GC.
+      val frozen = df.localCheckpoint(eager = true)
+      val rdd = frozen.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }
       df.sparkSession.createDataFrame(rdd, schema)

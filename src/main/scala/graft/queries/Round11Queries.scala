@@ -46,10 +46,7 @@ object Round11Queries {
   val q208Sql: String =
     s"""WITH RECURSIVE
        |${Bpe.dictCteSql},
-       |occ AS (
-       |  SELECT doc_id, w, COUNT(*) AS occ FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) > 0 GROUP BY doc_id, w),
+       |${Bpe.occCteSql},
        |per_doc AS (
        |  SELECT o.doc_id, SUM(o.occ * d.n_tok) AS bpe_tokens
        |  FROM occ o JOIN bpe_dict d USING (w) GROUP BY o.doc_id),
@@ -84,10 +81,7 @@ object Round11Queries {
   val q209Sql: String =
     s"""WITH RECURSIVE
        |${Bpe.dictCteSql},
-       |occ AS (
-       |  SELECT doc_id, w, COUNT(*) AS occ FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) > 0 GROUP BY doc_id, w),
+       |${Bpe.occCteSql},
        |per_doc AS (
        |  SELECT o.doc_id, SUM(o.occ * d.n_tok) AS bpe_tokens
        |  FROM occ o JOIN bpe_dict d USING (w) GROUP BY o.doc_id),

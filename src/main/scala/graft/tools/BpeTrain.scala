@@ -35,8 +35,7 @@ object BpeTrain {
     spark.sparkContext.setLogLevel("WARN")
 
     val freqRows = spark.read.parquet(s"$dir/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains("\u001F"))
+      .select(explode(graft.ext.Bpe.preTokens(col("text"))).as("w"))
       .groupBy("w").count()
       .limit(200001)
       .collect()
@@ -89,7 +88,7 @@ object BpeTrain {
     println("val Merges: Seq[(String, String)] = Seq(")
     println(merges.map { case (a, b) => s"""    ("$a", "$b")""" }.mkString(",\n"))
     println("  )")
-    val sample = words.toSeq.sortBy(_._1).take(12)
+    val sample = words.toSeq.sortBy(_._1).take(40)
     sample.foreach { case (w, s) => println(s"// $w -> ${s.mkString("|")}") }
     spark.stop()
   }
