@@ -106,6 +106,33 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("LangId: Column trigrams match the Scala twin, incl. short texts") {
+    import graft.ext.LangId
+    val texts = Seq("Hello world", "ab", "a", "", "  ", "早上好",
+      "Mixed 中文 and English!", "Straße élève mañana")
+    val got = texts.toDF("t").select(LangId.trigramsCol(col("t")).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == LangId.trigrams(t), s"trigram mismatch on '$t'")
+    }
+  }
+
+  test("LangId: distributed classify matches the Scala twin on the fixture") {
+    import graft.ext.LangId
+    val fixture = LangId.EvalFixture.toDF("id", "label", "text")
+    val preds = LangId.classify(fixture, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    LangId.EvalFixture.foreach { case (id, label, text) =>
+      val scala = LangId.classifyOne(text)
+      assert(preds(id) == scala, s"doc $id: engine ${preds(id)} vs scala $scala")
+      assert(preds(id) == label, s"doc $id ('$text') misclassified as ${preds(id)}")
+    }
+    // trigram-less text (normalized "" is 2 chars) → und on both paths
+    val und = LangId.classify(Seq((99L, "")).toDF("id", "text"), "id", col("text"))
+      .head().getString(1)
+    assert(und == "und" && LangId.classifyOne("") == "und")
+  }
+
   test("docTokenCounts equals brute-force on punctuated text, 0 for empty") {
     val docs = Seq(
       (1L, "don't stop the stream!"),
