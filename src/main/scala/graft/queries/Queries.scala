@@ -1086,6 +1086,10 @@ object Queries {
     val serenity = col("sumr") / (ulcer * (-col("ddcvar") / col("sd")))
     agg.select(col("asset"),
         r6(psr).as("psr"),
+        // the reference's annualize=True quirk multiplies the PROBABILITY
+        // itself by √252 (stats.py:296-297) — yielding a value > 1;
+        // reproduced verbatim
+        r6(psr * lit(math.sqrt(252.0))).as("psr_annualized"),
         r6(serenity).as("serenity"),
         r6(col("sortino") / lit(math.sqrt(2.0))).as("adjusted_sortino"),
         r6(col("sortino") / pen).as("smart_sortino"),
@@ -1137,6 +1141,7 @@ object Queries {
        |yy AS (SELECT *, ABS(y) AS ay FROM zed)
        |SELECT asset,
        |  ROUND(${Dist.normCdfSql("y", "ay")}, 6) AS psr,
+       |  ROUND((${Dist.normCdfSql("y", "ay")}) * SQRT(252.0), 6) AS psr_annualized,
        |  ROUND(sumr / (SQRT(dd2 / (nd - 1.0)) * (-ddcvar / sd)), 6) AS serenity,
        |  ROUND(sortino / $sqrt2, 6) AS adjusted_sortino,
        |  ROUND(sortino / penalty, 6) AS smart_sortino,

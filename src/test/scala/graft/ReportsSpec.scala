@@ -7,6 +7,9 @@ import graft.reports.Reports
 class ReportsSpec extends SparkSpec {
   import spark.implicits._
 
+  // Literal row-order goldens copied verbatim from the reference's
+  // LEGACY_BASIC_REPORT_METRICS / LEGACY_FULL_REPORT_METRICS
+  // (reference: tests/test_quantstats_parity.py:57-167)
   private val basicRows = Seq(
     "Start Period", "End Period", "Risk-Free Rate", "Time in Market",
     "Cumulative Return", "CAGR﹪", "Sharpe", "Prob. Sharpe Ratio", "Sortino",
