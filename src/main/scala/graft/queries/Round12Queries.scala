@@ -113,11 +113,91 @@ object Round12Queries {
        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
 
+  // ---- q212 bounded-memory quantile sketch vs exact --------------------------
+
+  /** The q156 fulfillment-latency shape with a BOUNDED-MEMORY quantile
+    * sketch next to the exact path: DDSketch (VLDB 2019;
+    * [[graft.functions.DDSketchAgg]] — merge-order-invariant, so
+    * deterministic under any partitioning) at α = 1% relative error.
+    *
+    * Gate design: latencies are integer days, so the exact DISCRETE
+    * quantiles (rank ⌊q(n−1)⌋+1 — the rank DDSketch targets) come from a
+    * value histogram + cumulative crossing, which DuckDB replays exactly
+    * (integer logic, no FP ambiguity). The sketch itself is NOT replayed
+    * (its geometric bucketing runs `log` on both engines' libm — a
+    * last-ulp flake risk); instead the gated columns are the CONTRACT:
+    * `ok_*` = engine-measured relative error of the sketch estimate vs
+    * the replayed discrete quantile within α, and `buckets_ok` = occupied
+    * buckets within the O(log range) bound. The oracle pins them TRUE —
+    * the row turns red the moment the sketch breaks its guarantee.
+    * Quantitative accuracy/determinism are additionally asserted in
+    * Round12Spec.
+    */
+  def q212LatencySketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = 0.01
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("long").as("lat"))
+    val hist = j.groupBy(col("o_orderpriority"), col("lat")).agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("lat")
+    val wall = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+    def discQ(q: Double) =
+      min(when(col("cum") >= floor(lit(q) * (col("n") - 1)) + 1, col("lat")))
+    val disc = cum.groupBy("o_orderpriority").agg(
+      min(col("n")).as("n_lines"),
+      discQ(0.5).as("p50_disc"), discQ(0.9).as("p90_disc"), discQ(0.99).as("p99_disc"))
+    val sk = udaf(new graft.functions.DDSketchAgg.Quantiles(alpha, Seq(0.5, 0.9, 0.99)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val sketched = j.groupBy("o_orderpriority")
+      .agg(sk(col("lat").cast("double")).as("dd"))
+    def ok(est: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+      when(disc === 0, est === 0.0)
+        .otherwise(abs(est / disc.cast("double") - 1.0) <= alpha)
+    disc.join(sketched, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_lines"),
+        col("p50_disc"), col("p90_disc"), col("p99_disc"),
+        ok(element_at(col("dd"), 1), col("p50_disc")).as("ok_p50"),
+        ok(element_at(col("dd"), 2), col("p90_disc")).as("ok_p90"),
+        ok(element_at(col("dd"), 3), col("p99_disc")).as("ok_p99"),
+        (element_at(col("dd"), 4) <= 512.0).as("buckets_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q212Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT o_orderpriority, lat, COUNT(*) AS c FROM j GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT o_orderpriority, lat,
+      |    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat) AS cum,
+      |    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM h),
+      |d AS (
+      |  SELECT o_orderpriority, CAST(MIN(n) AS BIGINT) AS n_lines,
+      |    CAST(MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1 THEN lat END) AS BIGINT) AS p50_disc,
+      |    CAST(MIN(CASE WHEN cum >= FLOOR(0.9 * (n - 1)) + 1 THEN lat END) AS BIGINT) AS p90_disc,
+      |    CAST(MIN(CASE WHEN cum >= FLOOR(0.99 * (n - 1)) + 1 THEN lat END) AS BIGINT) AS p99_disc
+      |  FROM cw GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_lines, p50_disc, p90_disc, p99_disc,
+      |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99, TRUE AS buckets_ok
+      |FROM d ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_langid_eval" -> (q210LangidEval _),
-    "q211_langid_corpus" -> (q211LangidCorpus _))
+    "q211_langid_corpus" -> (q211LangidCorpus _),
+    "q212_latency_sketch" -> (q212LatencySketch _))
 
   val oracles: Map[String, String] = Map(
     "q210_langid_eval" -> q210Sql,
-    "q211_langid_corpus" -> q211Sql)
+    "q211_langid_corpus" -> q211Sql,
+    "q212_latency_sketch" -> q212Sql)
 }

@@ -133,6 +133,60 @@ class Round12Spec extends SparkSpec {
     assert(und == "und" && LangId.classifyOne("") == "und")
   }
 
+  test("DDSketch: relative-α accuracy vs exact discrete quantiles, incl. negatives/zeros") {
+    import graft.functions.DDSketchAgg
+    val alpha = 0.01
+    val agg = new DDSketchAgg.Quantiles(alpha, Seq(0.1, 0.5, 0.9, 0.99))
+    // deterministic pseudo-random multiset spanning 5 orders of magnitude,
+    // with planted zeros and negatives
+    def h(i: Int): Double = {
+      val u = ((i * 2654435761L) & 0xFFFFFFFFL).toDouble / 4294967296.0
+      math.exp(u * 11.0 - 4.0) // ~e^-4 .. e^7
+    }
+    val values = (0 until 20000).map(h) ++ Seq.fill(500)(0.0) ++
+      (0 until 2000).map(i => -h(i + 7))
+    val buf = values.foldLeft(agg.zero)(agg.reduce)
+    val sorted = values.sorted
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      val est = agg.quantile(buf, q)
+      val exact = sorted(math.floor(q * (values.size - 1)).toInt) // rank ⌊q(n−1)⌋+1, 0-based
+      if (exact == 0.0) assert(est == 0.0)
+      else assert(math.abs(est / exact - 1.0) <= alpha + 1e-12,
+        s"q=$q est=$est exact=$exact relerr=${math.abs(est / exact - 1.0)}")
+    }
+  }
+
+  test("DDSketch: merge-order-invariant — identical estimates under any partitioning") {
+    import graft.functions.DDSketchAgg
+    import org.apache.spark.sql.Encoders
+    val agg = new DDSketchAgg.Quantiles(0.01, Seq(0.5, 0.95))
+    val sk = udaf(agg, Encoders.scalaDouble)
+    val vals = (1 to 30000).map(i => ((i * 40503) % 9973 + 1).toDouble)
+    def run(parts: Int): Seq[Double] =
+      vals.toDF("v").repartition(parts).agg(sk(col("v"))).head().getSeq[Double](0).toSeq
+    val p1 = run(1)
+    assert(p1 == run(7) && p1 == run(32), "estimates changed with partitioning")
+    // and the distributed result equals the scalar fold
+    val scalarBuf = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(p1 == agg.finish(scalarBuf))
+  }
+
+  test("DDSketch: maxBuckets collapse bounds memory, degrades only the low end") {
+    import graft.functions.DDSketchAgg
+    val agg = new DDSketchAgg.Quantiles(0.01, Seq(0.05, 0.95), maxBuckets = 64)
+    val values = (0 until 5000).map(i => math.exp((i % 1000) / 40.0)) // e^0..e^25
+    val buf = values.foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(buf)
+    assert(out.last <= 64.0, s"bucket bound broken: ${out.last}")
+    val sorted = values.sorted
+    val exact95 = sorted(math.floor(0.95 * (values.size - 1)).toInt)
+    // high quantiles keep the α guarantee; low ones land in the collapsed
+    // bucket and only satisfy est >= exact (collapse merges upward)
+    assert(math.abs(out(1) / exact95 - 1.0) <= 0.01 + 1e-12)
+    val exact05 = sorted(math.floor(0.05 * (values.size - 1)).toInt)
+    assert(out(0) >= exact05 * 0.99)
+  }
+
   test("docTokenCounts equals brute-force on punctuated text, 0 for empty") {
     val docs = Seq(
       (1L, "don't stop the stream!"),
