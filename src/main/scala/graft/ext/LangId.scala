@@ -232,6 +232,35 @@ object LangId {
       when(col(s"__s_${Langs.head}").isNull, lit("und")).otherwise(pred).as("lang_pred"))
   }
 
+  /** ROW-LOCAL classification — the profile embedded as a literal map and
+    * the score sum folded over the trigram array with `aggregate`. Zero
+    * shuffle and no per-doc grouping, so it drops into Structured
+    * Streaming unchanged ([[graft.streaming.StreamOps.streamingLangId]])
+    * and is the per-row variant of [[classify]] for pipelines that carry
+    * the prediction as just another column. Same argmax/tie/`und`
+    * semantics (asserted equal in Round12Spec).
+    */
+  def predictCol(text: Column): Column = {
+    val lpMap = typedLit(profileRows.toMap)
+    val defaults = Langs.map(defaultLogProb)
+    graft.core.Exprs.bindOnce(trigramsCol(text), gs =>
+      when(size(gs) === 0, lit("und")).otherwise(
+        graft.core.Exprs.bindOnce(
+          aggregate(gs,
+            struct(Langs.map(l => lit(0L).as(l)): _*),
+            (acc, g) => graft.core.Exprs.bindOnce(element_at(lpMap, g), lp =>
+              struct(Langs.zipWithIndex.map { case (l, i) =>
+                (acc.getField(l) +
+                  coalesce(element_at(lp, i + 1), lit(defaults(i)))).as(l)
+              }: _*))),
+          sc => {
+            val best = Langs.map(l => sc.getField(l)).reduce(greatest(_, _))
+            Langs.foldRight(lit("und")) { case (l, acc) =>
+              when(sc.getField(l) === best, lit(l)).otherwise(acc)
+            }
+          })))
+  }
+
   // ---- oracle fragments ---------------------------------------------------
 
   private def esc(s: String) = s.replace("'", "''")

@@ -193,6 +193,20 @@ object StreamOps {
         col(sourceCol).as("source"))
       .groupBy("shard", "source").agg(count(lit(1)).as("o"))
 
+  /** Streaming language identification — the continuous-ingestion twin of
+    * the q210/q211 batch classifier: every arriving document gets the
+    * char-trigram Naive-Bayes prediction ([[graft.ext.LangId.predictCol]])
+    * computed ROW-LOCALLY — the few-hundred-row profile rides the plan as
+    * a literal map and the score sum folds over the trigram array, so the
+    * operator is completely stateless (no watermark, no store, no
+    * shuffle). Identical argmax semantics to the batch explode+join path;
+    * StreamingSpec pins row-for-row parity.
+    */
+  def streamingLangId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.ext.LangId.predictCol(col(textCol)).as("lang_pred"))
+
   /** Streaming semantic decontamination — the continuous-ingestion guard of
     * the q142 batch audit: each arriving embedding's max cosine against the
     * benchmark set, computed ROW-LOCALLY against plan-literal normalized

@@ -131,6 +131,15 @@ class Round12Spec extends SparkSpec {
     val und = LangId.classify(Seq((99L, "")).toDF("id", "text"), "id", col("text"))
       .head().getString(1)
     assert(und == "und" && LangId.classifyOne("") == "und")
+    // the row-local literal-map variant agrees with the grouped join path
+    val rowLocal = fixture.select(col("id"), LangId.predictCol(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    LangId.EvalFixture.foreach { case (id, _, text) =>
+      assert(rowLocal(id) == LangId.classifyOne(text),
+        s"predictCol($id) = ${rowLocal(id)}")
+    }
+    assert(fixture.sparkSession.range(1).select(
+      LangId.predictCol(lit("")).as("p")).head().getString(0) == "und")
   }
 
   test("DDSketch: relative-α accuracy vs exact discrete quantiles, incl. negatives/zeros") {

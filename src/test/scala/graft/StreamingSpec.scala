@@ -289,6 +289,22 @@ class StreamingSpec extends SparkSpec {
       s"only-stream ${streamPairs -- batchPairs}, only-batch ${batchPairs -- streamPairs}")
   }
 
+  test("streaming language ID ≡ batch classify on the documents fixture") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = graft.ext.LangId.classify(docsDf, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = docsDf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](13, spark, None)
+    input.addData(rows)
+    val out = runToMemory(
+      StreamOps.streamingLangId(input.toDF().toDF("doc_id", "text")), "langid_parity") {}
+    val streamed = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch,
+      s"diff: ${streamed.toSet.diff(batch.toSet).take(5)} / ${batch.toSet.diff(streamed.toSet).take(5)}")
+  }
+
   test("row-local simhashCol equals the batch explode+groupBy simhash") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
