@@ -60,9 +60,16 @@ object PipelineScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
-    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n, cores)
+    spark.stop()
+  }
 
+  /** The whole staged pipeline with every invariant asserted — callable
+    * from tests (Round12Spec runs it at 50k docs inside the shared test
+    * session, so the composition invariants gate every `sbt test`, not
+    * just the manual 10M probe run). */
+  def run(spark: SparkSession, n: Long, cores: Int): Unit = {
     val vocab = 50000L
     val tokensPerDoc = 80
     val nBench = 1000L
@@ -123,12 +130,13 @@ object PipelineScaleProbe {
 
     // ---- per-stage shuffle instrumentation -------------------------------
     val shuffleRows = new AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) shuffleRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     def drained(): Long = {
       org.apache.spark.graft.ListenerDrain.waitUntilEmpty(spark.sparkContext)
       shuffleRows.get()
@@ -225,6 +233,7 @@ object PipelineScaleProbe {
       s"survivors=${surv1}/${surv2}/${surv3}/$surv4 " +
       s"shuffled=${stages.map(s => s"${s.name}:${s.shuffled}").mkString(",")}")
     println("ALL PIPELINE INVARIANTS PASS")
-    spark.stop()
+    // detach: run() may execute inside a shared (test) session
+    spark.sparkContext.removeSparkListener(listener)
   }
 }

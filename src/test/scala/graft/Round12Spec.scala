@@ -196,6 +196,13 @@ class Round12Spec extends SparkSpec {
     assert(out(0) >= exact05 * 0.99)
   }
 
+  test("composed curation pipeline invariants hold at 50k docs (CI-scale probe)") {
+    // The 10M run is the BASELINE.md artifact; this keeps the same staged
+    // invariants (exact planted survivor counts, per-stage shuffle bounds,
+    // budget fill) gating every `sbt test`. run() asserts internally.
+    graft.tools.PipelineScaleProbe.run(spark, 50000L, cores = 4)
+  }
+
   test("docTokenCounts equals brute-force on punctuated text, 0 for empty") {
     val docs = Seq(
       (1L, "don't stop the stream!"),
