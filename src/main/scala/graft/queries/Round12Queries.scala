@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.LangId
+import graft.ext.{LangId, TextStats}
 import graft.queries.ExtQueries.docs
 
 /** Round-12 queries: model-grade language identification (q210/q211) — the
@@ -82,20 +82,22 @@ object Round12Queries {
 
   // ---- q211 corpus-wide classification distribution -------------------------
 
-  /** The identical distributed classifier over the real `documents` table:
-    * (labeled lang, predicted lang, count). On the synthetic corpus every
-    * text is the same English-ish vocabulary, so the interesting content is
-    * the gate itself — engine and oracle must agree on every integer score
-    * over ~1M trigram rows — plus the explode → broadcast-join → one keyed
-    * aggregation shape that carries to 100 TB.
+  /** The classifier over the real `documents` table: (labeled lang,
+    * predicted lang, count). The engine runs the ROW-LOCAL formulation
+    * ([[LangId.predictCol]]: profile as a plan-literal map, score sum
+    * folded over the trigram array — zero shuffle beyond the final count,
+    * the right 100-TB shape for a few-hundred-row profile) while the
+    * oracle recomputes every prediction through the EXPLODE + JOIN
+    * formulation — two independent derivations of the same integer
+    * argmax agreeing on ~1M trigram rows, a stronger gate than replaying
+    * one shape twice. The join formulation itself is gated by q210 and
+    * pinned equal to predictCol in Round12Spec.
     */
-  def q211LangidCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    LangId.classify(d, "doc_id", col("text"))
-      .join(d.select("doc_id", "lang"), "doc_id")
+  def q211LangidCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), LangId.predictCol(col("text")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_pred")
-  }
 
   val q211Sql: String =
     s"""WITH profile(gram, lp_en, lp_de, lp_fr, lp_es, lp_zh) AS (VALUES
@@ -191,13 +193,70 @@ object Round12Queries {
       |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99, TRUE AS buckets_ok
       |FROM d ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q213 context-window packing ------------------------------------------
+
+  /** GPT-style pretraining sequence packing: documents are concatenated in
+    * deterministic (doc_id) order into one token stream and cut into
+    * fixed-capacity context windows (C = 2048) — the concat-then-chunk
+    * policy standard pretraining pipelines use (zero padding waste; a doc
+    * may straddle a window boundary, which the panel accounts per chunk).
+    * Each doc occupies the global token interval [offset, offset+len);
+    * its chunk span is floor(offset/C) .. floor((offset+len−1)/C).
+    *
+    * The global offset is the distributed exclusive prefix sum
+    * ([[Curation.withGlobalOffset]]: range partition + per-partition sums
+    * + partition-local window — never a single-partition window), so the
+    * op scales to any corpus; the oracle replays offsets with a plain SQL
+    * running sum. Output per chunk: docs touching it, docs starting in
+    * it, docs straddling its left boundary — exact integers.
+    */
+  def q213ContextPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val cap = 2048L
+    val toks = docs(spark, sfDir).select(col("doc_id"),
+      TextStats.tokenCountSimple(col("text")).cast("long").as("tokens"))
+    val off = graft.ext.Curation.withGlobalOffset(toks, "doc_id", "tokens")
+    val spans = off.select(col("doc_id"), col("tokens"),
+      floor(col("offset") / cap).cast("long").as("c1"),
+      floor((col("offset") + col("tokens") - 1) / cap).cast("long").as("c2"))
+    spans.select(col("c1"), col("c2"),
+        explode(sequence(col("c1"), col("c2"))).as("chunk_id"))
+      .groupBy("chunk_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("c1") === col("chunk_id")).cast("long")).as("n_starting"),
+        sum((col("c1") < col("chunk_id")).cast("long")).as("n_carried_in"))
+      .orderBy("chunk_id")
+  }
+
+  val q213Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, tokens,
+      |    COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, tokens,
+      |    CAST(FLOOR(off / 2048.0) AS BIGINT) AS c1,
+      |    CAST(FLOOR((off + tokens - 1) / 2048.0) AS BIGINT) AS c2
+      |  FROM o),
+      |ch AS (SELECT unnest(range(c1, c2 + 1)) AS chunk_id, c1, c2 FROM s)
+      |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN c1 = chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+      |  CAST(SUM(CASE WHEN c1 < chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in
+      |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_langid_eval" -> (q210LangidEval _),
     "q211_langid_corpus" -> (q211LangidCorpus _),
-    "q212_latency_sketch" -> (q212LatencySketch _))
+    "q212_latency_sketch" -> (q212LatencySketch _),
+    "q213_context_packing" -> (q213ContextPacking _))
 
   val oracles: Map[String, String] = Map(
     "q210_langid_eval" -> q210Sql,
     "q211_langid_corpus" -> q211Sql,
-    "q212_latency_sketch" -> q212Sql)
+    "q212_latency_sketch" -> q212Sql,
+    "q213_context_packing" -> q213Sql)
 }

@@ -26,6 +26,28 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"), col("total_value"))
 
+  /** Tumbling-window quantile estimates per event type from the DDSketch
+    * aggregator ([[graft.functions.DDSketchAgg]]) — bounded state per
+    * (type, window): O(log value-range) occupied buckets, never the value
+    * multiset an exact percentile would buffer. Because DDSketch is
+    * MERGE-ORDER-INVARIANT, the streaming state-store merges produce BIT-
+    * IDENTICAL estimates to a batch aggregation over the same rows
+    * (StreamingSpec pins exact equality) — a parity t-digest/GK could not
+    * promise even in principle.
+    */
+  def streamingQuantileSketch(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes", alpha: Double = 0.01,
+      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val sk = udaf(new graft.functions.DDSketchAgg.Quantiles(alpha, qs),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sk(col("value")).as("dd"))
+      .select((Seq(col("window.start").as("window_start"), col("event_type"),
+        col("n")) ++ qs.indices.map(i =>
+          element_at(col("dd"), i + 1).as(s"est_q$i"))): _*)
+  }
+
   /** Daily OHLC bars per event type — the streaming twin of the batch q106
     * resample. `min_by`/`max_by` are declarative aggregates with a merge
     * expression, so the stream keeps ONE `(value, ts)` witness pair per

@@ -171,6 +171,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming DDSketch windows ≡ batch sketch BIT-exactly on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    // batch twin: identical grouping + the same aggregator
+    val sk = udaf(new graft.functions.DDSketchAgg.Quantiles(0.01, Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val batch = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sk(col("value")).as("dd"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getSeq[Double](3).toSeq)).toMap
+
+    val rows = ev.as[EventRow].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    val input = MemoryStream[EventRow](14, spark, None)
+    input.addData(rows)
+    input.addData(EventRow(-1L, new Timestamp(maxTs + 86400000L), -1L, "sentinel", 0.0))
+    val out = runToMemory(
+      StreamOps.streamingQuantileSketch(input.toDF(), window = "1 hour",
+        watermark = "1 minute"), "ddsketch_parity") {}
+    val stream = out.filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), Seq(r.getDouble(3), r.getDouble(4)))).toMap
+
+    assert(stream.keySet == batch.keySet)
+    // merge-order invariance ⇒ streaming state merges give BIT-identical
+    // estimates to the batch aggregation — exact ==, no tolerance
+    stream.foreach { case (k, (n, ests)) =>
+      assert(n == batch(k)._1, s"$k n")
+      assert(ests == batch(k)._2.take(2), s"$k estimates: $ests vs ${batch(k)._2}")
+    }
+  }
+
   test("streaming OHLC bars ≡ batch daily OHLC on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
