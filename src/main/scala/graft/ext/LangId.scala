@@ -138,9 +138,11 @@ object LangId {
 
   // ---- normalization + trigrams (Scala twin and Column/SQL forms) ---------
 
-  /** `lower`, collapse whitespace runs to `_`, pad both ends with `_`. */
+  /** `lower`, collapse whitespace runs to `_`, pad both ends with `_`.
+    * Locale.ROOT: Spark's `lower` and DuckDB's are locale-independent;
+    * the Scala twin must not pick up a host locale (Turkish-I etc.). */
   def normalize(s: String): String =
-    "_" + s.toLowerCase.replaceAll("\\s+", "_") + "_"
+    "_" + s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "_") + "_"
 
   def normalizeCol(text: Column): Column =
     concat(lit("_"), regexp_replace(lower(text), "\\s+", "_"), lit("_"))
@@ -239,6 +241,12 @@ object LangId {
     * and is the per-row variant of [[classify]] for pipelines that carry
     * the prediction as just another column. Same argmax/tie/`und`
     * semantics (asserted equal in Round12Spec).
+    *
+    * PERF: `element_at` on a literal map is a LINEAR scan of all entries
+    * (ArrayBasedMapData has no hash index), so each gram lookup costs
+    * O(|vocabulary|) — measured 3.6× slower than [[classify]]'s broadcast
+    * hash join on a full corpus scan. Right for streaming/per-event rates
+    * and row-carrying pipelines; use [[classify]] for bulk scoring.
     */
   def predictCol(text: Column): Column = {
     val lpMap = typedLit(profileRows.toMap)

