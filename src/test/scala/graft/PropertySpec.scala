@@ -180,4 +180,44 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("allocation") - r.getAs[Double]("supply")) < 1e-9)
     }
   }
+
+  test("BPE replace-chain encoding == exact symbol merge scan on random words") {
+    // Property form of the Round12Spec equivalence (the round-8 prefix-only
+    // encoding failed exactly here): for ARBITRARY words over the merge
+    // alphabet, applying Bpe.Merges via the separator-wrapped string
+    // replaces must equal the trainer's exact symbol-vector scan.
+    import graft.ext.Bpe
+    def mergeScan(w: String): Seq[String] = {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      Bpe.Merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    // bias toward the letters that appear in merge pairs so collisions and
+    // adjacent-pair runs are common, plus a few outside letters
+    val alphabet = "aabcdeefghijklmnoopqrsstuvwy.z"
+    val wordGen = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet.toSeq)).map(_.mkString))
+    val words = (1 to 400).map(i =>
+      wordGen.pureApply(Gen.Parameters.default, Seed(1337L + i)))
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w) == mergeScan(w),
+        s"'$w': replace ${Bpe.encodeWord(w).mkString("|")} vs scan ${mergeScan(w).mkString("|")}")
+    }
+    // and the Column path agrees with the Scala twin on a sample
+    val sample = words.distinct.take(60)
+    val got = sample.toDF("w")
+      .select(org.apache.spark.sql.functions.col("w"),
+        Bpe.tokenCountCol(org.apache.spark.sql.functions.col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sample.foreach(w => assert(got(w) == Bpe.tokenCount(w).toLong, s"column path on '$w'"))
+  }
 }
