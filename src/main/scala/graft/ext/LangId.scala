@@ -209,21 +209,29 @@ object LangId {
 
   // ---- distributed classification ----------------------------------------
 
-  /** (idCol…, lang_pred) — explode trigrams, broadcast-join the profile,
+  /** (idCol…, lang_pred) — explode trigrams, pre-aggregate per-(doc, gram)
+    * OCCURRENCE counts (score = Σ count·lp is identical to the
+    * per-occurrence sum, but the profile join then probes each distinct
+    * gram once per doc instead of once per occurrence — ~10× fewer probes
+    * on natural text, where the trigram stream is far longer than its
+    * per-doc support; the count aggregation itself is mostly map-side
+    * since a doc's grams are co-located), broadcast-join the profile,
     * integer score sum per language, argmax (first of [[Langs]] on ties),
     * `und` when the text has no trigrams.
     */
   def classify(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
-    val grams = df.select(col(idCol), explode_outer(trigramsCol(textCol)).as("__g"))
-    // null gram (explode_outer of an empty array) contributes null, so a
-    // trigram-less doc's sum is NULL → und. Unseen grams take the smoothed
-    // default.
+    val occ = df.select(col(idCol), explode_outer(trigramsCol(textCol)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(col("__g")).as("__c")) // count(col) = non-null: 0 marks the
+                                        // explode_outer row of an empty array
+    // null gram contributes null, so a trigram-less doc's sum is NULL →
+    // und. Unseen grams take the smoothed default.
     val scoreAggs = Langs.map { l =>
       sum(when(col("__g").isNotNull,
-        coalesce(col(s"lp_$l"), lit(defaultLogProb(l))))).as(s"__s_$l")
+        coalesce(col(s"lp_$l"), lit(defaultLogProb(l))) * col("__c"))).as(s"__s_$l")
     }
-    val scored = grams.join(broadcast(profileDf(df.sparkSession)),
-        grams("__g") === col("gram"), "left")
+    val scored = occ.join(broadcast(profileDf(df.sparkSession)),
+        occ("__g") === col("gram"), "left")
       .groupBy(col(idCol))
       .agg(scoreAggs.head, scoreAggs.tail: _*)
     val best = Langs.map(l => col(s"__s_$l")).reduce(greatest(_, _))
