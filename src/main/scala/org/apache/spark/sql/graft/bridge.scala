@@ -11,6 +11,15 @@ object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully CONVERT a DSL-built Column into a catalyst Expression tree.
+    * `expr` returns a lazy ColumnNodeExpression wrapper, which analyzes
+    * fine at Dataset boundaries but survives unresolved when returned from
+    * a function-registry builder (→ "Cannot generate code for
+    * columnnodeexpression"); this runs the classic converter so registry
+    * functions can be authored with the public functions DSL. */
+  def convertedExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Codegen'd Bloom probe over a serialized
     * `org.apache.spark.util.sketch.BloomFilter` image: the builtin
     * `BloomFilterMightContain` expression (what Spark's own runtime-filter

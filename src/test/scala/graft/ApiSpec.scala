@@ -23,6 +23,20 @@ class ApiSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("graft_langid and graft_bpe_word_tokens registered for SQL") {
+    Graft.register(spark)
+    val lang = spark.sql(
+      "SELECT graft_langid('Der Zug in die Stadt faehrt am Morgen ab und der Himmel ist grau.')")
+      .head().getString(0)
+    assert(lang == "de", s"got $lang")
+    assert(spark.sql("SELECT graft_langid('')").head().getString(0) == "und")
+    val toks = spark.sql(
+      "SELECT w, graft_bpe_word_tokens(w) FROM VALUES ('customer'), ('fast'), ('sparkling') t(w)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks == Map("customer" -> 1L, "fast" -> 3L,
+      "sparkling" -> graft.ext.Bpe.tokenCount("sparkling").toLong))
+  }
+
   test("benchmark validation errors") {
     val noNumeric = Seq(("2023-01-01", "a")).toDF("name", "label")
     intercept[NoReturnColumnError](ReturnsFrame.prepareBenchmark(noNumeric))
