@@ -32,8 +32,17 @@ object AsOfJoin {
       (partitionKeys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
         passThrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
+    // Tie order matters twice: side 0 < 1 puts the right row before the
+    // left at equal timestamps (backward as-of includes exact matches),
+    // and DUPLICATE right timestamps need a total order — without the
+    // value-column suffix the winning duplicate would be whichever row the
+    // shuffle happened to place last (nondeterministic across runs). The
+    // reference's polars join_asof presumes sorted unique keys; for
+    // duplicated keys this engine deterministically keeps the row with the
+    // greatest value tuple (documented contract, stable under any
+    // partitioning).
     val w = Window.partitionBy(partitionKeys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +: valueCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged).select(
       (partitionKeys.map(col) :+ col("__ts") :+ col("__side")) ++

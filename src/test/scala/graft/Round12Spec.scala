@@ -196,6 +196,20 @@ class Round12Spec extends SparkSpec {
     assert(out(0) >= exact05 * 0.99)
   }
 
+  test("as-of join with DUPLICATE right timestamps is deterministic (greatest value wins)") {
+    import graft.core.AsOfJoin
+    // three right rows share ts=5; without a total tie order the winner
+    // would be whichever row the shuffle placed last
+    val left = Seq((10L, "a"), (5L, "b"), (7L, "c")).toDF("ts", "tag")
+    val right = Seq((5L, 1.0), (5L, 9.0), (5L, 4.0), (6L, 2.0)).toDF("ts", "v")
+    def run(parts: Int): Map[String, Double] =
+      AsOfJoin.backward(left.repartition(parts), right.repartition(parts),
+          "ts", "ts", Seq("v"))
+        .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val expected = Map("b" -> 9.0, "c" -> 2.0, "a" -> 2.0)
+    (1 to 8).foreach(p => assert(run(p) == expected, s"parts=$p: ${run(p)}"))
+  }
+
   test("composed curation pipeline invariants hold at 50k docs (CI-scale probe)") {
     // The 10M run is the BASELINE.md artifact; this keeps the same staged
     // invariants (exact planted survivor counts, per-stage shuffle bounds,
