@@ -36,6 +36,33 @@ object Splits {
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), weights))
 
+  /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement,
+    * algorithm A-ES: each row gets key eᵢ = −ln(uᵢ)/wᵢ (an Exponential(wᵢ)
+    * race — equivalent to ranking uᵢ^(1/wᵢ) descending) and the k smallest
+    * keys are the sample; inclusion probability is proportional to weight
+    * in the without-replacement sense. uᵢ is md5-derived ("wsample:"-
+    * prefixed so it is independent of split/shard hashes), so the sample
+    * is a pure row-local function of (id, weight): reproducible across
+    * runs, engines, and partitionings, and the top-k is a
+    * TakeOrderedAndProject — no global sort materialization, no RNG state,
+    * no shuffle beyond k rows per partition. Keys are rounded to 6 dp with
+    * id tie-break BEFORE ranking so an external engine's last-ulp `ln`
+    * difference cannot reorder the boundary.
+    */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val h = Dedup.portableTokenHash(concat(lit("wsample:"), id.cast("string")))
+    // h uniform on [0, 16^15) = [0, 2^60); +0.5 keeps u strictly inside (0,1)
+    val u = (h.cast("double") + 0.5) / lit(1.152921504606846976e18)
+    round(-log(u) / weight, 6)
+  }
+
+  /** The k-row weighted sample (no replacement), smallest race keys first. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("__key", weightedSampleKey(col(idCol), col(weightCol)))
+      .orderBy(col("__key"), col(idCol))
+      .limit(k)
+
   /** Deterministic output-shard assignment in [0, shards) — an md5
     * derivation INDEPENDENT of [[bucket]]'s split hash (the key is
     * prefixed), so shard and split membership don't correlate.
