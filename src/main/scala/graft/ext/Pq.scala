@@ -169,38 +169,56 @@ object Pq {
     array((0 until cb.m).map(assignRounded(v, _, cb)): _*)
   }
 
-  /** ADC distance of a literal query vector to a codes column: the query's
-    * k·m LUT is computed HERE, once, driver-side (deterministic fold order
-    * matching [[subD2Unrolled]]); the scan is m lookups + adds per row. */
-  def adcDist(codes: Column, query: Array[Double], cb: Codebook): Column = {
-    val lut: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
+  /** The k·m subspace-distance LUT of one query — each entry the same
+    * left-to-right addition chain as [[subD2Unrolled]], so ADC totals are
+    * engine-replayable. Layout: lut(s)(code). */
+  def queryLut(query: Array[Double], cb: Codebook): Array[Array[Double]] =
+    Array.tabulate(cb.m) { s =>
       val qs = query.slice(s * cb.subDim, (s + 1) * cb.subDim)
       Array.tabulate(cb.k) { c =>
-        // same left-to-right chain as subD2Unrolled
         cb.centroids(s)(c).zip(qs).map { case (cv, qv) =>
           val t = qv - cv; t * t
         }.reduceLeft(_ + _)
       }
     }
-    (0 until cb.m).map { s =>
-      element_at(typedLit(lut(s).toSeq), element_at(codes, s + 1) + 1)
-    }.reduce(_ + _)
-  }
+
+  /** ADC distance of a literal query vector to a codes column: the query's
+    * LUT is computed once driver-side; the scan is m lookups + adds. */
+  def adcDist(codes: Column, query: Array[Double], cb: Codebook): Column =
+    graft.functions.VectorExprs.pqAdcBatch(codes, Array(queryLut(query, cb)))
+      .getItem(0)
 
   /** LUT-scan approximate top-k over a pre-encoded corpus: `codes` frame
-    * has (idCol, codesCol); queries are bounded and driver-resident (their
-    * LUTs are literals — the scan touches ONLY code columns). Ranking on
+    * has (idCol, codesCol); queries are bounded and driver-resident. Their
+    * LUTs ride into ONE fused batch expression
+    * ([[graft.functions.PqAdcBatch]]) — a single pass over the code
+    * column computes every query's ADC in a tight Q·m loop, so |queries|
+    * never multiplies the number of corpus scans and the scan reads
+    * 8-16 bytes per vector instead of the raw floats. Ranking on
     * `round(adc, 4)` with id tie-break. */
   def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
       queries: Seq[(Long, Array[Double])], cb: Codebook, k: Int = 10): DataFrame = {
-    val perQuery = queries.map { case (qid, qv) =>
-      codes.select(lit(qid).as("query_id"), col(idCol).as("neighbor_id"),
-        round(adcDist(col(codesCol), qv, cb), 4).as("adc"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-    }.reduce(_ unionAll _)
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    perQuery.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .drop("rank").orderBy(col("query_id"), col("adc"), col("neighbor_id"))
+    val luts = queries.map { case (_, qv) => queryLut(qv, cb) }.toArray
+    val qids = queries.map(_._1)
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(graft.functions.VectorExprs.pqAdcBatch(col(codesCol), luts))
+          .as(Seq("qi", "adc0")))
+      .select(element_at(typedLit(qids), col("qi") + 1).as("query_id"),
+        col("neighbor_id"), round(col("adc0"), 4).as("adc"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    // per-query top-k via the bounded TopKAgg, NOT a window: a window
+    // shuffles all n·|queries| scored rows to the per-query reducers; the
+    // truncated-merge aggregate ships ≤ k·|queries|·partitions entries.
+    // Order (-adc desc, id asc) ≡ (adc asc, id asc) — the same total order
+    // a window would use, so results are identical.
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(-col("adc"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (-col("__e.score")).as("adc"))
+      .orderBy(col("query_id"), col("adc"), col("neighbor_id"))
   }
 
   /** In-memory reference of the gate-path algebra (tests): codes and ADC

@@ -204,6 +204,69 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Batched asymmetric-distance computation for product quantization: given
+  * a row's PQ codes (`array<int>`, length m) and Q precomputed query LUTs
+  * (`luts(q)(s)(code)` = subspace distance), returns the Q ADC totals as
+  * `array<double>` — one tight loop, ~Q·m adds per row, no per-query plan
+  * branches. The LUT tensor is a codegen reference object, so the multi-
+  * query ANN scan stays a SINGLE pass over the (8-byte-per-vector) codes.
+  */
+case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_batch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> codes, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val lut = luts(q)
+      var s = 0.0
+      var m = 0
+      val nm = math.min(codes.numElements(), lut.length)
+      while (m < nm) { s += lut(m)(codes.getInt(m)); m += 1 }
+      out(q) = s
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val l = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val nm = ctx.freshName("nm")
+      val lut = ctx.freshName("lut")
+      s"""
+         |double[] $out = new double[$l.length];
+         |for (int $q = 0; $q < $l.length; $q++) {
+         |  double[][] $lut = $l[$q];
+         |  double $s = 0.0;
+         |  int $nm = java.lang.Math.min($a.numElements(), $lut.length);
+         |  for (int $m = 0; $m < $nm; $m++) {
+         |    $s += $lut[$m][$a.getInt($m)];
+         |  }
+         |  $out[$q] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcBatch =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expr(a), Bridge.expr(b)))
@@ -211,4 +274,6 @@ object VectorExprs {
     Bridge.column(VectorNorm2(Bridge.expr(a)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expr(v), centroids))
+  def pqAdcBatch(codes: Column, luts: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcBatch(Bridge.expr(codes), luts))
 }

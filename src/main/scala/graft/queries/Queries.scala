@@ -1097,6 +1097,18 @@ object Queries {
       .orderBy("asset")
   }
 
+  /** SQL twin of [[Exprs.fdiv]]'s IEEE division (DuckDB's native double
+    * division yields NaN for ANY x/0, where IEEE — and the engine — gives
+    * signed infinity for x≠0). Guards the small-n degenerate moments so a
+    * tiny asset diverges identically in both engines instead of
+    * NaN-vs-Inf (round-8 advice). */
+  private def fdivSql(a: String, b: String): String =
+    s"""CASE WHEN ($b) = 0 THEN
+       |      CASE WHEN ($a) = 0 THEN CAST('nan' AS DOUBLE)
+       |           WHEN ($a) > 0 THEN CAST('infinity' AS DOUBLE)
+       |           WHEN ($a) < 0 THEN CAST('-infinity' AS DOUBLE) END
+       |      ELSE ($a) / ($b) END""".stripMargin
+
   val q207Sql: String = {
     val sqrt2 = math.sqrt(2.0).toString
     s"""$RetCte,
@@ -1122,8 +1134,8 @@ object Queries {
        |  FROM dd JOIN s USING (asset) GROUP BY dd.asset),
        |mo AS (
        |  SELECT s.*, cv.ddcvar,
-       |    SQRT(nd * (nd - 1)) / (nd - 2) * ((p3 - 3 * m * p2 + 2 * m * m * m) / POWER(p2 - m * m, 1.5)) AS sk,
-       |    (nd - 1) / ((nd - 2) * (nd - 3)) * ((nd + 1) * ((p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m) / ((p2 - m * m) * (p2 - m * m)) - 3) + 6) AS ku,
+       |    ${fdivSql("SQRT(nd * (nd - 1))", "nd - 2")} * ((p3 - 3 * m * p2 + 2 * m * m * m) / POWER(p2 - m * m, 1.5)) AS sk,
+       |    ${fdivSql("nd - 1", "(nd - 2) * (nd - 3)")} * ((nd + 1) * ((p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m) / ((p2 - m * m) * (p2 - m * m)) - 3) + 6) AS ku,
        |    SQRT(1.0 + 2.0 * (CASE
        |      WHEN ABS(rho) = 0 THEN 0.0
        |      WHEN ABS(1.0 - ABS(rho)) < 1e-12
