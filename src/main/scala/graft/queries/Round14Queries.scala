@@ -1,0 +1,422 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Incremental, Layout, Similarity}
+
+/** Round-14 queries: the warehouse-operations layer — Z-order data layout
+  * with a zone-map pruning audit (q218), join-size estimation from
+  * coordinated key-hash sketches (q219), incremental aggregate
+  * maintenance over a CDC delta (q220), and hard-negative mining over the
+  * embedding corpus (q221).
+  */
+object Round14Queries {
+
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- q218 Z-order layout + zone-map pruning audit ---------------------------
+
+  private val ZFiles = 64
+  private val ZBits = 12
+  private val ZLevels = 1 << ZBits // 4096
+  private val ZPack = 1L << 20 // unique row id (o_orderkey) packed in low bits
+
+  /** Zone-map pruning audit across three physical layouts of `orders`:
+    * natural (orderkey) order, date-sorted, and Morton/Z-ordered on
+    * (custkey, orderdate). Rows are assigned to 64 equal files per
+    * layout ([[Layout.fileAssign]] — the distributed prefix-sum rank, no
+    * single-partition window), per-file min/max zone maps are one keyed
+    * aggregation, and a fixed 24-predicate workload (4 custkey quarters,
+    * 4 date quarters, 16 cust×date cells) is evaluated against the maps:
+    * a file is scanned iff its [min,max] box intersects the predicate.
+    * The output is the design lesson made measurable: the date-sorted
+    * layout prunes date ranges perfectly and custkey ranges not at all,
+    * natural order prunes (almost) nothing, and the Z-layout bounds BOTH
+    * dimensions in every file, so the mixed workload scans a fraction of
+    * the files under Z. All arithmetic is exact integers (quantization
+    * by integer division, bit interleaving, rank·F div n file ids), so
+    * DuckDB replays layouts, maps, and every pruning decision
+    * bit-for-bit. At 100 TB this audit is how you CHOOSE a layout before
+    * rewriting a table: it costs one rank + one aggregation per
+    * candidate layout, while the scan savings it predicts apply to every
+    * future query.
+    */
+  def q218ZorderPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val o0 = tbl(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("c"),
+      datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long").as("d"))
+    val Array(bounds) = o0.agg(
+      min("c").as("clo"), max("c").as("chi"),
+      min("d").as("dlo"), max("d").as("dhi"),
+      count(lit(1)).as("n")).collect()
+    val (clo, chi, dlo, dhi, n) = (bounds.getLong(0), bounds.getLong(1),
+      bounds.getLong(2), bounds.getLong(3), bounds.getLong(4))
+    require(chi < ZPack && n > ZFiles, s"q218 packing precondition: chi=$chi n=$n")
+
+    val qc = Layout.quantize(col("c"), lit(clo), lit(chi), ZLevels)
+    val qd = Layout.quantize(col("d"), lit(dlo), lit(dhi), ZLevels)
+    val base = o0.select(col("k"), col("c"), col("d"),
+      col("k").as("nk"),
+      (col("d") * ZPack + col("k")).as("dk"),
+      (Layout.zValue(qc, qd, ZBits) * ZPack + col("k")).as("zk"))
+
+    def zm(key: String, name: String): DataFrame =
+      Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f"), "f",
+          Seq("c", "d"))
+        .withColumn("layout", lit(name))
+    val zms = zm("nk", "nat").unionByName(zm("dk", "date"))
+      .unionByName(zm("zk", "z"))
+
+    // the 24-predicate workload, exact integer quarter boundaries
+    def q4(lo: Long, hi: Long, i: Long): (Long, Long) = {
+      val span = hi - lo + 1
+      (lo + i * span / 4, lo + (i + 1) * span / 4 - 1)
+    }
+    val preds: Seq[(Long, String, Long, Long, Long, Long)] =
+      (0L until 4L).map { i =>
+        val (a, b) = q4(clo, chi, i); (i, "cust", a, b, dlo, dhi)
+      } ++ (0L until 4L).map { j =>
+        val (a, b) = q4(dlo, dhi, j); (4L + j, "date", clo, chi, a, b)
+      } ++ (for (i <- 0L until 4L; j <- 0L until 4L) yield {
+        val (ca, cb) = q4(clo, chi, i); val (da, db) = q4(dlo, dhi, j)
+        (8L + i * 4 + j, "both", ca, cb, da, db)
+      })
+    import spark.implicits._
+    val predDf = preds.toDF("pred_id", "kind", "c_lo", "c_hi", "d_lo", "d_hi")
+
+    val scanned = predDf.join(broadcast(zms),
+        col("c_min") <= col("c_hi") && col("c_max") >= col("c_lo") &&
+          col("d_min") <= col("d_hi") && col("d_max") >= col("d_lo"))
+      .groupBy("pred_id").agg(
+        sum(when(col("layout") === "nat", 1L).otherwise(0L)).as("files_nat"),
+        sum(when(col("layout") === "date", 1L).otherwise(0L)).as("files_date"),
+        sum(when(col("layout") === "z", 1L).otherwise(0L)).as("files_z"))
+    val matched = o0.join(broadcast(predDf),
+        col("c").between(col("c_lo"), col("c_hi")) &&
+          col("d").between(col("d_lo"), col("d_hi")))
+      .groupBy("pred_id").agg(count(lit(1)).as("rows_match"))
+
+    predDf
+      .join(matched, Seq("pred_id"), "left")
+      .join(scanned, Seq("pred_id"), "left")
+      .select(col("pred_id"), col("kind"), col("c_lo"), col("c_hi"),
+        col("d_lo"), col("d_hi"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"),
+        coalesce(col("files_nat"), lit(0L)).as("files_nat"),
+        coalesce(col("files_date"), lit(0L)).as("files_date"),
+        coalesce(col("files_z"), lit(0L)).as("files_z"))
+      .orderBy("pred_id")
+  }
+
+  val q218Sql: String = {
+    val z = Layout.zValueSql("qc", "qd", ZBits)
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_custkey AS c,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+       |  FROM orders),
+       |b AS (SELECT MIN(c) AS clo, MAX(c) AS chi, MIN(d) AS dlo, MAX(d) AS dhi,
+       |        COUNT(*) AS n FROM o),
+       |qz AS (
+       |  SELECT o.k, o.c, o.d, b.n,
+       |    ((o.c - b.clo) * $ZLevels) // (b.chi - b.clo + 1) AS qc,
+       |    ((o.d - b.dlo) * $ZLevels) // (b.dhi - b.dlo + 1) AS qd
+       |  FROM o CROSS JOIN b),
+       |keys AS (
+       |  SELECT k, c, d, n, k AS nk, d * $ZPack + k AS dk,
+       |    ($z) * $ZPack + k AS zk
+       |  FROM qz),
+       |fid AS (
+       |  SELECT k, c, d,
+       |    ((ROW_NUMBER() OVER (ORDER BY nk) - 1) * $ZFiles) // n AS f_nat,
+       |    ((ROW_NUMBER() OVER (ORDER BY dk) - 1) * $ZFiles) // n AS f_date,
+       |    ((ROW_NUMBER() OVER (ORDER BY zk) - 1) * $ZFiles) // n AS f_z
+       |  FROM keys),
+       |zm AS (
+       |  SELECT 'nat' AS layout, f_nat AS f, MIN(c) AS cmin, MAX(c) AS cmax,
+       |         MIN(d) AS dmin, MAX(d) AS dmax FROM fid GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'date', f_date, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'z', f_z, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2),
+       |g(i) AS (VALUES (0), (1), (2), (3)),
+       |preds AS (
+       |  SELECT CAST(g.i AS BIGINT) AS pred_id, 'cust' AS kind,
+       |    b.clo + (g.i * (b.chi - b.clo + 1)) // 4 AS c_lo,
+       |    b.clo + ((g.i + 1) * (b.chi - b.clo + 1)) // 4 - 1 AS c_hi,
+       |    b.dlo AS d_lo, b.dhi AS d_hi
+       |  FROM g CROSS JOIN b
+       |  UNION ALL
+       |  SELECT CAST(4 + g.i AS BIGINT), 'date', b.clo, b.chi,
+       |    b.dlo + (g.i * (b.dhi - b.dlo + 1)) // 4,
+       |    b.dlo + ((g.i + 1) * (b.dhi - b.dlo + 1)) // 4 - 1
+       |  FROM g CROSS JOIN b
+       |  UNION ALL
+       |  SELECT CAST(8 + gi.i * 4 + gj.i AS BIGINT), 'both',
+       |    b.clo + (gi.i * (b.chi - b.clo + 1)) // 4,
+       |    b.clo + ((gi.i + 1) * (b.chi - b.clo + 1)) // 4 - 1,
+       |    b.dlo + (gj.i * (b.dhi - b.dlo + 1)) // 4,
+       |    b.dlo + ((gj.i + 1) * (b.dhi - b.dlo + 1)) // 4 - 1
+       |  FROM g gi CROSS JOIN g gj CROSS JOIN b),
+       |sc AS (
+       |  SELECT p.pred_id,
+       |    CAST(SUM(CASE WHEN z.layout = 'nat' THEN 1 ELSE 0 END) AS BIGINT) AS files_nat,
+       |    CAST(SUM(CASE WHEN z.layout = 'date' THEN 1 ELSE 0 END) AS BIGINT) AS files_date,
+       |    CAST(SUM(CASE WHEN z.layout = 'z' THEN 1 ELSE 0 END) AS BIGINT) AS files_z
+       |  FROM preds p JOIN zm z
+       |    ON z.cmin <= p.c_hi AND z.cmax >= p.c_lo
+       |   AND z.dmin <= p.d_hi AND z.dmax >= p.d_lo
+       |  GROUP BY 1),
+       |rm AS (
+       |  SELECT p.pred_id, CAST(COUNT(o.k) AS BIGINT) AS rows_match
+       |  FROM preds p LEFT JOIN o
+       |    ON o.c BETWEEN p.c_lo AND p.c_hi AND o.d BETWEEN p.d_lo AND p.d_hi
+       |  GROUP BY 1)
+       |SELECT p.pred_id, p.kind, p.c_lo, p.c_hi, p.d_lo, p.d_hi,
+       |  COALESCE(rm.rows_match, 0) AS rows_match,
+       |  COALESCE(sc.files_nat, 0) AS files_nat,
+       |  COALESCE(sc.files_date, 0) AS files_date,
+       |  COALESCE(sc.files_z, 0) AS files_z
+       |FROM preds p LEFT JOIN rm ON p.pred_id = rm.pred_id
+       |LEFT JOIN sc ON p.pred_id = sc.pred_id
+       |ORDER BY p.pred_id""".stripMargin
+  }
+
+  // ---- q219 join-size estimation from coordinated key sketches ----------------
+
+  private val JseMod = 16
+
+  /** Coordinated key-hash bucket (same hash both sides — the coordination
+    * is what makes per-key frequency PRODUCTS estimable from a sample of
+    * keys).
+    */
+  private def jseBucket(key: Column): Column =
+    pmod(Dedup.portableTokenHash(concat(lit("jse:"), key.cast("string"))),
+      lit(JseMod))
+
+  /** Join-size estimation without running the join: |A ⋈ B on k| =
+    * Σ_k f_A(k)·f_B(k), estimated from a COORDINATED sample — both sides
+    * keep only keys whose shared md5-hash falls in bucket 0 (a 1/16 key
+    * sample), and the estimate is 16·Σ_sampled f_A·f_B. Because the
+    * same keys survive on both sides, the product Σ is sampled at the
+    * KEY level (an unbiased Horvitz-Thompson estimate of the frequency
+    * inner product); independent per-side row samples would almost never
+    * retain matching pairs. Audited on three join shapes: the orderkey
+    * FK join (every lineitem matches exactly one order), the partkey
+    * self-join (Σ f², ~30× fan-out), and the user_id event self-join
+    * (hot-key regime). At 100 TB the hash predicate pushes to the scan
+    * (it is a pure function of the key column), so the estimator reads
+    * 1/16 of each side and shuffles only the sampled keys' counts — this
+    * is how a planner sizes a shuffle join before committing to it.
+    * Deterministic md5 arithmetic; DuckDB replays exact counts, sampled
+    * counts, and the estimate bit-for-bit.
+    */
+  def q219JoinSizeEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+    val or = tbl(spark, sfDir, "orders")
+    val ev = ExtQueries.events(spark, sfDir)
+
+    def counts(df: DataFrame, key: String, sampled: Boolean): DataFrame = {
+      val in = if (sampled) df.filter(jseBucket(col(key)) === 0) else df
+      in.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+    }
+    def innerProduct(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b.select(col("k"), col("f").as("g")), "k")
+        .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("s"))
+
+    def pair(name: String, a: DataFrame, ka: String, b: DataFrame,
+        kb: String): DataFrame = {
+      val exact = innerProduct(counts(a, ka, sampled = false),
+        counts(b, kb, sampled = false)).select(col("s").as("exact_rows"))
+      val est = innerProduct(counts(a, ka, sampled = true),
+        counts(b, kb, sampled = true))
+        .select((col("s") * JseMod).as("est_rows"))
+      exact.crossJoin(est).select(
+        lit(name).as("pair"), col("exact_rows"), col("est_rows"),
+        round(abs(col("est_rows") - col("exact_rows")) /
+          col("exact_rows").cast("double"), 6).as("rel_err"))
+    }
+
+    pair("li_orders_orderkey", li, "l_orderkey", or, "o_orderkey")
+      .unionByName(pair("li_li_partkey", li, "l_partkey", li, "l_partkey"))
+      .unionByName(pair("ev_ev_userid", ev, "user_id", ev, "user_id"))
+      .orderBy("pair")
+  }
+
+  val q219Sql: String = {
+    def h(key: String) =
+      s"CAST('0x' || substr(md5('jse:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $JseMod"
+    def cnt(table: String, key: String, sampled: Boolean) = {
+      val w = if (sampled) s"WHERE ${h(key)} = 0" else ""
+      s"SELECT $key AS k, COUNT(*) AS f FROM $table $w GROUP BY 1"
+    }
+    def pair(name: String, ta: String, ka: String, tb: String, kb: String) =
+      s"""SELECT '$name' AS pair,
+         |  CAST((SELECT COALESCE(SUM(a.f * b.f), 0)
+         |        FROM (${cnt(ta, ka, false)}) a
+         |        JOIN (${cnt(tb, kb, false)}) b ON a.k = b.k) AS BIGINT) AS exact_rows,
+         |  CAST($JseMod * (SELECT COALESCE(SUM(a.f * b.f), 0)
+         |        FROM (${cnt(ta, ka, true)}) a
+         |        JOIN (${cnt(tb, kb, true)}) b ON a.k = b.k) AS BIGINT) AS est_rows""".stripMargin
+    s"""WITH p AS (
+       |${pair("li_orders_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${pair("li_li_partkey", "lineitem", "l_partkey", "lineitem", "l_partkey")}
+       |UNION ALL
+       |${pair("ev_ev_userid", "events", "user_id", "events", "user_id")})
+       |SELECT pair, exact_rows, est_rows,
+       |  ROUND(ABS(est_rows - exact_rows) / CAST(exact_rows AS DOUBLE), 6) AS rel_err
+       |FROM p ORDER BY pair""".stripMargin
+  }
+
+  // ---- q220 incremental aggregate maintenance ---------------------------------
+
+  /** Incremental aggregate maintenance audit: events are split at
+    * `max(ts) − 7 days` into a BASE (the history a store would already
+    * hold aggregated) and a CDC DELTA (the last week of inserts); the
+    * maintained answer is `merge(state(base), state(delta))`
+    * ([[Incremental]] — count/sum/min/max monoid, sums as exact
+    * micro-units), asserted EQUAL per event type against the full
+    * recompute. At 100 TB the full path scans all history every refresh
+    * while the maintained path scans 7 days and merges a key-domain-
+    * bounded state frame — same answer, structurally less IO; the
+    * streaming twin is update-mode stateful aggregation. DuckDB replays
+    * both paths and the equality.
+    */
+  def q220IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+    val cut = ev.agg(
+      (max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cut"))
+    val withCut = ev.crossJoin(broadcast(cut))
+    val base = withCut.filter(col("ts") < col("cut"))
+    val delta = withCut.filter(col("ts") >= col("cut"))
+    val keys = Seq("event_type")
+    val full = Incremental.state(ev, keys, "value").select(
+      col("event_type"), col("n").as("full_n"),
+      col("sum_micros").as("full_sum"), col("min_micros").as("full_min"),
+      col("max_micros").as("full_max"))
+    val incr = Incremental.merge(
+      Incremental.state(base, keys, "value"),
+      Incremental.state(delta, keys, "value"), keys).select(
+      col("event_type"), col("n").as("incr_n"),
+      col("sum_micros").as("incr_sum"), col("min_micros").as("incr_min"),
+      col("max_micros").as("incr_max"))
+    full.join(incr, "event_type")
+      .withColumn("all_match",
+        col("full_n") === col("incr_n") && col("full_sum") === col("incr_sum") &&
+          col("full_min") === col("incr_min") && col("full_max") === col("incr_max"))
+      .orderBy("event_type")
+  }
+
+  val q220Sql: String =
+    """WITH c AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cut FROM events),
+      |m AS (SELECT event_type, ts, CAST(ROUND(value * 1e6, 0) AS BIGINT) AS v
+      |      FROM events),
+      |full_s AS (
+      |  SELECT event_type, COUNT(*) AS full_n, SUM(v) AS full_sum,
+      |         MIN(v) AS full_min, MAX(v) AS full_max
+      |  FROM m GROUP BY 1),
+      |base_s AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      |  FROM m CROSS JOIN c WHERE ts < cut GROUP BY 1),
+      |delta_s AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      |  FROM m CROSS JOIN c WHERE ts >= cut GROUP BY 1),
+      |incr AS (
+      |  SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+      |    COALESCE(b.n, 0) + COALESCE(d.n, 0) AS incr_n,
+      |    COALESCE(b.s, 0) + COALESCE(d.s, 0) AS incr_sum,
+      |    LEAST(COALESCE(b.mn, d.mn), COALESCE(d.mn, b.mn)) AS incr_min,
+      |    GREATEST(COALESCE(b.mx, d.mx), COALESCE(d.mx, b.mx)) AS incr_max
+      |  FROM base_s b FULL OUTER JOIN delta_s d ON b.event_type = d.event_type)
+      |SELECT f.event_type,
+      |  CAST(f.full_n AS BIGINT) AS full_n, CAST(f.full_sum AS BIGINT) AS full_sum,
+      |  f.full_min, f.full_max,
+      |  CAST(i.incr_n AS BIGINT) AS incr_n, CAST(i.incr_sum AS BIGINT) AS incr_sum,
+      |  i.incr_min, i.incr_max,
+      |  (f.full_n = i.incr_n AND f.full_sum = i.incr_sum
+      |   AND f.full_min = i.incr_min AND f.full_max = i.incr_max) AS all_match
+      |FROM full_s f JOIN incr i ON f.event_type = i.event_type
+      |ORDER BY f.event_type""".stripMargin
+
+  // ---- q221 hard-negative mining -----------------------------------------------
+
+  private val HnAnchors = 16
+  private val HnK = 5
+
+  /** Hard-negative mining for contrastive training: for each of 16 anchor
+    * embeddings, the 5 most-similar vectors with a DIFFERENT label —
+    * exactly the negatives that teach a model the most (high similarity,
+    * wrong class; random negatives are trivially separable). Shape: the
+    * bounded anchor set broadcasts, the corpus is scanned ONCE for all
+    * anchors (cosine via the codegen'd VectorDot/VectorNorm2, rounded to
+    * 6 dp BEFORE ranking so both engines rank identical keys), and the
+    * per-anchor top-k aggregates through the bounded TopKAgg — the
+    * exchange carries ≤ k·anchors·partitions entries, never the n·anchors
+    * rows a window would ship. At corpus scale the same shape runs over a
+    * q216-style ANN shortlist instead of the exact scan; here the exact
+    * scan IS the gate. The oracle is the textbook window formulation.
+    */
+  def q221HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ExtQueries.emb(spark, sfDir).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val anchors = e.filter(col("vec_id") < HnAnchors).select(
+      col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+      col("v").as("av"))
+    val cos = round(
+      Similarity.dot(col("v"), col("av")) /
+        (sqrt(Similarity.norm2(col("v"))) * sqrt(Similarity.norm2(col("av")))),
+      6)
+    val mined = e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id"), cos.as("cos"))
+      .groupBy("anchor_id", "anchor_label")
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("vec_id"), HnK).as("tk"))
+      .select(col("anchor_id"), col("anchor_label"), posexplode(col("tk")))
+      .select(col("anchor_id"), col("anchor_label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+    mined.join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), "neighbor_id")
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cos"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  val q221Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, nrm AS anrm
+       |      FROM e WHERE vec_id < $HnAnchors),
+       |p AS (
+       |  SELECT a.anchor_id, a.anchor_label, e.vec_id AS neighbor_id,
+       |    e.label AS neighbor_label,
+       |    ROUND(list_dot_product(e.v, a.av) / (e.nrm * a.anrm), 6) AS cos
+       |  FROM e JOIN a ON e.label <> a.anchor_label),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT anchor_id, anchor_label, CAST(rank AS BIGINT) AS rank,
+       |  neighbor_id, neighbor_label, cos
+       |FROM r WHERE rank <= $HnK ORDER BY anchor_id, rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_zorder_pruning" -> (q218ZorderPruning _),
+    "q219_join_size_est" -> (q219JoinSizeEst _),
+    "q220_incremental_agg" -> (q220IncrementalAgg _),
+    "q221_hard_negatives" -> (q221HardNegatives _))
+
+  val oracles: Map[String, String] = Map(
+    "q218_zorder_pruning" -> q218Sql,
+    "q219_join_size_est" -> q219Sql,
+    "q220_incremental_agg" -> q220Sql,
+    "q221_hard_negatives" -> q221Sql)
+}
