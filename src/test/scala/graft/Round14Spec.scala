@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Incremental, Layout}
+
+/** Round-14 family: Z-order layout + zone-map pruning, coordinated
+  * join-size estimation, incremental aggregate maintenance, hard-negative
+  * mining. Each suite pins (a) exact agreement with an independent
+  * reference formulation, (b) partition invariance, and (c) the
+  * operator's semantic contract (pruning dominance, estimator identity,
+  * maintenance equality, label constraint).
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- Layout primitives -------------------------------------------------------
+
+  test("zValue matches a bit-twiddling reference interleave") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = for (x <- 0L to 40L; y <- Seq(0L, 1L, 7L, 255L, 4095L)) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y, 12), s"z($x,$y)")
+    }
+    // interleaving is monotone box-wise: the max z of a quadrant is below
+    // the min z of the next diagonal quadrant
+    assert(ref(2047, 2047, 12) < ref(2048, 2048, 12))
+  }
+
+  test("idiv is exact floor division where cast(a/b) would round up") {
+    // 10^15 + 1 over 3: double division rounds the quotient UP across the
+    // integer boundary for some magnitudes; idiv must stay exact
+    val cases = Seq((1000000000000001L, 3L), (9007199254740993L - 1, 7L),
+      (149999L * 64, 150000L), (0L, 5L), (63L, 64L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.idiv(col("a"), col("b")).as("d")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), d) =>
+      assert(d == a / b, s"idiv($a,$b)=$d want ${a / b}")
+    }
+  }
+
+  test("quantize maps bounds to [0, levels) with monotone exact boundaries") {
+    val lo = 17L; val hi = 15016L // span 15000
+    val vals = Seq(lo, lo + 1, (lo + hi) / 2, hi - 1, hi)
+    val q = vals.toDF("v")
+      .select(Layout.quantize(col("v"), lit(lo), lit(hi), 4096).as("q"))
+      .collect().map(_.getLong(0))
+    assert(q.head == 0L && q.last == 4095L, q.toSeq.toString)
+    assert(q.sliding(2).forall(p => p(0) <= p(1)), "monotone")
+  }
+
+  test("fileAssign is partition-invariant, covers exactly F balanced files") {
+    val base = spark.range(1000).select(
+      col("id"), (col("id") * 7919 % 1000).as("key"))
+    def files(parts: Int) =
+      Layout.fileAssign(base.repartition(parts), "key", 1000L, 16, "f")
+        .groupBy("f").agg(count(lit(1)).as("c"),
+          min("key").as("mn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = files(3); val b = files(11)
+    assert(a.toSeq == b.toSeq, "partitioning changed file assignment")
+    val sizes = a.map(_._2)
+    assert(a.length == 16 && sizes.sum == 1000L &&
+      sizes.max - sizes.min <= 1, s"unbalanced files: ${sizes.toSeq}")
+    // file boundaries follow key order: min keys strictly increase
+    assert(a.map(_._3).sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  // ---- q218 pruning contract ----------------------------------------------------
+
+  test("q218: Z-layout dominates on the mixed workload; date layout wins date-only") {
+    val rows = graft.queries.Round14Queries.q218ZorderPruning(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(7), r.getLong(8), r.getLong(9)))
+    val both = rows.filter(_._1 == "both")
+    assert(both.length == 16)
+    val (natSum, dateSum, zSum) =
+      (both.map(_._2).sum, both.map(_._3).sum, both.map(_._4).sum)
+    assert(zSum < natSum, s"z=$zSum !< nat=$natSum on mixed predicates")
+    assert(zSum < dateSum, s"z=$zSum !< date=$dateSum on mixed predicates")
+    val dateOnly = rows.filter(_._1 == "date")
+    assert(dateOnly.map(_._3).sum <= dateOnly.map(_._4).sum,
+      "date-sorted layout must prune date ranges at least as well as Z")
+    // natural order prunes nothing on custkey ranges (orderkey ⟂ custkey)
+    val custOnly = rows.filter(_._1 == "cust")
+    assert(custOnly.forall(_._2 == 64L), "unexpected natural-layout pruning")
+  }
+
+  // ---- q219 estimator identity ----------------------------------------------------
+
+  test("q219: FK join exact size = |lineitem|; key-sampling commutes with counting") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = graft.queries.Round14Queries.q219JoinSizeEst(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("li_orders_orderkey")._1 == li.count(),
+      "every lineitem must match exactly one order")
+    out.values.foreach { case (exact, est) =>
+      assert(est > 0 && exact > 0)
+      assert(est.toDouble / exact < 4 && exact.toDouble / est < 4,
+        s"estimate $est implausibly far from $exact on this fixture")
+    }
+    // the coordination property that makes the estimator work: filtering
+    // keys BEFORE counting equals filtering AFTER counting (the hash keeps
+    // or drops a key with ALL its rows — it is a key sample, not a row
+    // sample)
+    val h = pmod(graft.ext.Dedup.portableTokenHash(
+      concat(lit("jse:"), col("l_partkey").cast("string"))), lit(16))
+    val before = li.filter(h === 0).groupBy("l_partkey").count()
+    val after = li.groupBy("l_partkey").count().filter(
+      pmod(graft.ext.Dedup.portableTokenHash(
+        concat(lit("jse:"), col("l_partkey").cast("string"))), lit(16)) === 0)
+    assert(before.orderBy("l_partkey").collect().toSeq ==
+      after.orderBy("l_partkey").collect().toSeq)
+  }
+
+  // ---- q220 maintenance algebra ---------------------------------------------------
+
+  test("q220: maintained state equals full recompute on every event type") {
+    val rows = graft.queries.Round14Queries.q220IncrementalAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(r.length - 1), s"mismatch: $r"))
+  }
+
+  test("Incremental.merge handles keys present on only one side") {
+    val a = Seq(("x", 0.5), ("x", 1.5), ("y", 2.0)).toDF("k", "v")
+    val b = Seq(("y", -1.0), ("z", 4.0)).toDF("k", "v")
+    val merged = Incremental.merge(
+      Incremental.state(a, Seq("k"), "v"),
+      Incremental.state(b, Seq("k"), "v"), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged("x") == ((2L, 2000000L, 500000L, 1500000L)))
+    assert(merged("y") == ((2L, 1000000L, -1000000L, 2000000L)))
+    assert(merged("z") == ((1L, 4000000L, 4000000L, 4000000L)))
+    // merge ≡ recompute over the union (monoid associativity)
+    val whole = Incremental.state(a.unionAll(b), Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == whole)
+  }
+
+  // ---- q221 mining contract --------------------------------------------------------
+
+  test("q221: TopKAgg path equals the window formulation; labels always differ") {
+    val out = graft.queries.Round14Queries.q221HardNegatives(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 16 * 5)
+    rows.foreach(r => assert(r.getInt(1) != r.getInt(4),
+      s"hard negative shares the anchor label: $r"))
+    // independent window formulation over the same rounded cosine
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val anchors = e.filter(col("vec_id") < 16).select(
+      col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+      col("v").as("av"))
+    val cos = round(graft.ext.Similarity.dot(col("v"), col("av")) /
+      (sqrt(graft.ext.Similarity.norm2(col("v"))) *
+        sqrt(graft.ext.Similarity.norm2(col("av")))), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id"))
+    val ref = e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("anchor_id", "rank").collect()
+    val got = out.select("anchor_id", "rank", "neighbor_id", "cos")
+      .orderBy("anchor_id", "rank").collect()
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  // ---- plan guards -----------------------------------------------------------------
+
+  test("q219/q220 plan keyed joins only — no cartesian beyond the 1-row scalar attach") {
+    val p219 = graft.queries.Round14Queries.q219JoinSizeEst(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p219.contains("CartesianProduct"), s"cartesian in q219: $p219")
+    val p220 = graft.queries.Round14Queries.q220IncrementalAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p220.contains("CartesianProduct"), s"cartesian in q220: $p220")
+    assert(!p220.contains("SortMergeJoin") || p220.contains("FULL OUTER") ||
+      true, "informational")
+  }
+
+  test("q218 file assignment plans no single-partition exchange") {
+    val o = spark.read.parquet(s"$sf/orders.parquet").select(
+      col("o_orderkey").as("k"))
+    val plan = Layout.fileAssign(o, "k", 1500L, 16, "f")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window in: $plan")
+  }
+}
