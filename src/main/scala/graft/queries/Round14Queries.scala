@@ -223,16 +223,24 @@ object Round14Queries {
       val in = if (sampled) df.filter(jseBucket(col(key)) === 0) else df
       in.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
     }
-    def innerProduct(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b.select(col("k"), col("f").as("g")), "k")
-        .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("s"))
+    // a SELF-join's size is Σ f² — one aggregation over the count frame,
+    // no join at all (selfPair); only genuinely two-sided pairs join their
+    // (key-domain-bounded) count frames
+    def innerProduct(a: DataFrame, b: Option[DataFrame]): DataFrame = b match {
+      case None =>
+        a.agg(coalesce(sum(col("f") * col("f")), lit(0L)).as("s"))
+      case Some(bb) =>
+        a.join(bb.select(col("k"), col("f").as("g")), "k")
+          .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("s"))
+    }
 
-    def pair(name: String, a: DataFrame, ka: String, b: DataFrame,
-        kb: String): DataFrame = {
+    def pair(name: String, a: DataFrame, ka: String,
+        b: Option[(DataFrame, String)]): DataFrame = {
       val exact = innerProduct(counts(a, ka, sampled = false),
-        counts(b, kb, sampled = false)).select(col("s").as("exact_rows"))
+        b.map { case (bb, kb) => counts(bb, kb, sampled = false) })
+        .select(col("s").as("exact_rows"))
       val est = innerProduct(counts(a, ka, sampled = true),
-        counts(b, kb, sampled = true))
+        b.map { case (bb, kb) => counts(bb, kb, sampled = true) })
         .select((col("s") * JseMod).as("est_rows"))
       exact.crossJoin(est).select(
         lit(name).as("pair"), col("exact_rows"), col("est_rows"),
@@ -240,9 +248,9 @@ object Round14Queries {
           col("exact_rows").cast("double"), 6).as("rel_err"))
     }
 
-    pair("li_orders_orderkey", li, "l_orderkey", or, "o_orderkey")
-      .unionByName(pair("li_li_partkey", li, "l_partkey", li, "l_partkey"))
-      .unionByName(pair("ev_ev_userid", ev, "user_id", ev, "user_id"))
+    pair("li_orders_orderkey", li, "l_orderkey", Some((or, "o_orderkey")))
+      .unionByName(pair("li_li_partkey", li, "l_partkey", None))
+      .unionByName(pair("ev_ev_userid", ev, "user_id", None))
       .orderBy("pair")
   }
 
