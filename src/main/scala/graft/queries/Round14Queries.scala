@@ -416,15 +416,193 @@ object Round14Queries {
        |  neighbor_id, neighbor_label, cos
        |FROM r WHERE rank <= $HnK ORDER BY anchor_id, rank""".stripMargin
 
+  // ---- q222 incremental JOIN-result maintenance --------------------------------
+
+  /** Incremental maintenance of a JOIN view: the per-priority (count,
+    * revenue) panel over orders ⋈ lineitem, where BOTH sides receive CDC
+    * inserts (orders split at `max(o_orderdate) − 90 days`, lineitems at
+    * the same calendar cutoff on l_shipdate — realistically, an order row
+    * lands before its shipments). The delta algebra for a join view is
+    * the standard bilinear expansion (DBToaster-style delta queries):
+    * (O∪ΔO) ⋈ (L∪ΔL) = O⋈L + O⋈ΔL + ΔO⋈L + ΔO⋈ΔL — the maintained
+    * answer merges the STORED base aggregate with three delta terms, each
+    * of which joins a delta (small) against one full side, never
+    * re-joining fact against fact. Asserted EQUAL per priority against
+    * the full recompute; revenue in exact cents so the equality is exact.
+    * At 100 TB: the full path re-joins all history every refresh; the
+    * maintained path's work is delta-sized (the full-side probes are
+    * keyed lookups a cluster serves from a bucketed/indexed layout).
+    */
+  def q222IncrementalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = tbl(spark, sfDir, "orders")
+    val l = tbl(spark, sfDir, "lineitem")
+    val cut = o.agg((max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("cut"))
+    val oc = o.crossJoin(broadcast(cut))
+    val lc = l.crossJoin(broadcast(cut))
+    val (oB, oD) = (oc.filter(col("o_orderdate") < col("cut")),
+      oc.filter(col("o_orderdate") >= col("cut")))
+    val (lB, lD) = (lc.filter(col("l_shipdate") < col("cut")),
+      lc.filter(col("l_shipdate") >= col("cut")))
+    val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+      .cast("long")
+    def agg(os: DataFrame, ls: DataFrame): DataFrame =
+      os.select(col("o_orderkey"), col("o_orderpriority"))
+        .join(ls.select(col("l_orderkey"), cents.as("cents")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+    val full = agg(oc, lc).select(col("o_orderpriority"),
+      col("n").as("full_n"), col("rev").as("full_rev"))
+    val incr = agg(oB, lB).unionByName(agg(oB, lD))
+      .unionByName(agg(oD, lB)).unionByName(agg(oD, lD))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("incr_n"), sum(col("rev")).as("incr_rev"))
+    full.join(incr, "o_orderpriority")
+      .withColumn("all_match",
+        col("full_n") === col("incr_n") && col("full_rev") === col("incr_rev"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q222Sql: String = {
+    def agg(ow: String, lw: String) =
+      s"""SELECT o.o_orderpriority, COUNT(*) AS n,
+         |    SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev
+         |  FROM orders o CROSS JOIN c
+         |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_orderdate $ow c.cut AND l.l_shipdate $lw c.cut
+         |  GROUP BY 1""".stripMargin
+    s"""WITH c AS (SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders),
+       |full_v AS (
+       |  SELECT o.o_orderpriority, COUNT(*) AS full_n,
+       |    SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS full_rev
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1),
+       |parts AS (
+       |${agg("<", "<")}
+       |UNION ALL
+       |${agg("<", ">=")}
+       |UNION ALL
+       |${agg(">=", "<")}
+       |UNION ALL
+       |${agg(">=", ">=")}),
+       |incr AS (
+       |  SELECT o_orderpriority, SUM(n) AS incr_n, SUM(rev) AS incr_rev
+       |  FROM parts GROUP BY 1)
+       |SELECT f.o_orderpriority,
+       |  CAST(f.full_n AS BIGINT) AS full_n, CAST(f.full_rev AS BIGINT) AS full_rev,
+       |  CAST(i.incr_n AS BIGINT) AS incr_n, CAST(i.incr_rev AS BIGINT) AS incr_rev,
+       |  (f.full_n = i.incr_n AND f.full_rev = i.incr_rev) AS all_match
+       |FROM full_v f JOIN incr i ON f.o_orderpriority = i.o_orderpriority
+       |ORDER BY f.o_orderpriority""".stripMargin
+  }
+
+  // ---- q223 end-biased join-size estimation -------------------------------------
+
+  private val EbHeavy = 20
+
+  /** End-biased join-size estimation (Estan–Naughton): split the key
+    * domain into the MCV head — the exact top-20 by frequency, the
+    * most-common-values list every warehouse keeps as table statistics,
+    * computed as a bounded TakeOrderedAndProject, never a window — and a
+    * light tail estimated from the 1/16 coordinated sample (head keys
+    * excluded from both the sampled term and its scale-up). The head's
+    * contribution to Σ f² is EXACT, so the estimator's error comes ONLY
+    * from the tail. The three fixture domains show the three regimes
+    * honestly: `event_type` (5 keys — the MCV list covers the whole
+    * domain, the end-biased estimate is EXACT, while the plain 1/16 key
+    * sample is useless on a domain smaller than 16: this is WHY planners
+    * keep MCV statistics for low-cardinality columns), `user_id` (~1.5k
+    * near-uniform keys — no head to capture, both estimators carry the
+    * same tail variance), and `l_partkey` (~20k uniform keys — both
+    * small). Deterministic md5 arithmetic + (f DESC, key ASC)
+    * tie-breaks, so DuckDB replays both estimators and both error
+    * columns bit-for-bit.
+    */
+  def q223EndBiasedEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem")
+    val ev = ExtQueries.events(spark, sfDir)
+
+    def panel(name: String, df: DataFrame, key: String): DataFrame = {
+      val c = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+      val exact = c.agg(sum(col("f") * col("f")).as("exact_rows"))
+      val sampledAll = c.filter(jseBucket(col("k")) === 0)
+        .agg((coalesce(sum(col("f") * col("f")), lit(0L)) * JseMod).as("est_plain"))
+      // MCV list: exact top-EbHeavy by (f DESC, k ASC) — TakeOrderedAndProject
+      val heavy = c.orderBy(col("f").desc, col("k")).limit(EbHeavy)
+      val heavyTerm = heavy.agg(
+        coalesce(sum(col("f") * col("f")), lit(0L)).as("heavy_sq"))
+      val lightTerm = c.join(heavy.select("k"), Seq("k"), "left_anti")
+        .filter(jseBucket(col("k")) === 0)
+        .agg((coalesce(sum(col("f") * col("f")), lit(0L)) * JseMod).as("light_est"))
+      exact.crossJoin(sampledAll).crossJoin(heavyTerm).crossJoin(lightTerm)
+        .select(
+          lit(name).as("pair"), col("exact_rows"), col("est_plain"),
+          (col("heavy_sq") + col("light_est")).as("est_endbiased"),
+          round(abs(col("est_plain") - col("exact_rows")) /
+            col("exact_rows").cast("double"), 6).as("rel_err_plain"),
+          round(abs(col("heavy_sq") + col("light_est") - col("exact_rows")) /
+            col("exact_rows").cast("double"), 6).as("rel_err_endbiased"))
+    }
+    panel("ev_ev_eventtype", ev, "event_type")
+      .unionByName(panel("ev_ev_userid", ev, "user_id"))
+      .unionByName(panel("li_li_partkey", li, "l_partkey"))
+      .orderBy("pair")
+  }
+
+  val q223Sql: String = {
+    def h(k: String) =
+      s"CAST('0x' || substr(md5('jse:' || CAST($k AS VARCHAR)), 1, 15) AS BIGINT) % $JseMod"
+    def panel(name: String) =
+      s"""SELECT '$name' AS pair,
+         |  (SELECT SUM(f * f) FROM cnt_$name) AS exact_rows,
+         |  $JseMod * (SELECT COALESCE(SUM(f * f), 0) FROM cnt_$name
+         |             WHERE ${h("k")} = 0) AS est_plain,
+         |  (SELECT COALESCE(SUM(f * f), 0) FROM hv_$name)
+         |  + $JseMod * (SELECT COALESCE(SUM(f * f), 0) FROM cnt_$name c
+         |               WHERE ${h("c.k")} = 0
+         |                 AND NOT EXISTS (SELECT 1 FROM hv_$name v WHERE v.k = c.k))
+         |    AS est_endbiased""".stripMargin
+    s"""WITH cnt_ev_ev_eventtype AS (
+       |  SELECT event_type AS k, COUNT(*) AS f FROM events GROUP BY 1),
+       |hv_ev_ev_eventtype AS (
+       |  SELECT k, f FROM cnt_ev_ev_eventtype ORDER BY f DESC, k LIMIT $EbHeavy),
+       |cnt_ev_ev_userid AS (
+       |  SELECT user_id AS k, COUNT(*) AS f FROM events GROUP BY 1),
+       |hv_ev_ev_userid AS (
+       |  SELECT k, f FROM cnt_ev_ev_userid ORDER BY f DESC, k LIMIT $EbHeavy),
+       |cnt_li_li_partkey AS (
+       |  SELECT l_partkey AS k, COUNT(*) AS f FROM lineitem GROUP BY 1),
+       |hv_li_li_partkey AS (
+       |  SELECT k, f FROM cnt_li_li_partkey ORDER BY f DESC, k LIMIT $EbHeavy),
+       |p AS (
+       |${panel("ev_ev_eventtype")}
+       |UNION ALL
+       |${panel("ev_ev_userid")}
+       |UNION ALL
+       |${panel("li_li_partkey")})
+       |SELECT pair, CAST(exact_rows AS BIGINT) AS exact_rows,
+       |  CAST(est_plain AS BIGINT) AS est_plain,
+       |  CAST(est_endbiased AS BIGINT) AS est_endbiased,
+       |  ROUND(ABS(est_plain - exact_rows) / CAST(exact_rows AS DOUBLE), 6)
+       |    AS rel_err_plain,
+       |  ROUND(ABS(est_endbiased - exact_rows) / CAST(exact_rows AS DOUBLE), 6)
+       |    AS rel_err_endbiased
+       |FROM p ORDER BY pair""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_zorder_pruning" -> (q218ZorderPruning _),
     "q219_join_size_est" -> (q219JoinSizeEst _),
     "q220_incremental_agg" -> (q220IncrementalAgg _),
-    "q221_hard_negatives" -> (q221HardNegatives _))
+    "q221_hard_negatives" -> (q221HardNegatives _),
+    "q222_incremental_join" -> (q222IncrementalJoin _),
+    "q223_endbiased_est" -> (q223EndBiasedEst _))
 
   val oracles: Map[String, String] = Map(
     "q218_zorder_pruning" -> q218Sql,
     "q219_join_size_est" -> q219Sql,
     "q220_incremental_agg" -> q220Sql,
-    "q221_hard_negatives" -> q221Sql)
+    "q221_hard_negatives" -> q221Sql,
+    "q222_incremental_join" -> q222Sql,
+    "q223_endbiased_est" -> q223Sql)
 }

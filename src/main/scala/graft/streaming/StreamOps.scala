@@ -26,6 +26,22 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"), col("total_value"))
 
+  /** The incremental-maintenance monoid (q220's [[graft.ext.Incremental]])
+    * as an update-mode stateful aggregation: per event type, the state
+    * store holds exactly (count, exact micro-unit sum, min, max) and each
+    * micro-batch folds its delta in — the streaming form of fold-the-CDC-
+    * delta-into-the-stored-state. Because every component is a
+    * commutative monoid over exact integers, the final state is
+    * BIT-identical to `Incremental.state` over the union of all batches
+    * regardless of batch boundaries (StreamingSpec pins equality).
+    */
+  def streamingMonoidState(events: DataFrame): DataFrame =
+    events
+      .withColumn("__micros", round(col("value") * 1e6, 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__micros")).as("sum_micros"),
+        min(col("__micros")).as("min_micros"), max(col("__micros")).as("max_micros"))
+
   /** Tumbling-window quantile estimates per event type from the DDSketch
     * aggregator ([[graft.functions.DDSketchAgg]]) — bounded state per
     * (type, window): O(log value-range) occupied buckets, never the value

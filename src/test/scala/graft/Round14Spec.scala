@@ -176,6 +176,30 @@ class Round14Spec extends SparkSpec {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("q222: delta-join expansion equals the full join recompute per priority") {
+    val rows = graft.queries.Round14Queries.q222IncrementalJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(r.length - 1), s"mismatch: $r"))
+    // the four terms partition the full join: totals agree with one keyed join
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("q223: MCV head exact on the small domain; plain sample useless there") {
+    val out = graft.queries.Round14Queries.q223EndBiasedEst(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    val (exact, plain, eb, ebErr) = out("ev_ev_eventtype")
+    // 5-key domain: the 20-entry MCV list covers it entirely → end-biased
+    // is EXACT; a 1/16 key sample on a 5-key domain samples (for this
+    // fixture's hashes) nothing
+    assert(eb == exact && ebErr == 0.0, s"end-biased not exact: $eb vs $exact")
+    assert(plain == 0L, "fixture drift: a 5-key domain key landed in bucket 0")
+    out.values.foreach { case (ex, _, e, _) => assert(ex > 0 && e > 0) }
+  }
+
   // ---- plan guards -----------------------------------------------------------------
 
   test("q219/q220 plan keyed joins only — no cartesian beyond the 1-row scalar attach") {

@@ -485,6 +485,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
   }
 
+  test("streaming monoid state across batches ≡ batch Incremental.state bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(ev => graft.ext.Events.normalizeTs(ev))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double"))
+    val rows = ev.as[EventRow].collect().toSeq
+    val input = MemoryStream[EventRow](15, spark, None)
+    // three uneven micro-batches: state must be batch-boundary-invariant
+    input.addData(rows.take(rows.length / 4))
+    input.addData(rows.slice(rows.length / 4, rows.length / 2))
+    input.addData(rows.drop(rows.length / 2))
+    val streamed = runToMemory(
+      StreamOps.streamingMonoidState(input.toDF()),
+      "monoid_state", mode = "complete") {}
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = graft.ext.Incremental.state(ev, Seq("event_type"), "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming count-min cells across batches ≡ batch sketch on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
