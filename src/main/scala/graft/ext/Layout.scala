@@ -70,6 +70,76 @@ object Layout {
       s"((($x >> $i) % 2) * ${1L << (2 * i)} + (($y >> $i) % 2) * ${2L << (2 * i)})"
     }.mkString(" + ")
 
+  /** Hilbert curve index of two quantized coordinates (each in
+    * [0, 2^bits)) — the locality upgrade over [[zValue]]: consecutive
+    * Hilbert indices are always ADJACENT cells (unit step), while the
+    * Z curve jumps across the space at every quadrant boundary, so
+    * Hilbert-clustered files have tighter min/max boxes at the seams.
+    * Standard MSB-first quadrant walk (the xy2d loop): at each level s,
+    * the quadrant bit pair maps to a curve digit via (3·rx) XOR ry and
+    * the sub-quadrant frame is reflected/swapped. The per-level state
+    * (x, y, d) threads through a [[graft.core.Exprs.bindOnce]] chain —
+    * a lambda variable cannot be inlined, so the expression stays LINEAR
+    * in `bits` instead of the 4^bits blowup naive substitution would
+    * produce. Plain long arithmetic, replayed by the oracle as one CTE
+    * per level ([[hilbertLevelSql]]).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val init = struct(x.as("x"), y.as("y"), lit(0L).as("d"))
+    val fin = (bits - 1 to 0 by -1).foldLeft(init: Column) { (st, lvl) =>
+      val s = 1L << lvl
+      graft.core.Exprs.bindOnce(st, c => {
+        val cx = c.getField("x"); val cy = c.getField("y")
+        val cd = c.getField("d")
+        val xl = pmod(cx, lit(s)); val yl = pmod(cy, lit(s))
+        val rxHi = cx >= s // rx == 1
+        val ryHi = cy >= s // ry == 1
+        val digit = when(!rxHi, when(ryHi, 1L).otherwise(0L))
+          .otherwise(when(ryHi, 2L).otherwise(3L)) // (3*rx) xor ry
+        val nx = when(ryHi, xl).otherwise(
+          when(rxHi, lit(s - 1) - yl).otherwise(yl))
+        val ny = when(ryHi, yl).otherwise(
+          when(rxHi, lit(s - 1) - xl).otherwise(xl))
+        struct(nx.as("x"), ny.as("y"), (cd + lit(s * s) * digit).as("d"))
+      })
+    }
+    fin.getField("d")
+  }
+
+  /** One oracle CTE body per Hilbert level: given columns (hx, hy, hd)
+    * holding the level state, emits the next (hx, hy, hd) expressions for
+    * level size `s` — the SQL twin of one [[hilbertValue]] fold step.
+    */
+  def hilbertLevelSql(s: Long): (String, String, String) = (
+    s"""CASE WHEN hy >= $s THEN hx % $s
+       |     WHEN hx >= $s THEN $s - 1 - (hy % $s)
+       |     ELSE hy % $s END""".stripMargin,
+    s"""CASE WHEN hy >= $s THEN hy % $s
+       |     WHEN hx >= $s THEN $s - 1 - (hx % $s)
+       |     ELSE hx % $s END""".stripMargin,
+    s"hd + ${s * s} * (CASE WHEN hx < $s THEN (hy // $s) ELSE 3 - (hy // $s) END)")
+
+  /** Driver-side reference Hilbert index (the textbook xy2d loop) — used
+    * by specs to pin [[hilbertValue]] and by probes for spot checks.
+    */
+  def hilbertRef(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if (x >= s) 1L else 0L
+      val ry = if (y >= s) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      val xl = x % s; val yl = y % s
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - yl; y = s - 1 - xl }
+        else { x = yl; y = xl }
+      } else { x = xl; y = yl }
+      s >>= 1
+    }
+    d
+  }
+
   /** Assign each row to one of `files` equal-size files in the total
     * order of `orderKey` (must be UNIQUE — pack a unique row id into the
     * low bits): file = floor(rank · files / n) over the 0-based global

@@ -23,25 +23,27 @@ object Round14Queries {
   private val ZLevels = 1 << ZBits // 4096
   private val ZPack = 1L << 20 // unique row id (o_orderkey) packed in low bits
 
-  /** Zone-map pruning audit across three physical layouts of `orders`:
-    * natural (orderkey) order, date-sorted, and Morton/Z-ordered on
-    * (custkey, orderdate). Rows are assigned to 64 equal files per
-    * layout ([[Layout.fileAssign]] — the distributed prefix-sum rank, no
-    * single-partition window), per-file min/max zone maps are one keyed
-    * aggregation, and a fixed 24-predicate workload (4 custkey quarters,
-    * 4 date quarters, 16 cust×date cells) is evaluated against the maps:
-    * a file is scanned iff its [min,max] box intersects the predicate.
-    * The output is the design lesson made measurable: the date-sorted
-    * layout prunes date ranges perfectly and custkey ranges not at all,
-    * natural order prunes (almost) nothing, and the Z-layout bounds BOTH
-    * dimensions in every file, so the mixed workload scans a fraction of
-    * the files under Z. All arithmetic is exact integers (quantization
-    * by integer division, bit interleaving, rank·F div n file ids), so
-    * DuckDB replays layouts, maps, and every pruning decision
-    * bit-for-bit. At 100 TB this audit is how you CHOOSE a layout before
-    * rewriting a table: it costs one rank + one aggregation per
-    * candidate layout, while the scan savings it predicts apply to every
-    * future query.
+  /** Zone-map pruning audit across four physical layouts of `orders`:
+    * natural (orderkey) order, date-sorted, Morton/Z-ordered, and
+    * Hilbert-ordered on (custkey, orderdate). Rows are assigned to 64
+    * equal files per layout ([[Layout.fileAssign]] — the distributed
+    * prefix-sum rank, no single-partition window), per-file min/max zone
+    * maps are one keyed aggregation, and a fixed 24-predicate workload
+    * (4 custkey quarters, 4 date quarters, 16 cust×date cells) is
+    * evaluated against the maps: a file is scanned iff its [min,max] box
+    * intersects the predicate. The output is the design lesson made
+    * measurable: the date-sorted layout prunes date ranges perfectly and
+    * custkey ranges not at all, natural order prunes (almost) nothing,
+    * and the space-filling curves bound BOTH dimensions in every file —
+    * with Hilbert's unit-step locality (no Z seam jumps) tightening the
+    * boxes at file boundaries. All arithmetic is exact integers
+    * (quantization by integer division, bit interleaving / the xy2d
+    * quadrant walk, rank·F div n file ids), so DuckDB replays layouts,
+    * maps, and every pruning decision bit-for-bit — the Hilbert state
+    * machine as one CTE per level. At 100 TB this audit is how you
+    * CHOOSE a layout before rewriting a table: it costs one rank + one
+    * aggregation per candidate layout, while the scan savings it
+    * predicts apply to every future query.
     */
   def q218ZorderPruning(spark: SparkSession, sfDir: String): DataFrame = {
     val o0 = tbl(spark, sfDir, "orders").select(
@@ -62,14 +64,15 @@ object Round14Queries {
     val base = o0.select(col("k"), col("c"), col("d"),
       col("k").as("nk"),
       (col("d") * ZPack + col("k")).as("dk"),
-      (Layout.zValue(qc, qd, ZBits) * ZPack + col("k")).as("zk"))
+      (Layout.zValue(qc, qd, ZBits) * ZPack + col("k")).as("zk"),
+      (Layout.hilbertValue(qc, qd, ZBits) * ZPack + col("k")).as("hk"))
 
     def zm(key: String, name: String): DataFrame =
       Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f"), "f",
           Seq("c", "d"))
         .withColumn("layout", lit(name))
     val zms = zm("nk", "nat").unionByName(zm("dk", "date"))
-      .unionByName(zm("zk", "z"))
+      .unionByName(zm("zk", "z")).unionByName(zm("hk", "hilbert"))
 
     // the 24-predicate workload, exact integer quarter boundaries
     def q4(lo: Long, hi: Long, i: Long): (Long, Long) = {
@@ -94,7 +97,8 @@ object Round14Queries {
       .groupBy("pred_id").agg(
         sum(when(col("layout") === "nat", 1L).otherwise(0L)).as("files_nat"),
         sum(when(col("layout") === "date", 1L).otherwise(0L)).as("files_date"),
-        sum(when(col("layout") === "z", 1L).otherwise(0L)).as("files_z"))
+        sum(when(col("layout") === "z", 1L).otherwise(0L)).as("files_z"),
+        sum(when(col("layout") === "hilbert", 1L).otherwise(0L)).as("files_hilbert"))
     val matched = o0.join(broadcast(predDf),
         col("c").between(col("c_lo"), col("c_hi")) &&
           col("d").between(col("d_lo"), col("d_hi")))
@@ -108,12 +112,25 @@ object Round14Queries {
         coalesce(col("rows_match"), lit(0L)).as("rows_match"),
         coalesce(col("files_nat"), lit(0L)).as("files_nat"),
         coalesce(col("files_date"), lit(0L)).as("files_date"),
-        coalesce(col("files_z"), lit(0L)).as("files_z"))
+        coalesce(col("files_z"), lit(0L)).as("files_z"),
+        coalesce(col("files_hilbert"), lit(0L)).as("files_hilbert"))
       .orderBy("pred_id")
   }
 
   val q218Sql: String = {
     val z = Layout.zValueSql("qc", "qd", ZBits)
+    // one CTE per Hilbert level, MSB first (the SQL twin of the
+    // hilbertValue fold; each level rewrites the (hx, hy, hd) state)
+    val hilbertChain = (ZBits - 1 to 0 by -1).zipWithIndex.map {
+      case (lvl, i) =>
+        val (nx, ny, nd) = Layout.hilbertLevelSql(1L << lvl)
+        s"""h${i + 1} AS (
+           |  SELECT k, c, d, n, qc, qd,
+           |    $nx AS hx,
+           |    $ny AS hy,
+           |    $nd AS hd
+           |  FROM h$i)""".stripMargin
+    }.mkString(",\n|")
     s"""WITH o AS (
        |  SELECT o_orderkey AS k, o_custkey AS c,
        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
@@ -125,15 +142,19 @@ object Round14Queries {
        |    ((o.c - b.clo) * $ZLevels) // (b.chi - b.clo + 1) AS qc,
        |    ((o.d - b.dlo) * $ZLevels) // (b.dhi - b.dlo + 1) AS qd
        |  FROM o CROSS JOIN b),
+       |h0 AS (SELECT k, c, d, n, qc, qd, qc AS hx, qd AS hy,
+       |       CAST(0 AS BIGINT) AS hd FROM qz),
+       |$hilbertChain,
        |keys AS (
        |  SELECT k, c, d, n, k AS nk, d * $ZPack + k AS dk,
-       |    ($z) * $ZPack + k AS zk
-       |  FROM qz),
+       |    ($z) * $ZPack + k AS zk, hd * $ZPack + k AS hk
+       |  FROM h$ZBits),
        |fid AS (
        |  SELECT k, c, d,
        |    ((ROW_NUMBER() OVER (ORDER BY nk) - 1) * $ZFiles) // n AS f_nat,
        |    ((ROW_NUMBER() OVER (ORDER BY dk) - 1) * $ZFiles) // n AS f_date,
-       |    ((ROW_NUMBER() OVER (ORDER BY zk) - 1) * $ZFiles) // n AS f_z
+       |    ((ROW_NUMBER() OVER (ORDER BY zk) - 1) * $ZFiles) // n AS f_z,
+       |    ((ROW_NUMBER() OVER (ORDER BY hk) - 1) * $ZFiles) // n AS f_hilbert
        |  FROM keys),
        |zm AS (
        |  SELECT 'nat' AS layout, f_nat AS f, MIN(c) AS cmin, MAX(c) AS cmax,
@@ -141,7 +162,9 @@ object Round14Queries {
        |  UNION ALL
        |  SELECT 'date', f_date, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2
        |  UNION ALL
-       |  SELECT 'z', f_z, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2),
+       |  SELECT 'z', f_z, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'hilbert', f_hilbert, MIN(c), MAX(c), MIN(d), MAX(d) FROM fid GROUP BY 2),
        |g(i) AS (VALUES (0), (1), (2), (3)),
        |preds AS (
        |  SELECT CAST(g.i AS BIGINT) AS pred_id, 'cust' AS kind,
@@ -165,7 +188,8 @@ object Round14Queries {
        |  SELECT p.pred_id,
        |    CAST(SUM(CASE WHEN z.layout = 'nat' THEN 1 ELSE 0 END) AS BIGINT) AS files_nat,
        |    CAST(SUM(CASE WHEN z.layout = 'date' THEN 1 ELSE 0 END) AS BIGINT) AS files_date,
-       |    CAST(SUM(CASE WHEN z.layout = 'z' THEN 1 ELSE 0 END) AS BIGINT) AS files_z
+       |    CAST(SUM(CASE WHEN z.layout = 'z' THEN 1 ELSE 0 END) AS BIGINT) AS files_z,
+       |    CAST(SUM(CASE WHEN z.layout = 'hilbert' THEN 1 ELSE 0 END) AS BIGINT) AS files_hilbert
        |  FROM preds p JOIN zm z
        |    ON z.cmin <= p.c_hi AND z.cmax >= p.c_lo
        |   AND z.dmin <= p.d_hi AND z.dmax >= p.d_lo
@@ -179,7 +203,8 @@ object Round14Queries {
        |  COALESCE(rm.rows_match, 0) AS rows_match,
        |  COALESCE(sc.files_nat, 0) AS files_nat,
        |  COALESCE(sc.files_date, 0) AS files_date,
-       |  COALESCE(sc.files_z, 0) AS files_z
+       |  COALESCE(sc.files_z, 0) AS files_z,
+       |  COALESCE(sc.files_hilbert, 0) AS files_hilbert
        |FROM preds p LEFT JOIN rm ON p.pred_id = rm.pred_id
        |LEFT JOIN sc ON p.pred_id = sc.pred_id
        |ORDER BY p.pred_id""".stripMargin

@@ -75,21 +75,56 @@ class Round14Spec extends SparkSpec {
 
   // ---- q218 pruning contract ----------------------------------------------------
 
-  test("q218: Z-layout dominates on the mixed workload; date layout wins date-only") {
+  test("q218: curve layouts dominate on the mixed workload; date layout wins date-only") {
     val rows = graft.queries.Round14Queries.q218ZorderPruning(spark, sf)
-      .collect().map(r => (r.getString(1), r.getLong(7), r.getLong(8), r.getLong(9)))
+      .collect().map(r => (r.getString(1), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10)))
     val both = rows.filter(_._1 == "both")
     assert(both.length == 16)
-    val (natSum, dateSum, zSum) =
-      (both.map(_._2).sum, both.map(_._3).sum, both.map(_._4).sum)
-    assert(zSum < natSum, s"z=$zSum !< nat=$natSum on mixed predicates")
-    assert(zSum < dateSum, s"z=$zSum !< date=$dateSum on mixed predicates")
+    val (natSum, dateSum, zSum, hSum) = (both.map(_._2).sum,
+      both.map(_._3).sum, both.map(_._4).sum, both.map(_._5).sum)
+    assert(zSum < natSum && zSum < dateSum,
+      s"z=$zSum must beat nat=$natSum and date=$dateSum on mixed predicates")
+    assert(hSum < natSum && hSum < dateSum,
+      s"hilbert=$hSum must beat nat=$natSum and date=$dateSum on mixed predicates")
     val dateOnly = rows.filter(_._1 == "date")
     assert(dateOnly.map(_._3).sum <= dateOnly.map(_._4).sum,
       "date-sorted layout must prune date ranges at least as well as Z")
     // natural order prunes nothing on custkey ranges (orderkey ⟂ custkey)
     val custOnly = rows.filter(_._1 == "cust")
     assert(custOnly.forall(_._2 == 64L), "unexpected natural-layout pruning")
+  }
+
+  test("hilbertValue equals the xy2d reference over a grid") {
+    val pairs = for (x <- 0L to 35L; y <- Seq(0L, 1L, 5L, 63L, 2048L, 4095L))
+      yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 12).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == Layout.hilbertRef(x, y, 12), s"h($x,$y)")
+    }
+  }
+
+  test("Hilbert walk has unit-step locality everywhere; Z does not") {
+    // bits=3: enumerate all 64 cells, invert d -> (x, y), check every
+    // consecutive pair of curve positions is 4-adjacent — the locality
+    // property that tightens zone-map boxes at file seams
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val byD = cells.map { case (x, y) => Layout.hilbertRef(x, y, 3) -> ((x, y)) }
+      .sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 64L), "hilbert indices not a permutation")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent hilbert step ($x1,$y1)->($x2,$y2)")
+    }
+    // the Z curve breaks unit-step locality (the quadrant seam jump)
+    def zRef(x: Long, y: Long) = (0 until 3).map(i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val zByD = cells.map { case (x, y) => zRef(x, y) -> ((x, y)) }.sortBy(_._1)
+    val zJumps = zByD.sliding(2).count { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1 }
+    assert(zJumps > 0, "expected Z-curve seam jumps")
   }
 
   // ---- q219 estimator identity ----------------------------------------------------
