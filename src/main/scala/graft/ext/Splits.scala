@@ -63,6 +63,28 @@ object Splits {
       .orderBy(col("__key"), col(idCol))
       .limit(k)
 
+  /** Per-group A-ES weighted sample (no replacement): the k smallest race
+    * keys WITHIN each group, via the bounded TopKAgg (score = −key so the
+    * best-first buffer keeps the smallest keys; ties break on the id,
+    * matching the global [[weightedSample]]'s (key, id) order). The
+    * exchange carries ≤ k·groups·partitions entries — the grouped
+    * counterpart of the global sample's TakeOrderedAndProject, and the
+    * shape that survives a 100-TB corpus with millions of groups where
+    * any per-group window would ship every row to its group's reducer.
+    * Returns (groupCols..., rank, id, __key) exploded rows.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    df.withColumn("__key", weightedSampleKey(col(idCol), col(weightCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.topK(-col("__key"), col(idCol), k).as("tk"))
+      .select(groupCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), (-col("col.score")).as("__key")): _*)
+  }
+
   /** Deterministic output-shard assignment in [0, shards) — an md5
     * derivation INDEPENDENT of [[bucket]]'s split hash (the key is
     * prefixed), so shard and split membership don't correlate.

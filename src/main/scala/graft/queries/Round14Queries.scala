@@ -615,13 +615,51 @@ object Round14Queries {
        |FROM p ORDER BY pair""".stripMargin
   }
 
+  // ---- q224 per-group weighted sampling ------------------------------------------
+
+  private val GsK = 5
+
+  /** Per-(source, lang) Efraimidis–Spirakis sample — 5 docs per cell,
+    * weight = n_chars — through [[graft.ext.Splits.weightedSamplePerGroup]]:
+    * the same md5-exponential race as the global q215, but the per-group
+    * top-k aggregates through the bounded TopKAgg, so the exchange
+    * carries ≤ k·groups·partitions entries where a per-group window
+    * would ship every row to its group's reducer. This is how a mixture
+    * pipeline draws its per-source/per-language quota deterministically:
+    * no RNG state, any partitioning, any engine. The oracle is the
+    * textbook per-group window over the identical race keys.
+    */
+  def q224GroupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir)
+    val sampled = graft.ext.Splits.weightedSamplePerGroup(
+      d, Seq("source", "lang"), "doc_id", "n_chars", GsK)
+    sampled.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("source"), col("lang"), col("rank"), col("doc_id"),
+        col("n_chars"), col("__key").as("race_key"))
+      .orderBy("source", "lang", "rank")
+  }
+
+  val q224Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    ROUND(-LN((CAST(CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+       |              / 1152921504606846976.0) / n_chars, 6) AS race_key
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source, lang ORDER BY race_key, doc_id) AS rank
+       |  FROM s)
+       |SELECT source, lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, race_key
+       |FROM r WHERE rank <= $GsK ORDER BY source, lang, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_zorder_pruning" -> (q218ZorderPruning _),
     "q219_join_size_est" -> (q219JoinSizeEst _),
     "q220_incremental_agg" -> (q220IncrementalAgg _),
     "q221_hard_negatives" -> (q221HardNegatives _),
     "q222_incremental_join" -> (q222IncrementalJoin _),
-    "q223_endbiased_est" -> (q223EndBiasedEst _))
+    "q223_endbiased_est" -> (q223EndBiasedEst _),
+    "q224_group_sample" -> (q224GroupSample _))
 
   val oracles: Map[String, String] = Map(
     "q218_zorder_pruning" -> q218Sql,
@@ -629,5 +667,6 @@ object Round14Queries {
     "q220_incremental_agg" -> q220Sql,
     "q221_hard_negatives" -> q221Sql,
     "q222_incremental_join" -> q222Sql,
-    "q223_endbiased_est" -> q223Sql)
+    "q223_endbiased_est" -> q223Sql,
+    "q224_group_sample" -> q224Sql)
 }

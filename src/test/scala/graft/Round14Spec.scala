@@ -235,6 +235,27 @@ class Round14Spec extends SparkSpec {
     out.values.foreach { case (ex, _, e, _) => assert(ex > 0 && e > 0) }
   }
 
+  test("q224: per-group TopKAgg sample equals the per-group window formulation") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val keyed = d.select(col("source"), col("lang"), col("doc_id"),
+      graft.ext.Splits.weightedSampleKey(col("doc_id"), col("n_chars")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy(col("k"), col("doc_id"))
+    val ref = keyed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("k"))
+      .orderBy("source", "lang", "rank").collect()
+    val got = graft.queries.Round14Queries.q224GroupSample(spark, sf)
+      .select(col("source"), col("lang"), col("rank"), col("doc_id"),
+        col("race_key"))
+      .orderBy("source", "lang", "rank").collect()
+    assert(got.toSeq == ref.toSeq)
+    // every (source, lang) cell present in the corpus is represented
+    val cells = d.select("source", "lang").distinct().count()
+    assert(got.map(r => (r.getString(0), r.getString(1))).distinct.length == cells)
+  }
+
   // ---- plan guards -----------------------------------------------------------------
 
   test("q219/q220 plan keyed joins only — no cartesian beyond the 1-row scalar attach") {
