@@ -652,6 +652,114 @@ object Round14Queries {
        |SELECT source, lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, race_key
        |FROM r WHERE rank <= $GsK ORDER BY source, lang, rank""".stripMargin
 
+  // ---- q225 numeric band join + histogram selectivity --------------------------
+
+  /** Numeric ε-band self-join with a histogram selectivity estimate —
+    * the RANGE-join counterpart of q219/q223's equi-join sizing. Exact
+    * side: per event type, the count of (id1 < id2) pairs with
+    * |v1 − v2| ≤ ε (ε = value-range/1000) via BUCKET CO-LOCATION — each
+    * probe row explodes its 3 candidate ε-buckets and joins keyed on
+    * (type, bucket), so candidates are bounded by ε-locality and the
+    * plan never goes n² (the same banding idea the LSH/simhash joins use,
+    * applied to a numeric axis; this is how you size or execute an
+    * interval join at 100 TB). Estimate side: a 100-bucket equi-width
+    * histogram per type and the textbook uniform-within-bucket formulas —
+    * P(|u1−u2| ≤ t) = 2t − t² within a bucket, t²/2 across adjacent
+    * buckets (t = ε/width) — with per-bucket expected counts quantized to
+    * micro-units so the sums are exact integers in both engines. The
+    * fixture's exponential-ish value distribution gives the estimator
+    * honest skew error (the histogram assumes within-bucket uniformity);
+    * every number is oracle-replayed bit-for-bit.
+    */
+  def q225BandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir).select(
+      col("event_type").as("t"), col("event_id").as("id"), col("value").as("v"))
+    val bounds = ev.groupBy("t").agg(
+      min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n"))
+    val w = bounds
+      .withColumn("eps", (col("vmax") - col("vmin")) / 1000.0)
+      .withColumn("wdt", (col("vmax") - col("vmin")) / 100.0)
+      .withColumn("tt",
+        ((col("vmax") - col("vmin")) / 1000.0) / ((col("vmax") - col("vmin")) / 100.0))
+    val eb = ev.join(broadcast(w), "t")
+      .withColumn("bk", floor((col("v") - col("vmin")) / col("eps")).cast("long"))
+
+    val probe = eb.select(col("t"), col("id"), col("v"), col("eps"),
+      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("pb"))
+    val build = eb.select(col("t"), col("id").as("id2"), col("v").as("v2"),
+      col("bk").as("pb"))
+    val exact = probe.join(build, Seq("t", "pb"))
+      .filter(col("id") < col("id2") && abs(col("v") - col("v2")) <= col("eps"))
+      .groupBy("t").agg(count(lit(1)).as("exact_pairs"))
+
+    val hist = eb.select(col("t"),
+        least(floor((col("v") - col("vmin")) / col("wdt")).cast("long"), lit(99L))
+          .as("hb"))
+      .groupBy("t", "hb").agg(count(lit(1)).as("c"))
+    val same = hist.join(broadcast(w.select("t", "tt")), "t")
+      .groupBy("t").agg(sum(round(
+        (col("c") * (col("c") - lit(1L))).cast("double") * lit(0.5) *
+          (lit(2.0) * col("tt") - col("tt") * col("tt")) * lit(1e6), 0)
+        .cast("long")).as("m_same"))
+    val adj = hist.as("h1")
+      .join(hist.as("h2"),
+        col("h1.t") === col("h2.t") && col("h2.hb") === col("h1.hb") + 1)
+      .join(broadcast(w.select(col("t").as("wt"), col("tt"))),
+        col("h1.t") === col("wt"))
+      .groupBy(col("h1.t").as("t")).agg(sum(round(
+        (col("h1.c") * col("h2.c")).cast("double") *
+          (col("tt") * col("tt") * lit(0.5)) * lit(1e6), 0)
+        .cast("long")).as("m_adj"))
+
+    w.select(col("t"), col("n"))
+      .join(exact, "t")
+      .join(same, Seq("t"), "left").join(adj, Seq("t"), "left")
+      .withColumn("micro",
+        coalesce(col("m_same"), lit(0L)) + coalesce(col("m_adj"), lit(0L)))
+      .select(col("t").as("event_type"), col("n"), col("exact_pairs"),
+        round(col("micro") / 1e6, 3).as("est_pairs"),
+        round(abs(col("micro") / 1e6 - col("exact_pairs").cast("double")) /
+          col("exact_pairs").cast("double"), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  val q225Sql: String =
+    """WITH e AS (SELECT event_type AS t, event_id AS id, value AS v FROM events),
+      |b AS (SELECT t, MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM e GROUP BY 1),
+      |w AS (SELECT t, vmin, vmax, n, (vmax - vmin) / 1000.0 AS eps,
+      |        (vmax - vmin) / 100.0 AS wdt,
+      |        ((vmax - vmin) / 1000.0) / ((vmax - vmin) / 100.0) AS tt
+      |      FROM b),
+      |eb AS (SELECT e.t, e.id, e.v, w.eps, w.vmin, w.wdt,
+      |         CAST(FLOOR((e.v - w.vmin) / w.eps) AS BIGINT) AS bk
+      |       FROM e JOIN w USING (t)),
+      |ex AS (
+      |  SELECT a.t, CAST(COUNT(*) AS BIGINT) AS exact_pairs
+      |  FROM eb a JOIN eb b2 ON a.t = b2.t
+      |    AND b2.bk BETWEEN a.bk - 1 AND a.bk + 1
+      |    AND a.id < b2.id AND ABS(a.v - b2.v) <= a.eps
+      |  GROUP BY 1),
+      |h AS (SELECT t, LEAST(CAST(FLOOR((v - vmin) / wdt) AS BIGINT), 99) AS hb,
+      |        COUNT(*) AS c
+      |      FROM eb GROUP BY 1, 2),
+      |sm AS (
+      |  SELECT h.t, SUM(CAST(ROUND(
+      |    (h.c * (h.c - 1)) * 0.5 * (2.0 * w.tt - w.tt * w.tt) * 1e6) AS BIGINT)) AS m_same
+      |  FROM h JOIN w USING (t) GROUP BY 1),
+      |ad AS (
+      |  SELECT h1.t, SUM(CAST(ROUND(
+      |    (h1.c * h2.c) * (w.tt * w.tt * 0.5) * 1e6) AS BIGINT)) AS m_adj
+      |  FROM h h1 JOIN h h2 ON h1.t = h2.t AND h2.hb = h1.hb + 1
+      |  JOIN w ON w.t = h1.t GROUP BY 1)
+      |SELECT w.t AS event_type, CAST(w.n AS BIGINT) AS n, ex.exact_pairs,
+      |  ROUND((COALESCE(sm.m_same, 0) + COALESCE(ad.m_adj, 0)) / 1e6, 3) AS est_pairs,
+      |  ROUND(ABS((COALESCE(sm.m_same, 0) + COALESCE(ad.m_adj, 0)) / 1e6
+      |        - CAST(ex.exact_pairs AS DOUBLE)) / CAST(ex.exact_pairs AS DOUBLE), 6)
+      |    AS rel_err
+      |FROM w JOIN ex ON w.t = ex.t
+      |LEFT JOIN sm ON w.t = sm.t LEFT JOIN ad ON w.t = ad.t
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_zorder_pruning" -> (q218ZorderPruning _),
     "q219_join_size_est" -> (q219JoinSizeEst _),
@@ -659,7 +767,8 @@ object Round14Queries {
     "q221_hard_negatives" -> (q221HardNegatives _),
     "q222_incremental_join" -> (q222IncrementalJoin _),
     "q223_endbiased_est" -> (q223EndBiasedEst _),
-    "q224_group_sample" -> (q224GroupSample _))
+    "q224_group_sample" -> (q224GroupSample _),
+    "q225_band_join" -> (q225BandJoin _))
 
   val oracles: Map[String, String] = Map(
     "q218_zorder_pruning" -> q218Sql,
@@ -668,5 +777,6 @@ object Round14Queries {
     "q221_hard_negatives" -> q221Sql,
     "q222_incremental_join" -> q222Sql,
     "q223_endbiased_est" -> q223Sql,
-    "q224_group_sample" -> q224Sql)
+    "q224_group_sample" -> q224Sql,
+    "q225_band_join" -> q225Sql)
 }

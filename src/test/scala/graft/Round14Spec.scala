@@ -256,6 +256,24 @@ class Round14Spec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getString(1))).distinct.length == cells)
   }
 
+  test("q225: bucket co-location finds exactly the brute-force band pairs") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type").as("t"), col("event_id").as("id"),
+        col("value").as("v"))
+    // brute-force truth per type (fixture-sized only)
+    val brute = ev.as("a").join(ev.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .join(ev.groupBy("t").agg(
+        ((max("v") - min("v")) / 1000.0).as("eps")).withColumnRenamed("t", "tt"),
+        col("a.t") === col("tt"))
+      .filter(abs(col("a.v") - col("b.v")) <= col("eps"))
+      .groupBy(col("a.t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.queries.Round14Queries.q225BandJoin(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == brute, s"got $got want $brute")
+  }
+
   // ---- plan guards -----------------------------------------------------------------
 
   test("q219/q220 plan keyed joins only — no cartesian beyond the 1-row scalar attach") {
