@@ -189,11 +189,19 @@ object Round13Queries {
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
     val codes = e.select(col("vec_id"), Pq.encodeRounded(col("v"), cb).as("codes"))
+    // materialized once (bounded: L × queries rows): the shortlist feeds
+    // both the re-rank stage and the stage-1 recall audit — the ADC scan
+    // and its encode chain must not re-execute per consumer
     val shortlist = Pq.adcTopK(codes, "vec_id", "codes", queries, cb, PqShortlist)
+      .localCheckpoint()
     // exact distances through the SAME unrolled subspace chains: ground
     // truth for the audit AND the re-rank stage (at scale the re-rank
     // joins only the L shortlist rows back to their vectors; here the
     // audit needs the full exact ranking anyway, so one frame serves both)
+    // materialized once (bounded: queries × corpus rows of 3 columns): the
+    // frame feeds three consumers (exact top-k, the re-rank join, and the
+    // recall audits), and each unrolled 64-term distance chain is a large
+    // codegen unit whose compile + evaluation must not repeat per consumer
     val exact = queries.map { case (qid, qv) =>
       val d2 = (0 until PqM).map(s =>
         Pq.subD2Unrolled(col("v"), s * PqSubDim,
@@ -201,7 +209,7 @@ object Round13Queries {
       e.select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
           round(d2, 4).as("d2"))
         .filter(col("neighbor_id") =!= col("query_id"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).localCheckpoint()
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= PqTopK)

@@ -61,11 +61,15 @@ object Round14Queries {
 
     val qc = Layout.quantize(col("c"), lit(clo), lit(chi), ZLevels)
     val qd = Layout.quantize(col("d"), lit(dlo), lit(dhi), ZLevels)
+    // materialized once: all four layout ranks re-read these 7 columns, and
+    // the Hilbert walk (an interpreted bindOnce chain — HOFs don't codegen)
+    // must not re-evaluate per layout × per min-of-2 pass
     val base = o0.select(col("k"), col("c"), col("d"),
       col("k").as("nk"),
       (col("d") * ZPack + col("k")).as("dk"),
       (Layout.zValue(qc, qd, ZBits) * ZPack + col("k")).as("zk"),
       (Layout.hilbertValue(qc, qd, ZBits) * ZPack + col("k")).as("hk"))
+      .localCheckpoint()
 
     def zm(key: String, name: String): DataFrame =
       Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f"), "f",
