@@ -764,6 +764,128 @@ object Round14Queries {
       |LEFT JOIN sm ON w.t = sm.t LEFT JOIN ad ON w.t = ad.t
       |ORDER BY event_type""".stripMargin
 
+  // ---- q226 KMV distinct sketch with set-operation estimates ---------------------
+
+  private val KmvK = 64
+  private val KmvNorm = 281474976710656.0 // 2^48
+
+  /** KMV (k-minimum-values / bottom-k theta) distinct sketches with
+    * UNION and INTERSECTION estimates — the set operations an HLL cannot
+    * deliver (q62's register max gives union only; intersection via
+    * inclusion-exclusion explodes in error). Per day, the sketch is the
+    * k=64 smallest 48-bit md5 hashes of that day's DISTINCT users —
+    * 48 bits so the hash order survives a double-typed aggregation
+    * buffer exactly — collected through the bounded TopKAgg (score =
+    * −hash; ≤ k·days·partitions exchange). Sketches COMPOSE row-locally:
+    * the union sketch of two days is the k smallest of the merged hash
+    * lists, the union estimate is the order-statistic (k−1)·2⁴⁸/h₍ₖ₎
+    * (exact count when the merged sample is complete), and the
+    * intersection estimate is the Jaccard fraction of the union sample
+    * present in BOTH sides times the union estimate. Audited on adjacent
+    * active-day pairs against exact |A|, |B|, |A∪B| (the shifted-union
+    * trick — one keyed distinct, no pair join), |A∩B| by
+    * inclusion-exclusion. Every estimate is a pure function of md5 order
+    * statistics, so DuckDB replays sketches, estimates, and errors
+    * bit-for-bit. At 100 TB this is how warehouse overlap/retention
+    * matrices are maintained: per-bucket sketches of bounded size merge
+    * associatively; the exact columns here are the audit, not the plan.
+    */
+  def q226KmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = ExtQueries.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dh = du.withColumn("h",
+      conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("long"))
+    val sk = dh.groupBy("d")
+      .agg(graft.functions.TopKAgg.topK(-col("h").cast("double"), col("h"), KmvK)
+        .as("tk"))
+      .select(col("d"), transform(col("tk"), e => e.getField("id")).as("hs"))
+    val dc = du.groupBy("d").agg(count(lit(1)).as("n"))
+    val un = du.select(col("d"), col("user_id"))
+      .unionByName(du.select(date_sub(col("d"), 1).as("d"), col("user_id")))
+      .distinct().groupBy("d").agg(count(lit(1)).as("nu"))
+
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("b.d") === date_add(col("a.d"), 1))
+      .select(col("a.d").as("d"), col("a.hs").as("ha"), col("b.hs").as("hb"))
+    val withU = pairs
+      .withColumn("u", array_sort(array_distinct(concat(col("ha"), col("hb")))))
+      .withColumn("ke", least(size(col("u")), lit(KmvK)))
+      .withColumn("u64", slice(col("u"), lit(1), col("ke")))
+    val est = withU
+      .withColumn("est_union_raw",
+        when(size(col("u64")) < KmvK, size(col("u64")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * KmvNorm /
+            element_at(col("u64"), KmvK)))
+      .withColumn("nboth",
+        size(array_intersect(array_intersect(col("u64"), col("ha")), col("hb"))))
+
+    est
+      .join(dc.select(col("d"), col("n").as("exact_a")), "d")
+      .join(dc.select(date_sub(col("d"), 1).as("d"), col("n").as("exact_b")), "d")
+      .join(un.select(col("d"), col("nu").as("exact_union")), "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("exact_a"), col("exact_b"),
+        col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+        round(col("est_union_raw"), 3).as("est_union"),
+        round(col("nboth").cast("double") * col("est_union_raw") / col("ke"), 3)
+          .as("est_inter"),
+        round(abs(col("est_union_raw") - col("exact_union")) / col("exact_union"),
+          6).as("rel_err_union"),
+        round(abs(col("nboth").cast("double") * col("est_union_raw") / col("ke") -
+          (col("exact_a") + col("exact_b") - col("exact_union"))) /
+          (col("exact_a") + col("exact_b") - col("exact_union")), 6)
+          .as("rel_err_inter"))
+      .orderBy("day")
+  }
+
+  val q226Sql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+       |  FROM events),
+       |dh AS (
+       |  SELECT d, CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+       |  FROM du),
+       |dc AS (SELECT d, COUNT(*) AS n FROM du GROUP BY 1),
+       |un AS (
+       |  SELECT d, COUNT(*) AS nu FROM (
+       |    SELECT DISTINCT d, user_id FROM (
+       |      SELECT d, user_id FROM du
+       |      UNION ALL SELECT d - 1 AS d, user_id FROM du))
+       |  GROUP BY 1),
+       |rk AS (SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn FROM dh),
+       |sl AS (SELECT d, list(h ORDER BY h) AS hs FROM rk WHERE rn <= $KmvK GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.d AS d, a.hs AS ha, b.hs AS hb
+       |  FROM sl a JOIN sl b ON b.d = a.d + 1),
+       |comp AS (
+       |  SELECT d, ha, hb,
+       |    list_sort(list_distinct(list_concat(ha, hb))) AS u
+       |  FROM pairs),
+       |est AS (
+       |  SELECT d, ha, hb, LEAST(len(u), $KmvK) AS ke,
+       |    u[1:LEAST(len(u), $KmvK)] AS u64
+       |  FROM comp),
+       |fin AS (
+       |  SELECT d, ke,
+       |    CASE WHEN len(u64) < $KmvK THEN CAST(len(u64) AS DOUBLE)
+       |         ELSE ${(KmvK - 1).toDouble} * $KmvNorm / u64[$KmvK] END AS est_union_raw,
+       |    len(list_intersect(list_intersect(u64, ha), hb)) AS nboth
+       |  FROM est)
+       |SELECT CAST(f.d AS VARCHAR) AS day, da.n AS exact_a, db.n AS exact_b, un.nu AS exact_union,
+       |  da.n + db.n - un.nu AS exact_inter,
+       |  ROUND(f.est_union_raw, 3) AS est_union,
+       |  ROUND(CAST(f.nboth AS DOUBLE) * f.est_union_raw / f.ke, 3) AS est_inter,
+       |  ROUND(ABS(f.est_union_raw - un.nu) / un.nu, 6) AS rel_err_union,
+       |  ROUND(ABS(CAST(f.nboth AS DOUBLE) * f.est_union_raw / f.ke
+       |        - (da.n + db.n - un.nu)) / (da.n + db.n - un.nu), 6) AS rel_err_inter
+       |FROM fin f
+       |JOIN dc da ON da.d = f.d
+       |JOIN dc db ON db.d = f.d + 1
+       |JOIN un ON un.d = f.d
+       |ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_zorder_pruning" -> (q218ZorderPruning _),
     "q219_join_size_est" -> (q219JoinSizeEst _),
@@ -772,7 +894,8 @@ object Round14Queries {
     "q222_incremental_join" -> (q222IncrementalJoin _),
     "q223_endbiased_est" -> (q223EndBiasedEst _),
     "q224_group_sample" -> (q224GroupSample _),
-    "q225_band_join" -> (q225BandJoin _))
+    "q225_band_join" -> (q225BandJoin _),
+    "q226_kmv_overlap" -> (q226KmvOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q218_zorder_pruning" -> q218Sql,
@@ -782,5 +905,6 @@ object Round14Queries {
     "q222_incremental_join" -> q222Sql,
     "q223_endbiased_est" -> q223Sql,
     "q224_group_sample" -> q224Sql,
-    "q225_band_join" -> q225Sql)
+    "q225_band_join" -> q225Sql,
+    "q226_kmv_overlap" -> q226Sql)
 }

@@ -274,6 +274,18 @@ class Round14Spec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
   }
 
+  test("q226: complete KMV samples give EXACT set estimates (sf0.001: 15 users < k)") {
+    val rows = graft.queries.Round14Queries.q226KmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // with the whole hash population inside the sketch the estimator
+      // must degrade to exact counting: est == exact, both errors 0
+      assert(r.getDouble(5) == r.getLong(3).toDouble, s"union not exact: $r")
+      assert(r.getDouble(6) == r.getLong(4).toDouble, s"inter not exact: $r")
+      assert(r.getDouble(7) == 0.0 && r.getDouble(8) == 0.0, s"nonzero err: $r")
+    }
+  }
+
   // ---- plan guards -----------------------------------------------------------------
 
   test("q219/q220 plan keyed joins only — no cartesian beyond the 1-row scalar attach") {
