@@ -42,6 +42,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("__micros")).as("sum_micros"),
         min(col("__micros")).as("min_micros"), max(col("__micros")).as("max_micros"))
 
+  /** Per-day KMV/bottom-k distinct sketches (q226's
+    * [[graft.queries.Round14Queries]] family) as a streaming aggregation:
+    * the state per day is the k smallest 48-bit user hashes, and because
+    * a bounded k-minimum multiset is MERGE-ORDER-INVARIANT (like HLL's
+    * register max and DDSketch's bucket sums), the streaming state-store
+    * merges produce hash lists BIT-identical to a batch aggregation over
+    * the same rows regardless of micro-batch boundaries (StreamingSpec
+    * pins exact equality). PRECONDITION (as in the batch q226, which
+    * deduplicates (day, user) first): feed each (day, user) at most once —
+    * duplicate hashes would displace real distinct values from the
+    * k-buffer; chain the existing streaming dedup upstream for at-least-
+    * once sources. Downstream union/intersection estimation composes
+    * row-locally on the emitted sketches.
+    */
+  def streamingKmvDaily(events: DataFrame, k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    events
+      .select(to_date(col("ts")).as("d"), h.as("h"))
+      .groupBy("d")
+      .agg(graft.functions.TopKAgg.topK(-col("h").cast("double"), col("h"), k)
+        .as("tk"))
+      .select(col("d"), transform(col("tk"), e => e.getField("id")).as("hs"))
+  }
+
   /** Tumbling-window quantile estimates per event type from the DDSketch
     * aggregator ([[graft.functions.DDSketchAgg]]) — bounded state per
     * (type, window): O(log value-range) occupied buckets, never the value

@@ -508,6 +508,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming KMV daily sketches across batches ≡ batch hash lists bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(e => graft.ext.Events.normalizeTs(e))
+    // the sketch precondition: one (day, user) per row (batch q226 dedupes)
+    val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .withColumn("ts", col("d").cast("timestamp"))
+      .select(col("ts"), col("user_id")).as[(Timestamp, Long)].collect().toSeq
+    val input = MemoryStream[(Timestamp, Long)](16, spark, None)
+    input.addData(du.take(du.length / 3))
+    input.addData(du.slice(du.length / 3, 2 * du.length / 3))
+    input.addData(du.drop(2 * du.length / 3))
+    val streamed = runToMemory(
+      StreamOps.streamingKmvDaily(input.toDF().toDF("ts", "user_id"), k = 8),
+      "kmv_daily", mode = "complete") {}
+      .collect().map(r => r.getDate(0).toString -> r.getSeq[Long](1)).toMap
+    val batch = StreamOps.streamingKmvDaily(
+      ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .select(col("d").cast("timestamp").as("ts"), col("user_id")), k = 8)
+      .collect().map(r => r.getDate(0).toString -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.values.forall(hs => hs == hs.sorted && hs.length <= 8))
+  }
+
   test("streaming count-min cells across batches ≡ batch sketch on the events fixture") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
