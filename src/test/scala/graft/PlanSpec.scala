@@ -359,4 +359,38 @@ class PlanSpec extends SparkSpec {
       assertApprox(salted(k)._2, direct(k)._2, 1e-12)
     }
   }
+
+  test("runtime bloom filter injects on a selective SMJ fact join (no-broadcast regime)") {
+    // at 100 TB the build side of a selective join is too big to broadcast;
+    // Spark's InjectRuntimeFilter turns the join's selectivity into a
+    // bloom predicate evaluated at the FACT SCAN. Pin that the engine
+    // configuration actually produces it: force the no-broadcast regime,
+    // lower the application-side threshold to fixture scale, and assert
+    // both halves — the creation-side bloom_filter_agg and the scan-side
+    // might_contain probe.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no runtime bloom creation side in: $plan")
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no scan-side bloom probe in: $plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
