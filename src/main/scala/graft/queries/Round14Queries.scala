@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Incremental, Layout, Similarity}
 
-/** Round-14 queries: the warehouse-operations layer — Z-order data layout
-  * with a zone-map pruning audit (q218), join-size estimation from
-  * coordinated key-hash sketches (q219), incremental aggregate
-  * maintenance over a CDC delta (q220), and hard-negative mining over the
-  * embedding corpus (q221).
+/** Round-14 queries: the warehouse-operations layer — zone-map pruning
+  * audit over four physical layouts incl. Z-order and Hilbert (q218),
+  * join-size estimation from coordinated key-hash sketches (q219) and its
+  * end-biased MCV upgrade (q223), incremental aggregate maintenance over
+  * a CDC delta (q220) and incremental JOIN-view maintenance via the
+  * bilinear delta expansion (q222), hard-negative mining over the
+  * embedding corpus (q221), per-group A-ES weighted sampling (q224), a
+  * numeric ε-band join with histogram range-join selectivity (q225), and
+  * KMV distinct sketches with union/intersection estimates (q226).
   */
 object Round14Queries {
 
