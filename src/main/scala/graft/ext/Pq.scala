@@ -154,6 +154,20 @@ object Pq {
       t * t
     }.reduce(_ + _)
 
+  /** Column-column twin of [[subD2Unrolled]]: the IDENTICAL left-assoc
+    * term order, but the second vector is a runtime array column instead
+    * of compile-time literals — so a BATCH of query vectors can ride as
+    * DATA (one exploded literal array, ONE compiled plan, one corpus
+    * pass) instead of as plan size (one unioned scan + codegen unit per
+    * query). IEEE-identical to the literal form whenever the column
+    * elements equal the literals.
+    */
+  def subD2Cols(v: Column, q: Column, offset: Int, subDim: Int): Column =
+    (0 until subDim).map { i =>
+      val t = element_at(v, offset + i + 1) - element_at(q, offset + i + 1)
+      t * t
+    }.reduce(_ + _)
+
   /** Cross-engine-stable subspace assignment: argmin over `round(d2, 4)`
     * with lowest-code tie-break, as `array_min` over (d2r, code) structs
     * (struct ordering = lexicographic). */

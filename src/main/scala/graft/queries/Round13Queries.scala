@@ -198,18 +198,27 @@ object Round13Queries {
     // truth for the audit AND the re-rank stage (at scale the re-rank
     // joins only the L shortlist rows back to their vectors; here the
     // audit needs the full exact ranking anyway, so one frame serves both)
-    // materialized once (bounded: queries × corpus rows of 3 columns): the
-    // frame feeds three consumers (exact top-k, the re-rank join, and the
-    // recall audits), and each unrolled 64-term distance chain is a large
-    // codegen unit whose compile + evaluation must not repeat per consumer
-    val exact = queries.map { case (qid, qv) =>
-      val d2 = (0 until PqM).map(s =>
-        Pq.subD2Unrolled(col("v"), s * PqSubDim,
-          qv.slice(s * PqSubDim, (s + 1) * PqSubDim))).reduce(_ + _)
-      e.select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          round(d2, 4).as("d2"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-    }.reduce(_ unionAll _).localCheckpoint()
+    // ONE corpus pass for all queries: the query batch rides as DATA (an
+    // exploded literal array of (qid, qv) structs) through a single
+    // compiled plan, instead of as PLAN SIZE (the prior one-unioned-scan-
+    // per-query formulation compiled 10 separate 64-term codegen units —
+    // the same lesson PqAdcBatch applies to the ADC stage). subD2Cols
+    // keeps the literal form's exact term order, so d2 is IEEE-identical.
+    // Materialized once (bounded: queries × corpus rows of 3 columns) —
+    // the frame feeds three consumers (exact top-k, the re-rank join, and
+    // the recall audits).
+    val queryArr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
+    }: _*)
+    val exact = e
+      .select(col("vec_id").as("neighbor_id"), col("v"),
+        explode(queryArr).as("q"))
+      .select(col("q.qid").as("query_id"), col("neighbor_id"),
+        round((0 until PqM).map(s =>
+          Pq.subD2Cols(col("v"), col("q.qv"), s * PqSubDim, PqSubDim))
+          .reduce(_ + _), 4).as("d2"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .localCheckpoint()
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= PqTopK)
