@@ -58,10 +58,16 @@ object Round14Queries {
     val Array(bounds) = o0.agg(
       min("c").as("clo"), max("c").as("chi"),
       min("d").as("dlo"), max("d").as("dhi"),
-      count(lit(1)).as("n")).collect()
+      count(lit(1)).as("n"), max("k").as("maxK")).collect()
     val (clo, chi, dlo, dhi, n) = (bounds.getLong(0), bounds.getLong(1),
       bounds.getLong(2), bounds.getLong(3), bounds.getLong(4))
-    require(chi < ZPack && n > ZFiles, s"q218 packing precondition: chi=$chi n=$n")
+    val maxK = bounds.getLong(5)
+    // k (o_orderkey) is what gets packed into the low bits of dk/zk/hk, so the
+    // invariant is max(k) < ZPack — TPC-H orderkeys are ~4x sparser than row
+    // count, so checking chi (custkey) alone would pass while the packing
+    // silently corrupts layout order at sf>=1.
+    require(maxK < ZPack && n > ZFiles,
+      s"q218 packing precondition: maxK=$maxK n=$n (ZPack=$ZPack)")
 
     val qc = Layout.quantize(col("c"), lit(clo), lit(chi), ZLevels)
     val qd = Layout.quantize(col("d"), lit(dlo), lit(dhi), ZLevels)
@@ -837,9 +843,16 @@ object Round14Queries {
           .as("est_inter"),
         round(abs(col("est_union_raw") - col("exact_union")) / col("exact_union"),
           6).as("rel_err_union"),
-        round(abs(col("nboth").cast("double") * col("est_union_raw") / col("ke") -
-          (col("exact_a") + col("exact_b") - col("exact_union"))) /
-          (col("exact_a") + col("exact_b") - col("exact_union")), 6)
+        // exact_inter can be 0 when adjacent active days share no users; Spark
+        // (non-ANSI) would yield NULL on /0 while DuckDB yields inf — guard
+        // both engines to NULL so the degenerate case agrees.
+        when(col("exact_a") + col("exact_b") - col("exact_union") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            round(abs(col("nboth").cast("double") * col("est_union_raw") /
+              col("ke") -
+              (col("exact_a") + col("exact_b") - col("exact_union"))) /
+              (col("exact_a") + col("exact_b") - col("exact_union")), 6))
           .as("rel_err_inter"))
       .orderBy("day")
   }
@@ -883,7 +896,7 @@ object Round14Queries {
        |  ROUND(CAST(f.nboth AS DOUBLE) * f.est_union_raw / f.ke, 3) AS est_inter,
        |  ROUND(ABS(f.est_union_raw - un.nu) / un.nu, 6) AS rel_err_union,
        |  ROUND(ABS(CAST(f.nboth AS DOUBLE) * f.est_union_raw / f.ke
-       |        - (da.n + db.n - un.nu)) / (da.n + db.n - un.nu), 6) AS rel_err_inter
+       |        - (da.n + db.n - un.nu)) / NULLIF(da.n + db.n - un.nu, 0), 6) AS rel_err_inter
        |FROM fin f
        |JOIN dc da ON da.d = f.d
        |JOIN dc db ON db.d = f.d + 1

@@ -1010,17 +1010,24 @@ object Round9Queries {
 
   // ---- q182 clean-supplier assortment (TPC-H Q16 shape) ---------------------
 
-  /** Distinct suppliers per (brand, size) EXCLUDING any supplier who ever
-    * shipped a returned item — the Q16 not-in-subquery shape, planned as an
-    * ANTI join on the supplier key (the tainted-supplier set is an
-    * aggregation, broadcast at any realistic supplier cardinality) followed
-    * by a distinct count over (brand, size, supplier). Never a correlated
-    * per-row subquery.
+  /** Distinct suppliers per (brand, size) EXCLUDING any supplier whose
+    * lifetime return rate exceeds 32% — the Q16 not-in-subquery shape,
+    * planned as an ANTI join on the supplier key (the tainted-supplier set
+    * is an aggregation, broadcast at any realistic supplier cardinality)
+    * followed by a distinct count over (brand, size, supplier). Never a
+    * correlated per-row subquery. The taint test is exact integer
+    * arithmetic (100·nR > 32·n), so both engines agree bit-for-bit, and the
+    * threshold splits the fixture non-degenerately at every SF (22 clean
+    * suppliers at sf0.01, 247 at sf0.1 — an every-supplier-tainted
+    * predicate would gate only the empty set).
     */
   def q182CleanSupplierAssortment(spark: SparkSession, sfDir: String): DataFrame = {
     val li = tbl(spark, sfDir, "lineitem")
-    val tainted = li.filter(col("l_returnflag") === "R")
-      .select(col("l_suppkey")).distinct()
+    val tainted = li.groupBy(col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+        count(lit(1)).as("n"))
+      .filter(col("nr") * 100L > col("n") * 32L)
+      .select(col("l_suppkey"))
     val part = tbl(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     li.select(col("l_partkey"), col("l_suppkey"))
@@ -1039,16 +1046,20 @@ object Round9Queries {
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |WHERE l_suppkey NOT IN (
-      |  SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |  SELECT l_suppkey FROM lineitem GROUP BY 1
+      |  HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100 > COUNT(*) * 32)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- q183 dormant rich customers (TPC-H Q22 shape) ------------------------
 
-  /** Customers with above-average balances and NO orders — the Q22 shape:
-    * one scalar aggregate (global average balance) broadcast as a single
-    * row, an ANTI join against order custkeys, grouped by market segment.
-    * The anti join keys on custkey (shuffle-able at any scale); nothing is
-    * correlated.
+  /** Customers with above-average balances and no RECENT orders (nothing on
+    * or after 1998-01-01) — the Q22 shape: one scalar aggregate (global
+    * average balance) broadcast as a single row, an ANTI join against
+    * recent-order custkeys, grouped by market segment. The anti join keys
+    * on custkey (shuffle-able at any scale); nothing is correlated. The
+    * recency cutoff (not "no orders ever") keeps the gate non-degenerate:
+    * every fixture customer has SOME order, so the literal Q22 predicate
+    * proves only that two engines agree on an empty set.
     */
   def q183DormantRich(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = tbl(spark, sfDir, "customer")
@@ -1056,12 +1067,14 @@ object Round9Queries {
     val avgBal = cust.agg(
       (sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avg_balc"))
-    val orderKeys = tbl(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+    val recentKeys = tbl(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .select(col("o_custkey")).distinct()
     cust.select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("balc"))
       .crossJoin(broadcast(avgBal))
       .filter(col("balc").cast("double") > col("avg_balc"))
-      .join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recentKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_dormant"),
         round(sum(col("balc")).cast("double") / 100.0, 6).as("total_balance"))
@@ -1078,7 +1091,9 @@ object Round9Queries {
       |    AS total_balance
       |FROM customer, ab
       |WHERE CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE) > ab.avg_balc
-      |  AND c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+      |  AND c_custkey NOT IN (
+      |    SELECT DISTINCT o_custkey FROM orders
+      |    WHERE o_orderdate >= DATE '1998-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- registration ---------------------------------------------------------

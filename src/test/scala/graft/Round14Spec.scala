@@ -295,8 +295,6 @@ class Round14Spec extends SparkSpec {
     val p220 = graft.queries.Round14Queries.q220IncrementalAgg(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p220.contains("CartesianProduct"), s"cartesian in q220: $p220")
-    assert(!p220.contains("SortMergeJoin") || p220.contains("FULL OUTER") ||
-      true, "informational")
   }
 
   test("q218 file assignment plans no single-partition exchange") {
