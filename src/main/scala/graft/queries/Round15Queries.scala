@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Dist
+import graft.reports.Reports
+
+/** Round-15 queries: the report generator under the driver oracle gate.
+  *
+  * q227 materializes `Reports.metrics(returns, benchmark, mode="full")` —
+  * the reference's largest user-facing artifact (alphastats/reports.py:22-290:
+  * 70 formatted rows × (Benchmark, Strategy) columns) — and replays the ENTIRE
+  * pipeline in DuckDB SQL: returns prep, inner date-match, zero-fill, every
+  * metric family (scalar aggs, drawdown stats, row-count episodes, streaks,
+  * calendar buckets, trailing windows, benchmark greeks, PSR via the Cody-erf
+  * SQL twin, smart-ratio autocorr penalties), then the Python-parity cell
+  * formatting (×100 percent rows, round-half-even-on-the-exact-binary-double
+  * to 2 places, NaN/±Inf→"-", 0→"0", shortest-repr rendering).
+  *
+  * Formatting parity: Java's `BigDecimal(d).setScale(2, HALF_EVEN)` operates
+  * on the exact binary expansion; DuckDB's native ROUND(DOUBLE, 2) rounds the
+  * shortest DECIMAL repr half-away (2.675 → 2.68 vs Java 2.67). C-style
+  * `printf('%.2f', x)` in DuckDB rounds the exact binary value like Java, so
+  * the oracle formats through printf + trailing-zero strip ('285.00'→'285.0',
+  * '0.00'/'-0.00'→'0'), verified equal to the Scala formatter on binary-half
+  * edge vectors (2.675, 0.015, 0.005, -0.004, …).
+  */
+object Round15Queries {
+
+  private val Z05: String = Dist.invCdf(0.05).toString
+  private val S252: String = math.sqrt(252.0).toString
+  private val S2: String = math.sqrt(2.0).toString
+
+  // ---- q227 full report table ------------------------------------------------
+
+  /** Strategy = per-asset daily revenue returns for `l_returnflag = 'N'`,
+    * Benchmark = whole-market daily returns (both FIXTURES.md §B derivations,
+    * shared with q01-q13 so the scan/group/lag work is cached per session).
+    * A leading row_id (single-partition monotonic id = report row index) pins
+    * the driver's rows-as-written comparison to the report's row order.
+    */
+  def q227ReportTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val strat = Queries.assetReturns(spark, sfDir).df
+      .filter(col("asset") === "N").select(col("d"), col("r"))
+    val bench = Queries.marketReturns(spark, sfDir)
+    val rpt = Reports.metrics(strat, benchmark = Some(bench), mode = "full")
+    // the report frame is built on ONE partition (Reports.buildOutput), so the
+    // monotonic id is the in-order row index 0..69
+    rpt.withColumn("row_id", monotonically_increasing_id())
+      .select(col("row_id"), col("Metric"), col("Benchmark"), col("Strategy"))
+  }
+
+  /** Python-parity cell format of a double-valued SQL expression `e` (keep it
+    * a short column reference — it is repeated five times).
+    */
+  private def fmt(e: String): String =
+    s"(CASE WHEN ($e) IS NULL OR isnan($e) OR isinf($e) THEN '-' " +
+      s"WHEN printf('%.2f', $e) IN ('0.00','-0.00') THEN '0' " +
+      s"WHEN printf('%.2f', $e) LIKE '%0' THEN regexp_replace(printf('%.2f', $e), '0$$', '') " +
+      s"ELSE printf('%.2f', $e) END)"
+
+  private def fmtInt(e: String): String = s"CAST($e AS VARCHAR)"
+  private def fmtDate(e: String): String = s"strftime($e, '%Y-%m-%d')"
+
+  /** One UNION ALL arm of the final 70-row table. */
+  private def arm(i: Int, label: String, b: String, s: String): String =
+    if (i == 0)
+      s"""SELECT CAST($i AS BIGINT) AS row_id, '$label' AS "Metric", $b AS "Benchmark", $s AS "Strategy" FROM fb, fs"""
+    else
+      s"""SELECT CAST($i AS BIGINT), '$label', $b, $s FROM fb, fs"""
+
+  /** Rows where the value expression is the same column `c` on both sides
+    * (prefixed fb./fs.), formatted as a double.
+    */
+  private def both(i: Int, label: String, c: String): String =
+    arm(i, label, fmt(s"fb.$c"), fmt(s"fs.$c"))
+
+  /** Benchmark-relative rows: "-" in the Benchmark column. */
+  private def strat(i: Int, label: String, e: String): String =
+    arm(i, label, "'-'", fmt(e))
+
+  val q227Sql: String = {
+    // decay-sum penalty (Smart.penaltyOf closed form, same as the q30 oracle)
+    def penaltySql(rho: String, n: String): String =
+      s"""SQRT(1.0 + 2.0 * (CASE
+         |  WHEN ABS($rho) = 0 THEN 0.0
+         |  WHEN ABS(1.0 - ABS($rho)) < 1e-12
+         |    THEN ($n - 1.0) - ($n - 1.0) * (($n - 1.0) + 1.0) / (2.0 * $n)
+         |  ELSE ABS($rho) * (1.0 - POW(ABS($rho), $n - 1.0)) / (1.0 - ABS($rho))
+         |       - (ABS($rho) * (1.0 - (($n - 1.0) + 1.0) * POW(ABS($rho), $n - 1.0)
+         |                      + ($n - 1.0) * POW(ABS($rho), $n - 1.0) * ABS($rho))
+         |          / ((1.0 - ABS($rho)) * (1.0 - ABS($rho)))) / $n
+         |  END))""".stripMargin
+
+    val arms: Seq[String] = Seq(
+      arm(0, "Start Period", fmtDate("fb.sd"), fmtDate("fs.sd")),
+      arm(1, "End Period", fmtDate("fb.ed"), fmtDate("fs.ed")),
+      arm(2, "Risk-Free Rate", "'0'", "'0'"),
+      both(3, "Time in Market", "expos * 100.0"),
+      both(4, "Cumulative Return", "comp * 100.0"),
+      both(5, "CAGR﹪", "cagr * 100.0"),
+      both(6, "Sharpe", "sharpe"),
+      both(7, "Prob. Sharpe Ratio", "psrv * 100.0"),
+      both(8, "Smart Sharpe", "smart_sharpe"),
+      both(9, "Sortino", "sortino"),
+      both(10, "Smart Sortino", "smart_sortino"),
+      both(11, "Sortino/√2", s"sortino / $S2"),
+      both(12, "Smart Sortino/√2", "smart_sortino2"),
+      both(13, "Omega", "omega"),
+      both(14, "Max Drawdown", "maxdd * 100.0"),
+      arm(15, "Longest DD Days", fmtInt("fb.maxlen"), fmtInt("fs.maxlen")),
+      both(16, "Volatility (ann.)", "vol * 100.0"),
+      strat(17, "R^2", "fs.r2b"),
+      strat(18, "Information Ratio", "fs.irb"),
+      both(19, "Calmar", "calmarv"),
+      both(20, "Skew", "skw"),
+      both(21, "Kurtosis", "kurt"),
+      both(22, "Expected Daily", "expd * 100.0"),
+      both(23, "Expected Monthly", "expm * 100.0"),
+      both(24, "Expected Yearly", "expy * 100.0"),
+      both(25, "Kelly Criterion", "kelly * 100.0"),
+      both(26, "Risk of Ruin", "ror"),
+      both(27, "Daily Value-at-Risk", "var_ * 100.0"),
+      both(28, "Expected Shortfall (cVaR)", "cvar * 100.0"),
+      arm(29, "Max Consecutive Wins", fmtInt("fb.maxwin"), fmtInt("fs.maxwin")),
+      arm(30, "Max Consecutive Losses", fmtInt("fb.maxloss"), fmtInt("fs.maxloss")),
+      both(31, "Gain/Pain Ratio", "g2p"),
+      both(32, "Gain/Pain (1M)", "g2p1m"),
+      both(33, "Payoff Ratio", "payoff"),
+      both(34, "Profit Factor", "pf"),
+      both(35, "Common Sense Ratio", "csr"),
+      both(36, "CPC Index", "cpc"),
+      both(37, "Tail Ratio", "tail"),
+      both(38, "Outlier Win Ratio", "owr"),
+      both(39, "Outlier Loss Ratio", "olr"),
+      both(40, "MTD", "mtd * 100.0"),
+      both(41, "3M", "m3 * 100.0"),
+      both(42, "6M", "m6 * 100.0"),
+      both(43, "YTD", "ytd * 100.0"),
+      both(44, "1Y", "y1 * 100.0"),
+      both(45, "3Y (ann.)", "y3 * 100.0"),
+      both(46, "5Y (ann.)", "y5 * 100.0"),
+      both(47, "10Y (ann.)", "y10 * 100.0"),
+      both(48, "All-time (ann.)", "cagr * 100.0"),
+      both(49, "Best Day", "best * 100.0"),
+      both(50, "Worst Day", "worst * 100.0"),
+      both(51, "Best Month", "bestm * 100.0"),
+      both(52, "Worst Month", "worstm * 100.0"),
+      both(53, "Best Year", "besty * 100.0"),
+      both(54, "Worst Year", "worsty * 100.0"),
+      both(55, "Avg. Drawdown", "avgdepth * 100.0"),
+      both(56, "Avg. Drawdown Days", "avglen"),
+      both(57, "Recovery Factor", "recovery"),
+      both(58, "Ulcer Index", "ulcer"),
+      both(59, "Serenity Index", "serenity"),
+      both(60, "Avg. Up Month", "avgup * 100.0"),
+      both(61, "Avg. Down Month", "avgdown * 100.0"),
+      both(62, "Win Days", "winrate * 100.0"),
+      both(63, "Win Month", "winm * 100.0"),
+      both(64, "Win Quarter", "winq * 100.0"),
+      both(65, "Win Year", "winy * 100.0"),
+      strat(66, "Beta", "fs.betab"),
+      strat(67, "Alpha", "fs.alphab"),
+      strat(68, "Correlation", "fs.corb * 100.0"),
+      strat(69, "Treynor Ratio", "fs.treynorb * 100.0"))
+
+    s"""WITH rev AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
+       |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |ret AS (
+       |  SELECT d, r FROM (
+       |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
+       |    FROM rev) WHERE r IS NOT NULL AND asset = 'N'),
+       |brev AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d,
+       |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |bret AS (
+       |  SELECT d, b FROM (
+       |    SELECT d, rev / LAG(rev) OVER (ORDER BY d) - 1 AS b FROM brev)
+       |  WHERE b IS NOT NULL),
+       |z AS MATERIALIZED (SELECT ret.d AS d, bret.b AS rb, ret.r AS rs
+       |      FROM ret JOIN bret ON ret.d = bret.d),
+       |st AS MATERIALIZED (
+       |  SELECT d, 'Benchmark' AS nm, COALESCE(rb, 0.0) AS r FROM z
+       |  UNION ALL
+       |  SELECT d, 'Strategy' AS nm, COALESCE(rs, 0.0) AS r FROM z),
+       |mx AS (SELECT MAX(d) AS md FROM st),
+       |moms AS (
+       |  SELECT nm, MIN(d) AS sd, MAX(d) AS ed, COUNT(r) AS n,
+       |    AVG(r) AS m, STDDEV_SAMP(r) AS sdr, SUM(r) AS sum_r,
+       |    PRODUCT(1 + r) AS prod1, MAX(r) AS best, MIN(r) AS worst,
+       |    AVG(r * r) AS p2, AVG(r * r * r) AS p3, AVG(r * r * r * r) AS p4,
+       |    quantile_cont(r, 0.95) AS q95, quantile_cont(r, 0.05) AS q05v,
+       |    quantile_cont(r, 0.99) AS q99, quantile_cont(r, 0.01) AS q01v,
+       |    CAST(SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nonzero,
+       |    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS wins,
+       |    CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS losses,
+       |    AVG(CASE WHEN r > 0 THEN r END) AS aw,
+       |    ABS(AVG(CASE WHEN r < 0 THEN r END)) AS al,
+       |    AVG(CASE WHEN r >= 0 THEN r END) AS posmean,
+       |    AVG(CASE WHEN r < 0 THEN r END) AS negmean,
+       |    SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) AS gains,
+       |    ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) AS lsum,
+       |    SUM(GREATEST(r, 0.0)) AS og, SUM(GREATEST(-r, 0.0)) AS ol,
+       |    SQRT(AVG(POWER(CASE WHEN r < 0 THEN r ELSE 0.0 END, 2))) AS downside,
+       |    PRODUCT(CASE WHEN YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md) THEN 1 + r ELSE 1 END) - 1 AS mtd,
+       |    PRODUCT(CASE WHEN d >= md - INTERVAL 3 MONTH THEN 1 + r ELSE 1 END) - 1 AS m3,
+       |    PRODUCT(CASE WHEN d >= md - INTERVAL 6 MONTH THEN 1 + r ELSE 1 END) - 1 AS m6,
+       |    PRODUCT(CASE WHEN YEAR(d) = YEAR(md) THEN 1 + r ELSE 1 END) - 1 AS ytd,
+       |    PRODUCT(CASE WHEN d >= md - INTERVAL 1 YEAR THEN 1 + r ELSE 1 END) - 1 AS y1,
+       |    POWER(PRODUCT(CASE WHEN d >= md - INTERVAL 3 YEAR THEN 1 + r ELSE 1 END),
+       |          252.0 / SUM(CASE WHEN d >= md - INTERVAL 3 YEAR THEN 1 ELSE 0 END)) - 1 AS y3,
+       |    POWER(PRODUCT(CASE WHEN d >= md - INTERVAL 5 YEAR THEN 1 + r ELSE 1 END),
+       |          252.0 / SUM(CASE WHEN d >= md - INTERVAL 5 YEAR THEN 1 ELSE 0 END)) - 1 AS y5,
+       |    POWER(PRODUCT(CASE WHEN d >= md - INTERVAL 10 YEAR THEN 1 + r ELSE 1 END),
+       |          252.0 / SUM(CASE WHEN d >= md - INTERVAL 10 YEAR THEN 1 ELSE 0 END)) - 1 AS y10
+       |  FROM st, mx GROUP BY nm),
+       |scal AS (
+       |  SELECT nm, sd, ed, n, CAST(n AS DOUBLE) AS nd, m, sdr, sum_r,
+       |    prod1 - 1 AS comp,
+       |    POWER(prod1, 252.0 / n) - 1 AS cagr,
+       |    m / sdr AS sharpe_na,
+       |    m / sdr * $S252 AS sharpe,
+       |    m / downside * $S252 AS sortino,
+       |    og / ol AS omega,
+       |    sdr * $S252 AS vol,
+       |    SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / (CAST(n AS DOUBLE) - 2)
+       |      * ((p3 - 3 * m * p2 + 2 * m * m * m) / POWER(p2 - m * m, 1.5)) AS skw,
+       |    (CAST(n AS DOUBLE) - 1) / ((CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3))
+       |      * ((CAST(n AS DOUBLE) + 1) * ((p4 - 4 * m * p3 + 6 * m * m * p2 - 3 * m * m * m * m)
+       |         / ((p2 - m * m) * (p2 - m * m)) - 3) + 6) AS kurt,
+       |    POWER(prod1, 1.0 / n) - 1 AS expd,
+       |    ((aw / al) * (wins / nonzero) - (1 - wins / nonzero)) / (aw / al) AS kelly,
+       |    POWER((1 - wins / nonzero) / (1 + wins / nonzero), n) AS ror,
+       |    m + ($Z05) * sdr AS var_,
+       |    best, worst,
+       |    gains / lsum AS pf,
+       |    sum_r / lsum AS g2p,
+       |    aw / al AS payoff,
+       |    gains / lsum * (ABS(q95) / ABS(q05v)) AS csr,
+       |    (gains / lsum) * ((gains / wins) / (lsum / losses)) * (wins / nonzero) AS cpc,
+       |    ABS(q95) / ABS(q05v) AS tail,
+       |    q99 / posmean AS owr,
+       |    q01v / negmean AS olr,
+       |    wins / nonzero AS winrate,
+       |    nonzero / CAST(n AS DOUBLE) AS expos,
+       |    mtd, m3, m6, ytd, y1, y3, y5, y10
+       |  FROM moms),
+       |wl AS (
+       |  SELECT nm, d, r,
+       |         PRODUCT(1 + r) OVER (PARTITION BY nm ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wealth
+       |  FROM st),
+       |dd AS (
+       |  SELECT nm, d, r,
+       |         LEAST(wealth / MAX(wealth) OVER (PARTITION BY nm ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 0) AS ddv
+       |  FROM wl),
+       |v2 AS (
+       |  SELECT nm, d, r, ddv,
+       |    AVG(ddv) OVER (PARTITION BY nm) + ($Z05) * STDDEV_SAMP(ddv) OVER (PARTITION BY nm) AS ddvar,
+       |    AVG(r) OVER (PARTITION BY nm) + ($Z05) * STDDEV_SAMP(r) OVER (PARTITION BY nm) AS rvar,
+       |    LAG(r) OVER (PARTITION BY nm ORDER BY d) AS p
+       |  FROM dd),
+       |ddagg AS (
+       |  SELECT nm, MIN(ddv) AS maxdd,
+       |    SQRT(SUM(ddv * ddv) / (COUNT(r) - 1)) AS ulcer,
+       |    ABS(SUM(r)) / ABS(MIN(ddv)) AS recovery,
+       |    SUM(r) / (SQRT(SUM(ddv * ddv) / (COUNT(r) - 1))
+       |      * (-(COALESCE(AVG(CASE WHEN ddv < ddvar THEN ddv END), ANY_VALUE(ddvar)))
+       |         / STDDEV_SAMP(r))) AS serenity,
+       |    COALESCE(AVG(CASE WHEN r < rvar THEN r END), ANY_VALUE(rvar)) AS cvar,
+       |    CORR(p, r) AS rho
+       |  FROM v2 GROUP BY nm),
+       |pen AS (
+       |  SELECT nm, ${penaltySql("rho", "n2")} AS penalty
+       |  FROM (SELECT d0.nm AS nm, d0.rho AS rho, CAST(s0.n AS DOUBLE) AS n2
+       |        FROM ddagg d0 JOIN scal s0 ON d0.nm = s0.nm)),
+       |psrpre AS (
+       |  SELECT nm,
+       |    (sharpe_na / SQRT((1.0 + 0.5 * sharpe_na * sharpe_na - skw * sharpe_na
+       |      + ((kurt - 3.0) / 4.0) * sharpe_na * sharpe_na) / (nd - 1.0))) / $S2 AS y
+       |  FROM scal),
+       |psr AS (
+       |  SELECT nm, ${Dist.normCdfSql("y", "ay")} AS psrv
+       |  FROM (SELECT nm, y, ABS(y) AS ay FROM psrpre)),
+       |fl AS (
+       |  SELECT nm, d, ddv, (ddv < 0) AS ind,
+       |         ROW_NUMBER() OVER (PARTITION BY nm ORDER BY d)
+       |           - ROW_NUMBER() OVER (PARTITION BY nm, (ddv < 0) ORDER BY d) AS island
+       |  FROM dd),
+       |ep AS (
+       |  SELECT nm, island, COUNT(*) AS len, MIN(ddv) AS depth
+       |  FROM fl WHERE ind GROUP BY nm, island),
+       |epagg AS (
+       |  SELECT nm, MAX(len) AS maxlen, AVG(len) AS avglen, AVG(depth) AS avgdepth
+       |  FROM ep GROUP BY nm),
+       |si AS (
+       |  SELECT nm, d, CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END AS sgn
+       |  FROM st),
+       |sil AS (
+       |  SELECT nm, sgn,
+       |         ROW_NUMBER() OVER (PARTITION BY nm ORDER BY d)
+       |           - ROW_NUMBER() OVER (PARTITION BY nm, sgn ORDER BY d) AS island
+       |  FROM si),
+       |runs AS (SELECT nm, sgn, island, COUNT(*) AS len FROM sil GROUP BY 1, 2, 3),
+       |stk AS (
+       |  SELECT nm,
+       |    CAST(COALESCE(MAX(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT) AS maxwin,
+       |    CAST(COALESCE(MAX(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT) AS maxloss
+       |  FROM runs GROUP BY nm),
+       |mon AS (
+       |  SELECT nm, YEAR(d) AS y, MONTH(d) AS mo,
+       |         PRODUCT(1 + r) - 1 AS mr, SUM(r) AS ms
+       |  FROM st GROUP BY 1, 2, 3),
+       |monagg AS (
+       |  SELECT nm,
+       |    SUM(ms) / ABS(SUM(CASE WHEN ms < 0 THEN ms ELSE 0 END)) AS g2p1m,
+       |    POWER(PRODUCT(1 + mr), 1.0 / COUNT(mr)) - 1 AS expm,
+       |    MAX(mr) AS bestm, MIN(mr) AS worstm,
+       |    AVG(CASE WHEN mr > 0 THEN mr END) AS avgup,
+       |    AVG(CASE WHEN mr < 0 THEN mr END) AS avgdown,
+       |    CAST(SUM(CASE WHEN mr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN mr <> 0 THEN 1 ELSE 0 END) AS winm
+       |  FROM mon GROUP BY nm),
+       |yrv AS (SELECT nm, YEAR(d) AS y, PRODUCT(1 + r) - 1 AS yr FROM st GROUP BY 1, 2),
+       |yragg AS (
+       |  SELECT nm,
+       |    POWER(PRODUCT(1 + yr), 1.0 / COUNT(yr)) - 1 AS expy,
+       |    MAX(yr) AS besty, MIN(yr) AS worsty,
+       |    CAST(SUM(CASE WHEN yr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN yr <> 0 THEN 1 ELSE 0 END) AS winy
+       |  FROM yrv GROUP BY nm),
+       |qtv AS (SELECT nm, YEAR(d) AS y, QUARTER(d) AS q, PRODUCT(1 + r) - 1 AS qr
+       |        FROM st GROUP BY 1, 2, 3),
+       |qtagg AS (
+       |  SELECT nm,
+       |    CAST(SUM(CASE WHEN qr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN qr <> 0 THEN 1 ELSE 0 END) AS winq
+       |  FROM qtv GROUP BY nm),
+       |ben AS (
+       |  SELECT 'Strategy' AS nm,
+       |    CORR(rs2, rb2) * CORR(rs2, rb2) AS r2b,
+       |    AVG(rs2 - rb2) / STDDEV_SAMP(rs2 - rb2) AS irb,
+       |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
+       |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
+       |    CORR(rs2, rb2) AS corb,
+       |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
+       |  FROM (SELECT COALESCE(rs, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)),
+       |fin AS MATERIALIZED (
+       |  SELECT sc.*, dg.maxdd, dg.ulcer, dg.recovery, dg.serenity, dg.cvar,
+       |    CASE WHEN ABS(dg.maxdd) = 0 THEN NULL ELSE sc.cagr / ABS(dg.maxdd) END AS calmarv,
+       |    sc.sharpe / p.penalty AS smart_sharpe,
+       |    sc.sortino / p.penalty AS smart_sortino,
+       |    sc.sortino / p.penalty / $S2 AS smart_sortino2,
+       |    ps.psrv,
+       |    COALESCE(e.maxlen, 0) AS maxlen, COALESCE(e.avglen, 0.0) AS avglen,
+       |    COALESCE(e.avgdepth, 0.0) AS avgdepth,
+       |    k.maxwin, k.maxloss,
+       |    ma.g2p1m, ma.expm, ma.bestm, ma.worstm, ma.avgup, ma.avgdown, ma.winm,
+       |    ya.expy, ya.besty, ya.worsty, ya.winy, qa.winq,
+       |    be.r2b, be.irb, be.betab, be.alphab, be.corb, be.treynorb
+       |  FROM scal sc
+       |  JOIN ddagg dg ON sc.nm = dg.nm
+       |  JOIN pen p ON sc.nm = p.nm
+       |  JOIN psr ps ON sc.nm = ps.nm
+       |  LEFT JOIN epagg e ON sc.nm = e.nm
+       |  JOIN stk k ON sc.nm = k.nm
+       |  JOIN monagg ma ON sc.nm = ma.nm
+       |  JOIN yragg ya ON sc.nm = ya.nm
+       |  JOIN qtagg qa ON sc.nm = qa.nm
+       |  LEFT JOIN ben be ON sc.nm = be.nm),
+       |fb AS (SELECT * FROM fin WHERE nm = 'Benchmark'),
+       |fs AS (SELECT * FROM fin WHERE nm = 'Strategy')
+       |SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY row_id""".stripMargin
+  }
+
+  // ---- registration ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_report_table" -> (q227ReportTable _))
+
+  val oracles: Map[String, String] = Map(
+    "q227_report_table" -> q227Sql)
+}
