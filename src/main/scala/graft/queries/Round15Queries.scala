@@ -380,11 +380,84 @@ object Round15Queries {
        |) ORDER BY row_id""".stripMargin
   }
 
+  // ---- q228 backward as-of in its non-degenerate regime ----------------------
+
+  /** Backward as-of alignment of daily per-asset returns to a GENUINELY
+    * gapped benchmark: market returns sampled to the first trading day of
+    * each month, so all but ~1-in-21 left rows match a snapshot days-to-weeks
+    * in the past (an equi-join would return null for them — the `stale` and
+    * `equi` counts in the output prove the non-degenerate regime the q13
+    * weekly fixture only partially exercises). The right side carries its own
+    * date through the join (`bd`) so staleness is measurable.
+    *
+    * Scale: the snapshot frame is cross-populated per asset so
+    * [[graft.core.AsOfJoin.backward]] runs with `partitionKeys = asset` —
+    * each series aligns in its own window partition, no global ordered
+    * single-partition stream. DuckDB replays with native ASOF LEFT JOIN.
+    * Reference semantics: join_asof, alphastats/stats.py:444-449.
+    */
+  def q228AsofAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sf = Queries.assetReturns(spark, sfDir) // (d, asset, r)
+    val mkt = Queries.marketReturns(spark, sfDir) // (d, b)
+    val mw = Window.partitionBy(year(col("d")), month(col("d"))).orderBy(col("d"))
+    val snap = mkt.withColumn("rn", row_number().over(mw))
+      .filter(col("rn") === 1)
+      .select(col("d"), col("d").as("bd"), col("b"))
+    val assets = sf.df.select(col("asset")).distinct()
+    val snapPerAsset = snap.crossJoin(broadcast(assets))
+    val j = graft.core.AsOfJoin.backward(sf.df, snapPerAsset, "d", "d",
+      valueCols = Seq("bd", "b"), partitionKeys = Seq("asset"))
+    j.groupBy(col("asset")).agg(
+      count(lit(1)).as("n"),
+      count(when(col("bd") < col("d"), 1)).as("stale"),
+      count(when(col("bd") === col("d"), 1)).as("equi"),
+      count(when(col("b").isNull, 1)).as("unmatched"),
+      round(avg(datediff(col("d"), col("bd"))), 6).as("avg_lag_days"),
+      round(corr(col("r"), col("b")), 6).as("asof_corr"))
+      .orderBy("asset")
+  }
+
+  val q228Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT d, asset, r FROM (
+      |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
+      |    FROM rev) WHERE r IS NOT NULL),
+      |brev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |bret AS (
+      |  SELECT d, b FROM (
+      |    SELECT d, rev / LAG(rev) OVER (ORDER BY d) - 1 AS b FROM brev)
+      |  WHERE b IS NOT NULL),
+      |snap AS (
+      |  SELECT d, d AS bd, b FROM (
+      |    SELECT d, b, ROW_NUMBER() OVER (PARTITION BY YEAR(d), MONTH(d) ORDER BY d) AS rn
+      |    FROM bret) WHERE rn = 1),
+      |ja AS (
+      |  SELECT ret.asset, ret.d, ret.r, snap.bd, snap.b
+      |  FROM ret ASOF LEFT JOIN snap ON ret.d >= snap.d)
+      |SELECT asset,
+      |  COUNT(*) AS n,
+      |  COUNT(CASE WHEN bd < d THEN 1 END) AS stale,
+      |  COUNT(CASE WHEN bd = d THEN 1 END) AS equi,
+      |  COUNT(CASE WHEN b IS NULL THEN 1 END) AS unmatched,
+      |  ROUND(AVG(date_diff('day', bd, d)), 6) AS avg_lag_days,
+      |  ROUND(CORR(r, b), 6) AS asof_corr
+      |FROM ja GROUP BY asset ORDER BY asset""".stripMargin
+
   // ---- registration ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q227_report_table" -> (q227ReportTable _))
+    "q227_report_table" -> (q227ReportTable _),
+    "q228_asof_align" -> (q228AsofAlign _))
 
   val oracles: Map[String, String] = Map(
-    "q227_report_table" -> q227Sql)
+    "q227_report_table" -> q227Sql,
+    "q228_asof_align" -> q228Sql)
 }
