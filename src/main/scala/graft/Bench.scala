@@ -74,13 +74,28 @@ object Bench {
     // (which overlaps the ~0.3 s/job scheduler floor) is published under its
     // own key `parallel_wall`, never as the headline. `queries_shown` marks
     // the compact tail line's truncation as self-describing.
+    // Audit-vs-production split: a handful of queries are intentionally
+    // exact AUDITS (they compute brute-force ground truth to grade a scale
+    // structure — the PQ recall audit's exact top-k, the 4-layout pruning
+    // rank sweep, the band-join selectivity check, the LSH quality audit).
+    // Their cost is the audit itself, not a production path, and they
+    // dominate the per-query sum as the suite grows — a regression in the
+    // ~220 production queries could hide under their noise. Publish the
+    // production subtotal separately so round-over-round gating can target
+    // it directly.
+    val auditQueries = Set("q203_lsh_quality_audit", "q216_pq_adc",
+      "q218_zorder_pruning", "q225_band_join")
+    val nonAuditTotal =
+      results.collect { case (k, v) if !auditQueries.contains(k) => v }.sum
+    val auditTotal =
+      results.collect { case (k, v) if auditQueries.contains(k) => v }.sum
     def line(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val shown =
         if (m.size < results.size) s""","queries_shown":${m.size}""" else ""
-      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"warmed_caches":$warmed,"queries":$qs$shown,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,"queries":$qs$shown,"sf":"$sfDir"}"""
     }
     val full = line(results)
     // The driver captures a bounded tail of stdout; with 140+ queries the

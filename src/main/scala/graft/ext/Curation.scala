@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def selectByTokenBudget(df: DataFrame, idCol: String, qualityCol: String,
-      tokenCol: String, budget: Long): DataFrame = {
+      tokenCol: String, budget: Long, maxQualityKeys: Int = 100000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     require(df.schema(qualityCol).dataType == DoubleType,
       s"quality column $qualityCol must be a (quantized) double")
@@ -39,8 +39,19 @@ object Curation {
       s"token column $tokenCol must be an integral count")
     val q = col(qualityCol)
     val rows = df.filter(q.isNotNull && col(tokenCol).isNotNull)
+    // The per-quality histogram is collected to the driver, which is only
+    // safe for a QUANTIZED score: a raw continuous quality would collect one
+    // row per distinct value — a driver OOM at corpus scale. The limit bounds
+    // what can ever reach the driver (the groupBy itself stays distributed),
+    // and the require turns the unbounded case into a fail-fast instead of a
+    // silently truncated (wrong) budget boundary.
     val hist = rows.groupBy(q.as("__q")).agg(sum(col(tokenCol)).as("__t"))
-      .orderBy(col("__q").desc).collect()
+      .orderBy(col("__q").desc).limit(maxQualityKeys + 1).collect()
+    require(hist.length <= maxQualityKeys,
+      s"selectByTokenBudget: quality column '$qualityCol' has more than " +
+        s"$maxQualityKeys distinct values; quantize the score (e.g. round to " +
+        "k decimals) before budget selection — a continuous quality cannot " +
+        "be histogrammed on the driver")
     var acc = 0L
     var boundaryQ = Double.NaN
     var rem = 0L

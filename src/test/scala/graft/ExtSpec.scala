@@ -654,6 +654,23 @@ class ExtSpec extends SparkSpec {
     assert(Curation.selectByTokenBudget(d, "id", "q", "tokens", 0L).count() == 0)
   }
 
+  test("selectByTokenBudget fails fast on a continuous (unquantized) quality score") {
+    val rnd = new scala.util.Random(6)
+    // 300 raw nextDouble() scores: essentially all distinct — the driver
+    // histogram precondition must reject this instead of collecting it
+    val cont = (0 until 300).map(i => (i.toLong, rnd.nextDouble(), 10L))
+      .toDF("id", "q", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Curation.selectByTokenBudget(cont, "id", "q", "tokens", 1000L,
+        maxQualityKeys = 100)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // the same data quantized passes under the same cap
+    val quant = cont.withColumn("q", round(col("q") * 20) / 20.0)
+    assert(Curation.selectByTokenBudget(quant, "id", "q", "tokens", 1000L,
+      maxQualityKeys = 100).count() > 0)
+  }
+
   test("int8 quantization: codes in range, round-trip cosine error below 1e-4") {
     val rnd = new scala.util.Random(41)
     val d = (0 until 100).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")

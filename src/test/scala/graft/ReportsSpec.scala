@@ -229,6 +229,23 @@ class ReportsSpec extends SparkSpec {
     assert(j10 <= 24, s"full report should stay a fixed handful of jobs, got $j10")
   }
 
+  test("full-report job count with benchmark: one extra pass, still column-count-invariant") {
+    // the benchmark path adds exactly one wide aggregation (P8) plus the
+    // join inside the prepare step — the job budget must stay a fixed
+    // handful and must NOT grow with strategy columns (the restructure-for-
+    // wins spot SURVEY §3 calls out)
+    def run(n: Int): Long = Instrument.jobCount(spark) {
+      Reports.metrics(wideReturns(n), benchmark = Some(parityBenchmark),
+        matchDates = false, mode = "full").collect()
+    }
+    run(2) // warm-up
+    val j2 = run(2)
+    val j10 = run(10)
+    info(s"full-report-with-benchmark jobs: 2 assets -> $j2, 10 assets -> $j10")
+    assert(j10 <= j2, s"job count grew with column count: $j2 -> $j10")
+    assert(j10 <= 28, s"benchmarked full report should stay a fixed handful of jobs, got $j10")
+  }
+
   test("100-asset x 10-year report: cells match per-column Stats calls, job budget holds") {
     import graft.stats.Stats
     // the largest report fixture elsewhere is 10 assets x 20 days; this is
