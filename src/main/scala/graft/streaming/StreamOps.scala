@@ -17,6 +17,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Backward as-of alignment of a stream against a STATIC, slowly-changing
+    * snapshot table — the stream-static twin of
+    * [[graft.core.AsOfJoin.backward]] (reference semantics: join_asof,
+    * alphastats/stats.py:444-449). The static side is compiled once into
+    * validity intervals `[ts, next_ts)` via a lead window (partitioned by
+    * `keys` when given; a snapshot table is bounded — one row per
+    * (key, change), not per event), and each streaming row LEFT-joins the
+    * unique interval containing its event time. The join is STATELESS
+    * (stream-static joins keep no watermark state, so this runs over an
+    * unbounded feed with zero state store) and exact: a row at exactly a
+    * snapshot timestamp matches that snapshot, like the batch operator.
+    * Output = all stream columns + `asof_ts` (the matched snapshot time,
+    * null before the first snapshot) + the snapshot `valueCols`.
+    */
+  def asOfJoinStatic(stream: DataFrame, static: DataFrame, streamTs: String,
+      staticTs: String, valueCols: Seq[String],
+      keys: Seq[String] = Nil): DataFrame = {
+    val w =
+      if (keys.isEmpty)
+        org.apache.spark.sql.expressions.Window.orderBy(col("__bd"))
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("__bd"))
+    val iv = static.select(
+      (keys.map(col) :+ col(staticTs).as("__bd")) ++ valueCols.map(col): _*)
+      .withColumn("__bd_end", lead(col("__bd"), 1).over(w))
+    val base = stream(streamTs) >= iv("__bd") &&
+      (iv("__bd_end").isNull || stream(streamTs) < iv("__bd_end"))
+    val cond = keys.foldLeft(base)((c, k) => c && stream(k) === iv(k))
+    stream.join(iv, cond, "left").select(
+      stream.columns.toSeq.map(stream(_)) ++
+        (iv("__bd").as("asof_ts") +: valueCols.map(iv(_))): _*)
+  }
+
   /** Tumbling-window counts/sums per event type, watermarked. */
   def tumblingStats(events: DataFrame, window: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =

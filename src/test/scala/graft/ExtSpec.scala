@@ -59,6 +59,45 @@ class ExtSpec extends SparkSpec {
     assert(benign.getAs[Long]("n_oversized_rows") == 0L)
   }
 
+  test("LSH mega-bucket path: pair-set equality with brute force on a mixed corpus") {
+    // planted degenerate cluster (90 near-constant docs — above maxBucket=16)
+    // MIXED with ordinary distinct docs: the small-bucket expansion and the
+    // distributed self-join run in the SAME query, and the combined pair SET
+    // (not just count) must equal (a) the all-small-path route with a huge
+    // cap and (b) brute-force band collision over collected signatures
+    val rnd = new scala.util.Random(11)
+    val cluster = (1L to 90L).map(i =>
+      (i, "the same degenerate boilerplate sentence repeated forever " * 4))
+    val normal = (100L to 140L).map(i =>
+      (i, s"unique document $i " + Seq.fill(12)(rnd.nextInt(100000)).mkString(" ")))
+    val corpus = (cluster ++ normal).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(corpus, "doc_id", "text")
+
+    def pairSet(maxBucket: Int): Set[(Long, Long)] =
+      Dedup.lshCandidatePairs(sig, bands = 4, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mixed = pairSet(16) // mega-bucket path active for the cluster
+    val allSmall = pairSet(100000) // everything through collect_list expansion
+    assert(mixed == allSmall,
+      s"route divergence: only-mega=${(mixed -- allSmall).take(5)} only-small=${(allSmall -- mixed).take(5)}")
+
+    // brute force: two docs are candidates iff any of the 4 band hashes agree
+    val perBand = 16 / 4
+    val sigs = sig.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toSeq.sortBy(_._1)
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      if (0 until 4).exists(b => si.slice(b * perBand, (b + 1) * perBand) ==
+        sj.slice(b * perBand, (b + 1) * perBand))
+    } yield (i, j)).toSet
+    assert(mixed == brute,
+      s"vs brute force: extra=${(mixed -- brute).take(5)} missing=${(brute -- mixed).take(5)}")
+    // the planted cluster really did exceed the cap
+    val stats = Dedup.lshBucketStats(sig, bands = 4, maxBucket = 16).head()
+    assert(stats.getAs[Long]("n_oversized_buckets") > 0L)
+    assert(stats.getAs[Long]("max_bucket") >= 90L)
+  }
+
   test("prefix-filter jaccard join is exact: equals brute force at every threshold") {
     // deliberately includes set sizes where t·|A| lands exactly on an
     // integer (|A|=5 with t=0.4 and 0.6) — the FP-ceil hazard the

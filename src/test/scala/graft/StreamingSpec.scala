@@ -41,6 +41,42 @@ class StreamingSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("stream-static backward as-of ≡ batch AsOfJoin.backward on a gapped snapshot table") {
+    // snapshots at 10:00 / 10:20 / 10:40 — events land BETWEEN snapshots
+    // (and one before the first), so an equi-join on ts would match nothing:
+    // the non-degenerate backward regime
+    val snaps = Seq(
+      (ts(0), 1.0), (ts(20), 2.0), (ts(40), 3.0)).toDF("ts", "level")
+    val events = Seq(
+      EventRow(1, Timestamp.valueOf("2024-01-01 09:55:00"), 7, "early", 0.0),
+      EventRow(2, ts(0), 7, "at-snap", 0.0), // exactly at a snapshot: matches it
+      EventRow(3, ts(5), 7, "mid1", 0.0),
+      EventRow(4, ts(25), 8, "mid2", 0.0),
+      EventRow(5, ts(39, 59), 8, "edge", 0.0), // just before the next snapshot
+      EventRow(6, ts(55), 9, "tail", 0.0)) // after the last snapshot
+    val input = MemoryStream[EventRow](91, spark, None)
+    input.addData(events: _*)
+    val out = runToMemory(
+      StreamOps.asOfJoinStatic(input.toDF(), snaps, "ts", "ts", Seq("level")),
+      "asof_static") {}
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Timestamp]("asof_ts")), Option(r.getAs[Any]("level"))))).toMap
+    // batch twin over the same rows
+    val batch = graft.core.AsOfJoin.backward(
+      events.toDF().select("event_id", "ts"), snaps, "ts", "ts", Seq("level"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("level"))).toMap
+    assert(got.view.mapValues(_._2).toMap == batch,
+      s"stream-static as-of diverged from batch: got=$got batch=$batch")
+    // spot semantics: pre-first-snapshot row unmatched, exact-ts row matched,
+    // staleness visible through asof_ts
+    assert(got(1L) == ((None, None)))
+    assert(got(2L) == ((Some(ts(0)), Some(1.0))))
+    assert(got(5L) == ((Some(ts(20)), Some(2.0))))
+    assert(got(6L) == ((Some(ts(40)), Some(3.0))))
+  }
+
   test("stream-static enrichment join weights values from the broadcast dimension") {
     val input = MemoryStream[EventRow](11, spark, None)
     val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
