@@ -1053,7 +1053,7 @@ object Round9Queries {
   // ---- q183 dormant rich customers (TPC-H Q22 shape) ------------------------
 
   /** Customers with above-average balances and no RECENT orders (nothing on
-    * or after 1998-01-01) — the Q22 shape: one scalar aggregate (global
+    * or after 1999-01-01) — the Q22 shape: one scalar aggregate (global
     * average balance) broadcast as a single row, an ANTI join against
     * recent-order custkeys, grouped by market segment. The anti join keys
     * on custkey (shuffle-able at any scale); nothing is correlated. The
@@ -1068,7 +1068,7 @@ object Round9Queries {
       (sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avg_balc"))
     val recentKeys = tbl(spark, sfDir, "orders")
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
       .select(col("o_custkey")).distinct()
     cust.select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("balc"))
@@ -1093,7 +1093,7 @@ object Round9Queries {
       |WHERE CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE) > ab.avg_balc
       |  AND c_custkey NOT IN (
       |    SELECT DISTINCT o_custkey FROM orders
-      |    WHERE o_orderdate >= DATE '1998-01-01')
+      |    WHERE o_orderdate >= DATE '1999-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- registration ---------------------------------------------------------

@@ -211,11 +211,18 @@ class Round9Spec extends SparkSpec {
 
   test("q182 clean suppliers: anti join removes every tainted supplier") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val tainted = li.filter(col("l_returnflag") === "R")
-      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    // tainted = lifetime return rate above 32%, exact integer test (the
+    // every-supplier-tainted "ever shipped an R item" predicate made the
+    // oracle gate prove only the empty set at every SF)
+    val tainted = li.groupBy("l_suppkey")
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+        count(lit(1)).as("n"))
+      .filter(col("nr") * 100L > col("n") * 32L)
+      .select("l_suppkey").collect().map(_.getLong(0)).toSet
     // recompute the clean lineitem set directly and compare totals
     val cleanCount = li.filter(!col("l_suppkey").isin(tainted.toSeq: _*)).count()
     val rows = Round9Queries.q182CleanSupplierAssortment(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must yield clean suppliers (non-degenerate gate)")
     assert(rows.map(_.getAs[Long]("n_lineitems")).sum == cleanCount)
     val plan = Round9Queries.q182CleanSupplierAssortment(spark, sf)
       .queryExecution.executedPlan.toString
@@ -225,12 +232,16 @@ class Round9Spec extends SparkSpec {
   test("q183 dormant rich: every counted customer has no orders and an above-average balance") {
     val rows = Round9Queries.q183DormantRich(spark, sf).collect()
     val cust = spark.read.parquet(s"$sf/customer.parquet")
-    val withOrders = spark.read.parquet(s"$sf/orders.parquet")
+    // dormancy = no orders on/after the 1999-01-01 recency cutoff (every
+    // fixture customer has SOME order, so "no orders ever" was degenerate)
+    val withRecentOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
       .select("o_custkey").distinct().count()
     val nCust = cust.count()
     val dormant = rows.map(_.getAs[Long]("n_dormant")).sum
-    // dormant customers can never exceed customers without any order
-    assert(dormant <= nCust - math.min(withOrders, nCust))
+    assert(dormant > 0, "fixture must yield dormant-rich customers (non-degenerate gate)")
+    // dormant customers can never exceed customers without a recent order
+    assert(dormant <= nCust - math.min(withRecentOrders, nCust))
     val plan = Round9Queries.q183DormantRich(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"no-orders should be an anti join: $plan")
