@@ -498,7 +498,21 @@ object Reports {
         val rounded = new java.math.BigDecimal(d)
           .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
         if (rounded == 0.0) "0"
-        else rounded.toString // matches Python str(): ".0" kept, shortest repr
+        else {
+          // matches Python str(): shortest repr, ".0" kept — but Java's
+          // Double.toString switches to E-notation at |x| ≥ 1e7 where
+          // Python stays positional until 1e16 ("10000000.57", not
+          // "1.000000057E7"). Re-render the SAME shortest-repr digits
+          // positionally; values ≥ 1e16 (Python goes scientific with a
+          // different spelling) don't occur in a 2dp-rounded report cell
+          // a human reads, and fall back to the Java spelling.
+          val s = rounded.toString
+          if (!s.contains("E") || math.abs(rounded) >= 1e16) s
+          else {
+            val plain = new java.math.BigDecimal(s).toPlainString
+            if (plain.contains(".")) plain else plain + ".0"
+          }
+        }
       }
     case other => other.toString
   }

@@ -110,6 +110,14 @@ class ReportsSpec extends SparkSpec {
     assert(Reports.formatValue(7L) == "7")
     assert(Reports.formatValue("x") == "x")
     assert(Reports.formatValue(-3.456) == "-3.46")
+    // |x| >= 1e7: Python str() stays positional until 1e16 — Java's
+    // E-notation spelling would diverge (expected strings are literal
+    // Python str(round(x, 2)) outputs)
+    assert(Reports.formatValue(12345678.925) == "12345678.93")
+    assert(Reports.formatValue(1.0e7) == "10000000.0")
+    assert(Reports.formatValue(9999999.994) == "9999999.99")
+    assert(Reports.formatValue(-12345678.925) == "-12345678.93")
+    assert(Reports.formatValue(2.5e15 + 0.456) == "2500000000000000.5")
   }
 
   test("matchDates=false keeps unmatched strategy rows (left join)") {
