@@ -16,7 +16,13 @@ import graft.reports.Reports
   * calendar buckets, trailing windows, benchmark greeks, PSR via the Cody-erf
   * SQL twin, smart-ratio autocorr penalties), then the Python-parity cell
   * formatting (×100 percent rows, round-half-even-on-the-exact-binary-double
-  * to 2 places, NaN/±Inf→"-", 0→"0", shortest-repr rendering).
+  * to 2 places, NaN/±Inf→"-", 0→"0", shortest-repr rendering). q229 runs the
+  * same gate over a MULTI-STRATEGY report (3 pivoted assets + benchmark, 70
+  * rows × 4 metric columns) so the report's column-BATCHED passes — one wide
+  * aggregation / one stacked long-format pass per metric family for ALL
+  * columns, the SURVEY §3 restructure the job-count specs pin — are verified
+  * on their VALUES, not just their job counts. Both oracles come from one
+  * column-list-parameterized SQL builder.
   *
   * Formatting parity: Java's `BigDecimal(d).setScale(2, HALF_EVEN)` operates
   * on the exact binary expansion; DuckDB's native ROUND(DOUBLE, 2) rounds the
@@ -51,6 +57,23 @@ object Round15Queries {
       .select(col("row_id"), col("Metric"), col("Benchmark"), col("Strategy"))
   }
 
+  /** Multi-strategy report: the three per-asset return series pivoted wide
+    * (A, N, R) plus the market benchmark — 70 rows × 4 metric columns. Every
+    * cell of every column rides the SAME batched passes (one wide scalar
+    * aggregation, one stacked per-family pass, one bucket pass per
+    * granularity), so this gate proves the batching computes per-column
+    * numbers identical to the reference's one-column-at-a-time semantics.
+    */
+  def q229ReportMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Queries.assetReturns(spark, sfDir).df
+      .groupBy("d").pivot("asset", Seq("A", "N", "R")).agg(first(col("r")))
+    val bench = Queries.marketReturns(spark, sfDir)
+    val rpt = Reports.metrics(wide, benchmark = Some(bench), mode = "full")
+    rpt.withColumn("row_id", monotonically_increasing_id())
+      .select(col("row_id"), col("Metric"), col("Benchmark"),
+        col("A"), col("N"), col("R"))
+  }
+
   /** Python-parity cell format of a double-valued SQL expression `e` (keep it
     * a short column reference — it is repeated five times).
     */
@@ -63,133 +86,165 @@ object Round15Queries {
   private def fmtInt(e: String): String = s"CAST($e AS VARCHAR)"
   private def fmtDate(e: String): String = s"strftime($e, '%Y-%m-%d')"
 
-  /** One UNION ALL arm of the final 70-row table. */
-  private def arm(i: Int, label: String, b: String, s: String): String =
-    if (i == 0)
-      s"""SELECT CAST($i AS BIGINT) AS row_id, '$label' AS "Metric", $b AS "Benchmark", $s AS "Strategy" FROM fb, fs"""
-    else
-      s"""SELECT CAST($i AS BIGINT), '$label', $b, $s FROM fb, fs"""
+  // ---- the column-parameterized full-report oracle builder --------------------
 
-  /** Rows where the value expression is the same column `c` on both sides
-    * (prefixed fb./fs.), formatted as a double.
+  /** One metric column of the report: output header name, the raw (pre-fill)
+    * series expression over the `z` CTE, and the fin-table alias used in the
+    * final arms.
     */
-  private def both(i: Int, label: String, c: String): String =
-    arm(i, label, fmt(s"fb.$c"), fmt(s"fs.$c"))
+  private case class RCol(name: String, zExpr: String, alias: String)
 
-  /** Benchmark-relative rows: "-" in the Benchmark column. */
-  private def strat(i: Int, label: String, e: String): String =
-    arm(i, label, "'-'", fmt(e))
+  /** A report row: label + per-column cell SQL. `isBench` marks the
+    * Benchmark column (benchmark-relative rows print "-" there).
+    */
+  private type CellFn = (RCol, Boolean) => String
 
-  val q227Sql: String = {
-    // decay-sum penalty (Smart.penaltyOf closed form, same as the q30 oracle)
-    def penaltySql(rho: String, n: String): String =
-      s"""SQRT(1.0 + 2.0 * (CASE
-         |  WHEN ABS($rho) = 0 THEN 0.0
-         |  WHEN ABS(1.0 - ABS($rho)) < 1e-12
-         |    THEN ($n - 1.0) - ($n - 1.0) * (($n - 1.0) + 1.0) / (2.0 * $n)
-         |  ELSE ABS($rho) * (1.0 - POW(ABS($rho), $n - 1.0)) / (1.0 - ABS($rho))
-         |       - (ABS($rho) * (1.0 - (($n - 1.0) + 1.0) * POW(ABS($rho), $n - 1.0)
-         |                      + ($n - 1.0) * POW(ABS($rho), $n - 1.0) * ABS($rho))
-         |          / ((1.0 - ABS($rho)) * (1.0 - ABS($rho)))) / $n
-         |  END))""".stripMargin
+  private def dbl(e: String): CellFn = (c, _) => fmt(s"${c.alias}.$e")
+  private def intc(e: String): CellFn = (c, _) => fmtInt(s"${c.alias}.$e")
+  private def dat(e: String): CellFn = (c, _) => fmtDate(s"${c.alias}.$e")
+  private def lit0: CellFn = (_, _) => "'0'"
+  private def benchRel(e: String): CellFn =
+    (c, isBench) => if (isBench) "'-'" else fmt(s"${c.alias}.$e")
 
-    val arms: Seq[String] = Seq(
-      arm(0, "Start Period", fmtDate("fb.sd"), fmtDate("fs.sd")),
-      arm(1, "End Period", fmtDate("fb.ed"), fmtDate("fs.ed")),
-      arm(2, "Risk-Free Rate", "'0'", "'0'"),
-      both(3, "Time in Market", "expos * 100.0"),
-      both(4, "Cumulative Return", "comp * 100.0"),
-      both(5, "CAGR﹪", "cagr * 100.0"),
-      both(6, "Sharpe", "sharpe"),
-      both(7, "Prob. Sharpe Ratio", "psrv * 100.0"),
-      both(8, "Smart Sharpe", "smart_sharpe"),
-      both(9, "Sortino", "sortino"),
-      both(10, "Smart Sortino", "smart_sortino"),
-      both(11, "Sortino/√2", s"sortino / $S2"),
-      both(12, "Smart Sortino/√2", "smart_sortino2"),
-      both(13, "Omega", "omega"),
-      both(14, "Max Drawdown", "maxdd * 100.0"),
-      arm(15, "Longest DD Days", fmtInt("fb.maxlen"), fmtInt("fs.maxlen")),
-      both(16, "Volatility (ann.)", "vol * 100.0"),
-      strat(17, "R^2", "fs.r2b"),
-      strat(18, "Information Ratio", "fs.irb"),
-      both(19, "Calmar", "calmarv"),
-      both(20, "Skew", "skw"),
-      both(21, "Kurtosis", "kurt"),
-      both(22, "Expected Daily", "expd * 100.0"),
-      both(23, "Expected Monthly", "expm * 100.0"),
-      both(24, "Expected Yearly", "expy * 100.0"),
-      both(25, "Kelly Criterion", "kelly * 100.0"),
-      both(26, "Risk of Ruin", "ror"),
-      both(27, "Daily Value-at-Risk", "var_ * 100.0"),
-      both(28, "Expected Shortfall (cVaR)", "cvar * 100.0"),
-      arm(29, "Max Consecutive Wins", fmtInt("fb.maxwin"), fmtInt("fs.maxwin")),
-      arm(30, "Max Consecutive Losses", fmtInt("fb.maxloss"), fmtInt("fs.maxloss")),
-      both(31, "Gain/Pain Ratio", "g2p"),
-      both(32, "Gain/Pain (1M)", "g2p1m"),
-      both(33, "Payoff Ratio", "payoff"),
-      both(34, "Profit Factor", "pf"),
-      both(35, "Common Sense Ratio", "csr"),
-      both(36, "CPC Index", "cpc"),
-      both(37, "Tail Ratio", "tail"),
-      both(38, "Outlier Win Ratio", "owr"),
-      both(39, "Outlier Loss Ratio", "olr"),
-      both(40, "MTD", "mtd * 100.0"),
-      both(41, "3M", "m3 * 100.0"),
-      both(42, "6M", "m6 * 100.0"),
-      both(43, "YTD", "ytd * 100.0"),
-      both(44, "1Y", "y1 * 100.0"),
-      both(45, "3Y (ann.)", "y3 * 100.0"),
-      both(46, "5Y (ann.)", "y5 * 100.0"),
-      both(47, "10Y (ann.)", "y10 * 100.0"),
-      both(48, "All-time (ann.)", "cagr * 100.0"),
-      both(49, "Best Day", "best * 100.0"),
-      both(50, "Worst Day", "worst * 100.0"),
-      both(51, "Best Month", "bestm * 100.0"),
-      both(52, "Worst Month", "worstm * 100.0"),
-      both(53, "Best Year", "besty * 100.0"),
-      both(54, "Worst Year", "worsty * 100.0"),
-      both(55, "Avg. Drawdown", "avgdepth * 100.0"),
-      both(56, "Avg. Drawdown Days", "avglen"),
-      both(57, "Recovery Factor", "recovery"),
-      both(58, "Ulcer Index", "ulcer"),
-      both(59, "Serenity Index", "serenity"),
-      both(60, "Avg. Up Month", "avgup * 100.0"),
-      both(61, "Avg. Down Month", "avgdown * 100.0"),
-      both(62, "Win Days", "winrate * 100.0"),
-      both(63, "Win Month", "winm * 100.0"),
-      both(64, "Win Quarter", "winq * 100.0"),
-      both(65, "Win Year", "winy * 100.0"),
-      strat(66, "Beta", "fs.betab"),
-      strat(67, "Alpha", "fs.alphab"),
-      strat(68, "Correlation", "fs.corb * 100.0"),
-      strat(69, "Treynor Ratio", "fs.treynorb * 100.0"))
+  /** The 70 full-mode rows in reference order (ReportsSpec `fullRows`). */
+  private def reportRows: Seq[(String, CellFn)] = Seq(
+    "Start Period" -> dat("sd"),
+    "End Period" -> dat("ed"),
+    "Risk-Free Rate" -> lit0,
+    "Time in Market" -> dbl("expos * 100.0"),
+    "Cumulative Return" -> dbl("comp * 100.0"),
+    "CAGR﹪" -> dbl("cagr * 100.0"),
+    "Sharpe" -> dbl("sharpe"),
+    "Prob. Sharpe Ratio" -> dbl("psrv * 100.0"),
+    "Smart Sharpe" -> dbl("smart_sharpe"),
+    "Sortino" -> dbl("sortino"),
+    "Smart Sortino" -> dbl("smart_sortino"),
+    "Sortino/√2" -> dbl(s"sortino / $S2"),
+    "Smart Sortino/√2" -> dbl("smart_sortino2"),
+    "Omega" -> dbl("omega"),
+    "Max Drawdown" -> dbl("maxdd * 100.0"),
+    "Longest DD Days" -> intc("maxlen"),
+    "Volatility (ann.)" -> dbl("vol * 100.0"),
+    "R^2" -> benchRel("r2b"),
+    "Information Ratio" -> benchRel("irb"),
+    "Calmar" -> dbl("calmarv"),
+    "Skew" -> dbl("skw"),
+    "Kurtosis" -> dbl("kurt"),
+    "Expected Daily" -> dbl("expd * 100.0"),
+    "Expected Monthly" -> dbl("expm * 100.0"),
+    "Expected Yearly" -> dbl("expy * 100.0"),
+    "Kelly Criterion" -> dbl("kelly * 100.0"),
+    "Risk of Ruin" -> dbl("ror"),
+    "Daily Value-at-Risk" -> dbl("var_ * 100.0"),
+    "Expected Shortfall (cVaR)" -> dbl("cvar * 100.0"),
+    "Max Consecutive Wins" -> intc("maxwin"),
+    "Max Consecutive Losses" -> intc("maxloss"),
+    "Gain/Pain Ratio" -> dbl("g2p"),
+    "Gain/Pain (1M)" -> dbl("g2p1m"),
+    "Payoff Ratio" -> dbl("payoff"),
+    "Profit Factor" -> dbl("pf"),
+    "Common Sense Ratio" -> dbl("csr"),
+    "CPC Index" -> dbl("cpc"),
+    "Tail Ratio" -> dbl("tail"),
+    "Outlier Win Ratio" -> dbl("owr"),
+    "Outlier Loss Ratio" -> dbl("olr"),
+    "MTD" -> dbl("mtd * 100.0"),
+    "3M" -> dbl("m3 * 100.0"),
+    "6M" -> dbl("m6 * 100.0"),
+    "YTD" -> dbl("ytd * 100.0"),
+    "1Y" -> dbl("y1 * 100.0"),
+    "3Y (ann.)" -> dbl("y3 * 100.0"),
+    "5Y (ann.)" -> dbl("y5 * 100.0"),
+    "10Y (ann.)" -> dbl("y10 * 100.0"),
+    "All-time (ann.)" -> dbl("cagr * 100.0"),
+    "Best Day" -> dbl("best * 100.0"),
+    "Worst Day" -> dbl("worst * 100.0"),
+    "Best Month" -> dbl("bestm * 100.0"),
+    "Worst Month" -> dbl("worstm * 100.0"),
+    "Best Year" -> dbl("besty * 100.0"),
+    "Worst Year" -> dbl("worsty * 100.0"),
+    "Avg. Drawdown" -> dbl("avgdepth * 100.0"),
+    "Avg. Drawdown Days" -> dbl("avglen"),
+    "Recovery Factor" -> dbl("recovery"),
+    "Ulcer Index" -> dbl("ulcer"),
+    "Serenity Index" -> dbl("serenity"),
+    "Avg. Up Month" -> dbl("avgup * 100.0"),
+    "Avg. Down Month" -> dbl("avgdown * 100.0"),
+    "Win Days" -> dbl("winrate * 100.0"),
+    "Win Month" -> dbl("winm * 100.0"),
+    "Win Quarter" -> dbl("winq * 100.0"),
+    "Win Year" -> dbl("winy * 100.0"),
+    "Beta" -> benchRel("betab"),
+    "Alpha" -> benchRel("alphab"),
+    "Correlation" -> benchRel("corb * 100.0"),
+    "Treynor Ratio" -> benchRel("treynorb * 100.0"))
 
-    s"""WITH rev AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
-       |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
-       |  FROM lineitem GROUP BY 1, 2),
-       |ret AS (
-       |  SELECT d, r FROM (
-       |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
-       |    FROM rev) WHERE r IS NOT NULL AND asset = 'N'),
-       |brev AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS d,
-       |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
-       |  FROM lineitem GROUP BY 1),
-       |bret AS (
-       |  SELECT d, b FROM (
-       |    SELECT d, rev / LAG(rev) OVER (ORDER BY d) - 1 AS b FROM brev)
-       |  WHERE b IS NOT NULL),
-       |z AS MATERIALIZED (SELECT ret.d AS d, bret.b AS rb, ret.r AS rs
-       |      FROM ret JOIN bret ON ret.d = bret.d),
+  /** Smart-ratio decay-sum penalty (Smart.penaltyOf closed form, same as the
+    * q30 oracle). */
+  private def penaltySql(rho: String, n: String): String =
+    s"""SQRT(1.0 + 2.0 * (CASE
+       |  WHEN ABS($rho) = 0 THEN 0.0
+       |  WHEN ABS(1.0 - ABS($rho)) < 1e-12
+       |    THEN ($n - 1.0) - ($n - 1.0) * (($n - 1.0) + 1.0) / (2.0 * $n)
+       |  ELSE ABS($rho) * (1.0 - POW(ABS($rho), $n - 1.0)) / (1.0 - ABS($rho))
+       |       - (ABS($rho) * (1.0 - (($n - 1.0) + 1.0) * POW(ABS($rho), $n - 1.0)
+       |                      + ($n - 1.0) * POW(ABS($rho), $n - 1.0) * ABS($rho))
+       |          / ((1.0 - ABS($rho)) * (1.0 - ABS($rho)))) / $n
+       |  END))""".stripMargin
+
+  /** Full-report oracle over a caller-supplied `z` CTE. `zCte` must define
+    * `z(d, rb, …)` — the inner date-matched wide frame with the benchmark
+    * raw series as `rb` and one raw column per strategy. `cols` lists the
+    * metric columns IN OUTPUT ORDER, Benchmark first (its zExpr must be
+    * "rb"). Every metric CTE is keyed by the column name, exactly like the
+    * Scala side's stacked long-format passes; shared CTEs are MATERIALIZED
+    * because DuckDB otherwise inlines the whole chain into each of the
+    * 70 × |cols| formatted cells.
+    */
+  private def fullReportSql(zCte: String, cols: Seq[RCol]): String = {
+    val bench = cols.head
+    require(bench.name == "Benchmark" && bench.zExpr == "rb",
+      "first report column must be the benchmark raw series rb")
+    val strategies = cols.tail
+
+    val stArms = cols.map(c =>
+      s"  SELECT d, '${c.name}' AS nm, COALESCE(${c.zExpr}, 0.0) AS r, ${c.zExpr} AS raw FROM z")
+      .mkString("\n  UNION ALL\n")
+
+    val benArms = strategies.map { c =>
+      s"""  SELECT '${c.name}' AS nm,
+         |    CORR(rs2, rb2) * CORR(rs2, rb2) AS r2b,
+         |    AVG(rs2 - rb2) / STDDEV_SAMP(rs2 - rb2) AS irb,
+         |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
+         |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
+         |    CORR(rs2, rb2) AS corb,
+         |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
+         |  FROM (SELECT COALESCE(${c.zExpr}, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
+    val fromClause = cols.map(c => s"fin ${c.alias}").mkString(", ")
+    val whereClause = cols.map(c => s"${c.alias}.nm = '${c.name}'").mkString(" AND ")
+    val headers = cols.map(c => s""""${c.name}"""")
+
+    val arms = reportRows.zipWithIndex.map { case ((label, cell), i) =>
+      val cells = cols.map(c => cell(c, c.name == "Benchmark"))
+      if (i == 0)
+        s"""SELECT CAST($i AS BIGINT) AS row_id, '$label' AS "Metric", ${
+          cells.zip(headers).map { case (e, h) => s"$e AS $h" }.mkString(", ")
+        } FROM $fromClause WHERE $whereClause"""
+      else
+        s"""SELECT CAST($i AS BIGINT), '$label', ${cells.mkString(", ")} FROM $fromClause WHERE $whereClause"""
+    }
+
+    s"""$zCte,
        |st AS MATERIALIZED (
-       |  SELECT d, 'Benchmark' AS nm, COALESCE(rb, 0.0) AS r FROM z
-       |  UNION ALL
-       |  SELECT d, 'Strategy' AS nm, COALESCE(rs, 0.0) AS r FROM z),
+       |$stArms),
        |mx AS (SELECT MAX(d) AS md FROM st),
        |moms AS (
-       |  SELECT nm, MIN(d) AS sd, MAX(d) AS ed, COUNT(r) AS n,
+       |  SELECT nm,
+       |    MIN(CASE WHEN raw IS NOT NULL THEN d END) AS sd,
+       |    MAX(CASE WHEN raw IS NOT NULL THEN d END) AS ed,
+       |    COUNT(r) AS n,
        |    AVG(r) AS m, STDDEV_SAMP(r) AS sdr, SUM(r) AS sum_r,
        |    PRODUCT(1 + r) AS prod1, MAX(r) AS best, MIN(r) AS worst,
        |    AVG(r * r) AS p2, AVG(r * r * r) AS p3, AVG(r * r * r * r) AS p4,
@@ -342,14 +397,7 @@ object Round15Queries {
        |      / SUM(CASE WHEN qr <> 0 THEN 1 ELSE 0 END) AS winq
        |  FROM qtv GROUP BY nm),
        |ben AS (
-       |  SELECT 'Strategy' AS nm,
-       |    CORR(rs2, rb2) * CORR(rs2, rb2) AS r2b,
-       |    AVG(rs2 - rb2) / STDDEV_SAMP(rs2 - rb2) AS irb,
-       |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
-       |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
-       |    CORR(rs2, rb2) AS corb,
-       |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
-       |  FROM (SELECT COALESCE(rs, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)),
+       |$benArms),
        |fin AS MATERIALIZED (
        |  SELECT sc.*, dg.maxdd, dg.ulcer, dg.recovery, dg.serenity, dg.cvar,
        |    CASE WHEN ABS(dg.maxdd) = 0 THEN NULL ELSE sc.cagr / ABS(dg.maxdd) END AS calmarv,
@@ -372,13 +420,51 @@ object Round15Queries {
        |  JOIN monagg ma ON sc.nm = ma.nm
        |  JOIN yragg ya ON sc.nm = ya.nm
        |  JOIN qtagg qa ON sc.nm = qa.nm
-       |  LEFT JOIN ben be ON sc.nm = be.nm),
-       |fb AS (SELECT * FROM fin WHERE nm = 'Benchmark'),
-       |fs AS (SELECT * FROM fin WHERE nm = 'Strategy')
+       |  LEFT JOIN ben be ON sc.nm = be.nm)
        |SELECT * FROM (
        |${arms.mkString("\nUNION ALL\n")}
        |) ORDER BY row_id""".stripMargin
   }
+
+  private val RetCtes: String =
+    """WITH rev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT d, asset, r FROM (
+      |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
+      |    FROM rev) WHERE r IS NOT NULL),
+      |brev AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |bret AS (
+      |  SELECT d, b FROM (
+      |    SELECT d, rev / LAG(rev) OVER (ORDER BY d) - 1 AS b FROM brev)
+      |  WHERE b IS NOT NULL)""".stripMargin
+
+  val q227Sql: String = fullReportSql(
+    s"""$RetCtes,
+       |z AS MATERIALIZED (
+       |  SELECT r1.d AS d, bret.b AS rb, r1.r AS rs
+       |  FROM (SELECT d, r FROM ret WHERE asset = 'N') r1
+       |  JOIN bret ON r1.d = bret.d)""".stripMargin,
+    Seq(RCol("Benchmark", "rb", "fb"), RCol("Strategy", "rs", "fs")))
+
+  val q229Sql: String = fullReportSql(
+    s"""$RetCtes,
+       |wide AS (
+       |  SELECT d,
+       |    MAX(CASE WHEN asset = 'A' THEN r END) AS r_a,
+       |    MAX(CASE WHEN asset = 'N' THEN r END) AS r_n,
+       |    MAX(CASE WHEN asset = 'R' THEN r END) AS r_r
+       |  FROM ret GROUP BY d),
+       |z AS MATERIALIZED (
+       |  SELECT w.d AS d, bret.b AS rb, w.r_a, w.r_n, w.r_r
+       |  FROM wide w JOIN bret ON w.d = bret.d)""".stripMargin,
+    Seq(RCol("Benchmark", "rb", "fb"), RCol("A", "r_a", "fa"),
+      RCol("N", "r_n", "fn2"), RCol("R", "r_r", "fr")))
 
   // ---- q228 backward as-of in its non-degenerate regime ----------------------
 
@@ -455,9 +541,11 @@ object Round15Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_report_table" -> (q227ReportTable _),
-    "q228_asof_align" -> (q228AsofAlign _))
+    "q228_asof_align" -> (q228AsofAlign _),
+    "q229_report_multi" -> (q229ReportMulti _))
 
   val oracles: Map[String, String] = Map(
     "q227_report_table" -> q227Sql,
-    "q228_asof_align" -> q228Sql)
+    "q228_asof_align" -> q228Sql,
+    "q229_report_multi" -> q229Sql)
 }
