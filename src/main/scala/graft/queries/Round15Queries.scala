@@ -106,6 +106,20 @@ object Round15Queries {
   private def benchRel(e: String): CellFn =
     (c, isBench) => if (isBench) "'-'" else fmt(s"${c.alias}.$e")
 
+  /** The 36 basic-mode rows in reference order (ReportsSpec `basicRows`):
+    * the full list minus the smart ratios, the full-mode distribution/
+    * volatility/best-worst/win-calendar block, and the benchmark rows.
+    */
+  private def basicRowLabels: Set[String] = Set(
+    "Start Period", "End Period", "Risk-Free Rate", "Time in Market",
+    "Cumulative Return", "CAGR﹪", "Sharpe", "Prob. Sharpe Ratio", "Sortino",
+    "Sortino/√2", "Omega", "Max Drawdown", "Longest DD Days", "Gain/Pain Ratio",
+    "Gain/Pain (1M)", "Payoff Ratio", "Profit Factor", "Common Sense Ratio",
+    "CPC Index", "Tail Ratio", "Outlier Win Ratio", "Outlier Loss Ratio",
+    "MTD", "3M", "6M", "YTD", "1Y", "3Y (ann.)", "5Y (ann.)", "10Y (ann.)",
+    "All-time (ann.)", "Avg. Drawdown", "Avg. Drawdown Days", "Recovery Factor",
+    "Ulcer Index", "Serenity Index")
+
   /** The 70 full-mode rows in reference order (ReportsSpec `fullRows`). */
   private def reportRows: Seq[(String, CellFn)] = Seq(
     "Start Period" -> dat("sd"),
@@ -201,32 +215,46 @@ object Round15Queries {
     * because DuckDB otherwise inlines the whole chain into each of the
     * 70 × |cols| formatted cells.
     */
-  private def fullReportSql(zCte: String, cols: Seq[RCol]): String = {
-    val bench = cols.head
-    require(bench.name == "Benchmark" && bench.zExpr == "rb",
-      "first report column must be the benchmark raw series rb")
-    val strategies = cols.tail
+  private def fullReportSql(zCte: String, cols: Seq[RCol],
+      basic: Boolean = false): String = {
+    val withBenchmark = cols.head.name == "Benchmark"
+    if (withBenchmark) require(cols.head.zExpr == "rb",
+      "the benchmark column's raw series must be rb")
+    val strategies = if (withBenchmark) cols.tail else cols
 
     val stArms = cols.map(c =>
       s"  SELECT d, '${c.name}' AS nm, COALESCE(${c.zExpr}, 0.0) AS r, ${c.zExpr} AS raw FROM z")
       .mkString("\n  UNION ALL\n")
 
-    val benArms = strategies.map { c =>
-      s"""  SELECT '${c.name}' AS nm,
-         |    CORR(rs2, rb2) * CORR(rs2, rb2) AS r2b,
-         |    AVG(rs2 - rb2) / STDDEV_SAMP(rs2 - rb2) AS irb,
-         |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
-         |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
-         |    CORR(rs2, rb2) AS corb,
-         |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
-         |  FROM (SELECT COALESCE(${c.zExpr}, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)""".stripMargin
-    }.mkString("\n  UNION ALL\n")
+    // the benchmark-greeks pass only exists when a benchmark column does;
+    // without one the ben CTE degrades to an empty all-NULL row set so the
+    // LEFT JOIN and the fin column list stay uniform (basic mode never
+    // reads these rows — the 6 benchmark-relative labels are full-only)
+    val benArms =
+      if (!withBenchmark)
+        "  SELECT NULL AS nm, NULL AS r2b, NULL AS irb, NULL AS betab, " +
+          "NULL AS alphab, NULL AS corb, NULL AS treynorb WHERE FALSE"
+      else strategies.map { c =>
+        s"""  SELECT '${c.name}' AS nm,
+           |    CORR(rs2, rb2) * CORR(rs2, rb2) AS r2b,
+           |    AVG(rs2 - rb2) / STDDEV_SAMP(rs2 - rb2) AS irb,
+           |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
+           |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
+           |    CORR(rs2, rb2) AS corb,
+           |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
+           |  FROM (SELECT COALESCE(${c.zExpr}, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
 
     val fromClause = cols.map(c => s"fin ${c.alias}").mkString(", ")
     val whereClause = cols.map(c => s"${c.alias}.nm = '${c.name}'").mkString(" AND ")
     val headers = cols.map(c => s""""${c.name}"""")
 
-    val arms = reportRows.zipWithIndex.map { case ((label, cell), i) =>
+    val rows =
+      if (basic) reportRows.filter { case (l, _) => basicRowLabels.contains(l) }
+      else if (withBenchmark) reportRows
+      else reportRows.filterNot { case (l, _) => Set("R^2", "Information Ratio",
+        "Beta", "Alpha", "Correlation", "Treynor Ratio").contains(l) }
+    val arms = rows.zipWithIndex.map { case ((label, cell), i) =>
       val cells = cols.map(c => cell(c, c.name == "Benchmark"))
       if (i == 0)
         s"""SELECT CAST($i AS BIGINT) AS row_id, '$label' AS "Metric", ${
@@ -452,6 +480,25 @@ object Round15Queries {
        |  JOIN bret ON r1.d = bret.d)""".stripMargin,
     Seq(RCol("Benchmark", "rb", "fb"), RCol("Strategy", "rs", "fs")))
 
+  /** Basic-mode report, NO benchmark: the 36-row reference list over the
+    * strategy series alone — gates the mode-"basic" row selection and the
+    * benchmark-less prepare path (no join, no benchmark column, no
+    * benchmark-relative rows) on values.
+    */
+  def q230ReportBasic(spark: SparkSession, sfDir: String): DataFrame = {
+    val strat = Queries.assetReturns(spark, sfDir).df
+      .filter(col("asset") === "N").select(col("d"), col("r"))
+    val rpt = Reports.metrics(strat, mode = "basic")
+    rpt.withColumn("row_id", monotonically_increasing_id())
+      .select(col("row_id"), col("Metric"), col("Strategy"))
+  }
+
+  val q230Sql: String = fullReportSql(
+    s"""$RetCtes,
+       |z AS MATERIALIZED (
+       |  SELECT d, r AS rs FROM ret WHERE asset = 'N')""".stripMargin,
+    Seq(RCol("Strategy", "rs", "fs")), basic = true)
+
   val q229Sql: String = fullReportSql(
     s"""$RetCtes,
        |wide AS (
@@ -542,10 +589,12 @@ object Round15Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_report_table" -> (q227ReportTable _),
     "q228_asof_align" -> (q228AsofAlign _),
-    "q229_report_multi" -> (q229ReportMulti _))
+    "q229_report_multi" -> (q229ReportMulti _),
+    "q230_report_basic" -> (q230ReportBasic _))
 
   val oracles: Map[String, String] = Map(
     "q227_report_table" -> q227Sql,
     "q228_asof_align" -> q228Sql,
-    "q229_report_multi" -> q229Sql)
+    "q229_report_multi" -> q229Sql,
+    "q230_report_basic" -> q230Sql)
 }
