@@ -170,7 +170,7 @@ object Round15Queries {
     "3Y (ann.)" -> dbl("y3 * 100.0"),
     "5Y (ann.)" -> dbl("y5 * 100.0"),
     "10Y (ann.)" -> dbl("y10 * 100.0"),
-    "All-time (ann.)" -> dbl("cagr * 100.0"),
+    "All-time (ann.)" -> dbl("cagr0 * 100.0"),
     "Best Day" -> dbl("best * 100.0"),
     "Worst Day" -> dbl("worst * 100.0"),
     "Best Month" -> dbl("bestm * 100.0"),
@@ -216,11 +216,19 @@ object Round15Queries {
     * 70 × |cols| formatted cells.
     */
   private def fullReportSql(zCte: String, cols: Seq[RCol],
-      basic: Boolean = false): String = {
+      basic: Boolean = false, rf: Double = 0.0): String = {
     val withBenchmark = cols.head.name == "Benchmark"
     if (withBenchmark) require(cols.head.zExpr == "rb",
       "the benchmark column's raw series must be rb")
     val strategies = if (withBenchmark) cols.tail else cols
+    // excess-return forms (reference: excess() leaves the series untouched at
+    // rf == 0, so the emitted SQL is BIT-identical to the rf-free text there)
+    val xr = if (rf == 0.0) "r" else s"(r - $rf)"
+    val xm = if (rf == 0.0) "ms" else s"(ms - $rf)"
+    val serNum = if (rf == 0.0) "SUM(r)" else s"(SUM(r) - $rf)"
+    val psrNum = if (rf == 0.0) "sharpe_na" else s"(sharpe_na - $rf)"
+    val treyNum =
+      if (rf == 0.0) "(PRODUCT(1 + rs2) - 1)" else s"(PRODUCT(1 + rs2) - 1 - $rf)"
 
     val stArms = cols.map(c =>
       s"  SELECT d, '${c.name}' AS nm, COALESCE(${c.zExpr}, 0.0) AS r, ${c.zExpr} AS raw FROM z")
@@ -241,7 +249,7 @@ object Round15Queries {
            |    COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) AS betab,
            |    (AVG(rs2) - COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2) * AVG(rb2)) * 252 AS alphab,
            |    CORR(rs2, rb2) AS corb,
-           |    (PRODUCT(1 + rs2) - 1) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
+           |    ($treyNum) / (COVAR_SAMP(rs2, rb2) / VAR_SAMP(rb2)) AS treynorb
            |  FROM (SELECT COALESCE(${c.zExpr}, 0.0) AS rs2, COALESCE(rb, 0.0) AS rb2 FROM z)""".stripMargin
       }.mkString("\n  UNION ALL\n")
 
@@ -255,7 +263,10 @@ object Round15Queries {
       else reportRows.filterNot { case (l, _) => Set("R^2", "Information Ratio",
         "Beta", "Alpha", "Correlation", "Treynor Ratio").contains(l) }
     val arms = rows.zipWithIndex.map { case ((label, cell), i) =>
-      val cells = cols.map(c => cell(c, c.name == "Benchmark"))
+      val cells =
+        if (label == "Risk-Free Rate" && rf != 0.0)
+          cols.map(_ => fmt(s"CAST($rf * 100.0 AS DOUBLE)"))
+        else cols.map(c => cell(c, c.name == "Benchmark"))
       if (i == 0)
         s"""SELECT CAST($i AS BIGINT) AS row_id, '$label' AS "Metric", ${
           cells.zip(headers).map { case (e, h) => s"$e AS $h" }.mkString(", ")
@@ -288,7 +299,11 @@ object Round15Queries {
        |    SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) AS gains,
        |    ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) AS lsum,
        |    SUM(GREATEST(r, 0.0)) AS og, SUM(GREATEST(-r, 0.0)) AS ol,
-       |    SQRT(AVG(POWER(CASE WHEN r < 0 THEN r ELSE 0.0 END, 2))) AS downside,
+       |    AVG($xr) AS mx, STDDEV_SAMP($xr) AS sdx,
+       |    SUM($xr) AS sumx,
+       |    ABS(SUM(CASE WHEN $xr < 0 THEN $xr ELSE 0 END)) AS lsumx,
+       |    PRODUCT(1 + $xr) AS prodx,
+       |    SQRT(AVG(POWER(CASE WHEN $xr < 0 THEN $xr ELSE 0.0 END, 2))) AS downside,
        |    PRODUCT(CASE WHEN YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md) THEN 1 + r ELSE 1 END) - 1 AS mtd,
        |    PRODUCT(CASE WHEN d >= md - INTERVAL 3 MONTH THEN 1 + r ELSE 1 END) - 1 AS m3,
        |    PRODUCT(CASE WHEN d >= md - INTERVAL 6 MONTH THEN 1 + r ELSE 1 END) - 1 AS m6,
@@ -304,10 +319,11 @@ object Round15Queries {
        |scal AS (
        |  SELECT nm, sd, ed, n, CAST(n AS DOUBLE) AS nd, m, sdr, sum_r,
        |    prod1 - 1 AS comp,
-       |    POWER(prod1, 252.0 / n) - 1 AS cagr,
+       |    POWER(prodx, 252.0 / n) - 1 AS cagr,
+       |    POWER(prod1, 252.0 / n) - 1 AS cagr0,
        |    m / sdr AS sharpe_na,
-       |    m / sdr * $S252 AS sharpe,
-       |    m / downside * $S252 AS sortino,
+       |    mx / sdx * $S252 AS sharpe,
+       |    mx / downside * $S252 AS sortino,
        |    og / ol AS omega,
        |    sdr * $S252 AS vol,
        |    SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / (CAST(n AS DOUBLE) - 2)
@@ -321,7 +337,7 @@ object Round15Queries {
        |    m + ($Z05) * sdr AS var_,
        |    best, worst,
        |    gains / lsum AS pf,
-       |    sum_r / lsum AS g2p,
+       |    sumx / lsumx AS g2p,
        |    aw / al AS payoff,
        |    gains / lsum * (ABS(q95) / ABS(q05v)) AS csr,
        |    (gains / lsum) * ((gains / wins) / (lsum / losses)) * (wins / nonzero) AS cpc,
@@ -352,7 +368,7 @@ object Round15Queries {
        |  SELECT nm, MIN(ddv) AS maxdd,
        |    SQRT(SUM(ddv * ddv) / (COUNT(r) - 1)) AS ulcer,
        |    ABS(SUM(r)) / ABS(MIN(ddv)) AS recovery,
-       |    SUM(r) / (SQRT(SUM(ddv * ddv) / (COUNT(r) - 1))
+       |    ($serNum) / (SQRT(SUM(ddv * ddv) / (COUNT(r) - 1))
        |      * (-(COALESCE(AVG(CASE WHEN ddv < ddvar THEN ddv END), ANY_VALUE(ddvar)))
        |         / STDDEV_SAMP(r))) AS serenity,
        |    COALESCE(AVG(CASE WHEN r < rvar THEN r END), ANY_VALUE(rvar)) AS cvar,
@@ -364,7 +380,7 @@ object Round15Queries {
        |        FROM ddagg d0 JOIN scal s0 ON d0.nm = s0.nm)),
        |psrpre AS (
        |  SELECT nm,
-       |    (sharpe_na / SQRT((1.0 + 0.5 * sharpe_na * sharpe_na - skw * sharpe_na
+       |    (($psrNum) / SQRT((1.0 + 0.5 * sharpe_na * sharpe_na - skw * sharpe_na
        |      + ((kurt - 3.0) / 4.0) * sharpe_na * sharpe_na) / (nd - 1.0))) / $S2 AS y
        |  FROM scal),
        |psr AS (
@@ -401,7 +417,7 @@ object Round15Queries {
        |  FROM st GROUP BY 1, 2, 3),
        |monagg AS (
        |  SELECT nm,
-       |    SUM(ms) / ABS(SUM(CASE WHEN ms < 0 THEN ms ELSE 0 END)) AS g2p1m,
+       |    SUM($xm) / ABS(SUM(CASE WHEN $xm < 0 THEN $xm ELSE 0 END)) AS g2p1m,
        |    POWER(PRODUCT(1 + mr), 1.0 / COUNT(mr)) - 1 AS expm,
        |    MAX(mr) AS bestm, MIN(mr) AS worstm,
        |    AVG(CASE WHEN mr > 0 THEN mr END) AS avgup,
@@ -428,7 +444,7 @@ object Round15Queries {
        |$benArms),
        |fin AS MATERIALIZED (
        |  SELECT sc.*, dg.maxdd, dg.ulcer, dg.recovery, dg.serenity, dg.cvar,
-       |    CASE WHEN ABS(dg.maxdd) = 0 THEN NULL ELSE sc.cagr / ABS(dg.maxdd) END AS calmarv,
+       |    CASE WHEN ABS(dg.maxdd) = 0 THEN NULL ELSE sc.cagr0 / ABS(dg.maxdd) END AS calmarv,
        |    sc.sharpe / p.penalty AS smart_sharpe,
        |    sc.sortino / p.penalty AS smart_sortino,
        |    sc.sortino / p.penalty / $S2 AS smart_sortino2,
@@ -480,6 +496,27 @@ object Round15Queries {
        |  JOIN bret ON r1.d = bret.d)""".stripMargin,
     Seq(RCol("Benchmark", "rb", "fb"), RCol("Strategy", "rs", "fs")))
 
+  /** Full report at a NONZERO risk-free rate (rf = 1bp per day ~ 2.5%/yr —
+    * the reference subtracts rf RAW per period (_utils.py:37-41), so a
+    * realistic DAILY rate; a percent-scale daily rf compounds the excess
+    * product to e^-50 where partition-order float underflow makes the
+    * answer engine-dependent): gates the excess-return dimension —
+    * rf-Sharpe/Sortino (and their smart variants), rf-CAGR vs the no-rf
+    * all-time/Calmar pair, PSR's subtract-rf-once-in-the-CDF quirk, the
+    * serenity numerator's single rf subtraction, per-month-bucket excess
+    * gain/pain, and Treynor's (comp − rf)/β — none of which any other oracle
+    * query exercises (all 230 run at rf = 0).
+    */
+  def q231ReportRf(spark: SparkSession, sfDir: String): DataFrame = {
+    val strat = Queries.assetReturns(spark, sfDir).df
+      .filter(col("asset") === "N").select(col("d"), col("r"))
+    val bench = Queries.marketReturns(spark, sfDir)
+    val rpt = Reports.metrics(strat, benchmark = Some(bench), rf = 0.0001,
+      mode = "full")
+    rpt.withColumn("row_id", monotonically_increasing_id())
+      .select(col("row_id"), col("Metric"), col("Benchmark"), col("Strategy"))
+  }
+
   /** Basic-mode report, NO benchmark: the 36-row reference list over the
     * strategy series alone — gates the mode-"basic" row selection and the
     * benchmark-less prepare path (no join, no benchmark column, no
@@ -498,6 +535,15 @@ object Round15Queries {
        |z AS MATERIALIZED (
        |  SELECT d, r AS rs FROM ret WHERE asset = 'N')""".stripMargin,
     Seq(RCol("Strategy", "rs", "fs")), basic = true)
+
+  val q231Sql: String = fullReportSql(
+    s"""$RetCtes,
+       |z AS MATERIALIZED (
+       |  SELECT r1.d AS d, bret.b AS rb, r1.r AS rs
+       |  FROM (SELECT d, r FROM ret WHERE asset = 'N') r1
+       |  JOIN bret ON r1.d = bret.d)""".stripMargin,
+    Seq(RCol("Benchmark", "rb", "fb"), RCol("Strategy", "rs", "fs")),
+    rf = 0.0001)
 
   val q229Sql: String = fullReportSql(
     s"""$RetCtes,
@@ -590,11 +636,13 @@ object Round15Queries {
     "q227_report_table" -> (q227ReportTable _),
     "q228_asof_align" -> (q228AsofAlign _),
     "q229_report_multi" -> (q229ReportMulti _),
-    "q230_report_basic" -> (q230ReportBasic _))
+    "q230_report_basic" -> (q230ReportBasic _),
+    "q231_report_rf" -> (q231ReportRf _))
 
   val oracles: Map[String, String] = Map(
     "q227_report_table" -> q227Sql,
     "q228_asof_align" -> q228Sql,
     "q229_report_multi" -> q229Sql,
-    "q230_report_basic" -> q230Sql)
+    "q230_report_basic" -> q230Sql,
+    "q231_report_rf" -> q231Sql)
 }
