@@ -85,17 +85,38 @@ object Bench {
     // it directly.
     val auditQueries = Set("q203_lsh_quality_audit", "q216_pq_adc",
       "q218_zorder_pruning", "q225_band_join")
+    // a renamed audit query (or a typo here) would silently reclassify its
+    // time into non_audit_total — the regression-gating number this split
+    // exists to protect — so an unknown name fails the run loudly
+    require(auditQueries.subsetOf(results.keySet),
+      s"auditQueries not registered: ${(auditQueries -- results.keySet).mkString(", ")}")
     val nonAuditTotal =
       results.collect { case (k, v) if !auditQueries.contains(k) => v }.sum
     val auditTotal =
       results.collect { case (k, v) if auditQueries.contains(k) => v }.sum
+    // Provenance: the commit the measured classes were built from, so any
+    // bench artifact — including the driver-captured compact tail — can be
+    // diffed per-query against the BENCH_SEQ_LATEST.json committed at the
+    // same hash without git archaeology (the round-10 verdict had to dig).
+    val gitHead: String = try {
+      val root = java.nio.file.Paths.get(".git")
+      val head = new String(java.nio.file.Files.readAllBytes(root.resolve("HEAD")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (head.startsWith("ref: ")) {
+        val ref = root.resolve(head.stripPrefix("ref: "))
+        if (java.nio.file.Files.exists(ref))
+          new String(java.nio.file.Files.readAllBytes(ref),
+            java.nio.charset.StandardCharsets.UTF_8).trim.take(12)
+        else "unknown"
+      } else head.take(12)
+    } catch { case _: Exception => "unknown" }
     def line(m: Map[String, Double]): String = {
       val qs = m.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val shown =
         if (m.size < results.size) s""","queries_shown":${m.size}""" else ""
-      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,"queries":$qs$shown,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","git_head":"$gitHead","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,"queries":$qs$shown,"sf":"$sfDir"}"""
     }
     val full = line(results)
     // The driver captures a bounded tail of stdout; with 140+ queries the
@@ -112,7 +133,7 @@ object Bench {
       val qs = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"per_query_seq_min2","total":${fmt(results.values.sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query_seq_min2","total":${fmt(results.values.sum)},"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(

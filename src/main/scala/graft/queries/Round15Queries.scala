@@ -76,6 +76,13 @@ object Round15Queries {
 
   /** Python-parity cell format of a double-valued SQL expression `e` (keep it
     * a short column reference — it is repeated five times).
+    *
+    * Validity bound: printf('%.2f') matches `Reports.formatValue` only while
+    * the double's ulp ≤ 0.01, i.e. |x| < 2^46 ≈ 7e13 — above that printf
+    * prints the exact binary expansion's 2dp digits while formatValue/Python
+    * re-collapse to the nearest double and print its shortest repr (which can
+    * differ in the last digit). Same flavor of cap as formatValue's own 1e16
+    * E-notation caveat; report cells a human reads stay far below both.
     */
   private def fmt(e: String): String =
     s"(CASE WHEN ($e) IS NULL OR isnan($e) OR isinf($e) THEN '-' " +

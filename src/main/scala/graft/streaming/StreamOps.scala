@@ -34,11 +34,25 @@ object StreamOps {
   def asOfJoinStatic(stream: DataFrame, static: DataFrame, streamTs: String,
       staticTs: String, valueCols: Seq[String],
       keys: Seq[String] = Nil): DataFrame = {
+    // the final select emits every stream column PLUS asof_ts + valueCols;
+    // a name collision would produce a frame with duplicate column names
+    // (downstream col("asof_ts") becomes AMBIGUOUS_REFERENCE) — fail loudly
+    // here instead
+    val clash = ("asof_ts" +: valueCols).toSet.intersect(stream.columns.toSet)
+    require(clash.isEmpty,
+      s"asOfJoinStatic output columns collide with stream columns: " +
+        s"${clash.mkString(", ")} — rename the stream side or the valueCols")
+    // tie order mirrors AsOfJoin.backward's documented contract for
+    // DUPLICATE snapshot timestamps on one key: order by (__bd, valueCols)
+    // so the greatest value tuple sorts last, gets the real next-ts
+    // interval, and deterministically wins; earlier duplicates receive the
+    // empty [ts, ts) interval and never match.
+    val tieOrder = col("__bd") +: valueCols.map(col)
     val w =
       if (keys.isEmpty)
-        org.apache.spark.sql.expressions.Window.orderBy(col("__bd"))
+        org.apache.spark.sql.expressions.Window.orderBy(tieOrder: _*)
       else org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col("__bd"))
+        .partitionBy(keys.map(col): _*).orderBy(tieOrder: _*)
     val iv = static.select(
       (keys.map(col) :+ col(staticTs).as("__bd")) ++ valueCols.map(col): _*)
       .withColumn("__bd_end", lead(col("__bd"), 1).over(w))
