@@ -35,8 +35,34 @@ import graft.stats.Smart
   * streaks — all with windows partitioned by asset, never a global
   * single-partition window — plus one calendar-bucket pass per bucket
   * granularity and one benchmark pass. A full 10-asset report is ~9 jobs.
+  *
+  * Those passes are mutually independent once the two cached frames (the
+  * zero-filled wide frame and the melted drawdown frame) are materialized,
+  * so they are SUBMITTED CONCURRENTLY from a small driver-side pool: the
+  * report's wall-clock is the slowest single pass, not the sum of ~9
+  * scheduler floors. On a real cluster this is the same win — concurrent
+  * jobs pipeline into free executor slots. The frames are count()-forced
+  * BEFORE forking so concurrent consumers share one cache materialization
+  * instead of racing to compute it.
   */
 object Reports {
+
+  /** Shared driver-side pool for concurrent pass submission — bounded at 8
+    * across ALL in-flight metrics() calls (a bench pool of parallel report
+    * queries shares it rather than multiplying threads), daemon so it never
+    * blocks JVM exit, and process-lifetime so there is no per-call shutdown
+    * path to leak on a failed pass.
+    */
+  private lazy val passEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-report-pass-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
 
   def metrics(
       returns: DataFrame,
@@ -178,8 +204,17 @@ object Reports {
         base ++ windows
       }
     }
+    // ---- concurrent pass submission: materialize the shared caches ONCE on
+    // this thread, then submit every independent aggregation pass from a
+    // bounded pool — the report costs max(pass), not sum(passes) ----
+    zf.count()
+    implicit val passEc: scala.concurrent.ExecutionContext = Reports.passEc
+    def await[T](f: scala.concurrent.Future[T]): T =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
     val p1Exprs = names.flatMap(n => P1(n).exprs)
-    val p1 = zf.agg(p1Exprs.head, p1Exprs.tail: _*).head()
+    val p1F = scala.concurrent.Future { zf.agg(p1Exprs.head, p1Exprs.tail: _*).head() }
+    lazy val p1 = await(p1F)
     def g(k: String, n: String): Double = {
       val i = p1.fieldIndex(s"${k}__$n")
       if (p1.isNullAt(i)) Double.NaN else p1.getAs[Any](i) match {
@@ -198,6 +233,9 @@ object Reports {
       names.flatMap(n => Seq(lit(n), zf(n))): _*)).as(Seq("__asset", "__r")))
     val ddf = GroupedStats.withDrawdown(
       SeriesFrame(stacked, Seq("__asset"), "__ord", "__r")).df.cache()
+    // materialize before forking P2/P3/P4 — three concurrent consumers must
+    // share one cache build, not race to compute the window three times
+    ddf.count()
     val rr = col("__r")
     val ddc = col("__dd")
 
@@ -223,8 +261,10 @@ object Reports {
       coalesce(avg(when(rr < col("__rvar"), rr)), first(col("__rvar"))).as("cvar"),
       count(rr).as("n"),
       corr(col("__prev"), rr).as("rho"))
-    val p2rows: Map[String, Row] =
+    val p2rowsF = scala.concurrent.Future {
       p2df.collect().map(r => r.getAs[String]("__asset") -> r).toMap
+    }
+    lazy val p2rows: Map[String, Row] = await(p2rowsF)
     def g2(k: String, n: String): Double = {
       val row = p2rows(n)
       val i = row.fieldIndex(k)
@@ -235,7 +275,7 @@ object Reports {
     // semantics, because the reference passes bare series — reports.py:397-414) ----
     val wA = Window.partitionBy(col("__asset")).orderBy(col("__ord"))
     val wIn = Window.partitionBy(col("__asset"), col("__in")).orderBy(col("__ord"))
-    val episodeRows: Map[String, (Long, Double, Double)] = ddf
+    val episodeRowsF = scala.concurrent.Future { ddf
       .withColumn("__in", ddc.isNotNull && ddc < 0)
       .withColumn("__island", row_number().over(wA) - row_number().over(wIn))
       .filter(col("__in"))
@@ -248,18 +288,22 @@ object Reports {
       .map(r => r.getAs[String]("__asset") ->
         ((r.getAs[Long]("maxlen"), r.getAs[Double]("avglen"), r.getAs[Double]("avgdepth"))))
       .toMap
+    }
+    lazy val episodeRows: Map[String, (Long, Double, Double)] = await(episodeRowsF)
     // an asset with no drawdown episodes has no aggregate row — zeros, as the
     // reference's empty-episode frame yields
     def episode(n: String): (Long, Double, Double) =
       episodeRows.getOrElse(n, (0L, 0.0, 0.0))
 
-    val streakRows: Map[String, (Long, Long)] =
-      if (!full) Map.empty
+    val streakRowsF = scala.concurrent.Future {
+      if (!full) Map.empty[String, (Long, Long)]
       else GroupedStats.streaks(SeriesFrame(ddf, Seq("__asset"), "__ord", "__r"))
         .collect()
         .map(r => r.getAs[String]("__asset") ->
           ((r.getAs[Long]("consecutive_wins"), r.getAs[Long]("consecutive_losses"))))
         .toMap
+    }
+    lazy val streakRows: Map[String, (Long, Long)] = await(streakRowsF)
 
     // ---- P5-7: calendar bucket passes — one job per bucket granularity
     // (sum- and comp-bucket finals share the monthly groupBy) ----
@@ -277,21 +321,26 @@ object Reports {
       }
 
     val t = temporal.map(col).orNull
-    val monthly = bucketAgg(Seq(year(t), month(t)),
+    val monthlyF = scala.concurrent.Future { bucketAgg(Seq(year(t), month(t)),
       ("g2p1m", (c: Column) => Exprs.gainToPain(c, rf), false) +: (if (full) Seq(
         ("expm", Exprs.expectedReturn: Column => Column, true),
         ("bestm", (c: Column) => max(c), true),
         ("worstm", (c: Column) => min(c), true),
         ("avgup", Exprs.avgWin: Column => Column, true),
         ("avgdown", Exprs.avgLoss: Column => Column, true),
-        ("winm", Exprs.winRate: Column => Column, true)) else Nil))
-    val yearly = if (!full) None else bucketAgg(Seq(year(t)), Seq(
-      ("expy", Exprs.expectedReturn: Column => Column, true),
-      ("besty", (c: Column) => max(c), true),
-      ("worsty", (c: Column) => min(c), true),
-      ("winy", Exprs.winRate: Column => Column, true)))
-    val quarterly = if (!full) None else bucketAgg(Seq(year(t), quarter(t)), Seq(
-      ("winq", Exprs.winRate: Column => Column, true)))
+        ("winm", Exprs.winRate: Column => Column, true)) else Nil)) }
+    val yearlyF = scala.concurrent.Future {
+      if (!full) None else bucketAgg(Seq(year(t)), Seq(
+        ("expy", Exprs.expectedReturn: Column => Column, true),
+        ("besty", (c: Column) => max(c), true),
+        ("worsty", (c: Column) => min(c), true),
+        ("winy", Exprs.winRate: Column => Column, true))) }
+    val quarterlyF = scala.concurrent.Future {
+      if (!full) None else bucketAgg(Seq(year(t), quarter(t)), Seq(
+        ("winq", Exprs.winRate: Column => Column, true))) }
+    lazy val monthly = await(monthlyF)
+    lazy val yearly = await(yearlyF)
+    lazy val quarterly = await(quarterlyF)
 
     def gb(m: Option[Row], k: String, n: String): Any = m match {
       case None => "-"
@@ -301,7 +350,7 @@ object Reports {
     }
 
     // ---- P8: benchmark metrics pass ----
-    val benchRow: Option[Row] = benchName.map { bn =>
+    val benchRowF = scala.concurrent.Future { benchName.map { bn =>
       val b = col(bn)
       val exprs = strategyOut.flatMap { n =>
         val c = col(n)
@@ -320,7 +369,8 @@ object Reports {
           fdiv(Exprs.comp(c) - lit(rf), beta).as(s"treynor__$n"))
       }
       zf.agg(exprs.head, exprs.tail: _*).head()
-    }
+    } }
+    lazy val benchRow: Option[Row] = await(benchRowF)
     def gbm(k: String, n: String): Any =
       if (benchName.contains(n)) "-"
       else benchRow.map { row =>
@@ -463,6 +513,12 @@ object Reports {
       }
     }
 
+    // every pass future must be complete before the caches go away — a pass
+    // that was never awaited during row assembly (e.g. the benchmark pass in
+    // basic mode) would otherwise still be running against an unpersisting
+    // frame (correct but recomputes), and its failure would be swallowed
+    Seq[scala.concurrent.Future[Any]](p1F, p2rowsF, episodeRowsF, streakRowsF,
+      monthlyF, yearlyF, quarterlyF, benchRowF).foreach(await)
     frame.unpersist()
     zf.unpersist()
     ddf.unpersist()

@@ -232,9 +232,11 @@ class ReportsSpec extends SparkSpec {
     info(s"full-report jobs: 2 assets -> $j2, 10 assets -> $j10")
     assert(j10 <= j2, s"job count grew with column count: $j2 -> $j10")
     // ~9 actions; AQE materializes each shuffle stage as its own job → 21
-    // observed. Before the long-format refactor a 10-asset full report was
+    // observed, +2 explicit cache-materialization count()s (zf/ddf forced
+    // before the passes fork so concurrent consumers share one build) → 25.
+    // Before the long-format refactor a 10-asset full report was
     // ~26+ ACTIONS (episodes + streaks per column), far more jobs.
-    assert(j10 <= 24, s"full report should stay a fixed handful of jobs, got $j10")
+    assert(j10 <= 26, s"full report should stay a fixed handful of jobs, got $j10")
   }
 
   test("full-report job count with benchmark: one extra pass, still column-count-invariant") {
@@ -251,7 +253,9 @@ class ReportsSpec extends SparkSpec {
     val j10 = run(10)
     info(s"full-report-with-benchmark jobs: 2 assets -> $j2, 10 assets -> $j10")
     assert(j10 <= j2, s"job count grew with column count: $j2 -> $j10")
-    assert(j10 <= 28, s"benchmarked full report should stay a fixed handful of jobs, got $j10")
+    // 28 observed after the +2 explicit cache materializations — the budget
+    // guards column-count growth, so give the fixed part the same +2 headroom
+    assert(j10 <= 30, s"benchmarked full report should stay a fixed handful of jobs, got $j10")
   }
 
   test("100-asset x 10-year report: cells match per-column Stats calls, job budget holds") {
@@ -283,9 +287,10 @@ class ReportsSpec extends SparkSpec {
       rep = Reports.metrics(df, mode = "full").collect()
     }
     info(s"100-asset full report ran in $jobs jobs")
-    // the fixed budget from the long-format refactor: the same bound the
-    // 10-asset guard pins — actions must not grow with column count
-    assert(jobs <= 24, s"job budget blown at 100 assets: $jobs")
+    // the fixed budget from the long-format refactor (+2 explicit cache
+    // materializations): the same bound the 10-asset guard pins — actions
+    // must not grow with column count
+    assert(jobs <= 26, s"job budget blown at 100 assets: $jobs")
 
     val byMetric = rep.map(r => r.getString(0) ->
       (1 to nAssets).map(i => r.getString(i)).toArray).toMap
