@@ -770,4 +770,73 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  // ---- streaming wealth / peak / drawdown ----------------------------------
+
+  case class RetRow(asset: String, d: java.sql.Date, r: Double)
+  case class WealthState(wealth: Double, peak: Double, lastD: Long)
+  case class WealthOut(asset: String, d: java.sql.Date, r: Double,
+      wealth: Double, peak: Double, dd: Double)
+
+  /** Running wealth / peak / drawdown per asset — the streaming twin of the
+    * batch cumulative-product path ([[graft.api.GroupedStats.withDrawdown]];
+    * reference semantics: to_drawdowns, alphastats/stats.py:388-416). State
+    * per asset is exactly THREE scalars (running wealth, running peak, last
+    * event date) — O(assets), never O(rows) — so the monitor runs
+    * indefinitely over an unbounded daily-returns feed.
+    *
+    * Parity: wealth multiplies left-to-right in date order, the same
+    * associativity as the batch running-window [[graft.functions
+    * .GraftProduct]] (window frames evaluate update-per-row in order, no
+    * partial merge), so emitted wealth/peak/dd are BIT-identical to the
+    * batch columns on the same rows regardless of micro-batch boundaries
+    * (StreamingSpec pins exact equality). Rows are sorted by date INSIDE
+    * each micro-batch; ACROSS batches the feed must be per-asset
+    * chronological (the natural shape of a daily returns feed) — a row
+    * older than the asset's state raises rather than silently corrupting
+    * the running product. Null returns are the batch path's padding
+    * concern, not a feed's; they are rejected by the Dataset encoder.
+    */
+  def streamingWealthDrawdown(returns: DataFrame, assetCol: String = "asset",
+      dateCol: String = "d", retCol: String = "r"): Dataset[WealthOut] = {
+    import returns.sparkSession.implicits._
+    returns
+      .select(col(assetCol).cast("string").as("asset"), col(dateCol).as("d"),
+        col(retCol).cast("double").as("r"))
+      .as[RetRow]
+      .groupByKey(_.asset)
+      .flatMapGroupsWithState[WealthState, WealthOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (asset: String, rows: Iterator[RetRow], state: GroupState[WealthState]) =>
+          var s = state.getOption.getOrElse(
+            WealthState(1.0, Double.NegativeInfinity, Long.MinValue))
+          val out = List.newBuilder[WealthOut]
+          rows.toSeq.sortBy(_.d.getTime).foreach { row =>
+            if (row.d.getTime < s.lastD)
+              throw new IllegalStateException(
+                s"streamingWealthDrawdown: out-of-order row for asset=$asset " +
+                  s"at ${row.d} (state is at ${new java.sql.Date(s.lastD)}); " +
+                  "the feed must be per-asset chronological across batches")
+            val w = s.wealth * (1.0 + row.r)
+            val p = math.max(s.peak, w)
+            // batch twin: least(fdiv(wealth, peak) - 1, 0); peak can only be
+            // <= 0 if a return <= -100% drove wealth non-positive — fdiv's
+            // signed-infinity semantics reproduced for that degenerate case
+            val ratio =
+              if (p == 0.0) {
+                if (w == 0.0) Double.NaN
+                else if (w > 0.0) Double.PositiveInfinity
+                else Double.NegativeInfinity
+              } else w / p
+            // Spark's least() orders NaN as the LARGEST double, so the batch
+            // least(NaN, 0.0) = 0.0 — replicate, don't math.min (NaN-poisoning)
+            val x = ratio - 1.0
+            val dd = if (x.isNaN) 0.0 else math.min(x, 0.0)
+            out += WealthOut(asset, row.d, row.r, w, p, dd)
+            s = WealthState(w, p, row.d.getTime)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

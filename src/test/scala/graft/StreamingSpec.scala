@@ -964,4 +964,64 @@ class StreamingSpec extends SparkSpec {
         s"state still growing at batch 8: $totals")
     } finally q.stop()
   }
+
+  test("streaming wealth/peak/drawdown ≡ batch withDrawdown BIT-exactly across micro-batches") {
+    import graft.api.SeriesFrame
+    // two assets x 30 days of deterministic pseudo-returns incl. a deep
+    // drawdown stretch, fed in THREE chronological micro-batches
+    val rng = new scala.util.Random(42)
+    val rows = for {
+      a <- Seq("X", "Y"); i <- 0 until 30
+    } yield StreamOps.RetRow(a, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"),
+      if (i >= 10 && i <= 14) -0.08 + 0.01 * rng.nextDouble()
+      else -0.03 + 0.07 * rng.nextDouble())
+    val batches = rows.groupBy(r => r.d.toLocalDate.getDayOfMonth / 11).toSeq.sortBy(_._1)
+    val input = MemoryStream[StreamOps.RetRow](15, spark, None)
+    batches.foreach { case (_, b) => input.addData(b: _*) }
+    val out = runToMemory(
+      StreamOps.streamingWealthDrawdown(input.toDF()).toDF(), "wealthdd") {}
+      .collect()
+      .map(r => (r.getAs[String]("asset"), r.getAs[java.sql.Date]("d").toString) ->
+        ((r.getAs[Double]("wealth"), r.getAs[Double]("peak"), r.getAs[Double]("dd"))))
+      .toMap
+    val batch = graft.api.GroupedStats.withDrawdown(
+      SeriesFrame(rows.toDF(), Seq("asset"), "d", "r")).df
+      .withColumn("__peak", org.apache.spark.sql.functions.max("__wealth")
+        .over(SeriesFrame(rows.toDF(), Seq("asset"), "d", "r").runWindow))
+      .collect()
+    assert(batch.length == 60 && out.size == 60, s"${batch.length} vs ${out.size}")
+    batch.foreach { r =>
+      val k = (r.getAs[String]("asset"), r.getAs[java.sql.Date]("d").toString)
+      val (w, p, dd) = out(k)
+      // BIT equality: same left-to-right multiply order as the running window
+      assert(java.lang.Double.doubleToLongBits(w) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("__wealth")), s"wealth at $k")
+      assert(java.lang.Double.doubleToLongBits(dd) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("__dd")), s"dd at $k")
+      assert(p == r.getAs[Double]("__peak"), s"peak at $k")
+    }
+    // the drawdown stretch must actually draw down (non-trivial fixture)
+    assert(out.values.exists(_._3 < -0.2), "fixture never entered a deep drawdown")
+  }
+
+  test("streaming wealth/drawdown rejects an out-of-order feed loudly") {
+    // two SEPARATE micro-batches (out-of-order WITHIN a batch is legal — the
+    // operator sorts each batch; only regression across batches must throw)
+    val input = MemoryStream[StreamOps.RetRow](16, spark, None)
+    val q = StreamOps.streamingWealthDrawdown(input.toDF()).toDF()
+      .writeStream.format("memory").queryName("wealthdd_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.RetRow("X", java.sql.Date.valueOf("2024-01-05"), 0.01))
+      q.processAllAvailable()
+      input.addData(StreamOps.RetRow("X", java.sql.Date.valueOf("2024-01-03"), 0.01))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(60000)
+      }
+      assert(e.getMessage.contains("out-of-order") ||
+        Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains("out-of-order"))),
+        s"unexpected failure: ${e.getMessage}")
+    } finally q.stop()
+  }
 }
