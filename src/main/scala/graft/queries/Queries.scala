@@ -962,7 +962,11 @@ object Queries {
       .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(revE4) / 10000.0, 2).as("revenue"),
+        // cents via INTEGER half-up division, then one exact double divide:
+        // ROUND(sum/10000.0, 2) re-entered floating point and the sf1 sweep
+        // caught an exact-decimal-half (…4350/10000 = x.435) rounding
+        // differently per engine — integer arithmetic has no halves to lose
+        (graft.ext.Layout.idiv(sum(revE4) + lit(50L), lit(100L)) / 100.0).as("revenue"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy("region", "brand")
   }
@@ -970,8 +974,8 @@ object Queries {
   val q74Sql: String =
     """SELECT r.r_name AS region, p.p_brand AS brand,
       |  COUNT(*) AS n_items,
-      |  ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-      |            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+      |  ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0 AS revenue,
       |  COUNT(DISTINCT s.s_suppkey) AS n_suppliers
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1006,7 +1010,8 @@ object Queries {
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
-        round(sum(revE4) / 10000.0, 2).as("revenue"),
+        // exact-cents pattern, same reason as q74 (sf1 half-boundary flip)
+        (graft.ext.Layout.idiv(sum(revE4) + lit(50L), lit(100L)) / 100.0).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"))
       .withColumn("rank", row_number().over(wr).cast("long"))
@@ -1028,7 +1033,7 @@ object Queries {
       |  WHERE c.c_nationkey = s.s_nationkey),
       |g AS (
       |  SELECT nation,
-      |    ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue,
+      |    ((SUM(rev_e4) + 50) // 100) / 100.0 AS revenue,
       |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
       |  FROM j GROUP BY 1)

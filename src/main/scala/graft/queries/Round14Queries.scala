@@ -25,7 +25,6 @@ object Round14Queries {
   private val ZFiles = 64
   private val ZBits = 12
   private val ZLevels = 1 << ZBits // 4096
-  private val ZPack = 1L << 20 // unique row id (o_orderkey) packed in low bits
 
   /** Zone-map pruning audit across four physical layouts of `orders`:
     * natural (orderkey) order, date-sorted, Morton/Z-ordered, and
@@ -62,12 +61,16 @@ object Round14Queries {
     val (clo, chi, dlo, dhi, n) = (bounds.getLong(0), bounds.getLong(1),
       bounds.getLong(2), bounds.getLong(3), bounds.getLong(4))
     val maxK = bounds.getLong(5)
-    // k (o_orderkey) is what gets packed into the low bits of dk/zk/hk, so the
-    // invariant is max(k) < ZPack — TPC-H orderkeys are ~4x sparser than row
-    // count, so checking chi (custkey) alone would pass while the packing
-    // silently corrupts layout order at sf>=1.
-    require(maxK < ZPack && n > ZFiles,
-      s"q218 packing precondition: maxK=$maxK n=$n (ZPack=$ZPack)")
+    // k (o_orderkey) is packed into the low bits of dk/zk/hk, so the pack
+    // base must exceed max(k) — and a FIXED base caps the table at that many
+    // orders (the sf1 sweep's 1.5M orderkeys overflow a 2^20 constant). Size
+    // it from the data instead: the smallest power of two above max(k),
+    // identical to the oracle's 1 << LENGTH(bin(maxk)). Headroom: the curve
+    // value is < 2^(2*ZBits) = 2^24, so curve*pack+k stays in a signed long
+    // while maxK < 2^38 — a 274-billion-order table; beyond that, raise.
+    require(maxK > 0 && maxK < (1L << 38) && n > ZFiles,
+      s"q218 packing precondition: maxK=$maxK n=$n")
+    val pack = 1L << (64 - java.lang.Long.numberOfLeadingZeros(maxK))
 
     val qc = Layout.quantize(col("c"), lit(clo), lit(chi), ZLevels)
     val qd = Layout.quantize(col("d"), lit(dlo), lit(dhi), ZLevels)
@@ -76,9 +79,9 @@ object Round14Queries {
     // must not re-evaluate per layout × per min-of-2 pass
     val base = o0.select(col("k"), col("c"), col("d"),
       col("k").as("nk"),
-      (col("d") * ZPack + col("k")).as("dk"),
-      (Layout.zValue(qc, qd, ZBits) * ZPack + col("k")).as("zk"),
-      (Layout.hilbertValue(qc, qd, ZBits) * ZPack + col("k")).as("hk"))
+      (col("d") * pack + col("k")).as("dk"),
+      (Layout.zValue(qc, qd, ZBits) * pack + col("k")).as("zk"),
+      (Layout.hilbertValue(qc, qd, ZBits) * pack + col("k")).as("hk"))
       .localCheckpoint()
 
     def zm(key: String, name: String): DataFrame =
@@ -159,10 +162,11 @@ object Round14Queries {
        |h0 AS (SELECT k, c, d, n, qc, qd, qc AS hx, qd AS hy,
        |       CAST(0 AS BIGINT) AS hd FROM qz),
        |$hilbertChain,
+       |pk AS (SELECT 1::BIGINT << LENGTH(bin(MAX(k))) AS pack FROM o),
        |keys AS (
-       |  SELECT k, c, d, n, k AS nk, d * $ZPack + k AS dk,
-       |    ($z) * $ZPack + k AS zk, hd * $ZPack + k AS hk
-       |  FROM h$ZBits),
+       |  SELECT k, c, d, n, k AS nk, d * pack + k AS dk,
+       |    ($z) * pack + k AS zk, hd * pack + k AS hk
+       |  FROM h$ZBits CROSS JOIN pk),
        |fid AS (
        |  SELECT k, c, d,
        |    ((ROW_NUMBER() OVER (ORDER BY nk) - 1) * $ZFiles) // n AS f_nat,
