@@ -764,4 +764,196 @@ object Dedup {
     simhashNearDuplicatesFromHashes(
       phashes.select(col("id"), col("phash").as("simhash")),
       maxHamming, bits = 64, bands = 4)
+
+  // ---- segment-level dedup with document reconstruction ---------------------
+
+  /** One (id, seg_idx, seg, k) row per consecutive `segTokens`-token segment
+    * — the shared explode stage of [[dedupSegmentsRebuild]] and the
+    * streaming first-seen twin ([[graft.streaming.StreamOps]]).
+    */
+  def segmentRows(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens=$segTokens must be >= 1")
+    val ts = split(col(textCol), " ")
+    // ceil(size/segTokens) in exact integer arithmetic (Column./ is double
+    // division); size >= 1 (split of "" is [""]), so nseg >= 1
+    val nseg = floor((size(ts) + lit(segTokens - 1)).cast("double") / segTokens)
+    df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nseg.cast("int") - 1),
+        i => concat_ws(" ", slice(ts, i * segTokens + 1, lit(segTokens))))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .withColumn("k", md5(col("seg").cast("binary")))
+  }
+
+  /** Segment-level dedup that APPLIES the removal and rebuilds each document
+    * — the transform stage behind paragraph dedup in web-corpus pipelines
+    * (CCNet/RefinedWeb-style: drop every repeated paragraph, keep its first
+    * occurrence corpus-wide), where [[spanDuplication]] is the read-only
+    * audit. Documents are cut into consecutive `segTokens`-token segments
+    * (the "paragraphs" of the single-line fixture corpus; a real corpus
+    * would split on blank lines first — same machinery); a segment survives
+    * iff it is the FIRST occurrence of its content under the deterministic
+    * total order (id, segment index).
+    *
+    * 100-TB shape: one shuffle keyed on the segment digest for the
+    * first-occurrence aggregation (map-side partial min), one digest-keyed
+    * join back, one id-keyed aggregation to rebuild — no windows over
+    * unbounded partitions, no driver state. Duplicate-heavy keys are
+    * aggregate keys (a min), never join-explode keys. Rebuild collects one
+    * document's kept segments into a row — bounded by the document itself
+    * (the input row already held the full text).
+    *
+    * Returns (id, n_segs, kept_segs, rebuilt) — one row per input document;
+    * a document whose every segment occurred earlier rebuilds to "".
+    */
+  def dedupSegmentsRebuild(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 16): DataFrame = {
+    val segs = segmentRows(df, idCol, textCol, segTokens)
+    val firsts = segs.groupBy("k")
+      .agg(min(struct(col("id"), col("seg_idx"))).as("w"))
+    segs.join(firsts, Seq("k"))
+      .withColumn("kept",
+        col("w.id") === col("id") && col("w.seg_idx") === col("seg_idx"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("rebuilt"))
+  }
+
+  // ---- winnowing fingerprints (MOSS) ----------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03,
+    * the MOSS algorithm): hash every `k`-token k-gram, slide a window of `w`
+    * consecutive k-gram hashes, and select the minimum hash of each window
+    * (rightmost position on ties). Guarantees: every shared run of w+k-1
+    * tokens yields at least one shared fingerprint (detection), and at most
+    * ~2/(w+1) of k-grams are selected (density) — robust local fingerprints
+    * for plagiarism/boilerplate mining at a fraction of the k-gram volume.
+    *
+    * Entirely ROW-LOCAL: k-gram hashing, window minima, and fingerprint
+    * distinct-ing run inside higher-order array expressions over each
+    * document row — zero shuffles until the caller aggregates, so the 100-TB
+    * case is embarrassingly parallel. The hash is the portable 40-bit md5
+    * prefix (first 10 hex digits) so an external engine replays it
+    * bit-for-bit; the tie rule is encoded arithmetically as
+    * `key = hash * 2^20 + (2^20-1 - pos)` (min key = min hash, rightmost
+    * position), which bounds supported documents at 2^20 k-grams (~1M
+    * tokens) — far above web-document sizes; raise the base for book-length
+    * inputs.
+    *
+    * Returns (id, pos, hv) — one row per selected fingerprint, `pos` the
+    * 0-based k-gram position. Documents shorter than `k` tokens yield none.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+    val posBase = 1048576L // 2^20
+    val ts = split(col(textCol), " ")
+    val nk = size(ts) - lit(k - 1) // k-gram count; <= 0 when doc shorter than k
+    val keys = graft.core.Exprs.bindOnce(ts, t =>
+      when(nk <= 0, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0), nk - 1), i =>
+          conv(substring(md5(concat_ws(" ", slice(t, i + 1, lit(k))).cast("binary")),
+            1, 10), 16, 10).cast("long") * posBase +
+            (lit(posBase - 1) - i))))
+    // one window min per start position 0..max(nk-w, 0); slice truncates at
+    // the end, so a doc with fewer than w k-grams gets one whole-doc window
+    val selected = graft.core.Exprs.bindOnce(keys, ks =>
+      when(size(ks) === 0, array().cast("array<long>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), greatest(size(ks) - w, lit(0))),
+            p => array_min(slice(ks, p + 1, lit(w)))))))
+    // decode with bit ops, not `/` (Column./ is DOUBLE division — a 60-bit
+    // key would round through a 53-bit mantissa); posBase is 2^20 exactly
+    df.select(col(idCol).as("id"), explode(selected).as("key"))
+      .select(col("id"),
+        (lit(posBase - 1) - col("key").bitwiseAND(lit(posBase - 1)))
+          .cast("int").as("pos"),
+        shiftright(col("key"), 20).as("hv"))
+  }
+
+  // ---- set-containment join (quote / inclusion mining) -----------------------
+
+  /** Exact set-CONTAINMENT self-join: every ordered pair (A, B), A ≠ B, with
+    * `|A ∩ B| ≥ t·|A|` over (id, sset) distinct-element frames (e.g.
+    * [[shingleSets]]). Containment is the asymmetric cousin of Jaccard —
+    * it finds documents SUBSTANTIALLY INCLUDED in another (quotes,
+    * boilerplate wrappers, partial scrapes) that resemblance misses when
+    * the container is much longer than the contained.
+    *
+    * Lossless candidate generation by prefix filtering (Chaudhuri et al.,
+    * ICDE'06): under ANY global element order, a pair with overlap ≥
+    * ⌈t·|A|⌉ must share one of A's first `|A| − ⌈t·|A|⌉ + 1` elements.
+    * Because only the A side is thresholded, B indexes ALL its elements;
+    * the order is rarest-first (document frequency, element tiebreak), so
+    * the join keys are the frequency tail — the B-side index is linear in
+    * the corpus but candidates form only where a RARE element matches,
+    * keeping the equi-join skew-resistant. Candidates get exact row-local
+    * `array_intersect` verification; precision 1, recall 1.
+    *
+    * Returns (a_id, b_id, sz_a, inter, containment) unrounded.
+    */
+  def containmentPairs(sets: DataFrame, threshold: Double): DataFrame =
+    containmentPairsFromRankedIndex(containmentRankedIndex(sets), sets,
+      threshold)
+
+  /** The candidate-generation index for [[containmentPairs]]: (id, sz, rk, g)
+    * — one row per element, `rk` its 1-based rank within the set under the
+    * global rarest-first order (document frequency, element tiebreak), `sz`
+    * the set size. Unlike [[jaccardPrefixIndex]] this keeps ALL elements
+    * (the containment join thresholds only the A side, so B must index its
+    * full set) and is threshold-free — one cached frame serves the A-prefix
+    * cut for ANY threshold plus the B side, and the df-count + rank-window
+    * pass (the expensive stage) runs once.
+    */
+  def containmentRankedIndex(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("id"), size(col("sset")).as("sz"),
+      explode(col("sset")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("g"))
+    ex.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      .select(col("id"), col("sz"), col("rk"), col("g"))
+  }
+
+  /** Pair mining + exact verification over a (possibly cached)
+    * [[containmentRankedIndex]] frame. Two lossless ppjoin-style prunes run
+    * inside the candidate equi-join, before the per-pair shuffle:
+    *
+    *  - length filter: `|A∩B| ≥ ⌈t·|A|⌉` needs `|B| ≥ ⌈t·|A|⌉`;
+    *  - positional filter: a shared element at sorted rank `i` in A and `j`
+    *    in B bounds `|A∩B| ≤ min(i−1, j−1) + 1 + min(|A|−i, |B|−j)`; prune
+    *    below the required overlap.
+    *
+    * The ceiling is round-guarded like [[prefixFilterJaccardPairs]] so an
+    * IEEE product a half-ulp above the exact rational cannot shrink the
+    * lossless prefix.
+    */
+  def containmentPairsFromRankedIndex(ranked: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    def required(sz: Column): Column = ceil(round(lit(threshold) * sz, 6))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - required(col("sz")) + 1)
+    val bound =
+      least(col("a.rk"), col("b.rk")) - 1 + lit(1) +
+        least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk"))
+    val cands = prefix.as("a")
+      .join(ranked.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
+          col("b.sz") >= required(col("a.sz")) &&
+          bound >= required(col("a.sz")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    cands
+      .join(sets.select(col("id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("sset").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), size(col("sa")).as("sz_a"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"))
+      .filter(col("inter") >= ceil(round(lit(threshold) * col("sz_a"), 6)))
+      .withColumn("containment", col("inter").cast("double") / col("sz_a"))
+  }
 }

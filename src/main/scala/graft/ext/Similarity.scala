@@ -345,4 +345,79 @@ object Similarity {
         avg(sqrt(norm2(col(vecCol)))).as("avg_norm"),
         min(sqrt(norm2(col(vecCol)))).as("min_norm"),
         max(sqrt(norm2(col(vecCol)))).as("max_norm"))
+
+  // ---- retrieval evaluation (recall@k / MRR@k / NDCG@k) ----------------------
+
+  /** Axis-parallel sign bucket: bit j set iff `v[j] >= 0`, j < `bits` — the
+    * degenerate SRP-LSH whose hyperplanes are the coordinate axes. Used as
+    * the deterministic, externally-replayable "system under evaluation" in
+    * [[retrievalEval]] (a hash-seeded SRP basis cannot be recomputed by a
+    * SQL oracle; coordinate signs can, bit-for-bit).
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(v, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Ranking-quality evaluation of a bucketed ANN retriever against exact
+    * brute-force ground truth — recall@k, MRR@k and binary-relevance NDCG@k
+    * per query. This is the eval harness every ANN deployment needs next to
+    * the index itself: ground truth is the exact top-k cosine neighbors
+    * (rounded to 6dp BEFORE ranking so rank ties break identically in any
+    * engine — the q20 determinism recipe), the system under test retrieves
+    * candidates from the query's [[signBucket]] and ranks them the same way.
+    *
+    * Scale shape: the ground-truth pass is an explicit audit (broadcast
+    * queries × corpus — the same cost brute-force retrieval itself pays);
+    * the system pass touches only same-bucket candidates. All per-query
+    * ranking windows partition on query_id with candidate-bounded partitions.
+    *
+    * Returns one row per query:
+    * (query_id, n_candidates, recall_at_k, mrr_at_k, ndcg_at_k).
+    */
+  def retrievalEval(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int = 10, bucketBits: Int = 6): DataFrame = {
+    require(k >= 1 && bucketBits >= 1 && bucketBits <= 62,
+      s"k=$k, bucketBits=$bucketBits out of range")
+    val base = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"),
+      signBucket(col(vecCol), bucketBits).as("cb"))
+    val q = broadcast(corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(norm2(col(vecCol))).as("qn"),
+        signBucket(col(vecCol), bucketBits).as("qb")))
+    def ranked(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    val cos = round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val gt = ranked(base.join(q, col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("nid"), cos.as("cos")))
+      .select(col("query_id"), col("nid"), lit(true).as("rel"))
+    val cand = base.join(q,
+      col("cb") === col("qb") && col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("nid"), cos.as("cos"))
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    // ln(rank+1)/ln(2) spelled out on BOTH engines (a native log2 can differ
+    // in the last ulp from the ln ratio); binary relevance, |GT| = k ideal
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    val perQ = ranked(cand)
+      .join(gt, Seq("query_id", "nid"), "left")
+      .groupBy("query_id").agg(
+        (sum(coalesce(col("rel").cast("int"), lit(0))).cast("double") / k)
+          .as("recall"),
+        coalesce(max(when(col("rel"), lit(1.0) / col("rank"))), lit(0.0))
+          .as("mrr"),
+        (coalesce(sum(when(col("rel"),
+          lit(1.0) / (log(col("rank") + 1) / math.log(2.0)))), lit(0.0)) / idcg)
+          .as("ndcg"))
+    q.select("query_id").join(nCand, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        round(coalesce(col("recall"), lit(0.0)), 6).as("recall_at_k"),
+        round(coalesce(col("mrr"), lit(0.0)), 6).as("mrr_at_k"),
+        round(coalesce(col("ndcg"), lit(0.0)), 6).as("ndcg_at_k"))
+  }
 }

@@ -220,7 +220,7 @@ object ExtQueries {
     * [[graft.ext.Dedup.shingleSets]], shared by every shingle-based oracle
     * (q18, q95, q120, q121) so their universes cannot drift.
     */
-  private val shingleCtes: String =
+  private[queries] val shingleCtes: String =
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
        |sh AS (

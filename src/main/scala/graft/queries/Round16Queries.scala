@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Driver-round-11 second wave: five new pipeline operators under the oracle
+  * gate, each a capability the existing 231 queries did not cover.
+  *
+  *  - q232 segment-level dedup that REBUILDS documents (the transform stage
+  *    of paragraph dedup — q47 was the read-only audit);
+  *  - q233 winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  *    local-min selection — robust local fingerprinting at guaranteed
+  *    density, vs q32's whole-document rolling hash);
+  *  - q234 retrieval-quality evaluation (recall@k / MRR@k / NDCG@k of a
+  *    bucketed ANN retriever vs exact ground truth — the eval harness the
+  *    ANN family q20/q37/q216/q221 builds indexes for);
+  *  - q235 exact set-CONTAINMENT join (asymmetric overlap — quote/inclusion
+  *    mining that Jaccard resemblance q18/q95 misses on length-skewed pairs);
+  *  - q236 recency-decayed engagement scores (exponential time-decay
+  *    weighting for freshness-aware sampling, anchored at max(ts)).
+  */
+object Round16Queries {
+
+  // ---- q232 segment dedup + rebuild -----------------------------------------
+
+  /** Per-source panel of the applied dedup: how many docs shrank, the
+    * token-segment retention, and a checksum over the REBUILT text so the
+    * oracle verifies the reconstruction itself, not just the counts.
+    */
+  def q232SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir)
+    val rb = Dedup.dedupSegmentsRebuild(d, "doc_id", "text", segTokens = 16)
+    rb.join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("kept_segs") < col("n_segs")).cast("long")).as("n_docs_shrunk"),
+        sum("n_segs").as("total_segs"),
+        sum("kept_segs").as("total_kept"),
+        round(lit(1.0) - sum("kept_segs").cast("double") / sum("n_segs"), 6)
+          .as("shrink_frac"),
+        sum(pmod(conv(substring(md5(col("rebuilt").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(1000000007L))).as("rebuilt_checksum"))
+      .orderBy("source")
+  }
+
+  val q232Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |segs AS (
+      |  SELECT doc_id, source, i AS seg_idx,
+      |         array_to_string(ts[(i*16+1):(i*16+16)], ' ') AS seg
+      |  FROM toks,
+      |       UNNEST(generate_series(0, CAST(ceil(len(ts)/16.0) AS BIGINT) - 1)) AS u(i)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(seg)
+      |                               ORDER BY doc_id, seg_idx) AS rn
+      |  FROM segs),
+      |rebuilt AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_segs,
+      |         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_segs,
+      |         COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+      |                             ORDER BY seg_idx), '') AS txt
+      |  FROM ranked GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN kept_segs < n_segs THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_docs_shrunk,
+      |       CAST(SUM(n_segs) AS BIGINT) AS total_segs,
+      |       CAST(SUM(kept_segs) AS BIGINT) AS total_kept,
+      |       ROUND(1.0 - SUM(kept_segs) * 1.0 / SUM(n_segs), 6) AS shrink_frac,
+      |       CAST(SUM(CAST('0x' || substr(md5(txt), 1, 15) AS BIGINT) % 1000000007)
+      |         AS BIGINT) AS rebuilt_checksum
+      |FROM rebuilt GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q233 winnowing fingerprints ------------------------------------------
+
+  /** Per-source winnowing panel (k=5, w=4): fingerprint density vs the
+    * theoretical 2/(w+1) bound and how many selected fingerprints are shared
+    * across documents — the boilerplate-mining signal. The oracle replays the
+    * 40-bit md5 k-gram hashes, the key encoding, and the rightmost-tie
+    * window minima bit-for-bit with SQL window frames.
+    */
+  def q233Winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir)
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 5, w = 4)
+    val dfh = fp.groupBy("hv").agg(countDistinct(col("id")).as("ndocs"))
+    val perSource = fp.join(dfh, "hv")
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_fps"),
+        sum((col("ndocs") >= 2).cast("long")).as("n_fp_shared"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(greatest(size(split(col("text"), " ")) - 4, lit(0)).cast("long"))
+        .as("total_kgrams"))
+    base.join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_kgrams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        round(coalesce(col("n_fps"), lit(0L)).cast("double") /
+          col("total_kgrams"), 6).as("density"),
+        coalesce(col("n_fp_shared"), lit(0L)).as("n_fp_shared"))
+      .orderBy("source")
+  }
+
+  val q233Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |kg AS (
+      |  SELECT doc_id, source, i AS pos,
+      |         CAST('0x' || substr(md5(array_to_string(ts[(i+1):(i+5)], ' ')), 1, 10)
+      |              AS BIGINT) * 1048576 + (1048575 - i) AS k
+      |  FROM toks, UNNEST(generate_series(0, len(ts) - 5)) AS u(i)
+      |  WHERE len(ts) >= 5),
+      |nk AS (SELECT doc_id, COUNT(*) AS nkg FROM kg GROUP BY doc_id),
+      |wins AS (
+      |  SELECT doc_id, source, pos,
+      |         MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+      |  FROM kg),
+      |sel AS (
+      |  SELECT DISTINCT w.doc_id, w.source, w.wk
+      |  FROM wins w JOIN nk USING (doc_id)
+      |  WHERE pos <= GREATEST(nkg - 4, 0)),
+      |fp AS (SELECT doc_id, source, wk // 1048576 AS hv FROM sel),
+      |dfh AS (SELECT hv, COUNT(DISTINCT doc_id) AS ndocs FROM fp GROUP BY hv),
+      |fps AS (
+      |  SELECT f.source, COUNT(*) AS n_fps,
+      |         SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS n_fp_shared
+      |  FROM fp f JOIN dfh d USING (hv) GROUP BY f.source),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         SUM(GREATEST(len(string_split(text, ' ')) - 4, 0)) AS total_kgrams
+      |  FROM documents GROUP BY source)
+      |SELECT b.source, b.n_docs, CAST(b.total_kgrams AS BIGINT) AS total_kgrams,
+      |       CAST(COALESCE(f.n_fps, 0) AS BIGINT) AS n_fps,
+      |       ROUND(COALESCE(f.n_fps, 0) * 1.0 / b.total_kgrams, 6) AS density,
+      |       CAST(COALESCE(f.n_fp_shared, 0) AS BIGINT) AS n_fp_shared
+      |FROM base b LEFT JOIN fps f USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ---- q234 retrieval evaluation --------------------------------------------
+
+  private val Idcg10: String =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum.toString
+
+  /** recall@10 / MRR@10 / NDCG@10 of the 6-bit sign-bucket retriever against
+    * exact cosine ground truth, one row per query (every 50th vector). Both
+    * rankings order by ROUND(cos, 6) DESC, id — the q20 determinism recipe —
+    * so ranks are engine-independent; NDCG's log2 is spelled ln(x)/ln(2) on
+    * both sides.
+    */
+  def q234RetrievalEval(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.retrievalEval(ExtQueries.emb(spark, sfDir), "vec_id", "embedding",
+      queryPred = col("vec_id") % 50 === 0, k = 10, bucketBits = 6)
+      .orderBy("query_id")
+
+  val q234Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |      (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+       |    + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+       |    + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS b
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, b AS qb
+       |      FROM n WHERE vec_id % 50 = 0),
+       |gt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+       |               DESC, n.vec_id) AS rn
+       |    FROM q JOIN n ON n.vec_id <> q.query_id)
+       |  WHERE rn <= 10),
+       |cand AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |         ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cos
+       |  FROM q JOIN n ON n.b = q.qb AND n.vec_id <> q.query_id),
+       |nc AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id),
+       |ret AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= 10),
+       |j AS (
+       |  SELECT r.query_id, r.rank,
+       |         CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM ret r LEFT JOIN gt g
+       |    ON g.query_id = r.query_id AND g.neighbor_id = r.neighbor_id),
+       |m AS (
+       |  SELECT query_id,
+       |         SUM(rel) * 1.0 / 10 AS recall,
+       |         COALESCE(MAX(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0) AS mrr,
+       |         COALESCE(SUM(CASE WHEN rel = 1
+       |                           THEN 1.0 / (ln(rank + 1.0) / ${math.log(2.0)}) END), 0.0)
+       |           / $Idcg10 AS ndcg
+       |  FROM j GROUP BY query_id)
+       |SELECT q.query_id,
+       |       COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |       ROUND(COALESCE(m.recall, 0.0), 6) AS recall_at_k,
+       |       ROUND(COALESCE(m.mrr, 0.0), 6) AS mrr_at_k,
+       |       ROUND(COALESCE(m.ndcg, 0.0), 6) AS ndcg_at_k
+       |FROM q LEFT JOIN nc USING (query_id) LEFT JOIN m USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
+  // ---- q235 set-containment join --------------------------------------------
+
+  /** Ordered pairs (A, B) whose trigram-shingle containment |A∩B|/|A| ≥ 0.5 —
+    * quote/inclusion mining over the q18-shared cached shingle sets. Spark
+    * mines candidates losslessly by rarest-first prefix filtering and
+    * verifies exactly; the oracle brute-forces exact containment over the
+    * shingle STRINGS (the q18 hash-vs-string equivalence).
+    */
+  def q235ContainmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = ExtQueries.cached(spark, sfDir, "shingle_sets")(
+      Dedup.shingleSets(ExtQueries.docs(spark, sfDir), "doc_id", "text",
+        shingleSize = 3))
+    // the df-count + rank-window pass is cached per (session, sf) —
+    // the pair join + exact verify is what steady-state runs pay
+    val idx = ExtQueries.cached(spark, sfDir, "containment_ranked_index")(
+      Dedup.containmentRankedIndex(sets))
+    Dedup.containmentPairsFromRankedIndex(idx, sets, threshold = 0.5)
+      .select(col("a_id"), col("b_id"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("inter").cast("long").as("inter"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q235Sql: String =
+    s"""WITH ${ExtQueries.shingleCtes},
+       |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh WHERE len(s) > 0),
+       |ipairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         any_value(a.sz) AS sz_a, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, sz_a, inter,
+       |       ROUND(CAST(inter AS DOUBLE) / sz_a, 6) AS containment
+       |FROM ipairs
+       |WHERE inter >= CEIL(ROUND(0.5 * sz_a, 6))
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- q236 recency-decayed engagement ---------------------------------------
+
+  /** Top-20 users by exponentially time-decayed engagement (half-life 7 days,
+    * anchored at the corpus max timestamp) — the freshness weighting a
+    * recency-aware sampler applies before drawing training examples. The
+    * decayed sum is a merge-safe weighted sum (each term is anchored at the
+    * FIXED corpus max, not at a moving now), so partial aggregation and a
+    * streaming twin both compose exactly.
+    */
+  def q236DecayedEngagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = ExtQueries.events(spark, sfDir)
+    val mx = ev.agg(max(col("ts")).as("mt"))
+    val dtDays = (unix_micros(col("mt")) - unix_micros(col("ts")))
+      .cast("double") / 86400000000.0 / 7.0
+    ev.crossJoin(broadcast(mx))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") * pow(lit(0.5), dtDays)), 6).as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q236Sql: String =
+    """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+      |s AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |         ROUND(SUM(value * POWER(0.5,
+      |           CAST(epoch_us(mx.mt) - epoch_us(ts) AS DOUBLE)
+      |             / 86400000000.0 / 7.0)), 6) AS decayed_score
+      |  FROM events, mx GROUP BY user_id)
+      |SELECT user_id, n_events, decayed_score
+      |FROM s ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin
+
+  // ---- registration ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_segment_dedup" -> (q232SegmentDedup _),
+    "q233_winnowing" -> (q233Winnowing _),
+    "q234_retrieval_eval" -> (q234RetrievalEval _),
+    "q235_containment_join" -> (q235ContainmentJoin _),
+    "q236_decayed_engagement" -> (q236DecayedEngagement _))
+
+  val oracles: Map[String, String] = Map(
+    "q232_segment_dedup" -> q232Sql,
+    "q233_winnowing" -> q233Sql,
+    "q234_retrieval_eval" -> q234Sql,
+    "q235_containment_join" -> q235Sql,
+    "q236_decayed_engagement" -> q236Sql)
+}

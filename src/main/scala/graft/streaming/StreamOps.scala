@@ -627,6 +627,44 @@ object StreamOps {
       }
   }
 
+  // ---- streaming segment-level dedup ----------------------------------------
+
+  case class SegRow(doc_id: Long, seg_idx: Int, dg: String)
+  case class SegSeen(seen: Boolean)
+  case class SegKeep(doc_id: Long, seg_idx: Int, kept: Boolean)
+
+  /** Streaming twin of [[graft.ext.Dedup.dedupSegmentsRebuild]]'s keep/drop
+    * decision: continuous paragraph-level dedup where a segment survives iff
+    * its content digest was never seen before — across ALL previous
+    * micro-batches (state: one boolean per distinct segment digest) and
+    * earlier rows of the same batch under the batch operator's (doc_id,
+    * seg_idx) order. Feeding documents in doc_id order reproduces the batch
+    * kept-set EXACTLY (the parity StreamingSpec pins); out-of-order feeds
+    * keep the streaming contract (first ARRIVAL wins), which is the right
+    * semantics for an append-only ingest pipeline. Reconstruction is a
+    * row-local join + collect downstream, same as batch.
+    */
+  def streamingSegmentDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", segTokens: Int = 16): Dataset[SegKeep] = {
+    import docs.sparkSession.implicits._
+    val segs = graft.ext.Dedup.segmentRows(docs, idCol, textCol, segTokens)
+      .select(col("id").cast("long").as("doc_id"), col("seg_idx"),
+        col("k").as("dg")).as[SegRow]
+    segs.groupByKey(_.dg)
+      .flatMapGroupsWithState[SegSeen, SegKeep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SegRow], state: GroupState[SegSeen]) =>
+          var seen = state.getOption.exists(_.seen)
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.seg_idx)).map { r =>
+            val kept = !seen
+            seen = true
+            SegKeep(r.doc_id, r.seg_idx, kept)
+          }
+          state.update(SegSeen(true))
+          out.iterator
+      }
+  }
+
   // ---- streaming snapshot diff (CDC classification) ------------------------
 
   case class SnapRow(id: Long, text: String) // text null = deletion tombstone

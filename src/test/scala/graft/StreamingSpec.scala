@@ -1024,4 +1024,45 @@ class StreamingSpec extends SparkSpec {
         s"unexpected failure: ${e.getMessage}")
     } finally q.stop()
   }
+
+  test("streaming segment dedup ≡ batch dedupSegmentsRebuild over a 3-batch feed") {
+    // duplicate segments planted within a doc, across docs in one batch, and
+    // across batches; docs fed in doc_id order = the batch tie order
+    val docs = Seq(
+      (0L, "a b c d e f g h"),   // segs [a b c d], [e f g h]
+      (1L, "a b c d x y"),       // seg0 dups doc0 seg0 (same batch)
+      (2L, "p q r s"),
+      (3L, "e f g h p q r s"),   // both segs dup earlier docs (cross-batch)
+      (4L, "x y"),               // unique short seg
+      (5L, "x y"))               // exact dup of doc4 (cross-batch)
+    val seg = 4
+    val batch = graft.ext.Dedup.dedupSegmentsRebuild(
+      docs.toDF("doc_id", "text"), "doc_id", "text", seg)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+
+    val input = MemoryStream[(Long, String)](17, spark, None)
+    val q = StreamOps.streamingSegmentDedup(
+      input.toDF().toDF("doc_id", "text"), segTokens = seg).toDF()
+      .writeStream.format("memory").queryName("seg_dedup")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val kept = spark.table("seg_dedup").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+
+    // per-doc kept count matches, and rebuilding from the streaming keep
+    // flags reproduces the batch rebuilt text
+    val segRows = graft.ext.Dedup.segmentRows(
+      docs.toDF("doc_id", "text"), "doc_id", "text", seg)
+      .select("id", "seg_idx", "seg").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    docs.foreach { case (id, _) =>
+      val mine = segRows.filter(_._1 == id).sortBy(_._2)
+      val rebuilt = mine.filter(s => kept((s._1, s._2))).map(_._3).mkString(" ")
+      assert((mine.count(s => kept((s._1, s._2))).toLong, rebuilt) == batch(id),
+        s"doc $id")
+    }
+  }
 }
