@@ -171,4 +171,72 @@ object Dist {
     */
   def normCdfSql(y: String, ay: String): String =
     s"0.5 * (1.0 + (${erfSql(y, ay)}))"
+
+  // ---- distributed / oracle-replayable Φ⁻¹ ---------------------------------
+  //
+  // Wichura's AS241 (the same algorithm as the scalar [[invCdf]]), emitted
+  // as a Column expression and as ANSI SQL from one set of coefficient
+  // tables with the same Horner association — the Φ⁻¹ counterpart of
+  // erfCol/erfSql, for per-row quantile-function operators (rank-based
+  // inverse-normal transforms, theoretical quantiles) under the oracle gate.
+
+  private val IA = Seq(2.5090809287301226727e3, 3.3430575583588128105e4,
+    6.7265770927008700853e4, 4.5921953931549871457e4, 1.3731693765509461125e4,
+    1.9715909503065514427e3, 1.3314166789178437745e2, 3.387132872796366608)
+  private val IB = Seq(5.226495278852545703e3, 2.8729085735721942674e4,
+    3.9307895800092710610e4, 2.1213794301586595867e4, 5.394196021424751141e3,
+    6.871870074920579083e2, 4.2313330701600911252e1, 1.0)
+  private val IC = Seq(7.74545014278341407640e-4, 2.27238449892691845833e-2,
+    2.41780725177450611770e-1, 1.27045825245236838258, 3.64784832476320460504,
+    5.76949722146069140550, 4.63033784615654529590, 1.42343711074968357734)
+  private val ID = Seq(1.05075007164441684324e-9, 5.47593808499534494600e-4,
+    1.51986665636164571966e-2, 1.48103976427480074590e-1,
+    6.89767334985100004550e-1, 1.67638483018380384940, 2.05319162663775882187,
+    1.0)
+  private val IE = Seq(2.01033439929228813265e-7, 2.71155556874348757815e-5,
+    1.24266094738807843860e-3, 2.65321895265761230930e-2,
+    2.96560571828504891230e-1, 1.78482653991729133580, 5.46378491116411436990,
+    6.65790464350110377720)
+  private val IF = Seq(2.04426310338993978564e-15, 1.42151175831644588870e-7,
+    1.84631831751005468180e-5, 7.86869131145613259100e-4,
+    1.48753612908506148525e-2, 1.36929880922735805310e-1,
+    5.99832206555887937690e-1, 1.0)
+
+  /** Φ⁻¹(p) as a Column (AS241, same branches/Horner order as [[invCdf]]).
+    * Caller guarantees 0 < p < 1. sqrt is IEEE-exact in both engines; ln is
+    * libm on both sides — same ~1-ulp class as erfCol's exp, far inside the
+    * 6-dp gate rounding.
+    */
+  def invCdfCol(p: Column): Column = {
+    import org.apache.spark.sql.functions.{log => ln, sqrt}
+    val q = p - lit(0.5)
+    val rc = lit(0.180625) - q * q
+    val central = q * hornerCol(IA, rc) / hornerCol(IB, rc)
+    val rr = sqrt(-ln(when(q < 0, p).otherwise(lit(1.0) - p)))
+    val s1 = rr - lit(1.6)
+    val s2 = rr - lit(5.0)
+    val v = when(rr <= 5.0, hornerCol(IC, s1) / hornerCol(ID, s1))
+      .otherwise(hornerCol(IE, s2) / hornerCol(IF, s2))
+    when(abs(q) <= 0.425, central)
+      .otherwise(when(q < 0, -v).otherwise(v))
+  }
+
+  /** Φ⁻¹ as a SQL expression string. `p`, `q`, `rr` must be PRE-BOUND column
+    * references (in prior CTEs) to the probability, `p - 0.5`, and
+    * `SQRT(-LN(CASE WHEN p < 0.5 THEN p ELSE 1.0 - p END))` respectively —
+    * the Horner texts repeat each operand eight times, so inlining compound
+    * expressions would explode the emitted SQL. Mirrors [[invCdfCol]].
+    */
+  def invCdfSql(p: String, q: String, rr: String): String = {
+    val rc = s"(0.180625 - ($q) * ($q))"
+    val central = s"($q) * (${hornerSql(IA, rc)}) / (${hornerSql(IB, rc)})"
+    val s1 = s"(($rr) - 1.6)"
+    val s2 = s"(($rr) - 5.0)"
+    val v = s"""CASE WHEN ($rr) <= 5.0
+       | THEN (${hornerSql(IC, s1)}) / (${hornerSql(ID, s1)})
+       | ELSE (${hornerSql(IE, s2)}) / (${hornerSql(IF, s2)}) END""".stripMargin
+    s"""CASE WHEN ABS($q) <= 0.425 THEN ($central)
+       |     WHEN ($q) < 0 THEN -($v)
+       |     ELSE ($v) END""".stripMargin
+  }
 }

@@ -177,8 +177,23 @@ object Pq {
         .as("d"), lit(c).as("i"))
     }: _*)).getField("i")
 
-  /** Rounded-argmin codes for the gate path (see [[assignRounded]]). */
-  def encodeRounded(vec: Column, cb: Codebook): Column = {
+  /** Rounded-argmin codes for the gate path — the fused loop expression
+    * ([[graft.functions.PqEncodeRounded]]), semantics identical to
+    * [[encodeRoundedUnrolled]] (Round16Spec pins equality). The unrolled
+    * Column form expands to m·k codegen'd chains and overflowed Janino's
+    * 64 KB method limit inside the fused ADC-scan stage, disabling
+    * whole-stage codegen for the entire stage.
+    */
+  def encodeRounded(vec: Column, cb: Codebook): Column =
+    graft.functions.VectorExprs.pqEncodeRounded(
+      vec.cast("array<double>"), cb.centroids, 4)
+
+  /** The original unrolled-chain + struct-array-min formulation of
+    * [[encodeRounded]] — kept as the independent reference the spec checks
+    * the fused expression against (and as documentation of the exact
+    * chain/round/tie-break the oracle replays).
+    */
+  def encodeRoundedUnrolled(vec: Column, cb: Codebook): Column = {
     val v = vec.cast("array<double>")
     array((0 until cb.m).map(assignRounded(v, _, cb)): _*)
   }

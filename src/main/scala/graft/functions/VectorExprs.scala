@@ -267,6 +267,83 @@ case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Loop-based rounded-argmin PQ encoder — the fused form of
+  * `Pq.assignRounded`'s unrolled-chain + struct-array-min formulation,
+  * with IDENTICAL semantics: per subspace, each centroid's squared
+  * distance is the same left-to-right addition chain, rounded exactly as
+  * Spark's `round(_, scale)` rounds doubles (BigDecimal.valueOf → HALF_UP,
+  * NaN/Inf passed through), argmin ties broken by lowest centroid id.
+  *
+  * Exists because the unrolled Column formulation expands to m·k codegen'd
+  * distance chains (16×16×4-dim ≈ thousands of generated locals) — one
+  * encode inside a fused stage overflows Janino's 64 KB method limit and
+  * knocks the WHOLE stage out of whole-stage codegen (observed on q216's
+  * ADC scan). Here the generated code is one call into this expression's
+  * compiled loop, so the stage stays fused; equality with the unrolled
+  * form is pinned by Round16Spec on real data plus random vectors.
+  */
+case class PqEncodeRounded(child: Expression,
+    centroids: Array[Array[Array[Double]]], scale: Int)
+    extends UnaryExpression with VectorElementSupport {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode_rounded"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArray(child, prettyName)
+
+  private lazy val isFloat = elementType(child) == FloatType
+
+  def encodeRow(v: ArrayData): ArrayData = {
+    val m = centroids.length
+    val out = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cs = centroids(s)
+      val subDim = cs(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (isFloat) v.getFloat(off + i).toDouble
+                   else v.getDouble(off + i)) - cent(i)
+          d += x * x
+          i += 1
+        }
+        // Spark round(double, scale): NaN/Inf unchanged, else
+        // BigDecimal.valueOf (shortest-repr) HALF_UP
+        val dr =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (dr < bestD) { bestD = dr; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += subDim
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = encodeRow(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqEncoder", this,
+        classOf[PqEncodeRounded].getName)
+      s"${ev.value} = $ref.encodeRow($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeRounded =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expr(a), Bridge.expr(b)))
@@ -276,4 +353,7 @@ object VectorExprs {
     Bridge.column(NearestCentroid(Bridge.expr(v), centroids))
   def pqAdcBatch(codes: Column, luts: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcBatch(Bridge.expr(codes), luts))
+  def pqEncodeRounded(v: Column, centroids: Array[Array[Array[Double]]],
+      scale: Int): Column =
+    Bridge.column(PqEncodeRounded(Bridge.expr(v), centroids, scale))
 }

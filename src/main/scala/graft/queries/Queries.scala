@@ -76,7 +76,7 @@ object Queries {
 
   // ---- shared derivations (DuckDB SQL) ------------------------------------
 
-  private val RetCte =
+  private[queries] val RetCte =
     """WITH rev AS (
       |  SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS asset,
       |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev

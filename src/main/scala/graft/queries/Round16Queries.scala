@@ -280,6 +280,105 @@ object Round16Queries {
       |SELECT user_id, n_events, decayed_score
       |FROM s ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin
 
+  // ---- q237 rank-based inverse-normal transform -------------------------------
+
+  /** Per-asset rank-based inverse-normal transform (Blom scores): each daily
+    * return is replaced by Φ⁻¹((rank − 3/8)/(n + 1/4)) within its asset —
+    * the standard robust feature-normalization for heavy-tailed inputs
+    * (exactly normal marginals regardless of the input distribution). The
+    * per-row quantile function is the NEW AS241 twin pair
+    * (`Dist.invCdfCol` / `invCdfSql`) — both engines evaluate the identical
+    * rational approximation, so every transformed cell is oracle-gated.
+    * Rank windows partition per asset (the melted pattern: at scale, one
+    * bounded sort per series, never a global window).
+    */
+  def q237InverseNormal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Queries.assetReturns(spark, sfDir).df
+    val w = Window.partitionBy("asset").orderBy(col("r"), col("d"))
+    val ranked = df.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("asset")))
+    val p = (col("rk") - lit(0.375)) / (col("n") + lit(0.25))
+    ranked.select(col("asset"),
+      date_format(col("d"), "yyyy-MM-dd").as("d"),
+      round(graft.core.Dist.invCdfCol(p), 6).as("rint"))
+      .orderBy("asset", "d")
+  }
+
+  val q237Sql: String =
+    s"""${Queries.RetCte},
+       |rk AS (
+       |  SELECT asset, d, r,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY r, d) AS rk,
+       |         COUNT(*) OVER (PARTITION BY asset) AS n
+       |  FROM ret),
+       |pp AS (SELECT asset, d, (rk - 0.375) / (n + 0.25) AS p FROM rk),
+       |qq AS (SELECT asset, d, p, p - 0.5 AS q,
+       |              SQRT(-LN(CASE WHEN p < 0.5 THEN p ELSE 1.0 - p END)) AS rr
+       |       FROM pp)
+       |SELECT asset, strftime(d, '%Y-%m-%d') AS d,
+       |       ROUND(${graft.core.Dist.invCdfSql("p", "q", "rr")}, 6) AS rint
+       |FROM qq ORDER BY asset, d""".stripMargin
+
+  // ---- q238 Anderson–Darling normality test -----------------------------------
+
+  /** Anderson–Darling normality statistic per asset over standardized daily
+    * returns — the tail-sensitive complement of the KS drift test (q128):
+    * A² = −n − (1/n)·Σᵢ [(2i−1)·ln F(zᵢ) + (2(n−i)+1)·ln(1−F(zᵢ))] with
+    * F = Φ via the Cody-erf twins, plus the small-sample adjusted
+    * A*² = A²·(1 + 0.75/n + 2.25/n²) and the 5% decision vs the 0.787
+    * critical value (Stephens 1974, case of estimated mean/variance). Φ
+    * underflows to exactly 0/1 for |z| ≳ 38 on BOTH engines — the fixture's
+    * crash days reach |z| ≈ 30 — so F is clamped to [1e-300, 1−1e-16]
+    * identically on both sides: the statistic stays finite (and enormous —
+    * the right answer for returns data) instead of collapsing to ±Inf.
+    */
+  def q238AndersonDarling(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Queries.assetReturns(spark, sfDir).df
+    val st = df.groupBy("asset").agg(avg("r").as("mu"),
+      stddev_samp(col("r")).as("sd"), count(lit(1)).as("n"))
+    val z = df.join(st, "asset").withColumn("z", (col("r") - col("mu")) / col("sd"))
+    val w = Window.partitionBy("asset").orderBy(col("z"), col("d"))
+    val f = greatest(least(graft.core.Dist.normCdfCol(col("z")),
+      lit(1.0) - lit(1e-16)), lit(1e-300))
+    val term = (lit(2) * col("i") - 1).cast("double") * log(col("f")) +
+      (lit(2) * (col("n") - col("i")) + 1).cast("double") * log(lit(1.0) - col("f"))
+    z.withColumn("i", row_number().over(w)).withColumn("f", f)
+      .groupBy("asset").agg(
+        first(col("n")).as("n"),
+        round(-first(col("n")) - sum(term) / first(col("n")), 6).as("a2"),
+        round((-first(col("n")) - sum(term) / first(col("n"))) *
+          (lit(1.0) + lit(0.75) / first(col("n")) +
+            lit(2.25) / (first(col("n")) * first(col("n")))), 6).as("a2_star"))
+      .withColumn("reject_05", col("a2_star") > 0.787)
+      .orderBy("asset")
+  }
+
+  val q238Sql: String = {
+    val sqrt2 = math.sqrt(2.0)
+    s"""${Queries.RetCte},
+       |st AS (SELECT asset, AVG(r) AS mu, STDDEV_SAMP(r) AS sd, COUNT(*) AS n
+       |       FROM ret GROUP BY asset),
+       |zz AS (SELECT ret.asset, d, (r - mu) / sd AS z, n
+       |       FROM ret JOIN st USING (asset)),
+       |yy AS (SELECT asset, d, z, n, z / $sqrt2 AS y, ABS(z / $sqrt2) AS ay
+       |       FROM zz),
+       |ff AS (SELECT asset, d, n,
+       |         GREATEST(LEAST(${graft.core.Dist.normCdfSql("y", "ay")},
+       |                        1.0 - 1e-16), 1e-300) AS f,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY z, d) AS i
+       |       FROM yy),
+       |ad AS (SELECT asset, ANY_VALUE(n) AS n,
+       |         SUM((2*i - 1) * LN(f) + (2*(n - i) + 1) * LN(1.0 - f)) AS s
+       |       FROM ff GROUP BY asset)
+       |SELECT asset, n, ROUND(-n - s / n, 6) AS a2,
+       |       ROUND((-n - s / n) * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) AS a2_star,
+       |       (ROUND((-n - s / n) * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) > 0.787)
+       |         AS reject_05
+       |FROM ad ORDER BY asset""".stripMargin
+  }
+
   // ---- registration ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,12 +386,16 @@ object Round16Queries {
     "q233_winnowing" -> (q233Winnowing _),
     "q234_retrieval_eval" -> (q234RetrievalEval _),
     "q235_containment_join" -> (q235ContainmentJoin _),
-    "q236_decayed_engagement" -> (q236DecayedEngagement _))
+    "q236_decayed_engagement" -> (q236DecayedEngagement _),
+    "q237_inverse_normal" -> (q237InverseNormal _),
+    "q238_anderson_darling" -> (q238AndersonDarling _))
 
   val oracles: Map[String, String] = Map(
     "q232_segment_dedup" -> q232Sql,
     "q233_winnowing" -> q233Sql,
     "q234_retrieval_eval" -> q234Sql,
     "q235_containment_join" -> q235Sql,
-    "q236_decayed_engagement" -> q236Sql)
+    "q236_decayed_engagement" -> q236Sql,
+    "q237_inverse_normal" -> q237Sql,
+    "q238_anderson_darling" -> q238Sql)
 }

@@ -148,6 +148,52 @@ class Round16Spec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0))) // only A→B, not B→A
   }
 
+  // ---- fused PQ encoder ≡ unrolled reference ----------------------------------
+
+  test("PqEncodeRounded (fused loop) ≡ the unrolled-chain encode on real + random vectors") {
+    import graft.ext.Pq
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cbRows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cb = Pq.Codebook(16, 16, 4, Array.tabulate(16)(s =>
+      cbRows.map(x => x.slice(s * 4, (s + 1) * 4))))
+    val rnd = new scala.util.Random(16004)
+    val fuzz = (1000L until 1200L).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 4 - 2))).toDF("vec_id", "v")
+    for (df <- Seq(e, fuzz)) {
+      val both = df.select(col("vec_id"),
+        Pq.encodeRounded(col("v"), cb).as("fused"),
+        Pq.encodeRoundedUnrolled(col("v"), cb).as("unrolled"))
+        .filter(not(col("fused") === col("unrolled")))
+      assert(both.count() == 0)
+    }
+  }
+
+  // ---- Φ⁻¹ twins ----------------------------------------------------------------
+
+  test("invCdfCol matches the scalar AS241 invCdf across branches") {
+    import graft.core.Dist
+    val ps = (Seq(1e-12, 1e-9, 1e-6, 2e-4, 0.01, 0.2, 0.499, 0.5, 0.501,
+      0.8, 0.99, 1 - 2e-4, 1 - 1e-6, 1 - 1e-9) ++
+      (1 to 200).map(i => i / 201.0)).distinct
+    val got = ps.toDF("p").select(col("p"), Dist.invCdfCol(col("p")).as("x"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach { p =>
+      val exp = Dist.invCdf(p)
+      if (math.abs(p - 0.5) <= 0.425) {
+        // central branch is pure rational arithmetic → bit-exact
+        assert(got(p) == exp, s"p=$p: ${got(p)} vs $exp")
+      } else {
+        // tail branch goes through ln: Spark's Log is StrictMath.log, the
+        // scalar uses Math.log — they may differ in the last ulp (the gate
+        // tolerance is round-6; this pin is a few ulps)
+        assert(math.abs(got(p) - exp) <= 4 * math.ulp(exp),
+          s"p=$p: ${got(p)} vs $exp")
+      }
+    }
+  }
+
   // ---- retrieval eval ----------------------------------------------------------
 
   test("retrievalEval: perfect retriever scores 1.0 everywhere") {
