@@ -627,6 +627,51 @@ object StreamOps {
       }
   }
 
+  // ---- streaming recency-decayed engagement ----------------------------------
+
+  case class DecayTerm(user_id: Long, us: Long, term: Double)
+  case class DecayState(n: Long, anchored: Double)
+  case class DecayScore(user_id: Long, n_events: Long, decayed_score: Double)
+
+  /** Streaming twin of the q236 recency-decayed engagement sum. The batch
+    * operator anchors every term at the corpus max timestamp — a fixed
+    * anchor makes the decayed sum a PLAIN weighted sum (a commutative
+    * monoid), so streaming state is two numbers per user (count, anchored
+    * sum). The per-row term `value · 0.5^(Δdays/halflife)` is computed by
+    * the SAME Column expression the batch aggregation uses (a stateless
+    * projection BEFORE the stateful sum), so an ordered feed reproduces the
+    * batch sums exactly — the parity StreamingSpec pins. `anchor` must be
+    * supplied (a stream cannot know the corpus max); scores for any later
+    * "now" are `anchored · 0.5^((now−anchor)/halflife)` — a post-hoc
+    * scalar, state never decays in place, which is what makes the operator
+    * merge-safe.
+    */
+  def streamingDecayedEngagement(events: DataFrame, anchor: Timestamp,
+      halflifeDays: Double = 7.0): Dataset[DecayScore] = {
+    import events.sparkSession.implicits._
+    val anchorUs = anchor.getTime * 1000L
+    val dtDays = (lit(anchorUs) - unix_micros(col("ts"))).cast("double") /
+      86400000000.0 / halflifeDays
+    val rows = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("us"),
+      (col("value") * pow(lit(0.5), dtDays)).as("term")).as[DecayTerm]
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, DecayScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rs: Iterator[DecayTerm], state: GroupState[DecayState]) =>
+          val prev = state.getOption.getOrElse(DecayState(0L, 0.0))
+          var n = prev.n
+          var s = prev.anchored
+          // deterministic within-batch order (the batch sum's tie order)
+          rs.toSeq.sortBy(r => (r.us, r.term)).foreach { r =>
+            n += 1
+            s += r.term
+          }
+          state.update(DecayState(n, s))
+          Iterator.single(DecayScore(uid, n, s))
+      }
+  }
+
   // ---- streaming segment-level dedup ----------------------------------------
 
   case class SegRow(doc_id: Long, seg_idx: Int, dg: String)

@@ -1025,6 +1025,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decayed engagement ≡ batch anchored-decay sum, bit-equal") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(16005)
+    val events = (1L to 60L).map { i =>
+      EventRow(i, ts((i / 3).toInt, (i % 3).toInt * 7), i % 5, "e",
+        math.rint(rnd.nextDouble() * 1000) / 100.0)
+    }
+    val anchor = events.map(_.ts).maxBy(_.getTime)
+    val df = events.toDF()
+    // batch reference: the SAME term expression, summed in (user, us, term)
+    // encounter order on one partition — the order the stream feeds
+    val dtDays = (lit(anchor.getTime * 1000L) - unix_micros(col("ts")))
+      .cast("double") / 86400000000.0 / 7.0
+    val batch = df.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      (col("value") * pow(lit(0.5), dtDays)).as("term"))
+      .coalesce(1).sortWithinPartitions("user_id", "us", "term")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("term").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val input = MemoryStream[EventRow](18, spark, None)
+    val q = StreamOps.streamingDecayedEngagement(input.toDF(), anchor).toDF()
+      .writeStream.format("memory").queryName("decay_eng")
+      .outputMode("append").start()
+    try {
+      // time-ordered batches: concatenated per-user order = fully sorted
+      events.sortBy(_.ts.getTime).grouped(20).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // last emitted snapshot per user
+    val got = spark.table("decay_eng").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2._1)._2 }
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, (n, s)) =>
+      assert((n, s) == batch(u), s"user $u: ($n, $s) vs ${batch(u)}")
+    }
+  }
+
   test("streaming segment dedup ≡ batch dedupSegmentsRebuild over a 3-batch feed") {
     // duplicate segments planted within a doc, across docs in one batch, and
     // across batches; docs fed in doc_id order = the batch tie order
