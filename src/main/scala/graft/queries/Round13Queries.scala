@@ -329,13 +329,14 @@ object Round13Queries {
 
   // ---- q217 in-engine logistic-regression training ---------------------------
 
-  private val LrSteps = 8
-  private val LrRate = 5.0
+  private[queries] val LrSteps = 8
+  private[queries] val LrRate = 5.0
 
-  private def lrFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def lrFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val nw = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1)
     val letters = length(regexp_replace(col("text"), " ", ""))
     docs(spark, sfDir).select(
+      col("doc_id"), col("source"),
       when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
       lit(1.0).as("x0"),
       (col("n_chars").cast("double") / 1000.0).as("x1"),
@@ -366,8 +367,8 @@ object Round13Queries {
     }.reduce(_ unionAll _).orderBy("step")
   }
 
-  private def lrFeatSql: String =
-    """SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+  private[queries] def lrFeatSql: String =
+    """SELECT doc_id, source, CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
       |    1.0 AS x0, n_chars / 1000.0 AS x1,
       |    (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 100.0 AS x2,
       |    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
@@ -375,7 +376,7 @@ object Round13Queries {
       |  FROM documents""".stripMargin
 
   /** One oracle GD step: sums CTE (exact nano-unit longs) + weights CTE. */
-  private def lrStepSql(i: Int, prevW: String): String = {
+  private[queries] def lrStepSql(i: Int, prevW: String): String = {
     val z = (0 until 4).map(j => s"$prevW.w$j * f.x$j").mkString(" + ")
     val gs = (0 until 4).map(j =>
       s"SUM(CAST(ROUND((1.0 / (1.0 + EXP(-($z))) - f.y) * f.x$j * 1e9, 0) AS BIGINT)) AS g$j")

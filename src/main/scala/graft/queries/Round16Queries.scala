@@ -379,6 +379,88 @@ object Round16Queries {
        |FROM ad ORDER BY asset""".stripMargin
   }
 
+  // ---- q239 split-conformal calibration of the quality model -----------------
+
+  /** Split-conformal calibration of the in-engine logistic quality model
+    * (Vovk et al.; the distribution-free coverage guarantee a data-filtering
+    * classifier needs before its scores gate corpus admission): train on a
+    * 60% hash split, take the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * nonconformity s = 1 − p̂(true label) as q̂ (α = 0.1), then audit the
+    * guarantee on the held-out 20%: per-source empirical coverage of the
+    * conformal prediction set {y : s(y) ≤ q̂} and its average size.
+    *
+    * Every number is engine-replayable: the GD trajectory is the q217
+    * bit-reproducible chain (exact nano-unit gradient sums, 9-dp weight
+    * rounding) re-run by the oracle on the SAME train split, scores are
+    * 9-dp-rounded sigmoids, q̂ is an exact order statistic with doc_id
+    * tie-break, and the coverage comparison s ≤ q̂ operates on identical
+    * doubles.
+    */
+  def q239ConformalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.QualityModel
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(100L))
+    val feat = Round13Queries.lrFeatures(spark, sfDir).withColumn("b", bucket)
+    val train = feat.filter(col("b") < 60).cache()
+    val w = QualityModel.train(train, 4, Round13Queries.LrRate,
+      Round13Queries.LrSteps).last
+    val scored = feat.withColumn("p", round(QualityModel.sigmoid(w), 9))
+      .withColumn("s", when(col("y") === 1.0, lit(1.0) - col("p"))
+        .otherwise(col("p")))
+    val cal = scored.filter(col("b") >= 60 && col("b") < 80)
+    val wq = Window.orderBy(col("s"), col("doc_id"))
+    val nCal = cal.count()
+    val k = math.ceil((nCal + 1) * 0.9).toLong
+    require(k <= nCal, s"calibration split too small: n=$nCal needs k=$k")
+    val qHat = broadcast(cal.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === k).select(col("s").as("q_hat")))
+    scored.filter(col("b") >= 80).crossJoin(qHat)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_eval"),
+        round(avg((col("s") <= col("q_hat")).cast("double")), 6).as("coverage"),
+        round(avg(((lit(1.0) - col("p")) <= col("q_hat")).cast("int") +
+          (col("p") <= col("q_hat")).cast("int")), 6).as("avg_set_size"))
+      .orderBy("source")
+  }
+
+  val q239Sql: String = {
+    val steps = (1 to Round13Queries.LrSteps).map(i =>
+      Round13Queries.lrStepSql(i, if (i == 1) "w0t" else s"w${i - 1}"))
+      .mkString(",\n|")
+    val wl = Round13Queries.LrSteps
+    val z = (0 until 4).map(j => s"w$wl.w$j * bkt.x$j").mkString(" + ")
+    s"""WITH base AS (
+       |  ${Round13Queries.lrFeatSql}),
+       |bkt AS (
+       |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |            AS BIGINT) % 100 AS b
+       |  FROM base),
+       |feat AS (SELECT y, x0, x1, x2, x3 FROM bkt WHERE b < 60),
+       |w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$steps,
+       |scored AS (
+       |  SELECT doc_id, source, b,
+       |         ROUND(1.0 / (1.0 + EXP(-($z))), 9) AS p,
+       |         CASE WHEN y = 1.0 THEN 1.0 - ROUND(1.0 / (1.0 + EXP(-($z))), 9)
+       |              ELSE ROUND(1.0 / (1.0 + EXP(-($z))), 9) END AS s
+       |  FROM bkt CROSS JOIN w$wl),
+       |cal AS (SELECT s, doc_id FROM scored WHERE b >= 60 AND b < 80),
+       |kk AS (SELECT CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k FROM cal),
+       |qh AS (
+       |  SELECT s AS q_hat FROM
+       |    (SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rn FROM cal) c,
+       |    kk WHERE c.rn = kk.k)
+       |SELECT source, COUNT(*) AS n_eval,
+       |       ROUND(AVG(CASE WHEN s <= q_hat THEN 1.0 ELSE 0.0 END), 6)
+       |         AS coverage,
+       |       ROUND(AVG((CASE WHEN 1.0 - p <= q_hat THEN 1 ELSE 0 END)
+       |               + (CASE WHEN p <= q_hat THEN 1 ELSE 0 END)), 6)
+       |         AS avg_set_size
+       |FROM scored CROSS JOIN qh WHERE b >= 80
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- registration ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,7 +470,8 @@ object Round16Queries {
     "q235_containment_join" -> (q235ContainmentJoin _),
     "q236_decayed_engagement" -> (q236DecayedEngagement _),
     "q237_inverse_normal" -> (q237InverseNormal _),
-    "q238_anderson_darling" -> (q238AndersonDarling _))
+    "q238_anderson_darling" -> (q238AndersonDarling _),
+    "q239_conformal_coverage" -> (q239ConformalCoverage _))
 
   val oracles: Map[String, String] = Map(
     "q232_segment_dedup" -> q232Sql,
@@ -397,5 +480,6 @@ object Round16Queries {
     "q235_containment_join" -> q235Sql,
     "q236_decayed_engagement" -> q236Sql,
     "q237_inverse_normal" -> q237Sql,
-    "q238_anderson_darling" -> q238Sql)
+    "q238_anderson_darling" -> q238Sql,
+    "q239_conformal_coverage" -> q239Sql)
 }
