@@ -148,6 +148,31 @@ class Round16Spec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0))) // only A→B, not B→A
   }
 
+  // ---- plan pins ----------------------------------------------------------------
+
+  test("containment join plans without cartesian products or nested loops") {
+    val rnd = new scala.util.Random(16006)
+    val sets = (0L until 200L).map { id =>
+      (id, Seq.fill(20)(rnd.nextInt(4000).toLong).distinct.toArray)
+    }.toDF("id", "sset")
+    val plan = Dedup.containmentPairs(sets, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("retrievalEval broadcasts the query side; candidate windows partition per query") {
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.fill(8)(((i * 31 + 7) % 13).toFloat - 6f))).toDF("vec_id", "embedding")
+    val plan = Similarity.retrievalEval(vecs, "vec_id", "embedding",
+      col("vec_id") < 4, k = 5, bucketBits = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every Window sorts within a query_id partition, never globally
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), plan)
+  }
+
   // ---- fused PQ encoder ≡ unrolled reference ----------------------------------
 
   test("PqEncodeRounded (fused loop) ≡ the unrolled-chain encode on real + random vectors") {
