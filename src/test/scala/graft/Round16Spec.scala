@@ -148,6 +148,32 @@ class Round16Spec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 1.0))) // only A→B, not B→A
   }
 
+  // ---- conformal calibration contract -------------------------------------------
+
+  test("q239 conformal machinery: q-hat is the exact order statistic and coverage follows") {
+    // plain-Scala reference of the calibration rule on synthetic scores
+    val rnd = new scala.util.Random(16007)
+    val cal = (0L until 97L).map(i => (i, math.rint(rnd.nextDouble() * 1e6) / 1e6))
+    val eval = (100L until 300L).map(i => (i, math.rint(rnd.nextDouble() * 1e6) / 1e6))
+    val alpha = 0.1
+    val k = math.ceil((cal.size + 1) * (1 - alpha)).toInt
+    val qHatRef = cal.sortBy(c => (c._2, c._1)).apply(k - 1)._2
+    val covRef = eval.count(_._2 <= qHatRef).toDouble / eval.size
+
+    import org.apache.spark.sql.expressions.Window
+    val calDf = cal.toDF("doc_id", "s")
+    val w = Window.orderBy(col("s"), col("doc_id"))
+    val qHat = calDf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k).select("s").collect().head.getDouble(0)
+    assert(qHat == qHatRef)
+    val cov = eval.toDF("doc_id", "s")
+      .agg(avg((col("s") <= qHat).cast("double"))).collect().head.getDouble(0)
+    assert(cov == covRef)
+    // the finite-sample guarantee direction: q-hat rank covers >= (1-a) of
+    // the calibration scores themselves by construction
+    assert(cal.count(_._2 <= qHatRef) >= k - 1)
+  }
+
   // ---- plan pins ----------------------------------------------------------------
 
   test("containment join plans without cartesian products or nested loops") {
