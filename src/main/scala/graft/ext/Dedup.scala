@@ -774,13 +774,16 @@ object Dedup {
   def segmentRows(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens=$segTokens must be >= 1")
-    val ts = split(col(textCol), " ")
-    // ceil(size/segTokens) in exact integer arithmetic (Column./ is double
-    // division); size >= 1 (split of "" is [""]), so nseg >= 1
-    val nseg = floor((size(ts) + lit(segTokens - 1)).cast("double") / segTokens)
-    df.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), nseg.cast("int") - 1),
-        i => concat_ws(" ", slice(ts, i * segTokens + 1, lit(segTokens))))))
+    // tokenization let-bound (bindOnce): the slice-per-segment lambda would
+    // otherwise re-split the document once per segment (O(n_segs · doc_len))
+    val segsCol = bindOnce(split(col(textCol), " "), ts => {
+      // ceil(size/segTokens) in exact integer arithmetic (Column./ is double
+      // division); size >= 1 (split of "" is [""]), so nseg >= 1
+      val nseg = floor((size(ts) + lit(segTokens - 1)).cast("double") / segTokens)
+      transform(sequence(lit(0), nseg.cast("int") - 1),
+        i => concat_ws(" ", slice(ts, i * segTokens + 1, lit(segTokens))))
+    })
+    df.select(col(idCol).as("id"), posexplode(segsCol))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
       .withColumn("k", md5(col("seg").cast("binary")))
   }
@@ -851,14 +854,17 @@ object Dedup {
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
     val posBase = 1048576L // 2^20
-    val ts = split(col(textCol), " ")
-    val nk = size(ts) - lit(k - 1) // k-gram count; <= 0 when doc shorter than k
-    val keys = graft.core.Exprs.bindOnce(ts, t =>
+    // k-gram count derived from the BOUND token array (size(t) is an O(1)
+    // length read; referencing the unbound split would re-tokenize the
+    // document once per use of nk)
+    val keys = graft.core.Exprs.bindOnce(split(col(textCol), " "), t => {
+      val nk = size(t) - lit(k - 1) // <= 0 when doc shorter than k
       when(nk <= 0, array().cast("array<long>"))
         .otherwise(transform(sequence(lit(0), nk - 1), i =>
           conv(substring(md5(concat_ws(" ", slice(t, i + 1, lit(k))).cast("binary")),
             1, 10), 16, 10).cast("long") * posBase +
-            (lit(posBase - 1) - i))))
+            (lit(posBase - 1) - i)))
+    })
     // one window min per start position 0..max(nk-w, 0); slice truncates at
     // the end, so a doc with fewer than w k-grams gets one whole-doc window
     val selected = graft.core.Exprs.bindOnce(keys, ks =>

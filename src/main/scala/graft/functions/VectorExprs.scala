@@ -302,29 +302,36 @@ case class PqEncodeRounded(child: Expression,
     while (s < m) {
       val cs = centroids(s)
       val subDim = cs(0).length
-      var best = 0
-      var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < cs.length) {
-        val cent = cs(c)
-        var d = 0.0
-        var i = 0
-        while (i < subDim) {
-          val x = (if (isFloat) v.getFloat(off + i).toDouble
-                   else v.getDouble(off + i)) - cent(i)
-          d += x * x
-          i += 1
+      // a subspace touching ANY out-of-range index gets code 0 — matching
+      // the unrolled form, where out-of-range element_at nulls every
+      // candidate's distance chain and the struct array_min tie-breaks to
+      // centroid 0. (A NULL input vector null-propagates here, vs the
+      // unrolled form's accidental [0,...] — the one documented divergence.)
+      if (off + subDim <= v.numElements()) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cent = cs(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val x = (if (isFloat) v.getFloat(off + i).toDouble
+                     else v.getDouble(off + i)) - cent(i)
+            d += x * x
+            i += 1
+          }
+          // Spark round(double, scale): NaN/Inf unchanged, else
+          // BigDecimal.valueOf (shortest-repr) HALF_UP
+          val dr =
+            if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+            else java.math.BigDecimal.valueOf(d)
+              .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (dr < bestD) { bestD = dr; best = c }
+          c += 1
         }
-        // Spark round(double, scale): NaN/Inf unchanged, else
-        // BigDecimal.valueOf (shortest-repr) HALF_UP
-        val dr =
-          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-          else java.math.BigDecimal.valueOf(d)
-            .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (dr < bestD) { bestD = dr; best = c }
-        c += 1
-      }
-      out(s) = best
+        out(s) = best
+      } // else: out(s) stays 0 for the truncated subspace
       off += subDim
       s += 1
     }

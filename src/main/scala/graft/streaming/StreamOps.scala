@@ -649,7 +649,10 @@ object StreamOps {
   def streamingDecayedEngagement(events: DataFrame, anchor: Timestamp,
       halflifeDays: Double = 7.0): Dataset[DecayScore] = {
     import events.sparkSession.implicits._
-    val anchorUs = anchor.getTime * 1000L
+    // full microsecond anchor: Timestamp.getTime truncates to milliseconds,
+    // which would shift every decay term off the batch q236 value when the
+    // corpus max ts carries sub-ms digits (events.parquet is µs-precision)
+    val anchorUs = anchor.getTime / 1000L * 1000000L + anchor.getNanos / 1000L
     val dtDays = (lit(anchorUs) - unix_micros(col("ts"))).cast("double") /
       86400000000.0 / halflifeDays
     val rows = events.select(col("user_id").cast("long").as("user_id"),

@@ -212,7 +212,11 @@ class Round16Spec extends SparkSpec {
     val rnd = new scala.util.Random(16004)
     val fuzz = (1000L until 1200L).map(i =>
       (i, Array.fill(64)(rnd.nextDouble() * 4 - 2))).toDF("vec_id", "v")
-    for (df <- Seq(e, fuzz)) {
+    // short vectors: truncated subspaces must agree too (both emit code 0)
+    val short = (2000L until 2050L).map(i =>
+      (i, Array.fill(1 + rnd.nextInt(64))(rnd.nextDouble() * 4 - 2)))
+      .toDF("vec_id", "v")
+    for (df <- Seq(e, fuzz, short)) {
       val both = df.select(col("vec_id"),
         Pq.encodeRounded(col("v"), cb).as("fused"),
         Pq.encodeRoundedUnrolled(col("v"), cb).as("unrolled"))
