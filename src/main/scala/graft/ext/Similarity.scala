@@ -391,7 +391,12 @@ object Similarity {
         .orderBy(col("cos").desc, col("nid"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
-    val cos = round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    // IEEE division (graft.core.Exprs.fdiv): an all-zero embedding makes the
+    // norm product 0, which Spark non-ANSI division would turn into NULL
+    // while the DuckDB oracle's IEEE division yields NaN/Inf — fdiv keeps
+    // both engines on the IEEE answer for degenerate vectors.
+    val cos = round(graft.core.Exprs.fdiv(
+      dot(col("qv"), col("cv")), col("qn") * col("cn")), 6)
     val gt = ranked(base.join(q, col("nid") =!= col("query_id"))
       .select(col("query_id"), col("nid"), cos.as("cos")))
       .select(col("query_id"), col("nid"), lit(true).as("rel"))

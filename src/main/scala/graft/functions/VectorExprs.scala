@@ -302,12 +302,21 @@ case class PqEncodeRounded(child: Expression,
     while (s < m) {
       val cs = centroids(s)
       val subDim = cs(0).length
-      // a subspace touching ANY out-of-range index gets code 0 — matching
-      // the unrolled form, where out-of-range element_at nulls every
-      // candidate's distance chain and the struct array_min tie-breaks to
-      // centroid 0. (A NULL input vector null-propagates here, vs the
-      // unrolled form's accidental [0,...] — the one documented divergence.)
+      // a subspace touching ANY out-of-range OR null element gets code 0 —
+      // matching the unrolled form, where an out-of-range element_at (or a
+      // null array element) nulls every candidate's distance chain and the
+      // struct array_min tie-breaks to centroid 0. (A NULL input vector
+      // null-propagates here, vs the unrolled form's accidental [0,...] —
+      // the one documented divergence.)
+      var hasNull = false
       if (off + subDim <= v.numElements()) {
+        var j = 0
+        while (j < subDim && !hasNull) {
+          if (v.isNullAt(off + j)) hasNull = true
+          j += 1
+        }
+      }
+      if (!hasNull && off + subDim <= v.numElements()) {
         var best = 0
         var bestD = Double.PositiveInfinity
         var c = 0
@@ -331,7 +340,7 @@ case class PqEncodeRounded(child: Expression,
           c += 1
         }
         out(s) = best
-      } // else: out(s) stays 0 for the truncated subspace
+      } // else: out(s) stays 0 for the truncated/null-touching subspace
       off += subDim
       s += 1
     }

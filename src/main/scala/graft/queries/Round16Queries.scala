@@ -97,8 +97,12 @@ object Round16Queries {
     base.join(perSource, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("total_kgrams"),
         coalesce(col("n_fps"), lit(0L)).as("n_fps"),
-        round(coalesce(col("n_fps"), lit(0L)).cast("double") /
-          col("total_kgrams"), 6).as("density"),
+        // IEEE division (fdiv): a source whose docs are all shorter than k
+        // has total_kgrams = 0 — DuckDB's IEEE division gives NaN there,
+        // Spark non-ANSI would give NULL; fdiv keeps the engines aligned
+        round(graft.core.Exprs.fdiv(
+          coalesce(col("n_fps"), lit(0L)).cast("double"),
+          col("total_kgrams").cast("double")), 6).as("density"),
         coalesce(col("n_fp_shared"), lit(0L)).as("n_fp_shared"))
       .orderBy("source")
   }
@@ -402,7 +406,11 @@ object Round16Queries {
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")
       .cast("binary")), 1, 15), 16, 10).cast("long"), lit(100L))
     val feat = Round13Queries.lrFeatures(spark, sfDir).withColumn("b", bucket)
-    val train = feat.filter(col("b") < 60).cache()
+    // keyed per (session, sf) like every other shared frame — a bare
+    // .cache() per invocation would accumulate duplicate cached copies in
+    // executor storage across bench loops / multi-SF sweeps
+    val train = ExtQueries.cached(spark, sfDir, "q239_train")(
+      feat.filter(col("b") < 60))
     val w = QualityModel.train(train, 4, Round13Queries.LrRate,
       Round13Queries.LrSteps).last
     val scored = feat.withColumn("p", round(QualityModel.sigmoid(w), 9))

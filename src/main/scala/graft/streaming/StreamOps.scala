@@ -645,6 +645,14 @@ object StreamOps {
     * "now" are `anchored · 0.5^((now−anchor)/halflife)` — a post-hoc
     * scalar, state never decays in place, which is what makes the operator
     * merge-safe.
+    *
+    * State contract: UNBOUNDED by design — one (count, sum) pair per
+    * distinct user forever (NoTimeout), because a decayed lifetime score
+    * has no horizon after which a user's state is dead. If the user
+    * universe outgrows state storage, bound it operationally: key by
+    * (user_id, coarse epoch) and age out closed epochs with a timeout, or
+    * periodically snapshot-and-restart the query — the anchored sum makes
+    * either exact (old state re-enters as one pre-anchored term).
     */
   def streamingDecayedEngagement(events: DataFrame, anchor: Timestamp,
       halflifeDays: Double = 7.0): Dataset[DecayScore] = {
@@ -691,6 +699,14 @@ object StreamOps {
     * keep the streaming contract (first ARRIVAL wins), which is the right
     * semantics for an append-only ingest pipeline. Reconstruction is a
     * row-local join + collect downstream, same as batch.
+    *
+    * State contract: UNBOUNDED by design — one boolean per distinct segment
+    * digest forever (NoTimeout). Exact first-seen dedup is inherently
+    * corpus-lifetime state; bounding it means accepting re-admission:
+    * either a TTL timeout (segments recur after the horizon) or swapping
+    * the per-digest boolean for a Bloom filter partition (false-positive
+    * drops, bounded bytes). Both are operational trades, not twins of the
+    * exact batch semantics, so the exact variant is what ships here.
     */
   def streamingSegmentDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", segTokens: Int = 16): Dataset[SegKeep] = {
