@@ -84,7 +84,7 @@ object Bench {
     // production subtotal separately so round-over-round gating can target
     // it directly.
     val auditQueries = Set("q203_lsh_quality_audit", "q216_pq_adc",
-      "q218_zorder_pruning", "q225_band_join")
+      "q218_zorder_pruning", "q225_band_join", "q240_ivf_pq")
     // a renamed audit query (or a typo here) would silently reclassify its
     // time into non_audit_total — the regression-gating number this split
     // exists to protect — so an unknown name fails the run loudly

@@ -360,6 +360,58 @@ case class PqEncodeRounded(child: Expression,
     copy(child = newChild)
 }
 
+/** ADC distance of ONE query (selected per row by index) against a codes
+  * column: `Σ_m luts[qIdx][m][codes[m]]`. The IVF×PQ join shape — after
+  * candidates are pruned to (query, row) pairs by probed-list equi-join,
+  * each pair needs exactly its own query's ADC, not the full Q-vector
+  * [[PqAdcBatch]] computes (which would undo the ~nProbe/nLists scan saving
+  * by paying every query's lookups on every candidate row). The LUT tensor
+  * is a codegen reference object; per row the work is m lookups + adds.
+  */
+case class PqAdcSelect(left: Expression, right: Expression,
+    luts: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int> codes, int queryIdx), got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = luts(b.asInstanceOf[Int])
+    var s = 0.0
+    var m = 0
+    val nm = math.min(codes.numElements(), lut.length)
+    while (m < nm) { s += lut(m)(codes.getInt(m)); m += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val l = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val nm = ctx.freshName("nm")
+      val lut = ctx.freshName("lut")
+      s"""
+         |double[][] $lut = $l[$b];
+         |double $s = 0.0;
+         |int $nm = java.lang.Math.min($a.numElements(), $lut.length);
+         |for (int $m = 0; $m < $nm; $m++) {
+         |  $s += $lut[$m][$a.getInt($m)];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcSelect =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expr(a), Bridge.expr(b)))
@@ -369,6 +421,9 @@ object VectorExprs {
     Bridge.column(NearestCentroid(Bridge.expr(v), centroids))
   def pqAdcBatch(codes: Column, luts: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcBatch(Bridge.expr(codes), luts))
+  def pqAdcSelect(codes: Column, queryIdx: Column,
+      luts: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcSelect(Bridge.expr(codes), Bridge.expr(queryIdx), luts))
   def pqEncodeRounded(v: Column, centroids: Array[Array[Array[Double]]],
       scale: Int): Column =
     Bridge.column(PqEncodeRounded(Bridge.expr(v), centroids, scale))

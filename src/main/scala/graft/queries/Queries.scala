@@ -1196,7 +1196,7 @@ object Queries {
     "q71_resample_ffill" -> (q71ResampleFfill _),
     "q74_star_join" -> (q74StarJoin _),
     "q105_regional_revenue" -> (q105RegionalRevenue _),
-    "q207_tail_metrics" -> (q207TailMetrics _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++ Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++ Round16Queries.all
+    "q207_tail_metrics" -> (q207TailMetrics _)) ++ ExtQueries.all ++ Round7Queries.all ++ Round8Queries.all ++ Round9Queries.all ++ Round10Queries.all ++ Round11Queries.all ++ Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all
 
   val oracles: Map[String, String] = Map(
     "q01_comp" -> q01Sql,
@@ -1226,5 +1226,5 @@ object Queries {
     "q71_resample_ffill" -> q71Sql,
     "q74_star_join" -> q74Sql,
     "q105_regional_revenue" -> q105Sql,
-    "q207_tail_metrics" -> q207Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles ++ Round10Queries.oracles ++ Round11Queries.oracles ++ Round12Queries.oracles ++ Round13Queries.oracles ++ Round14Queries.oracles ++ Round15Queries.oracles ++ Round16Queries.oracles
+    "q207_tail_metrics" -> q207Sql) ++ ExtQueries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round9Queries.oracles ++ Round10Queries.oracles ++ Round11Queries.oracles ++ Round12Queries.oracles ++ Round13Queries.oracles ++ Round14Queries.oracles ++ Round15Queries.oracles ++ Round16Queries.oracles ++ Round17Queries.oracles
 }

@@ -148,14 +148,14 @@ object Round13Queries {
 
   // ---- q216 product-quantization ANN + recall audit --------------------------
 
-  private val PqM = 16
-  private val PqK = 16
-  private val PqSubDim = 4
-  private val PqQueries = 10
-  private val PqTopK = 10
-  private val PqShortlist = 200
+  private[queries] val PqM = 16
+  private[queries] val PqK = 16
+  private[queries] val PqSubDim = 4
+  private[queries] val PqQueries = 10
+  private[queries] val PqTopK = 10
+  private[queries] val PqShortlist = 200
 
-  private def q216Codebook(spark: SparkSession, sfDir: String): Pq.Codebook = {
+  private[queries] def q216Codebook(spark: SparkSession, sfDir: String): Pq.Codebook = {
     val rows = emb(spark, sfDir)
       .filter(col("vec_id") < PqK).orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
@@ -255,7 +255,7 @@ object Round13Queries {
 
   /** 8-term unrolled subspace distance chain between two SQL list exprs,
     * offset by `s*subDim` — identical association to [[Pq.subD2Unrolled]]. */
-  private def subChainSql(a: String, b: String, sExpr: String): String =
+  private[queries] def subChainSql(a: String, b: String, sExpr: String): String =
     (1 to PqSubDim).map { i =>
       val ai = s"$a[$sExpr*$PqSubDim+$i]"
       val bi = s"$b[$sExpr*$PqSubDim+$i]"

@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Pq
+import graft.queries.ExtQueries.emb
+
+/** Driver-round-12 wave: composing the ANN stack into its billion-vector
+  * serving shape, and certifying the approximate-quantile path.
+  *
+  *  - q240 IVF × PQ: coarse-quantizer list pruning composed with the
+  *    PQ-ADC scan — prune to nProbe probed lists, ADC-rank only within
+  *    them, exact-re-rank the shortlist. q57 (IVF) and q216 (flat ADC)
+  *    gate the two stages separately; at 100 TB a FLAT ADC scan still
+  *    reads every code, so the composition — scan cost ≈ nProbe/nLists
+  *    of the corpus — is the shape that actually serves. The panel makes
+  *    the trade measurable per query: how many codes were scanned
+  *    (n_scanned, scanned_frac) vs what recall survived the pruning
+  *    (ceiling10 = exact neighbors inside probed lists — the recall the
+  *    pruning PERMITS; recall10 = what ADC + exact re-rank delivers).
+  *  - q241 certified sketch quantiles: the trade-stat tail family
+  *    (p05/p95, tail ratio) via the mergeable DDSketch WITH its
+  *    relative-error guarantee asserted in the panel itself against the
+  *    exact order statistics — the bounded-memory path the exact
+  *    sort-bound `percentile` cannot offer at corpus scale.
+  */
+object Round17Queries {
+
+  // ---- q240 IVF x PQ composed ANN ---------------------------------------------
+
+  private val IvfLists = 8
+  private val IvfProbe = 2
+  private val IvfCentBase = 26 // coarse centroids: vec_id 26..33 (disjoint
+  //   from the PQ codebook rows 0..15 and the query rows 16..25)
+  private val IvfShortlist = 50
+
+  /** The composed IVF-ADC query every billion-vector deployment runs:
+    * corpus vectors are bucketed by nearest coarse centroid (8 lists —
+    * data-derived, the q57/q216 deterministic-seed convention so the
+    * oracle derives identical lists), each query probes its 2 nearest
+    * lists, the ADC LUT scan ranks ONLY probed-list codes
+    * ([[graft.functions.PqAdcSelect]] — each candidate pays exactly its
+    * own query's m lookups), and the top-50 shortlist is re-ranked by
+    * exact distance. Cross-engine determinism: coarse assignment and
+    * probe ranking use the FLAT 64-term rounded distance chain (the
+    * fused [[Pq.encodeRounded]] loop order, replayed term-for-term by the
+    * oracle), ADC totals and exact distances reuse the q216 chains, all
+    * argmins/rankings round to 4 dp with id tie-breaks.
+    *
+    * Per query: codes scanned (count + fraction of corpus — ≈
+    * nProbe/nLists on balanced lists), ceiling10 (exact top-10 members
+    * whose list was probed — the recall the pruning permits), adc_recall10
+    * (stage-1 alone), recall10 (after exact re-rank — reaches the ceiling
+    * when the shortlist works). At 100 TB: the probe table is tiny and
+    * broadcast, codes are 16 B/vector, the scan touches probed lists only
+    * (with list-partitioned storage, partition pruning makes that
+    * physical), and the re-rank joins a FIXED-size shortlist back to raw
+    * vectors. `IvfPqScaleProbe` pins the scanned-fraction claim with
+    * exact row counters at three corpus sizes.
+    */
+  def q240IvfPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = Round13Queries.q216Codebook(spark, sfDir)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val coarse = e.filter(col("vec_id") >= IvfCentBase &&
+        col("vec_id") < IvfCentBase + IvfLists)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val coarseCb = Pq.Codebook(1, IvfLists, coarse.head.length, Array(coarse))
+    val queries = e.filter(col("vec_id") >= Round13Queries.PqK &&
+        col("vec_id") < Round13Queries.PqK + Round13Queries.PqQueries)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val luts = queries.map { case (_, qv) => Pq.queryLut(qv, cb) }.toArray
+
+    // driver-side probe selection (queries are bounded): the SAME flat
+    // left-to-right chain + HALF_UP rounding the fused corpus assignment
+    // runs, ranked (d, list) ascending — bit-identical to the oracle's
+    // ROW_NUMBER replay
+    def flatD2(v: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val probeRows = queries.zipWithIndex.flatMap { case ((qid, qv), qi) =>
+      coarse.zipWithIndex.map { case (c, l) => (flatD2(qv, c), l) }
+        .sorted.take(IvfProbe).map { case (_, l) => (qid, qi, l) }
+    }
+    import spark.implicits._
+    val probes = broadcast(probeRows.toDF("query_id", "qi", "list"))
+
+    // one corpus pass: PQ codes (m=16 fused rounded argmin) + IVF list
+    // (the SAME fused expression with an m=1, k=8, subDim=64 codebook —
+    // a flat rounded-argmin over the coarse centroids). Bounded frame
+    // (n x 16 ints + 1 int), materialized once for scan + ceiling audit.
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      Pq.encodeRounded(col("v"), cb).as("codes"),
+      element_at(Pq.encodeRounded(col("v"), coarseCb), 1).as("list"))
+      .localCheckpoint()
+    val nCorpus = corpus.count()
+
+    // the pruned scan: probed-list candidates only, each paying exactly
+    // its own query's ADC (PqAdcSelect), never the full query batch
+    val cand = corpus.join(probes, "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorExprs.pqAdcSelect(col("codes"), col("qi"),
+          luts), 4).as("adc"))
+      .localCheckpoint() // bounded (~ nProbe/nLists x n x queries rows);
+    //   feeds n_scanned, the stage-1 recall audit, and the shortlist
+    val nsc = cand.groupBy("query_id").agg(count(lit(1)).as("n_scanned"))
+      .withColumn("scanned_frac",
+        round(col("n_scanned") * lit(1.0) / lit(nCorpus.toDouble), 6))
+
+    // shortlist via the bounded TopKAgg (no window over all candidates);
+    // (-adc desc, id asc) ≡ (adc asc, id asc)
+    val short = cand.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(-col("adc"), col("neighbor_id"),
+        IvfShortlist).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
+
+    // exact audit frame (ground truth + re-rank distances): the q216
+    // query-batch-as-data shape — one corpus pass, grouped-subspace chains
+    val queryArr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
+    }: _*)
+    val exact = e
+      .select(col("vec_id").as("neighbor_id"), col("v"), explode(queryArr).as("q"))
+      .select(col("q.qid").as("query_id"), col("neighbor_id"),
+        round((0 until Round13Queries.PqM).map(s =>
+          Pq.subD2Cols(col("v"), col("q.qv"), s * Round13Queries.PqSubDim,
+            Round13Queries.PqSubDim)).reduce(_ + _), 4).as("d2"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .localCheckpoint()
+    val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val exactTop = exact.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= Round13Queries.PqTopK)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val hit = when(col("hit").isNotNull, 1L).otherwise(0L)
+    // ceiling: how many exact top-10 live in probed lists at all — the
+    // recall bound pruning imposes before ADC/re-rank quality enters
+    val ceil = exactTop
+      .join(corpus.select(col("neighbor_id"), col("list")), "neighbor_id")
+      .join(probes.select(col("query_id"), col("list"), lit(1).as("hit")),
+        Seq("query_id", "list"), "left")
+      .groupBy("query_id").agg(sum(hit).as("ceiling10"))
+    val wadc = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    val adcRec = cand.withColumn("ar", row_number().over(wadc))
+      .filter(col("ar") <= Round13Queries.PqTopK)
+      .join(exactTop.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"),
+        "left")
+      .groupBy("query_id").agg(sum(hit).as("adc_recall10"))
+    val wr = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val rrec = short.join(exact, Seq("query_id", "neighbor_id"))
+      .withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= Round13Queries.PqTopK)
+      .join(exactTop.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"),
+        "left")
+      .groupBy("query_id").agg(sum(hit).as("recall10"))
+
+    nsc.join(ceil, "query_id").join(adcRec, "query_id").join(rrec, "query_id")
+      .select(col("query_id"), col("n_scanned"), col("scanned_frac"),
+        col("ceiling10"), col("adc_recall10"), col("recall10"))
+      .orderBy("query_id")
+  }
+
+  /** Flat 64-term distance chain — the oracle twin of the fused
+    * [[graft.functions.PqEncodeRounded]] loop's left-to-right addition
+    * order (NOT the grouped-subspace chains of the exact stage: the two
+    * associations produce different doubles, so each stage replays its
+    * own order).
+    */
+  private def flatChainSql(a: String, b: String): String =
+    (1 to Round13Queries.PqM * Round13Queries.PqSubDim)
+      .map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  // lazy: q241Sql references Queries.RetCte, and Queries.all/oracles
+  // reference THIS object back — a test (or any caller) touching
+  // Round17Queries before Queries would otherwise re-enter Queries'
+  // still-running static init and read its `all` field as null. Lazy
+  // members defer every cross-object read to first USE, by which point
+  // Queries.RetCte (declared before Queries.all) is always assigned.
+  lazy val q240Sql: String = {
+    import Round13Queries.{subChainSql, PqM, PqK, PqQueries, PqSubDim, PqTopK}
+    val subs = (0 until PqM).map(_.toString).map(s => s"($s)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $PqK),
+       |ss(s) AS (VALUES $subs),
+       |cc AS (SELECT vec_id - $IvfCentBase AS lid, v AS cv FROM e
+       |       WHERE vec_id >= $IvfCentBase AND vec_id < ${IvfCentBase + IvfLists}),
+       |asng AS (
+       |  SELECT e.vec_id, cc.lid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(${flatChainSql("e.v", "cc.cv")}, 4), cc.lid) AS rn
+       |  FROM e CROSS JOIN cc),
+       |lists AS (SELECT vec_id, lid AS list FROM asng WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id >= $PqK AND vec_id < ${PqK + PqQueries}),
+       |prb AS (
+       |  SELECT query_id, lid AS list FROM (
+       |    SELECT q.query_id, cc.lid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ROUND(${flatChainSql("q.qv", "cc.cv")}, 4), cc.lid) AS rn
+       |    FROM q CROSS JOIN cc) t WHERE rn <= $IvfProbe),
+       |asn AS (
+       |  SELECT e.vec_id, ss.s, cb.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, ss.s
+       |      ORDER BY ROUND(${subChainSql("e.v", "cb.cv", "ss.s")}, 4), cb.cid) AS rn
+       |  FROM e CROSS JOIN ss CROSS JOIN cb),
+       |codes AS (SELECT vec_id, s, cid AS code FROM asn WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.query_id, ss.s, cb.cid,
+       |    ${subChainSql("q.qv", "cb.cv", "ss.s")} AS dl
+       |  FROM q CROSS JOIN ss CROSS JOIN cb),
+       |cand AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, ROUND(SUM(l.dl), 4) AS adc
+       |  FROM codes c
+       |  JOIN lists li ON li.vec_id = c.vec_id
+       |  JOIN lut l ON c.s = l.s AND c.code = l.cid
+       |  JOIN prb p ON p.query_id = l.query_id AND p.list = li.list
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(*) AS n FROM e),
+       |nsc AS (SELECT query_id, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
+       |short AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS arank
+       |  FROM cand QUALIFY arank <= $IvfShortlist),
+       |ex AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${(0 until PqM).map(s =>
+              "(" + subChainSql("e.v", "q.qv", s.toString) + ")").mkString(" + ")}, 4) AS d2
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |etop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |    FROM ex) WHERE rank <= $PqTopK),
+       |ceil AS (
+       |  SELECT t.query_id,
+       |    CAST(SUM(CASE WHEN p.list IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ceiling10
+       |  FROM etop t
+       |  JOIN lists li ON li.vec_id = t.neighbor_id
+       |  LEFT JOIN prb p ON p.query_id = t.query_id AND p.list = li.list
+       |  GROUP BY 1),
+       |arec AS (
+       |  SELECT c.query_id,
+       |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS adc_recall10
+       |  FROM (SELECT query_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS ar
+       |        FROM cand QUALIFY ar <= $PqTopK) c
+       |  LEFT JOIN etop t
+       |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+       |  GROUP BY 1),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY x.d2, s.neighbor_id)
+       |      AS rrank
+       |  FROM short s JOIN ex x
+       |    ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+       |  QUALIFY rrank <= $PqTopK),
+       |rrec AS (
+       |  SELECT r.query_id,
+       |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS recall10
+       |  FROM rer r LEFT JOIN etop t
+       |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT n.query_id, n.n_scanned,
+       |  ROUND(n.n_scanned * 1.0 / tot.n, 6) AS scanned_frac,
+       |  ceil.ceiling10, arec.adc_recall10, rrec.recall10
+       |FROM nsc n CROSS JOIN tot
+       |JOIN ceil ON ceil.query_id = n.query_id
+       |JOIN arec ON arec.query_id = n.query_id
+       |JOIN rrec ON rrec.query_id = n.query_id
+       |ORDER BY n.query_id""".stripMargin
+  }
+
+  // ---- q241 certified sketch quantiles (trade-stat tail family) --------------
+
+  private val SkAlpha = 0.02
+
+  /** Per-asset tail-quantile panel where the MERGEABLE sketch certifies
+    * itself: exact discrete p05/p95 order statistics (rank ⌊q(n−1)⌋+1 —
+    * the rank DDSketch targets; replayed by the oracle with a window
+    * rank), the tail ratio |p95/p05| (the trade-stat family's
+    * tail_ratio / common-sense-ratio cutoff shape), and ok_* columns
+    * asserting IN THE PANEL that the α = 2% DDSketch estimates sit within
+    * their guaranteed relative error of the exact values — each quantile
+    * within α, the ratio within [(1−α)/(1+α), (1+α)/(1−α)] — plus the
+    * occupied-bucket count under the O(log range) bound (1536 < the 2048
+    * collapse cap, proving the guarantee was never degraded). The oracle
+    * pins the booleans TRUE: the row turns red the moment the sketch
+    * breaks its contract. At 100 TB the exact side is sort-bound
+    * per group; the sketch is one mergeable map-side-combined pass —
+    * this panel is the certificate that swap is safe for tail metrics.
+    */
+  def q241SketchTails(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Queries.assetReturns(spark, sfDir).df
+    val w = Window.partitionBy("asset").orderBy(col("r"), col("d"))
+    val rk = df.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("asset")))
+    def disc(q: Double): Column =
+      min(when(col("rk") === floor(lit(q) * (col("n") - 1)) + 1, col("r")))
+    val d = rk.groupBy("asset").agg(min("n").as("n"),
+      disc(0.05).as("p05"), disc(0.95).as("p95"))
+    val sk = udaf(new graft.functions.DDSketchAgg.Quantiles(SkAlpha, Seq(0.05, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val s = df.groupBy("asset").agg(sk(col("r")).as("dd"))
+    def ok(est: Column, exact: Column): Column =
+      when(exact === 0.0, est === 0.0)
+        .otherwise(abs(est / exact - 1.0) <= SkAlpha)
+    val (lo, hi) = ((1 - SkAlpha) / (1 + SkAlpha), (1 + SkAlpha) / (1 - SkAlpha))
+    val est05 = element_at(col("dd"), 1)
+    val est95 = element_at(col("dd"), 2)
+    val okTail = when(col("p05") === 0.0, ok(est05, col("p05")) && ok(est95, col("p95")))
+      .otherwise(coalesce(
+        (abs(est95 / est05) / abs(col("p95") / col("p05")))
+          .between(lit(lo), lit(hi)), lit(false)))
+    d.join(s, "asset").select(
+      col("asset"), col("n").cast("long").as("n"),
+      round(col("p05"), 6).as("p05_disc"),
+      round(col("p95"), 6).as("p95_disc"),
+      round(abs(graft.core.Exprs.fdiv(col("p95"), col("p05"))), 6)
+        .as("tail_ratio_disc"),
+      ok(est05, col("p05")).as("ok_p05"),
+      ok(est95, col("p95")).as("ok_p95"),
+      okTail.as("ok_tail"),
+      (element_at(col("dd"), 3) <= 1536.0).as("buckets_ok"))
+      .orderBy("asset")
+  }
+
+  lazy val q241Sql: String =
+    s"""${Queries.RetCte},
+       |rk AS (
+       |  SELECT asset, d, r,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY r, d) AS rk,
+       |         COUNT(*) OVER (PARTITION BY asset) AS n
+       |  FROM ret),
+       |dq AS (
+       |  SELECT asset, CAST(MIN(n) AS BIGINT) AS n,
+       |    MIN(CASE WHEN rk = FLOOR(0.05 * (n - 1)) + 1 THEN r END) AS p05,
+       |    MIN(CASE WHEN rk = FLOOR(0.95 * (n - 1)) + 1 THEN r END) AS p95
+       |  FROM rk GROUP BY asset)
+       |SELECT asset, n, ROUND(p05, 6) AS p05_disc, ROUND(p95, 6) AS p95_disc,
+       |  ROUND(ABS(p95 / p05), 6) AS tail_ratio_disc,
+       |  TRUE AS ok_p05, TRUE AS ok_p95, TRUE AS ok_tail, TRUE AS buckets_ok
+       |FROM dq ORDER BY asset""".stripMargin
+
+  // ---- registration ---------------------------------------------------------
+
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_ivf_pq" -> (q240IvfPqAdc _),
+    "q241_sketch_tails" -> (q241SketchTails _))
+
+  lazy val oracles: Map[String, String] = Map(
+    "q240_ivf_pq" -> q240Sql,
+    "q241_sketch_tails" -> q241Sql)
+}

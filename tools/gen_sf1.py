@@ -1,22 +1,36 @@
 #!/usr/bin/env python3
-"""Build an sf1-scale magnitude-sweep dataset from the driver's sf0.1 parquet.
+"""Build sfN-scale magnitude-sweep datasets from the driver's sf0.1 parquet.
 
-Purpose (round-10 verdict item 4): the q194-class failure mode — int64 /
-double magnitude bugs that only appear a DECADE of scale above the gate SF —
-needs a 6M-row lineitem to surface. The driver only ships sf<=0.1, so this
-tool replicates the TPC-H tables 10x with PER-COPY KEY OFFSETS (copy i adds
+Purpose (round-10 verdict item 4, extended to sf10 by round-11 item 3): the
+q194-class failure mode — int64 / double magnitude bugs that only appear a
+DECADE (or two) of scale above the gate SF — needs 6M-to-60M-row lineitems to
+surface. The driver only ships sf<=0.1, so this tool replicates the TPC-H
+tables N x with PER-COPY KEY OFFSETS (copy i adds
 i * 2^ceil(log2(max_key+1)) to every key column, preserving all FK
 relationships inside each copy and keeping keys globally unique so id
-tie-breaks stay deterministic). Dates, dims (nation/region), and the
-documents/embeddings/events tables are copied verbatim — the magnitude
-hazard under test lives in the big-table aggregations, and duplicating
-event/doc rows would instead create (user, ts) ties with engine-dependent
-window order.
+tie-breaks stay deterministic).
 
-Output: /tmp/sf1/*.parquet, same schemas. Driver-side python3+duckdb only
-(test tooling, like check_oracle.py). Usage: python3 tools/gen_sf1.py [out].
+HONEST string growth (round-11 verdict item 3): TPC-H derives c_name /
+s_name from the key ("Customer#%09d"), so each copy's names are REGENERATED
+from the offset keys — exactly what a real N x TPC-H generator would emit —
+instead of replicated verbatim. Verbatim replication made every name appear
+`copies` times, so pair-mining queries (q99 hamming-1 linkage) saw
+copies^2-fold candidate blowup that genuine 10 x data never shows; with
+key-derived names the pair count grows ~linearly (pairs are keys differing
+in one digit). p_name is not key-derived and feeds no pair-mining query
+(only LIKE filters and display columns), so it replicates verbatim.
+
+Dates, dims (nation/region), and the documents/embeddings/events tables are
+copied verbatim — the magnitude hazard under test lives in the big-table
+aggregations, and duplicating event/doc rows would instead create (user, ts)
+ties with engine-dependent window order (and push the doc-pair oracles'
+brute-force replays past feasibility).
+
+Output: <out>/*.parquet, same schemas. Driver-side python3+duckdb only
+(test tooling, like check_oracle.py).
+Usage: python3 tools/gen_sf1.py [out] [copies]   # defaults /tmp/sf1, 10
+       python3 tools/gen_sf1.py /tmp/sf10 100    # the sf10 sweep dataset
 """
-import math
 import os
 import shutil
 import sys
@@ -25,7 +39,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
 def pow2_above(v: int) -> int:
@@ -44,7 +58,7 @@ def main() -> None:
                  ("part", "p_partkey"), ("orders", "o_orderkey")]:
         mx = con.execute(f"SELECT MAX({k}) FROM {src(t)}").fetchone()[0]
         offs[t] = pow2_above(int(mx))
-    print("key offsets:", offs)
+    print("key offsets:", offs, "copies:", COPIES)
 
     def scale(table: str, key_exprs: dict) -> None:
         cols = [c[0] for c in con.execute(
@@ -59,8 +73,16 @@ def main() -> None:
         ).fetchone()[0]
         print(f"{table}: {n} rows")
 
-    scale("customer", {"c_custkey": f"c_custkey + cp * {offs['customer']} AS c_custkey"})
-    scale("supplier", {"s_suppkey": f"s_suppkey + cp * {offs['supplier']} AS s_suppkey"})
+    # key-derived names regenerate from the OFFSET key (TPC-H "%09d" format,
+    # verified against the source data) — honest growth, names stay unique
+    scale("customer", {
+        "c_custkey": f"c_custkey + cp * {offs['customer']} AS c_custkey",
+        "c_name": "'Customer#' || lpad(CAST(c_custkey + cp * "
+                  f"{offs['customer']} AS VARCHAR), 9, '0') AS c_name"})
+    scale("supplier", {
+        "s_suppkey": f"s_suppkey + cp * {offs['supplier']} AS s_suppkey",
+        "s_name": "'Supplier#' || lpad(CAST(s_suppkey + cp * "
+                  f"{offs['supplier']} AS VARCHAR), 9, '0') AS s_name"})
     scale("part", {"p_partkey": f"p_partkey + cp * {offs['part']} AS p_partkey"})
     scale("orders", {
         "o_orderkey": f"o_orderkey + cp * {offs['orders']} AS o_orderkey",
