@@ -941,4 +941,130 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  // ---- streaming winnowing fingerprints -------------------------------------
+
+  case class FpRow(doc_id: Long, pos: Int, hv: Long)
+  case class FpNovel(doc_id: Long, pos: Int, hv: Long, novel: Boolean)
+
+  /** Streaming twin of the q233 winnowing operator: fingerprint SELECTION
+    * ([[graft.ext.Dedup.winnowFingerprints]] — per-document window minima)
+    * is a pure row-local projection, so it runs unchanged on the stream;
+    * the stateful part is the cross-batch SHARING signal — `novel` is true
+    * iff this fingerprint value was never selected by any earlier document
+    * (earlier micro-batches, or earlier (doc_id, pos) rows of the same
+    * batch). `novel = false` rows are the boilerplate/duplication signal
+    * q233 aggregates as `n_fp_shared`; a dedup pipeline uses them as
+    * MOSS-style local-copy evidence as documents arrive. Feeding documents
+    * in doc_id order reproduces the batch first-claimant exactly
+    * (StreamingSpec pins parity over uneven micro-batches).
+    *
+    * State contract: UNBOUNDED by design — one boolean per distinct
+    * selected fingerprint (NoTimeout), the same corpus-lifetime contract
+    * as [[streamingSegmentDedup]]; winnowing guarantees density ≤ 2/(w+1)
+    * of k-grams, so state grows ~0.4 entries per k-gram at the defaults.
+    */
+  def streamingWinnowing(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, w: Int = 4): Dataset[FpNovel] = {
+    import docs.sparkSession.implicits._
+    val fps = graft.ext.Dedup.winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id").cast("long").as("doc_id"), col("pos"), col("hv"))
+      .as[FpRow]
+    fps.groupByKey(_.hv)
+      .flatMapGroupsWithState[SegSeen, FpNovel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[FpRow], state: GroupState[SegSeen]) =>
+          var seen = state.getOption.exists(_.seen)
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.pos)).map { r =>
+            val novel = !seen
+            seen = true
+            FpNovel(r.doc_id, r.pos, r.hv, novel)
+          }
+          state.update(SegSeen(true))
+          out.iterator
+      }
+  }
+
+  // ---- streaming containment candidates --------------------------------------
+
+  case class ShRow(g: Long, doc_id: Long, sz: Int, in_prefix: Boolean)
+  case class ContainOwners(aSide: List[(Long, Int)], bSide: List[(Long, Int)])
+  case class ContainCand(a_id: Long, b_id: Long, sz_a: Int, sz_b: Int)
+
+  /** Cross-batch set-containment CANDIDATE mining — the streaming twin of
+    * the q235 prefix-filter stage ([[graft.ext.Dedup
+    * .containmentPairsFromRankedIndex]]): emit every ordered pair (A, B)
+    * sharing a shingle from A's prefix with `|B| ≥ ⌈t·|A|⌉`, where A and B
+    * may arrive in different micro-batches and in either order.
+    *
+    * The batch operator's prefix order is global-document-frequency
+    * rarest-first — unknowable on a stream — so the twin uses the shingle
+    * HASH as the total order. Prefix filtering is lossless under ANY
+    * global total order (Chaudhuri et al., ICDE'06), so recall is still 1:
+    * every true containment pair is emitted as a candidate (StreamingSpec
+    * pins candidates ⊇ the batch verified pairs, and exact set-parity
+    * against a same-order batch reference). What the hash order gives up
+    * is SKEW RESISTANCE — a frequent shingle can land in many prefixes —
+    * which `maxOwners` restores operationally: an element whose owner
+    * list is full stops REGISTERING new owners (existing owners keep
+    * matching; a pair is lost only if EVERY shared prefix element
+    * overflowed — the [[streamingNearDuplicates]] bucketCap trade).
+    *
+    * Per element g, state holds (doc_id, sz) owner lists for the A side
+    * (g in prefix) and B side (all elements); a pair is emitted exactly
+    * when its LATER member arrives, so the candidate set is independent
+    * of micro-batch boundaries. A pair sharing several prefix elements
+    * emits once per element — downstream exact verification (join the
+    * candidate ids back to their stored sets, `array_intersect`, the q235
+    * verify stage) dedups, same as batch `.distinct()`.
+    *
+    * State contract: owner lists are corpus-lifetime (NoTimeout), bounded
+    * per element by `maxOwners` — total state ≤ distinct shingles ×
+    * maxOwners, the streaming rendition of the batch inverted index.
+    */
+  def streamingContainmentCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3, threshold: Double = 0.5,
+      maxOwners: Int = 1024): Dataset[ContainCand] = {
+    import docs.sparkSession.implicits._
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    // ⌈t·sz⌉ with the batch operator's round-guard (ceil(round(t·sz, 6)))
+    def req(sz: Int): Int = math.ceil(java.math.BigDecimal.valueOf(threshold * sz)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toInt
+    val sets = graft.ext.Dedup.shingleSets(docs, idCol, textCol, shingleSize)
+    val prefixLen = size(col("sset")) -
+      ceil(round(lit(threshold) * size(col("sset")), 6)) + 1
+    val rows = sets.filter(size(col("sset")) > 0)
+      .select(col("id").cast("long").as("doc_id"),
+        size(col("sset")).as("sz"), prefixLen.as("pl"),
+        posexplode(array_sort(col("sset"))).as(Seq("p", "g")))
+      .select(col("g"), col("doc_id"), col("sz"),
+        (col("p") < col("pl")).as("in_prefix"))
+      .as[ShRow]
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[ContainOwners, ContainCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rs: Iterator[ShRow], state: GroupState[ContainOwners]) =>
+          val st = state.getOption.getOrElse(ContainOwners(Nil, Nil))
+          var a = st.aSide
+          var b = st.bSide
+          val out = List.newBuilder[ContainCand]
+          rs.toSeq.sortBy(_.doc_id).foreach { r =>
+            // r as the B side of stored prefixes; r as the A side vs all
+            // stored owners of g — each pair fires when its later member
+            // arrives, so candidates are batch-boundary-independent
+            a.foreach { case (aid, asz) =>
+              if (aid != r.doc_id && r.sz >= req(asz))
+                out += ContainCand(aid, r.doc_id, asz, r.sz)
+            }
+            if (r.in_prefix) b.foreach { case (bid, bsz) =>
+              if (bid != r.doc_id && bsz >= req(r.sz))
+                out += ContainCand(r.doc_id, bid, r.sz, bsz)
+            }
+            if (b.size < maxOwners) b = (r.doc_id, r.sz) :: b
+            if (r.in_prefix && a.size < maxOwners) a = (r.doc_id, r.sz) :: a
+          }
+          state.update(ContainOwners(a, b))
+          out.result().iterator
+      }
+  }
 }

@@ -1104,4 +1104,96 @@ class StreamingSpec extends SparkSpec {
         s"doc $id")
     }
   }
+
+  test("streaming winnowing ≡ batch first-claimant over a 3-batch feed") {
+    // shared 5-gram phrases planted within a batch and across batches
+    val phrase = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq(
+      (0L, s"$phrase a1 a2 a3"),
+      (1L, s"b1 b2 $phrase b3"),        // shares doc0's phrase (same batch)
+      (2L, "c1 c2 c3 c4 c5 c6 c7"),
+      (3L, s"d1 $phrase d2 d3"),        // cross-batch share
+      (4L, "e1 e2 e3"),                 // shorter than k: no fingerprints
+      (5L, "c1 c2 c3 c4 c5"))           // exact 5-gram of doc2's head
+    val (k, w) = (5, 4)
+    // batch reference: per hv the globally first (doc_id, pos) is novel
+    val fps = graft.ext.Dedup.winnowFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val firstOf = fps.groupBy(_._3)
+      .map { case (hv, rs) => hv -> rs.map(r => (r._1, r._2)).min }
+    val expect = fps.map { case (id, pos, hv) =>
+      (id, pos, hv) -> (firstOf(hv) == ((id, pos)))
+    }.toMap
+
+    val input = MemoryStream[(Long, String)](18, spark, None)
+    val q = StreamOps.streamingWinnowing(
+      input.toDF().toDF("doc_id", "text"), k = k, w = w).toDF()
+      .writeStream.format("memory").queryName("winnow")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("winnow").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getBoolean(3))
+      .toMap
+    assert(got.keySet == expect.keySet,
+      s"fingerprint rows differ: ${got.keySet.diff(expect.keySet)} / ${expect.keySet.diff(got.keySet)}")
+    expect.foreach { case (key, novel) =>
+      assert(got(key) == novel, s"fingerprint $key: novel ${got(key)} vs $novel")
+    }
+    // the plant worked: some fingerprints are shared (non-novel rows exist)
+    assert(got.values.exists(!_), "fixture produced no shared fingerprints")
+  }
+
+  test("streaming containment candidates: batch-boundary-independent, lossless vs verified pairs") {
+    val quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (0L, s"$quote r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"), // container (arrives first)
+      (1L, quote),                                     // contained in doc0
+      (2L, "s1 s2 s3 s4 s5 s6"),
+      (3L, s"t1 t2 $quote t3"),                        // another container
+      (4L, "s1 s2 s3 s4"),                             // contained in doc2 (cross-batch, contained LAST)
+      (5L, "u1 u2 u3 u4"))
+    val t = 0.5
+    val sh = 3
+    def req(sz: Int): Int = math.ceil(java.math.BigDecimal.valueOf(t * sz)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toInt
+    // plain-Scala reference under the SAME hash total order
+    val sets = graft.ext.Dedup.shingleSets(docs.toDF("doc_id", "text"),
+      "doc_id", "text", sh).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val prefix = sets.map { case (id, s) => id -> s.take(s.size - req(s.size) + 1).toSet }
+    val expect = (for {
+      (aid, as) <- sets.toSeq; (bid, bs) <- sets.toSeq
+      if aid != bid && bs.size >= req(as.size) &&
+        prefix(aid).exists(bs.toSet.contains)
+    } yield (aid, bid, as.size, bs.size)).toSet
+
+    def run(name: String, groups: Int): Set[(Long, Long, Int, Int)] = {
+      val input = MemoryStream[(Long, String)](19 + groups, spark, None)
+      val q = StreamOps.streamingContainmentCandidates(
+        input.toDF().toDF("doc_id", "text"), shingleSize = sh, threshold = t)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        docs.grouped(groups).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    }
+    val got2 = run("contain2", 2)
+    val got3 = run("contain3", 3)
+    assert(got2 == expect, s"2-batch: ${got2.diff(expect)} / ${expect.diff(got2)}")
+    assert(got3 == expect, "candidate set depends on micro-batch boundaries")
+    // losslessness: every batch-VERIFIED containment pair is a candidate
+    val verified = graft.ext.Dedup.containmentPairs(
+      graft.ext.Dedup.shingleSets(docs.toDF("doc_id", "text"), "doc_id",
+        "text", sh), t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "fixture produced no true containment pairs")
+    val candPairs = got2.map(c => (c._1, c._2))
+    assert(verified.subsetOf(candPairs),
+      s"candidates missed verified pairs: ${verified.diff(candPairs)}")
+  }
 }
