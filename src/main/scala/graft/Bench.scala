@@ -14,6 +14,48 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- host-load evidence (round-11 verdict: a contended-box artifact
+    // must be self-identifying). Three independent signals, captured
+    // before the warm-up and again after the timed passes:
+    //   - 1-min loadavg (other processes show up directly);
+    //   - a fixed-work single-thread calibration loop (ms) — pure CPU, no
+    //     allocation: on a quiet box pre ~= post; contention inflates it
+    //     the same way it inflates the measured queries;
+    //   - whole-run /proc/stat busy fraction (this JVM's own usage
+    //     included — read it against parallel_pool, not as "foreign load").
+    // Adjudication rule (BASELINE.md "box-noise protocol"): an artifact
+    // whose parallel_wall exceeds per_query_sum, or whose calib_post_ms
+    // >> calib_pre_ms, is a loaded-box measurement — cross-check against
+    // the committed same-HEAD run instead of reading regressions from it.
+    def loadavg1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    } catch { case _: Exception => -1.0 }
+    def procStat(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      val total = l.sum
+      val idle = l(3) + (if (l.length > 4) l(4) else 0L) // idle + iowait
+      (total - idle, total)
+    } catch { case _: Exception => (0L, 0L) }
+    def calibMs(): Double = {
+      // fixed work, min of 3: a 100M-step xorshift64* chain (~0.2 s quiet)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) println("") // keep the loop observable
+        (System.nanoTime() - t0) / 1e6
+      }
+      Seq(once(), once(), once()).min
+    }
+    val loadPre = loadavg1()
+    val calibPre = calibMs()
+    val statPre = procStat()
     // Warm-up pass: run every query once untimed and SEQUENTIALLY so the
     // timed loop measures steady-state execution, not first-call codegen/JIT
     // compilation (first runs are 5-10x slower purely from generated-code
@@ -66,8 +108,19 @@ object Bench {
     val p2 = sequentialPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val wall = math.min(parallelWall(), parallelWall())
+    val loadPost = loadavg1()
+    val calibPost = calibMs()
+    val statPost = procStat()
+    val busyFrac =
+      if (statPost._2 > statPre._2)
+        (statPost._1 - statPre._1).toDouble / (statPost._2 - statPre._2)
+      else -1.0
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val loadJson =
+      s""""load":{"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},""" +
+        s""""calib_pre_ms":${fmt(calibPre)},"calib_post_ms":${fmt(calibPost)},""" +
+        s""""cpu_busy_frac":${fmt(busyFrac)},"ncpu":${Runtime.getRuntime.availableProcessors()}}"""
     // `value` = the sequential per-query total — the quantity BASELINE.md's
     // 2x gate has been measured against since round 1, so cross-round
     // comparisons stay apples-to-apples. The pool-parallel suite wall-clock
@@ -116,16 +169,18 @@ object Bench {
         .mkString("{", ",", "}")
       val shown =
         if (m.size < results.size) s""","queries_shown":${m.size}""" else ""
-      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","git_head":"$gitHead","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,"queries":$qs$shown,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","git_head":"$gitHead","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,$loadJson,"queries":$qs$shown,"sf":"$sfDir"}"""
     }
     val full = line(results)
-    // The driver captures a bounded tail of stdout; with 140+ queries the
-    // full line outgrows that window (rounds 4-5 lost the head of the line,
-    // i.e. the headline total — BENCH_r05 recorded parsed:null). Persist the
-    // full JSON to a file in the repo root so the artifact is always
-    // self-evident, print it for whole-capture consumers, and make the
-    // ABSOLUTE LAST stdout line a compact variant (total + the 25 slowest
-    // queries, ~1 KB) that stays intact inside any tail window.
+    // The driver keeps the LAST 2000 CHARACTERS of stdout and parses the
+    // final line as JSON (measured on BENCH_r11.json: tail length exactly
+    // 2000, head-truncated mid-line; rounds 4-5 recorded parsed:null when
+    // the last line outgrew the window). The full ~6 KB per-query map
+    // therefore CANNOT ride in the round artifact — the final line instead
+    // carries the headline + load evidence + as many slowest queries as
+    // fit a 1800-byte budget (self-describing via queries_shown), and the
+    // full map lives in the committed BENCH_LATEST.json /
+    // BENCH_SEQ_LATEST.json keyed by the same git_head.
     // BENCH_SEQ_LATEST.json: just the sequential min-of-two per-query map,
     // as its own artifact so round-over-round per-query regression diffing
     // never depends on the driver's bounded stdout tail.
@@ -151,6 +206,14 @@ object Bench {
     }
     spark.stop()
     println(full)
-    println(line(results.toSeq.sortBy(-_._2).take(25).toMap))
+    // adaptive final line: as many of the slowest queries as keep the line
+    // within the driver's measured 2000-char window (1800-byte budget
+    // leaves headroom for a trailing newline + key-length drift)
+    val sorted = results.toSeq.sortBy(-_._2)
+    val finalLine = (sorted.length to 1 by -1).view
+      .map(k => line(sorted.take(k).toMap))
+      .find(_.length <= 1800)
+      .getOrElse(line(sorted.take(10).toMap))
+    println(finalLine)
   }
 }

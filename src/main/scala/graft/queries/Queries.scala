@@ -86,6 +86,19 @@ object Queries {
       |    SELECT d, asset, rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
       |    FROM rev) WHERE r IS NOT NULL)""".stripMargin
 
+  /** [[RetCte]] + the per-asset value-rank window (rank under (r, d),
+    * series length n) — shared by every oracle that needs per-asset order
+    * statistics (q237 inverse-normal, q241 sketch certification), so the
+    * melted rank derivation is written once.
+    */
+  private[queries] val RetRankCte: String =
+    s"""$RetCte,
+       |rk AS (
+       |  SELECT asset, d, r,
+       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY r, d) AS rk,
+       |         COUNT(*) OVER (PARTITION BY asset) AS n
+       |  FROM ret)""".stripMargin
+
   private val BenchCte =
     """brev AS (
       |  SELECT CAST(l_shipdate AS DATE) AS d,

@@ -310,12 +310,7 @@ object Round16Queries {
   }
 
   val q237Sql: String =
-    s"""${Queries.RetCte},
-       |rk AS (
-       |  SELECT asset, d, r,
-       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY r, d) AS rk,
-       |         COUNT(*) OVER (PARTITION BY asset) AS n
-       |  FROM ret),
+    s"""${Queries.RetRankCte},
        |pp AS (SELECT asset, d, (rk - 0.375) / (n + 0.25) AS p FROM rk),
        |qq AS (SELECT asset, d, p, p - 0.5 AS q,
        |              SQRT(-LN(CASE WHEN p < 0.5 THEN p ELSE 1.0 - p END)) AS rr

@@ -338,12 +338,7 @@ object Round17Queries {
   }
 
   lazy val q241Sql: String =
-    s"""${Queries.RetCte},
-       |rk AS (
-       |  SELECT asset, d, r,
-       |         ROW_NUMBER() OVER (PARTITION BY asset ORDER BY r, d) AS rk,
-       |         COUNT(*) OVER (PARTITION BY asset) AS n
-       |  FROM ret),
+    s"""${Queries.RetRankCte},
        |dq AS (
        |  SELECT asset, CAST(MIN(n) AS BIGINT) AS n,
        |    MIN(CASE WHEN rk = FLOOR(0.05 * (n - 1)) + 1 THEN r END) AS p05,
