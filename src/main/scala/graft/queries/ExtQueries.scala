@@ -3975,11 +3975,19 @@ object ExtQueries {
     * rounded doubles, string columns as strings, other types profiled for
     * nulls/distincts only). The aggregation list is derived from the schema,
     * not hand-written per table, so the operator works on any input frame.
-    * One scan → one wide aggregate row → explode to long format; the only
-    * heavy part is the multi-column exact distinct (Catalyst expands one
-    * row per distinct aggregate), which is the correctness-gated choice —
-    * the 100-TB variant swaps `countDistinct` for `approx_count_distinct`
-    * (or the portable HLL of q52) column-for-column.
+    *
+    * Plan shape: nulls/min/max ride one wide single-row aggregate (pure
+    * map-side combine); the exact multi-column distinct is an explode to
+    * (col_idx, value) pairs → two-phase HashAggregate dedup → per-column
+    * count. The obvious alternative — `countDistinct` per column in ONE
+    * agg — plans as Catalyst's multi-distinct Expand (rows × columns) into
+    * a SortAggregate, which the sf10 sweep caught sort-SPILLING 720M
+    * expanded rows (16 min of CPU per task); the explode shape carries the
+    * same pair count but dedups map-side in the hash partial — a
+    * low-cardinality column's pairs collapse to its few values per
+    * partition before any shuffle — and never sorts. (The 100-TB variant
+    * additionally swaps exact distinct for `approx_count_distinct` or the
+    * portable HLL of q52, column-for-column.)
     */
   def q108Profile(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -4009,20 +4017,31 @@ object ExtQueries {
           lit(null).cast("string").as(s"${f.name}__smin"),
           lit(null).cast("string").as(s"${f.name}__smax"))
       }
-      Seq(count(c).as(s"${f.name}__nn"),
-        countDistinct(c).as(s"${f.name}__nd")) ++ mm
+      Seq(count(c).as(s"${f.name}__nn")) ++ mm
     }
     val wide = li.agg(count(lit(1)).as("__n"), aggExprs: _*)
-    val entries = fields.map { f =>
-      struct(lit(f.name).as("col"), lit(kindOf(f.dataType)).as("kind"),
-        col(s"${f.name}__nn").as("nn"), col(s"${f.name}__nd").as("nd"),
+    // exact distincts, scale path: (col_idx, value) pairs — value as string
+    // (Spark's cast is injective per type: distinct values ↔ distinct
+    // strings) — deduped by a two-phase hash aggregate, counted per column
+    val nds = li
+      .select(posexplode(array(fields.map(f => col(f.name).cast("string")): _*))
+        .as(Seq("__ci", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy("__ci", "__v").agg(count(lit(1)).as("__dummy"))
+      .groupBy("__ci").agg(count(lit(1)).as("nd"))
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(i).as("ci"), lit(f.name).as("col"),
+        lit(kindOf(f.dataType)).as("kind"),
+        col(s"${f.name}__nn").as("nn"),
         col(s"${f.name}__nmin").as("nmin"), col(s"${f.name}__nmax").as("nmax"),
         col(s"${f.name}__smin").as("smin"), col(s"${f.name}__smax").as("smax"))
     }
     wide.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("p"))
+      // left + coalesce: an all-null column has no pairs, distinct count 0
+      .join(broadcast(nds), col("p.ci") === col("__ci"), "left")
       .select(col("p.col").as("col"), col("p.kind").as("kind"), col("n_rows"),
         (col("n_rows") - col("p.nn")).as("n_nulls"),
-        col("p.nd").as("n_distinct"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct"),
         col("p.nmin").as("num_min"), col("p.nmax").as("num_max"),
         col("p.smin").as("str_min"), col("p.smax").as("str_max"))
       .orderBy("col")
