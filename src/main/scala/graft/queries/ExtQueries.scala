@@ -4086,9 +4086,13 @@ object ExtQueries {
     * step scales to any customer count. Revenue accumulates as exact integer
     * cents and the Gini uses the closed form `2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n`
     * over exact integer sums, so every double in the panel is one
-    * deterministic expression over exact integers. The rank key packs
-    * `cents·2²⁰ + custkey` into one unique sortable long (corpus bound:
-    * custkey < 2²⁰, cents < 2⁴³ — asserted nowhere cheap, documented here).
+    * deterministic expression over exact integers. The rank key is a STRUCT
+    * (cents, custkey) — unique because custkey is, ordered lexicographically
+    * by both engines, and bound-free (the sf10 sweep broke the previous
+    * packed-long key's custkey < 2²⁰ precondition at 1.5M customers; see the
+    * q147 pack-bound note). Σ(i·cents) accumulates in decimal(38,0) /
+    * HUGEINT: at sf10 it reaches 3.4·10²⁰, past int64, where Spark's sum
+    * wraps silently and DuckDB's errors.
     */
   def q109RevenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
     // cached: the rank's eager localCheckpoint materializes once per session
@@ -4096,13 +4100,14 @@ object ExtQueries {
       val ord = spark.read.parquet(s"$sfDir/orders.parquet")
       val rev = ord.groupBy(col("o_custkey").as("c"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-        .withColumn("key", col("cents") * lit(1048576L) + col("c"))
+        .withColumn("key", struct(col("cents"), col("c")))
         .withColumn("one", lit(1L))
       graft.ext.Curation.withGlobalOffset(rev, "key", "one", "i0")
         .withColumn("i", col("i0") + 1L)
     }
     val totals = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("sy"),
-      sum(col("i") * col("cents")).as("siy"))
+      sum(col("i").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+        .as("siy"))
     val deciles = ranked.crossJoin(broadcast(totals))
       .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
       .groupBy("decile")
@@ -4116,7 +4121,8 @@ object ExtQueries {
         round(col("rev_cents") / lit(100.0), 2).as("revenue"),
         round(col("rev_cents").cast("double") / col("sy"), 6).as("share"),
         round(col("cum_cents").cast("double") / col("sy"), 6).as("cum_share"),
-        round(lit(2.0) * col("siy") / (col("n").cast("double") * col("sy"))
+        round(lit(2.0) * col("siy").cast("double")
+          / (col("n").cast("double") * col("sy"))
           - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
       .orderBy("decile")
   }
@@ -4128,11 +4134,11 @@ object ExtQueries {
       |  FROM orders GROUP BY 1),
       |k AS (
       |  SELECT c, cents,
-      |    ROW_NUMBER() OVER (ORDER BY cents * 1048576 + c) AS i
+      |    ROW_NUMBER() OVER (ORDER BY cents, c) AS i
       |  FROM r),
       |t AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sy,
-      |    CAST(SUM(i * cents) AS BIGINT) AS siy
+      |    SUM(CAST(i AS HUGEINT) * cents) AS siy
       |  FROM k),
       |d AS (
       |  SELECT ((i - 1) * 10) // n + 1 AS decile, COUNT(*) AS n_customers,
@@ -4146,7 +4152,7 @@ object ExtQueries {
       |  ROUND(rev_cents / 100.0, 2) AS revenue,
       |  ROUND(CAST(rev_cents AS DOUBLE) / sy, 6) AS share,
       |  ROUND(CAST(cum_cents AS DOUBLE) / sy, 6) AS cum_share,
-      |  ROUND(2.0 * siy / (CAST(n AS DOUBLE) * sy) - (n + 1.0) / n, 6) AS gini
+      |  ROUND(2.0 * CAST(siy AS DOUBLE) / (CAST(n AS DOUBLE) * sy) - (n + 1.0) / n, 6) AS gini
       |FROM cum, t ORDER BY decile""".stripMargin
 
   // ---- q110 order-independent table fingerprints -----------------------------

@@ -359,8 +359,10 @@ object Round8Queries {
         // (testdata ids are dense from 0; sf0.1 tops out ~6·10^4) and
         // tokens < 9.2·10^11, else the packing collides/overflows and the
         // rank order (hence stage assignment) becomes engine-dependent.
-        // Same contract as q109's packed key; widen to a struct order key
-        // if either bound ever breaks.
+        // Widen to a struct order key if either bound ever breaks — q109's
+        // packed key DID break at sf10 (custkey > 2²⁰) and now uses
+        // struct(cents, custkey); docs don't grow at synthetic SFs, so this
+        // pack's bounds hold (doc_id tops out ~6·10⁴).
         .withColumn("__key", col("tokens") * lit(10000000L) + col("doc_id"))
         .withColumn("__one", lit(1L))
       Curation.withGlobalOffset(d, "__key", "__one", "rk0")

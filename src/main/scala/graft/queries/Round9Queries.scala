@@ -976,7 +976,11 @@ object Round9Queries {
     ranked.groupBy(col("c_nationkey").as("nationkey")).agg(
         count(lit(1)).as("n_cust"),
         sum(col("revc")).as("rev_cents"),
-        sum(col("i") * col("revc")).as("iwr"),
+        // decimal accumulator: Σ(i·revc) wraps int64 near sf100 (q109's sf10
+        // overflow one group-cardinality decade later); DuckDB's SUM(BIGINT)
+        // is already HUGEINT, so the wrap would be a silent one-sided skew
+        sum(col("i").cast("decimal(19,0)") * col("revc").cast("decimal(19,0)"))
+          .as("iwr"),
         max(col("revc")).as("max_revc"))
       .select(col("nationkey"), col("n_cust"), col("rev_cents"),
         round(lit(2.0) * col("iwr").cast("double") /
