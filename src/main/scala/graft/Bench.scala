@@ -5,6 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val pool = sys.env.getOrElse("SPARK_GRAFT_BENCH_POOL", "8").toInt
+    // Optional name filter (comma-separated, same contract as Verify's):
+    // lets magnitude sweeps time exactly the subset whose inputs grow at a
+    // synthetic SF (sf10 copies documents/embeddings/events verbatim, so
+    // timing the doc-bound queries there would measure sf0.1 twice).
+    val benchQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(f) if f.nonEmpty =>
+          val names = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = names -- SparkEntry.queries.keySet
+          require(unknown.isEmpty, s"unknown bench filter names: ${unknown.mkString(", ")}")
+          SparkEntry.queries.filter { case (k, _) => names.contains(k) }
+        case _ => SparkEntry.queries
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +75,7 @@ object Bench {
     // compilation), and so the shared per-(session, sf) cached frames are
     // all populated before any concurrency (their TrieMap getOrElseUpdate
     // could otherwise double-build under a race).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Cache-attribution hygiene: the warm-up populated the shared cached
@@ -86,7 +99,7 @@ object Bench {
     //     per-query times would be contention-inflated (~2.5x observed at
     //     pool=8), which is why they are NOT the published map.
     def sequentialPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -94,7 +107,7 @@ object Bench {
     def parallelWall(): Double = {
       val exec = java.util.concurrent.Executors.newFixedThreadPool(pool)
       val t0 = System.nanoTime()
-      val futures = SparkEntry.queries.toSeq.map { case (_, fn) =>
+      val futures = benchQueries.toSeq.map { case (_, fn) =>
         exec.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit =
             try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
@@ -140,9 +153,11 @@ object Bench {
       "q218_zorder_pruning", "q225_band_join", "q240_ivf_pq")
     // a renamed audit query (or a typo here) would silently reclassify its
     // time into non_audit_total — the regression-gating number this split
-    // exists to protect — so an unknown name fails the run loudly
-    require(auditQueries.subsetOf(results.keySet),
-      s"auditQueries not registered: ${(auditQueries -- results.keySet).mkString(", ")}")
+    // exists to protect — so an unknown name fails the run loudly. Under a
+    // bench filter the audit set legitimately shrinks to the filtered names
+    // (the filter itself already rejected unknown names against the registry).
+    require(auditQueries.subsetOf(SparkEntry.queries.keySet),
+      s"auditQueries not registered: ${(auditQueries -- SparkEntry.queries.keySet).mkString(", ")}")
     val nonAuditTotal =
       results.collect { case (k, v) if !auditQueries.contains(k) => v }.sum
     val auditTotal =

@@ -448,6 +448,64 @@ object Dedup {
         col("n_shared_spans").cast("double") / col("n_spans"))
   }
 
+  /** Longest shared contiguous token run per document pair — the
+    * exact-substring EXTENT signal of suffix-array dedup ("Deduplicating
+    * Training Data…", Lee et al. 2022), re-expressed shuffle-native with no
+    * suffix array: [[spanDuplication]] counts how MANY k-token windows a doc
+    * shares with the corpus; this answers the follow-up the dedup decision
+    * actually needs — whether those windows chain into one long verbatim
+    * passage (crawl duplication, licence boilerplate → cut the span) or sit
+    * as scattered idioms (leave the doc alone).
+    *
+    * Shape, every stage linear in matched volume:
+    *   1. positional k-gram hashes `(id, pos, h)` — one projection+explode;
+    *   2. doc-frequency band: k-grams in fewer than 2 or more than `maxDf`
+    *      docs are dropped BEFORE pairing. The cap is the megacorpus guard —
+    *      a boilerplate k-gram present in 10⁶ docs would emit ~10¹² pair
+    *      rows; a capped k-gram can only interrupt (never extend) a shared
+    *      run, so reported runs are conservative on hyper-common text and
+    *      exact everywhere else;
+    *   3. equi-join on `h` with `id_a < id_b` → matched positions
+    *      `(id_a, id_b, pa, pb)` — fan-out per position ≤ maxDf;
+    *   4. anti-diagonal gaps-and-islands: within `(id_a, id_b, pa − pb)`,
+    *      consecutive `pa` form one island = one contiguous shared run of
+    *      `island_len + k − 1` tokens (same islands primitive as the streak
+    *      and drawdown-episode operators, keyed by pair+diagonal).
+    * Steps 3–4 shuffle only MATCHED positions keyed by (id_a, id_b, diag) —
+    * never the n² pair space, never a global sort. 64-bit combined-hash
+    * identity (collision caveat as [[nearDuplicatePairs]]).
+    *
+    * @return (id_a < id_b, longest_run, n_runs, n_matched) for pairs whose
+    *         longest run is at least `minRun` tokens; `n_matched` is the
+    *         pair's total matched k-gram positions, `n_runs` its island count.
+    */
+  def longestSharedRuns(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Int = 64, minRun: Int = 16): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2")
+    val pos = df.select(col(idCol).as("id"),
+      posexplode(shingleHashesFromTokenHashes(tokenHashes(col(textCol)), k))
+        .as(Seq("pos", "h")))
+    // band filter: df >= 2 (unshared k-grams can't pair) and df <= maxDf
+    val keep = pos.groupBy("h").agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf).select("h")
+    val kept = pos.join(keep, "h")
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val wIsl = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")
+    m.withColumn("__diag", col("pa") - col("pb"))
+      .withColumn("__grp", col("pa") - row_number().over(wIsl))
+      .groupBy("id_a", "id_b", "__diag", "__grp")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("__len")) + lit(k - 1L)).as("longest_run"),
+        count(lit(1)).as("n_runs"),
+        sum(col("__len")).as("n_matched"))
+      .filter(col("longest_run") >= minRun)
+  }
+
   /** Build the benchmark-span Bloom filter alone — a reusable input artifact
     * (like cached signatures/shingle sets): sessions probing one benchmark
     * many times should build it once and pass it to the report overload.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.Pq
+import graft.ext.{Dedup, Pq}
 import graft.queries.ExtQueries.emb
 
 /** Driver-round-12 wave: composing the ANN stack into its billion-vector
@@ -25,6 +25,13 @@ import graft.queries.ExtQueries.emb
   *    relative-error guarantee asserted in the panel itself against the
   *    exact order statistics — the bounded-memory path the exact
   *    sort-bound `percentile` cannot offer at corpus scale.
+  *  - q242 exact-substring extent mining: longest shared verbatim token
+  *    run per doc pair via positional k-gram match + anti-diagonal
+  *    islands — the suffix-array dedup signal without a suffix array.
+  *  - q243 filter-agreement panel: Cohen's κ + McNemar between the two
+  *    production quality filters treated as annotators — the
+  *    labeled-data QA primitive (inter-annotator agreement) the curation
+  *    family lacked.
   */
 object Round17Queries {
 
@@ -349,13 +356,157 @@ object Round17Queries {
        |  TRUE AS ok_p05, TRUE AS ok_p95, TRUE AS ok_tail, TRUE AS buckets_ok
        |FROM dq ORDER BY asset""".stripMargin
 
+  // ---- q242 exact-substring extent mining -------------------------------------
+
+  /** Longest shared verbatim passage per candidate doc pair
+    * ([[graft.ext.Dedup.longestSharedRuns]], k=8, maxDf=64): the
+    * suffix-array dedup signal re-expressed as positional k-gram match →
+    * anti-diagonal islands. q47 counts how many 8-token windows a doc
+    * shares with the corpus; this reports whether they CHAIN — the
+    * cut-this-span evidence passage-level dedup acts on. Spark pairs on
+    * 64-bit combined k-gram hashes, the oracle on k-gram strings (the
+    * q18/q44/q47-documented equivalence); both replay the df ∈ [2, 64]
+    * band and the `pa − ROW_NUMBER()` island grouping bit-for-bit.
+    */
+  def q242SharedRuns(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.longestSharedRuns(ExtQueries.docs(spark, sfDir), "doc_id", "text",
+      k = 8, maxDf = 64, minRun = 16)
+      .orderBy("id_a", "id_b")
+
+  val q242Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |kg AS (
+      |  SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |keep AS (
+      |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM kg GROUP BY g) _
+      |  WHERE df BETWEEN 2 AND 64),
+      |kgk AS (SELECT kg.* FROM kg JOIN keep USING (g)),
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      |  FROM kgk a JOIN kgk b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT id_a, id_b, pa - pb AS diag, pa,
+      |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+      |                                 ORDER BY pa) AS grp
+      |  FROM m),
+      |runs AS (
+      |  SELECT id_a, id_b, COUNT(*) AS len
+      |  FROM isl GROUP BY id_a, id_b, diag, grp)
+      |SELECT id_a, id_b, CAST(MAX(len) + 7 AS BIGINT) AS longest_run,
+      |       CAST(COUNT(*) AS BIGINT) AS n_runs,
+      |       CAST(SUM(len) AS BIGINT) AS n_matched
+      |FROM runs GROUP BY id_a, id_b
+      |HAVING MAX(len) + 7 >= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q243 filter agreement (Cohen's kappa + McNemar) ------------------------
+
+  /** Inter-rater agreement between the two production quality filters — the
+    * Gopher-style composite rule set (q127's pass flag, verbatim) and the
+    * continuous quality score at its q39 3-dp quantization, thresholded at
+    * 0.85 (≈ the corpus median, so the rater genuinely splits) — treated
+    * as two annotators over the same corpus. Per source:
+    * the 2×2 confusion counts, observed agreement p_o, chance agreement
+    * p_e from the marginals, Cohen's κ = (p_o − p_e)/(1 − p_e), and the
+    * continuity-corrected McNemar χ² = (|b−c|−1)²/(b+c) on the discordant
+    * cells — the decision panel for "do these filters measure the same
+    * thing, and is their disagreement systematic?". Every number is one
+    * keyed aggregation over row-local flags (no shuffle beyond the
+    * groupBy), so the panel is embarrassingly parallel at corpus scale;
+    * κ degenerates to NULL when p_e = 1 (a source where both raters are
+    * constant), McNemar to NULL when b + c = 0 — both spelled as explicit
+    * CASE/when on BOTH engines rather than relying on division semantics.
+    */
+  def q243FilterAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir)
+    val m = graft.core.Exprs.bindOnce(split(col("text"), " "), t => {
+      val words = size(t).cast("long")
+      val chars = length(col("text")).cast("long")
+      val meanLen = (chars - (words - 1)).cast("double") / words
+      val stops = size(filter(t, w => w === "the" || w === "a")).cast("long")
+      val ttr = size(array_distinct(t)).cast("double") / words
+      val gopher = !(words < 20) && !(words > 100) &&
+        !(meanLen < 3.0 || meanLen > 7.0) && !(stops < 1) && !(ttr < 0.25)
+      struct(gopher.as("a"),
+        (round(graft.ext.TextStats.qualityScore(col("text")), 3) >= 0.85).as("b"))
+    })
+    val flags = d.select(col("source"), m.getField("a").as("a"), m.getField("b").as("b"))
+    val agg = flags.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum((col("a") && col("b")).cast("long")).as("n11"),
+      sum((col("a") && !col("b")).cast("long")).as("n10"),
+      sum((!col("a") && col("b")).cast("long")).as("n01"),
+      sum((!col("a") && !col("b")).cast("long")).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") / (nD * nD)
+    val disc = col("n10") + col("n01")
+    agg.select(col("source"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+        round(when(pe === 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"),
+        round(when(disc === 0, lit(null).cast("double"))
+          .otherwise(pow(abs(col("n10") - col("n01")).cast("double") - 1.0, 2.0)
+            / disc.cast("double")), 6).as("mcnemar_chi2"))
+      .orderBy("source")
+  }
+
+  val q243Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    (NOT (len(string_split(text, ' ')) < 20)
+      |     AND NOT (len(string_split(text, ' ')) > 100)
+      |     AND NOT ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |               / len(string_split(text, ' '))) < 3.0
+      |          OR (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |               / len(string_split(text, ' '))) > 7.0)
+      |     AND NOT (len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) < 1)
+      |     AND NOT ((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / len(string_split(text, ' '))) < 0.25)) AS a,
+      |    (ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) >= 0.85) AS b
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM f GROUP BY source)
+      |SELECT source, n, n11, n10, n01, n00,
+      |  ROUND((n11 + n00) * 1.0 / n, 6) AS p_o,
+      |  ROUND(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1.0
+      |        / (CAST(n AS DOUBLE) * n), 6) AS p_e,
+      |  ROUND(CASE WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1.0
+      |                  / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL
+      |    ELSE ((n11 + n00) * 1.0 / n
+      |          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1.0
+      |            / (CAST(n AS DOUBLE) * n))
+      |         / (1.0 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1.0
+      |                  / (CAST(n AS DOUBLE) * n)) END, 6) AS kappa,
+      |  ROUND(CASE WHEN n10 + n01 = 0 THEN NULL
+      |    ELSE POWER(ABS(n10 - n01) - 1.0, 2.0) / (n10 + n01) END, 6) AS mcnemar_chi2
+      |FROM agg ORDER BY source""".stripMargin
+
   // ---- registration ---------------------------------------------------------
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_ivf_pq" -> (q240IvfPqAdc _),
-    "q241_sketch_tails" -> (q241SketchTails _))
+    "q241_sketch_tails" -> (q241SketchTails _),
+    "q242_shared_runs" -> (q242SharedRuns _),
+    "q243_filter_agreement" -> (q243FilterAgreement _))
 
   lazy val oracles: Map[String, String] = Map(
     "q240_ivf_pq" -> q240Sql,
-    "q241_sketch_tails" -> q241Sql)
+    "q241_sketch_tails" -> q241Sql,
+    "q242_shared_runs" -> q242Sql,
+    "q243_filter_agreement" -> q243Sql)
 }

@@ -107,6 +107,94 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  // ---- q242 longest shared runs --------------------------------------------------
+
+  test("longestSharedRuns equals brute-force longest-common-substring on planted passages") {
+    val k = 8
+    val vocabRnd = new scala.util.Random(42017)
+    def uniq(n: Int): Seq[String] = Seq.fill(n)(f"u${vocabRnd.nextLong()}%x")
+    val p1 = (1 to 30).map(i => s"p$i")        // 30-token shared passage (A,B)
+    val p2 = (1 to 12).map(i => s"q$i")        // 12-token passage (A,C)
+    val p3 = (1 to 20).map(i => s"r$i")        // 20-token passage (C,D)
+    val p4 = (1 to 15).map(i => s"s$i")        // second (A,C) passage → 2 islands
+    val docA = (uniq(10) ++ p1 ++ uniq(7) ++ p2 ++ uniq(5) ++ p4 ++ uniq(3)).mkString(" ")
+    val docB = (uniq(6) ++ p1 ++ uniq(9)).mkString(" ")
+    val docC = (p2 ++ uniq(8) ++ p3 ++ uniq(4) ++ p4).mkString(" ")
+    val docD = (uniq(12) ++ p3 ++ uniq(3)).mkString(" ")
+    val docE = uniq(40).mkString(" ")          // shares nothing
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD), (5L, docE))
+    val got = graft.ext.Dedup.longestSharedRuns(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = k, maxDf = 64, minRun = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute-force longest common contiguous token run per pair
+    def lcsRun(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+    for (i <- docs.map(_._1); j <- docs.map(_._1) if i < j) {
+      val expect = lcsRun(toks(i), toks(j))
+      if (expect >= k)
+        assert(got.get((i, j)).map(_._1).contains(expect.toLong),
+          s"pair ($i,$j): got ${got.get((i, j))}, brute-force run $expect")
+      else
+        assert(!got.contains((i, j)), s"pair ($i,$j) below minRun but reported")
+    }
+    // the two-passage pair (A,C) must report exactly two islands
+    assert(got((1L, 3L))._2 == 2L, s"(A,C) n_runs: ${got((1L, 3L))}")
+    // n_matched on the clean 30-token passage pair = 30 - k + 1 windows
+    assert(got((1L, 2L))._3 == (30 - k + 1).toLong, s"(A,B): ${got((1L, 2L))}")
+  }
+
+  test("longestSharedRuns maxDf cap interrupts but never invents runs") {
+    // 3 docs share one boilerplate passage; with maxDf = 2 its k-grams
+    // (df = 3) are dropped, so NO pair is reported — conservative, not wrong
+    val p = (1 to 20).map(i => s"b$i").mkString(" ")
+    val rnd2 = new scala.util.Random(7)
+    def u(n: Int) = Seq.fill(n)(f"z${rnd2.nextLong()}%x").mkString(" ")
+    val docs = Seq((1L, s"${u(5)} $p ${u(5)}"), (2L, s"${u(4)} $p"), (3L, s"$p ${u(6)}"))
+      .toDF("doc_id", "text")
+    val capped = graft.ext.Dedup.longestSharedRuns(docs, "doc_id", "text",
+      k = 8, maxDf = 2, minRun = 8).count()
+    val full = graft.ext.Dedup.longestSharedRuns(docs, "doc_id", "text",
+      k = 8, maxDf = 64, minRun = 8).collect()
+    assert(capped == 0L, "df=3 k-grams must be dropped at maxDf=2")
+    assert(full.length == 3 && full.forall(_.getLong(2) == 20L),
+      s"all 3 pairs share the 20-token passage: ${full.mkString(";")}")
+  }
+
+  // ---- q243 filter agreement ------------------------------------------------------
+
+  test("q243 agreement panel: counts partition n, kappa recomputes from the cells") {
+    val got = graft.queries.Round17Queries.q243FilterAgreement(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, n11, n10, n01, n00) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n11 + n10 + n01 + n00 == n, s"cells don't partition n for ${r.getString(0)}")
+      val po = (n11 + n00).toDouble / n
+      val pe = ((n11 + n10).toDouble * (n11 + n01) +
+        (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+      assert(math.abs(r.getDouble(6) - BigDecimal(po).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      if (!r.isNullAt(8)) {
+        val kappa = (po - pe) / (1.0 - pe)
+        assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
+        assert(math.abs(r.getDouble(8) - BigDecimal(kappa).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+          s"kappa mismatch for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("DDSketch certifies random heavy-tailed frames against exact order statistics") {
     val alpha = 0.02
     val qs = Seq(0.05, 0.5, 0.95)
