@@ -32,6 +32,8 @@ import graft.queries.ExtQueries.emb
   *    production quality filters treated as annotators — the
   *    labeled-data QA primitive (inter-annotator agreement) the curation
   *    family lacked.
+  *  - q244 Fleiss' κ across three raters — the m-annotator
+  *    generalization, exact-integer per-item agreement terms.
   */
 object Round17Queries {
 
@@ -496,17 +498,107 @@ object Round17Queries {
       |    ELSE POWER(ABS(n10 - n01) - 1.0, 2.0) / (n10 + n01) END, 6) AS mcnemar_chi2
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---- q244 multi-rater agreement (Fleiss' kappa) ------------------------------
+
+  /** Fleiss' κ across THREE quality raters — the Gopher composite (q127),
+    * the thresholded continuous score (q243's rater B), and a
+    * lexical-diversity filter (distinct-token ratio ≥ 0.5) — the
+    * multi-annotator generalization q243's pairwise κ can't express. Per
+    * item with m = 3 raters and binary categories, the agreement term is
+    * exact-integer: P_i = (n_pass² + (m−n_pass)² − m)/(m(m−1)), so the
+    * per-source panel aggregates Σn_pass and ΣP_i-numerators as BIGINTs
+    * and divides once at the end — bit-deterministic in both engines, one
+    * keyed aggregation, embarrassingly parallel. κ is NULL when chance
+    * agreement P̄_e = 1 (all three raters constant in a source).
+    */
+  def q244FleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ExtQueries.docs(spark, sfDir)
+    val m = graft.core.Exprs.bindOnce(split(col("text"), " "), t => {
+      val words = size(t).cast("long")
+      val chars = length(col("text")).cast("long")
+      val meanLen = (chars - (words - 1)).cast("double") / words
+      val stops = size(filter(t, w => w === "the" || w === "a")).cast("long")
+      val ttr = size(array_distinct(t)).cast("double") / words
+      val gopher = !(words < 20) && !(words > 100) &&
+        !(meanLen < 3.0 || meanLen > 7.0) && !(stops < 1) && !(ttr < 0.25)
+      val score = round(graft.ext.TextStats.qualityScore(col("text")), 3) >= 0.85
+      val diverse = ttr >= 0.5
+      (gopher.cast("long") + score.cast("long") + diverse.cast("long")).as("np")
+    })
+    val per = d.select(col("source"), m.as("np"))
+      .withColumn("pnum", col("np") * col("np") + (lit(3L) - col("np")) * (lit(3L) - col("np")) - 3L)
+    val agg = per.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("np")).as("n_pass_total"),
+      sum(col("pnum")).as("pnum_total"))
+    val nD = col("n").cast("double")
+    val pPass = col("n_pass_total").cast("double") / (lit(3.0) * nD)
+    val pBar = col("pnum_total").cast("double") / (lit(6.0) * nD)
+    val pE = pPass * pPass + (lit(1.0) - pPass) * (lit(1.0) - pPass)
+    agg.select(col("source"), col("n"), col("n_pass_total"),
+        round(pPass, 6).as("p_pass"),
+        round(pBar, 6).as("p_bar"),
+        round(pE, 6).as("p_e"),
+        round(when(pE === 1.0, lit(null).cast("double"))
+          .otherwise((pBar - pE) / (lit(1.0) - pE)), 6).as("fleiss_kappa"))
+      .orderBy("source")
+  }
+
+  val q244Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    (CASE WHEN NOT (len(string_split(text, ' ')) < 20)
+      |     AND NOT (len(string_split(text, ' ')) > 100)
+      |     AND NOT ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |               / len(string_split(text, ' '))) < 3.0
+      |          OR (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |               / len(string_split(text, ' '))) > 7.0)
+      |     AND NOT (len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) < 1)
+      |     AND NOT ((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / len(string_split(text, ' '))) < 0.25) THEN 1 ELSE 0 END)
+      |    + (CASE WHEN ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |      + (CASE WHEN (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |                    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))
+      |               BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+      |      + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |                     / GREATEST(LENGTH(text), 1) * 5.0, 1.0)) * 0.2, 3) >= 0.85
+      |        THEN 1 ELSE 0 END)
+      |    + (CASE WHEN (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |                  / len(string_split(text, ' '))) >= 0.5 THEN 1 ELSE 0 END) AS np
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(np) AS BIGINT) AS n_pass_total,
+      |    CAST(SUM(np * np + (3 - np) * (3 - np) - 3) AS BIGINT) AS pnum_total
+      |  FROM f GROUP BY source),
+      |kap AS (
+      |  SELECT source, n, n_pass_total,
+      |    n_pass_total / (3.0 * n) AS pp,
+      |    pnum_total / (6.0 * n) AS pbar
+      |  FROM agg)
+      |SELECT source, n, n_pass_total,
+      |  ROUND(pp, 6) AS p_pass,
+      |  ROUND(pbar, 6) AS p_bar,
+      |  ROUND(pp * pp + (1.0 - pp) * (1.0 - pp), 6) AS p_e,
+      |  ROUND(CASE WHEN pp * pp + (1.0 - pp) * (1.0 - pp) = 1.0 THEN NULL
+      |    ELSE (pbar - (pp * pp + (1.0 - pp) * (1.0 - pp)))
+      |         / (1.0 - (pp * pp + (1.0 - pp) * (1.0 - pp))) END, 6)
+      |    AS fleiss_kappa
+      |FROM kap ORDER BY source""".stripMargin
+
   // ---- registration ---------------------------------------------------------
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_ivf_pq" -> (q240IvfPqAdc _),
     "q241_sketch_tails" -> (q241SketchTails _),
     "q242_shared_runs" -> (q242SharedRuns _),
-    "q243_filter_agreement" -> (q243FilterAgreement _))
+    "q243_filter_agreement" -> (q243FilterAgreement _),
+    "q244_fleiss_kappa" -> (q244FleissKappa _))
 
   lazy val oracles: Map[String, String] = Map(
     "q240_ivf_pq" -> q240Sql,
     "q241_sketch_tails" -> q241Sql,
     "q242_shared_runs" -> q242Sql,
-    "q243_filter_agreement" -> q243Sql)
+    "q243_filter_agreement" -> q243Sql,
+    "q244_fleiss_kappa" -> q244Sql)
 }

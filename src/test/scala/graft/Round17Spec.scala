@@ -195,6 +195,62 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q244 Fleiss kappa equals an independent driver-side recompute of all three raters") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent recompute: plain-Scala raters over the raw parquet text
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def np(text: String): Long = {
+      val t = text.split(" ", -1)
+      val words = t.length
+      val chars = text.length
+      val meanLen = (chars - (words - 1)).toDouble / words
+      val stops = t.count(w => w == "the" || w == "a")
+      val ttr = t.distinct.length.toDouble / words
+      val gopher = !(words < 20) && !(words > 100) &&
+        !(meanLen < 3.0 || meanLen > 7.0) && !(stops < 1) && !(ttr < 0.25)
+      val noSpace = text.replace(" ", "")
+      val tokensSimple = (chars - noSpace.length) + 1
+      val awl = noSpace.length.toDouble / tokensSimple
+      val punct = (chars - text.replaceAll("\\p{Punct}", "").length).toDouble /
+        math.max(chars, 1)
+      val q = math.min(chars / 500.0, 1.0) * 0.4 +
+        (if (awl >= 3.0 && awl <= 10.0) 1.0 else 0.5) * 0.4 +
+        (1.0 - math.min(punct * 5.0, 1.0)) * 0.2
+      val score = BigDecimal(q).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= 0.85
+      val diverse = ttr >= 0.5
+      Seq(gopher, score, diverse).count(identity).toLong
+    }
+    val expect = rows.groupBy(_._1).map { case (src, docs) =>
+      val nps = docs.map(d => np(d._2))
+      val n = nps.length
+      val npt = nps.sum
+      val pnum = nps.map(x => x * x + (3 - x) * (3 - x) - 3).sum
+      val pp = npt.toDouble / (3.0 * n)
+      val pbar = pnum.toDouble / (6.0 * n)
+      val pe = pp * pp + (1.0 - pp) * (1.0 - pp)
+      src -> (n.toLong, npt, r6(pp), r6(pbar), r6(pe),
+        if (pe == 1.0) None else Some(r6((pbar - pe) / (1.0 - pe))))
+    }
+    val got = graft.queries.Round17Queries.q244FleissKappa(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert(r.getLong(1) == e._1 && r.getLong(2) == e._2,
+        s"${r.getString(0)}: counts ${r.getLong(1)}/${r.getLong(2)} vs $e")
+      assert(r.getDouble(3) == e._3 && r.getDouble(4) == e._4 && r.getDouble(5) == e._5,
+        s"${r.getString(0)}: p components differ")
+      e._6 match {
+        case Some(k) => assert(r.getDouble(6) == k, s"${r.getString(0)}: kappa ${r.getDouble(6)} != $k")
+        case None => assert(r.isNullAt(6))
+      }
+    }
+  }
+
   test("DDSketch certifies random heavy-tailed frames against exact order statistics") {
     val alpha = 0.02
     val qs = Seq(0.05, 0.5, 0.95)
