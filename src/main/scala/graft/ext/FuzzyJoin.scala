@@ -43,7 +43,11 @@ object FuzzyJoin {
         expr("concat(substring(s, 1, pos), char(1), substring(s, pos + 2))")
           .as("masked"),
         expr("substring(s, pos + 1, 1)").as("ch"))
-    keyed.as("a").join(keyed.as("b"),
+    // shuffled-hash hint: both sides shuffle on the masked key either way,
+    // but SHJ skips sort-merge's two full sorts of the L-fold expanded key
+    // frames; per-partition build size is bounded (hash-partitioned masked
+    // keys, bucket sizes alphabet-bounded), so the build always fits
+    keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
         col("a.pos") === col("b.pos") && col("a.masked") === col("b.masked") &&
           col("a.id") < col("b.id") && col("a.ch") =!= col("b.ch"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

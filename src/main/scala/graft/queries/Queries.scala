@@ -474,7 +474,7 @@ object Queries {
     val li = lineitem(spark, sfDir)
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
-    val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val rev = li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"),
         col("c_mktsegment").as("segment"))
@@ -813,11 +813,18 @@ object Queries {
           coalesce(col("c8"), lit(0L)).as("n_violations")))).as("e"))
       .select("e.check_id", "e.check_name", "e.n_violations")
     val checks = Seq(
+      // orphan ROWS counted through per-key counts: the groupBy(l_orderkey)
+      // map-side combine collapses ~4 lines/order BEFORE the shuffle, and the
+      // anti-join then runs keys-vs-keys (15M vs 15M at sf10) instead of
+      // sorting all 60M fact rows through a sort-merge anti
       chk(1, "lineitem_orphan_orderkey",
-        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("v"))),
+        l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("rows_per_key"))
+          .join(o.select(col("o_orderkey")).hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(sum(col("rows_per_key")).as("v"))),
       chk(2, "orders_orphan_custkey",
-        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        o.join(broadcast(c.select(col("c_custkey"))),
+            o("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("v"))),
       chk(3, "orders_dup_orderkey",
         o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
@@ -999,12 +1006,16 @@ object Queries {
 
   /** Deep join-chain analytic (TPC-H Q5 shape): revenue per nation where the
     * supplier and the ordering customer share a nation ("local supplier"
-    * volume). The one genuinely large join — lineitem ⋈ orders on the order
-    * key — shuffles both sides on that key exactly once; customer, supplier
-    * and nation are broadcast hops, and the local-supplier predicate
-    * `c_nationkey = s_nationkey` is a post-broadcast filter, so the fact
-    * table never shuffles on a dimension key. Revenue sums in exact integer
-    * 1e-4 units (see q74) for summation-order independence.
+    * volume). The one genuinely large join — lineitem ⋈ orders — shuffles
+    * both sides exactly once, as a SHUFFLED HASH join (hinted: neither side
+    * needs the sort-merge sort) with the local-supplier predicate INSIDE the
+    * join condition: both facts are annotated with their nationkey through
+    * broadcast dimension hops BEFORE the shuffle (supplier → lineitem,
+    * customer → orders), so the join emits the ~1/nations matching rows
+    * directly instead of materializing every orderkey match and filtering
+    * after (at sf10: 2.4M rows out instead of 60M through two post-join
+    * broadcast probes). Revenue sums in exact integer 1e-4 units (see q74)
+    * for summation-order independence.
     */
   def q105RegionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val l = lineitem(spark, sfDir)
@@ -1016,11 +1027,14 @@ object Queries {
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     val wr = Window.partitionBy(lit(0))
       .orderBy(col("revenue").desc, col("nation"))
-    l.join(ord, l("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-      .where(cust("c_nationkey") === sup("s_nationkey"))
-      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+    val liN = l.join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+      l("l_suppkey") === col("s_suppkey"))
+    val ordN = ord.join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+      ord("o_custkey") === cust("c_custkey"))
+    liN.join(ordN.hint("shuffle_hash"),
+        liN("l_orderkey") === ordN("o_orderkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
         // exact-cents pattern, same reason as q74 (sf1 half-boundary flip)

@@ -791,24 +791,52 @@ object Round10Queries {
     * median-based Levene variant that is robust to non-normality. Group
     * medians of integer day-lags are exact half-integers, so DOUBLED
     * deviations 2z are exact BIGINTs and all ANOVA sums (Σ2z, Σ(2z)² per
-    * group) are exact; the 2× scale cancels in F. The medians come from one
-    * exact `percentile` per group (bounded group count), then join back as
-    * a broadcast lookup — no window over the fact table.
+    * group) are exact; the 2× scale cancels in F.
+    *
+    * Scale shape: day-lags are SMALL integers, so after the one fact join
+    * the whole test runs on the (flag, lag, count) frame — a map-side-
+    * combined aggregation to a few hundred rows. The interpolated median
+    * comes from cumulative counts on that frame (m2 = vLo + vHi, the two
+    * central order statistics — exactly `percentile(lag, .5) × 2`), and
+    * the z-sums are count-weighted. The previous formulation scanned the
+    * 60M-row join TWICE (once into an exact-`percentile` object aggregate
+    * that buffers per-group values, once for the z pass) — 16 s at sf10;
+    * this one joins once and aggregates once, ~4× faster, and the object
+    * aggregate is gone entirely.
     */
   def q196BrownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
     val o = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-    val lagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val lagged = li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_returnflag"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
-    val med = lagged.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(lag, 0.5) * 2"), 0).cast("long").as("m2"))
-    val z = lagged.join(broadcast(med), "l_returnflag")
-      .select(col("l_returnflag"), abs(col("lag") * 2 - col("m2")).as("z2"))
-    val perG = z.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("nj"), sum(col("z2")).as("sz"),
-        sum(col("z2") * col("z2")).as("szz"))
+    // localCheckpoint: the counts frame feeds BOTH the median derivation and
+    // the z pass — without the pin, each consumer re-executes the 60M-row
+    // fact join; with it, the join runs once and both passes read ~600 rows
+    val cnt = lagged.groupBy(col("l_returnflag"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy("l_returnflag").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    val withCum = cnt
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("njw", sum(col("c")).over(wAll))
+    // value at 0-indexed order statistic p = min lag with cum >= p + 1;
+    // pLo = (n-1) div 2, pHi = n div 2; m2 = vLo + vHi = percentile(.5) * 2
+    val med = withCum.groupBy(col("l_returnflag")).agg(
+      min(when(col("cum") >=
+        graft.ext.Layout.idiv(col("njw") - 1, lit(2L)) + 1L, col("lag"))).as("vlo"),
+      min(when(col("cum") >=
+        graft.ext.Layout.idiv(col("njw"), lit(2L)) + 1L, col("lag"))).as("vhi"))
+      .select(col("l_returnflag"), (col("vlo") + col("vhi")).as("m2"))
+    val perG = cnt.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("c"),
+        abs(col("lag") * 2 - col("m2")).as("z2"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("c")).as("nj"), sum(col("c") * col("z2")).as("sz"),
+        sum(col("c") * col("z2") * col("z2")).as("szz"))
     val g = perG.agg(sum(col("nj")).as("n"), sum(col("sz")).as("tz"),
       count(lit(1)).as("k"))
     perG.crossJoin(broadcast(g))
@@ -959,6 +987,11 @@ object Round10Queries {
     // so the distinct counts become COUNT/SUM and the planner never emits
     // the 3x Expand a multi-distinct aggregate needs (measured 2.9->1.5 s
     // at sf0.1)
+    // NO shuffle-hash hint here, deliberately: the sort-merge join's sorted-
+    // by-orderkey output feeds the (orderkey, suppkey) aggregation — ~one
+    // group per input row — as a streaming sort-based aggregate; a hash join
+    // would force a 60M-entry hash aggregate that spills (measured 10 s SMJ
+    // vs 27 s SHJ at sf10)
     val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(

@@ -488,8 +488,11 @@ object Round14Queries {
       lc.filter(col("l_shipdate") >= col("cut")))
     val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
       .cast("long")
+    // shuffled-hash hints: all five audit joins shuffle on the order key
+    // regardless; SHJ (orders side builds) skips sort-merge's sort of the
+    // lineitem side in each term — the audit's dominant cost at sf10
     def agg(os: DataFrame, ls: DataFrame): DataFrame =
-      os.select(col("o_orderkey"), col("o_orderpriority"))
+      os.select(col("o_orderkey"), col("o_orderpriority")).hint("shuffle_hash")
         .join(ls.select(col("l_orderkey"), cents.as("cents")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")

