@@ -9,6 +9,8 @@ object Bench {
     // lets magnitude sweeps time exactly the subset whose inputs grow at a
     // synthetic SF (sf10 copies documents/embeddings/events verbatim, so
     // timing the doc-bound queries there would measure sf0.1 twice).
+    val filterActive: Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER").exists(_.nonEmpty)
     val benchQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
         case Some(f) if f.nonEmpty =>
@@ -184,7 +186,12 @@ object Bench {
         .mkString("{", ",", "}")
       val shown =
         if (m.size < results.size) s""","queries_shown":${m.size}""" else ""
-      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","git_head":"$gitHead","parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,$loadJson,"queries":$qs$shown,"sf":"$sfDir"}"""
+      // a filtered run's totals cover only the subset — mark the artifact so
+      // cross-round gates never misread a subset total as a suite improvement
+      val filt =
+        if (filterActive) s""","filter":true,"filter_n":${benchQueries.size}"""
+        else ""
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","mode":"sequential_min2","git_head":"$gitHead"$filt,"parallel_wall":${fmt(wall)},"parallel_pool":$pool,"per_query_sum":${fmt(results.values.sum)},"non_audit_total":${fmt(nonAuditTotal)},"audit_total":${fmt(auditTotal)},"warmed_caches":$warmed,$loadJson,"queries":$qs$shown,"sf":"$sfDir"}"""
     }
     val full = line(results)
     // The driver keeps the LAST 2000 CHARACTERS of stdout and parses the
@@ -203,14 +210,21 @@ object Bench {
       val qs = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"per_query_seq_min2","total":${fmt(results.values.sum)},"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir"}"""
+      val filt = if (filterActive) s""","filter":true""" else ""
+      s"""{"metric":"per_query_seq_min2","total":${fmt(results.values.sum)},"unit":"sec","git_head":"$gitHead"$filt,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // Filtered runs must NOT overwrite the canonical whole-suite artifacts
+    // (a subset total committed as BENCH_LATEST.json would read as a huge
+    // same-HEAD improvement); they get their own clearly-named files.
+    val (latestName, seqName) =
+      if (filterActive) ("BENCH_FILTERED_LATEST.json", "BENCH_FILTERED_SEQ_LATEST.json")
+      else ("BENCH_LATEST.json", "BENCH_SEQ_LATEST.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LATEST.json"),
+        java.nio.file.Paths.get(latestName),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_SEQ_LATEST.json"),
+        java.nio.file.Paths.get(seqName),
         (seqOnly + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       // surface the failure (a stale artifact silently surviving is the
@@ -225,10 +239,13 @@ object Bench {
     // within the driver's measured 2000-char window (1800-byte budget
     // leaves headroom for a trailing newline + key-length drift)
     val sorted = results.toSeq.sortBy(-_._2)
+    // fallback is the ZERO-query headline (strictly shorter than any k>=1
+    // line) — a take(10) fallback would be longer than the 1-query line that
+    // just failed the budget, guaranteeing the truncation this loop prevents
     val finalLine = (sorted.length to 1 by -1).view
       .map(k => line(sorted.take(k).toMap))
       .find(_.length <= 1800)
-      .getOrElse(line(sorted.take(10).toMap))
+      .getOrElse(line(Map.empty))
     println(finalLine)
   }
 }

@@ -380,32 +380,42 @@ case class PqAdcSelect(left: Expression, right: Expression,
       s"$prettyName requires (array<int> codes, int queryIdx), got (${l.catalogString}, ${r.catalogString})")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
-    val lut = luts(b.asInstanceOf[Int])
+  /** Shared by the interpreted and codegen paths. Contract checks fail
+    * LOUDLY with a typed error instead of AIOOBE-from-generated-code or —
+    * worse — a silently partial sum: a qi from a different query batch, a
+    * codes column of the wrong m, or a code beyond the codebook's k are
+    * all caller bugs (mixed codebooks), never data conditions to tolerate.
+    */
+  def adcRow(codes: ArrayData, qi: Int): Double = {
+    if (qi < 0 || qi >= luts.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: query index $qi outside LUT batch [0, ${luts.length})")
+    val lut = luts(qi)
+    if (codes.numElements() != lut.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: codes has m=${codes.numElements()} subspaces but the " +
+          s"LUT was built for m=${lut.length} — mixed codebooks?")
     var s = 0.0
     var m = 0
-    val nm = math.min(codes.numElements(), lut.length)
-    while (m < nm) { s += lut(m)(codes.getInt(m)); m += 1 }
+    while (m < lut.length) {
+      val code = codes.getInt(m)
+      if (code < 0 || code >= lut(m).length)
+        throw new IllegalArgumentException(
+          s"$prettyName: code $code at subspace $m outside codebook k=${lut(m).length}")
+      s += lut(m)(code)
+      m += 1
+    }
     s
   }
 
+  override def nullSafeEval(a: Any, b: Any): Any =
+    adcRow(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val l = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
-      val s = ctx.freshName("s")
-      val m = ctx.freshName("m")
-      val nm = ctx.freshName("nm")
-      val lut = ctx.freshName("lut")
-      s"""
-         |double[][] $lut = $l[$b];
-         |double $s = 0.0;
-         |int $nm = java.lang.Math.min($a.numElements(), $lut.length);
-         |for (int $m = 0; $m < $nm; $m++) {
-         |  $s += $lut[$m][$a.getInt($m)];
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      val ref = ctx.addReferenceObj("pqAdcSelect", this,
+        classOf[PqAdcSelect].getName)
+      s"${ev.value} = $ref.adcRow($a, $b);"
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcSelect =

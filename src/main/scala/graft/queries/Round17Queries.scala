@@ -172,9 +172,22 @@ object Round17Queries {
         "left")
       .groupBy("query_id").agg(sum(hit).as("recall10"))
 
-    nsc.join(ceil, "query_id").join(adcRec, "query_id").join(rrec, "query_id")
-      .select(col("query_id"), col("n_scanned"), col("scanned_frac"),
-        col("ceiling10"), col("adc_recall10"), col("recall10"))
+    // Panel rows anchor on the QUERY LIST, not on the candidate set: a
+    // query whose probed lists are empty must report n_scanned=0/recall 0
+    // — the worst pruning failures are exactly the rows an inner join
+    // would silently drop (ADVICE r12). ceil always has every query
+    // (exactTop is corpus-derived); nsc/adcRec/rrec can be empty.
+    val base = queries.map(_._1).toDF("query_id")
+    base.join(nsc, Seq("query_id"), "left")
+      .join(ceil, Seq("query_id"), "left")
+      .join(adcRec, Seq("query_id"), "left")
+      .join(rrec, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        coalesce(col("scanned_frac"), lit(0.0)).as("scanned_frac"),
+        coalesce(col("ceiling10"), lit(0L)).as("ceiling10"),
+        coalesce(col("adc_recall10"), lit(0L)).as("adc_recall10"),
+        coalesce(col("recall10"), lit(0L)).as("recall10"))
       .orderBy("query_id")
   }
 
@@ -282,14 +295,18 @@ object Round17Queries {
        |  FROM rer r LEFT JOIN etop t
        |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
        |  GROUP BY 1)
-       |SELECT n.query_id, n.n_scanned,
-       |  ROUND(n.n_scanned * 1.0 / tot.n, 6) AS scanned_frac,
-       |  ceil.ceiling10, arec.adc_recall10, rrec.recall10
-       |FROM nsc n CROSS JOIN tot
-       |JOIN ceil ON ceil.query_id = n.query_id
-       |JOIN arec ON arec.query_id = n.query_id
-       |JOIN rrec ON rrec.query_id = n.query_id
-       |ORDER BY n.query_id""".stripMargin
+       |SELECT q.query_id,
+       |  COALESCE(n.n_scanned, 0) AS n_scanned,
+       |  COALESCE(ROUND(n.n_scanned * 1.0 / tot.n, 6), 0.0) AS scanned_frac,
+       |  COALESCE(ceil.ceiling10, 0) AS ceiling10,
+       |  COALESCE(arec.adc_recall10, 0) AS adc_recall10,
+       |  COALESCE(rrec.recall10, 0) AS recall10
+       |FROM q CROSS JOIN tot
+       |LEFT JOIN nsc n ON n.query_id = q.query_id
+       |LEFT JOIN ceil ON ceil.query_id = q.query_id
+       |LEFT JOIN arec ON arec.query_id = q.query_id
+       |LEFT JOIN rrec ON rrec.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
   }
 
   // ---- q241 certified sketch quantiles (trade-stat tail family) --------------

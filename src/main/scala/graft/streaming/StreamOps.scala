@@ -1047,6 +1047,12 @@ object StreamOps {
           val st = state.getOption.getOrElse(ContainOwners(Nil, Nil))
           var a = st.aSide
           var b = st.bSide
+          // owner-list lengths tracked incrementally: List.size is O(n), so
+          // calling it per arriving row made a hot shingle group O(rows ×
+          // maxOwners) just to CHECK the cap — count once per invocation,
+          // increment on prepend (ADVICE r12)
+          var na = a.size
+          var nb = b.size
           val out = List.newBuilder[ContainCand]
           rs.toSeq.sortBy(_.doc_id).foreach { r =>
             // r as the B side of stored prefixes; r as the A side vs all
@@ -1060,8 +1066,8 @@ object StreamOps {
               if (bid != r.doc_id && bsz >= req(r.sz))
                 out += ContainCand(r.doc_id, bid, r.sz, bsz)
             }
-            if (b.size < maxOwners) b = (r.doc_id, r.sz) :: b
-            if (r.in_prefix && a.size < maxOwners) a = (r.doc_id, r.sz) :: a
+            if (nb < maxOwners) { b = (r.doc_id, r.sz) :: b; nb += 1 }
+            if (r.in_prefix && na < maxOwners) { a = (r.doc_id, r.sz) :: a; na += 1 }
           }
           state.update(ContainOwners(a, b))
           out.result().iterator

@@ -52,6 +52,26 @@ class Round17Spec extends SparkSpec {
     assert(got.toSeq == Seq(false, true, true))
   }
 
+  test("PqAdcSelect fails loudly on codebook-contract violations (not AIOOBE / partial sums)") {
+    val luts = Array.fill(2)(Pq.queryLut(randVec(8), randCb(2, 4, 4)))
+    def msgFor(codes: Seq[Int], qi: Int): String = {
+      val e = intercept[Exception] { // bare IAE in local mode, task-wrapped on a cluster
+        Seq((codes, qi)).toDF("codes", "qi")
+          .select(VectorExprs.pqAdcSelect(col("codes"), col("qi"), luts))
+          .collect()
+      }
+      // root cause is the typed IllegalArgumentException, possibly wrapped
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      assert(c.isInstanceOf[IllegalArgumentException], s"got $c")
+      c.getMessage
+    }
+    assert(msgFor(Seq(1, 2), 7).contains("outside LUT batch"))          // bad qi
+    assert(msgFor(Seq(1, 2, 3), 0).contains("mixed codebooks"))         // m mismatch
+    assert(msgFor(Seq(1), 0).contains("mixed codebooks"))               // m mismatch (short)
+    assert(msgFor(Seq(1, 9), 0).contains("outside codebook"))           // code >= k
+  }
+
   // ---- PqEncodeRounded null elements -------------------------------------------
 
   test("PqEncodeRounded emits code 0 for a subspace touching a null element, matching the unrolled form") {
