@@ -464,9 +464,18 @@ object Dedup {
     *      a boilerplate k-gram present in 10⁶ docs would emit ~10¹² pair
     *      rows; a capped k-gram can only interrupt (never extend) a shared
     *      run, so reported runs are conservative on hyper-common text and
-    *      exact everywhere else;
-    *   3. equi-join on `h` with `id_a < id_b` → matched positions
-    *      `(id_a, id_b, pa, pb)` — fan-out per position ≤ maxDf;
+    *      exact everywhere else. Band check AND pairing share ONE
+    *      aggregation: positions group by `h` (the df band is a size test
+    *      on the group's distinct ids — groups past `maxDf` distinct ids
+    *      are discarded whole, so the buffered list is `maxDf`-bounded
+    *      per doc), replacing the former keep-aggregate + two-sided
+    *      self-join, which shuffled the position table three times
+    *      (optimization guide §2.3/§2.4 — r13: 3 position-table
+    *      exchanges → 1, sf0.1 bench 2.1 s → measured after);
+    *   3. row-local pair expansion within each banded group (two chained
+    *      generators, `id_a < id_b`) → matched positions
+    *      `(id_a, id_b, pa, pb)` — fan-out per position ≤ maxDf, exactly
+    *      the pair set the equi-join emitted;
     *   4. anti-diagonal gaps-and-islands: within `(id_a, id_b, pa − pb)`,
     *      consecutive `pa` form one island = one contiguous shared run of
     *      `island_len + k − 1` tokens (same islands primitive as the streak
@@ -486,12 +495,21 @@ object Dedup {
     val pos = df.select(col(idCol).as("id"),
       posexplode(shingleHashesFromTokenHashes(tokenHashes(col(textCol)), k))
         .as(Seq("pos", "h")))
-    // band filter: df >= 2 (unshared k-grams can't pair) and df <= maxDf
-    val keep = pos.groupBy("h").agg(countDistinct(col("id")).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf).select("h")
-    val kept = pos.join(keep, "h")
-    val m = kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    // band filter + pairing in ONE shuffle: group positions by hash, test
+    // the df band on the group (distinct ids), and expand pairs row-locally.
+    // The former shape (keep-aggregate, then kept ⋈ keep, then kept ⋈ kept
+    // self-join) shuffled `pos` three times and re-executed its
+    // tokenize+shingle subtree on both self-join sides; this one shuffles
+    // it once. Group size is bounded by maxDf docs × their occurrences of
+    // one k-gram — the same volume the self-join's per-key fan-out carried.
+    val grouped = pos.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("__items"))
+      .filter(size(array_distinct(transform(col("__items"),
+        x => x.getField("id")))).between(2, maxDf))
+    val m = grouped
+      .select(col("__items"), explode(col("__items")).as("a"))
+      .select(col("a"), explode(col("__items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
     val wIsl = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pa")

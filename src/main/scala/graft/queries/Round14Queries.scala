@@ -88,8 +88,22 @@ object Round14Queries {
       Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f"), "f",
           Seq("c", "d"))
         .withColumn("layout", lit(name))
-    val zms = zm("nk", "nat").unionByName(zm("dk", "date"))
-      .unionByName(zm("zk", "z")).unionByName(zm("hk", "hilbert"))
+    // the four layout ranks are independent eager pipelines (fileAssign's
+    // range-shuffle → localCheckpoint → per-partition-count collect each
+    // submit 2 driver-blocking jobs): submit them CONCURRENTLY so the audit
+    // pays the slowest layout, not the sum of four (optimization guide
+    // §2.6 — r13: measured 4.7 s → after; the checkpointed `base` all four
+    // read is already materialized above, so there is no cache race)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val zmEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val zmF = Seq(("nk", "nat"), ("dk", "date"), ("zk", "z"), ("hk", "hilbert"))
+      .map { case (k, nm) =>
+        Future(scala.concurrent.blocking { zm(k, nm) })
+      }
+    val zms = Await.result(Future.sequence(zmF), Duration.Inf)
+      .reduce(_.unionByName(_))
 
     // the 24-predicate workload, exact integer quarter boundaries
     def q4(lo: Long, hi: Long, i: Long): (Long, Long) = {
@@ -262,30 +276,35 @@ object Round14Queries {
     val or = tbl(spark, sfDir, "orders")
     val ev = ExtQueries.events(spark, sfDir)
 
-    def counts(df: DataFrame, key: String, sampled: Boolean): DataFrame = {
-      val in = if (sampled) df.filter(jseBucket(col(key)) === 0) else df
-      in.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
-    }
-    // a SELF-join's size is Σ f² — one aggregation over the count frame,
-    // no join at all (selfPair); only genuinely two-sided pairs join their
-    // (key-domain-bounded) count frames
-    def innerProduct(a: DataFrame, b: Option[DataFrame]): DataFrame = b match {
-      case None =>
-        a.agg(coalesce(sum(col("f") * col("f")), lit(0L)).as("s"))
-      case Some(bb) =>
-        a.join(bb.select(col("k"), col("f").as("g")), "k")
-          .agg(coalesce(sum(col("f") * col("g")), lit(0L)).as("s"))
-    }
-
+    def counts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+    // r13 (optimization guide §2.3): the sampled estimator's term is the
+    // SAME per-key count frame restricted to bucket-0 keys — the hash is a
+    // pure key function, so filtering the aggregated frame is identical to
+    // aggregating the filtered scan. Computing exact and sampled terms as
+    // two conditional sums of ONE aggregation (after ONE join for the
+    // two-sided pair) halves every scan and join in the panel: the old
+    // shape scanned each side twice (full + sampled counts) and ran two
+    // joins per two-sided pair. A SELF-join's size is Σ f² — one
+    // aggregation over the count frame, no join at all.
     def pair(name: String, a: DataFrame, ka: String,
         b: Option[(DataFrame, String)]): DataFrame = {
-      val exact = innerProduct(counts(a, ka, sampled = false),
-        b.map { case (bb, kb) => counts(bb, kb, sampled = false) })
-        .select(col("s").as("exact_rows"))
-      val est = innerProduct(counts(a, ka, sampled = true),
-        b.map { case (bb, kb) => counts(bb, kb, sampled = true) })
-        .select((col("s") * JseMod).as("est_rows"))
-      exact.crossJoin(est).select(
+      val s0 = jseBucket(col("k")) === 0
+      val both = b match {
+        case None =>
+          counts(a, ka).agg(
+            coalesce(sum(col("f") * col("f")), lit(0L)).as("exact_rows"),
+            (coalesce(sum(when(s0, col("f") * col("f"))), lit(0L)) * JseMod)
+              .as("est_rows"))
+        case Some((bb, kb)) =>
+          counts(a, ka)
+            .join(counts(bb, kb).select(col("k"), col("f").as("g")), "k")
+            .agg(
+              coalesce(sum(col("f") * col("g")), lit(0L)).as("exact_rows"),
+              (coalesce(sum(when(s0, col("f") * col("g"))), lit(0L)) * JseMod)
+                .as("est_rows"))
+      }
+      both.select(
         lit(name).as("pair"), col("exact_rows"), col("est_rows"),
         round(abs(col("est_rows") - col("exact_rows")) /
           col("exact_rows").cast("double"), 6).as("rel_err"))
@@ -569,10 +588,19 @@ object Round14Queries {
     val ev = ExtQueries.events(spark, sfDir)
 
     def panel(name: String, df: DataFrame, key: String): DataFrame = {
+      // r13 (optimization guide §2.3): exact + plain-sample terms share ONE
+      // aggregation — the sample filter is a pure key function, so a
+      // conditional sum over the full key-count frame is identical to
+      // aggregating the filtered scan; one base-table scan per panel is
+      // gone. (A localCheckpoint of the count frame was A/B-measured and
+      // REJECTED: its three eager build jobs serialize at ~0.15 s each and
+      // cost more than the intra-job rescans they save — 1.46 s vs 1.00 s
+      // baseline at sf0.1; the remaining consumers stay lazy in one job.)
       val c = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
-      val exact = c.agg(sum(col("f") * col("f")).as("exact_rows"))
-      val sampledAll = c.filter(jseBucket(col("k")) === 0)
-        .agg((coalesce(sum(col("f") * col("f")), lit(0L)) * JseMod).as("est_plain"))
+      val base = c.agg(
+        sum(col("f") * col("f")).as("exact_rows"),
+        (coalesce(sum(when(jseBucket(col("k")) === 0, col("f") * col("f"))),
+          lit(0L)) * JseMod).as("est_plain"))
       // MCV list: exact top-EbHeavy by (f DESC, k ASC) — TakeOrderedAndProject
       val heavy = c.orderBy(col("f").desc, col("k")).limit(EbHeavy)
       val heavyTerm = heavy.agg(
@@ -580,7 +608,7 @@ object Round14Queries {
       val lightTerm = c.join(heavy.select("k"), Seq("k"), "left_anti")
         .filter(jseBucket(col("k")) === 0)
         .agg((coalesce(sum(col("f") * col("f")), lit(0L)) * JseMod).as("light_est"))
-      exact.crossJoin(sampledAll).crossJoin(heavyTerm).crossJoin(lightTerm)
+      base.crossJoin(heavyTerm).crossJoin(lightTerm)
         .select(
           lit(name).as("pair"), col("exact_rows"), col("est_plain"),
           (col("heavy_sq") + col("light_est")).as("est_endbiased"),

@@ -305,42 +305,66 @@ object Reports {
     }
     lazy val streakRows: Map[String, (Long, Long)] = await(streakRowsF)
 
-    // ---- P5-7: calendar bucket passes — one job per bucket granularity
-    // (sum- and comp-bucket finals share the monthly groupBy) ----
-    def bucketAgg(buckets: => Seq[Column],
-        finals: Seq[(String, Column => Column, Boolean)]): Option[Row] =
-      temporal.map { _ =>
-        val bucketVals =
-          (if (finals.exists(_._3)) names.map(n => Exprs.comp(zf(n)).as(s"__c__$n")) else Nil) ++
-            (if (finals.exists(!_._3)) names.map(n => sum(zf(n)).as(s"__s__$n")) else Nil)
-        val keyed = zf.groupBy(buckets: _*).agg(bucketVals.head, bucketVals.tail: _*)
-        val aggExprs = names.flatMap(n => finals.map { case (k, f, compounded) =>
-          f(keyed(if (compounded) s"__c__$n" else s"__s__$n")).as(s"${k}__$n")
-        })
-        keyed.agg(aggExprs.head, aggExprs.tail: _*).head()
-      }
-
+    // ---- P5: ONE calendar pass for all three bucket granularities ----
+    // r13 (optimization guide §2.3/§2.4): the monthly/quarterly/yearly
+    // bucket families each scanned zf separately (three jobs, three full
+    // scans at cluster scale). GROUPING SETS ((y,m),(y,q),(y)) computes
+    // every grain's bucket values in one scan — the Expand triples rows
+    // before the partial aggregate, but the exchange still carries only
+    // bucket-level rows — and the per-grain finals run as ONE aggregation
+    // over the bounded keyed frame, each final fed `when(gid = grain)` so
+    // it sees exactly its grain's rows (every final is a null-skipping
+    // aggregate: product/sum/avg/min/max/conditional counts). Bucket
+    // values per grain are the identical Π(1+r)/Σr over the identical row
+    // sets the per-grain groupBys produced.
     val t = temporal.map(col).orNull
-    val monthlyF = scala.concurrent.Future { bucketAgg(Seq(year(t), month(t)),
+    // grouping-set ids for grouping columns (__y, __m, __q):
+    // (y,m) -> q aggregated -> 1; (y,q) -> m aggregated -> 2; (y) -> 3
+    val monthlyFinals: Seq[(String, Column => Column, Boolean)] =
       ("g2p1m", (c: Column) => Exprs.gainToPain(c, rf), false) +: (if (full) Seq(
         ("expm", Exprs.expectedReturn: Column => Column, true),
         ("bestm", (c: Column) => max(c), true),
         ("worstm", (c: Column) => min(c), true),
         ("avgup", Exprs.avgWin: Column => Column, true),
         ("avgdown", Exprs.avgLoss: Column => Column, true),
-        ("winm", Exprs.winRate: Column => Column, true)) else Nil)) }
-    val yearlyF = scala.concurrent.Future {
-      if (!full) None else bucketAgg(Seq(year(t)), Seq(
+        ("winm", Exprs.winRate: Column => Column, true)) else Nil)
+    val yearlyFinals: Seq[(String, Column => Column, Boolean)] =
+      if (!full) Nil else Seq(
         ("expy", Exprs.expectedReturn: Column => Column, true),
         ("besty", (c: Column) => max(c), true),
         ("worsty", (c: Column) => min(c), true),
-        ("winy", Exprs.winRate: Column => Column, true))) }
-    val quarterlyF = scala.concurrent.Future {
-      if (!full) None else bucketAgg(Seq(year(t), quarter(t)), Seq(
-        ("winq", Exprs.winRate: Column => Column, true))) }
-    lazy val monthly = await(monthlyF)
-    lazy val yearly = await(yearlyF)
-    lazy val quarterly = await(quarterlyF)
+        ("winy", Exprs.winRate: Column => Column, true))
+    val quarterlyFinals: Seq[(String, Column => Column, Boolean)] =
+      if (!full) Nil else Seq(("winq", Exprs.winRate: Column => Column, true))
+    val calendarRowF = scala.concurrent.Future {
+      temporal.map { _ =>
+        val allFinals = monthlyFinals ++ yearlyFinals ++ quarterlyFinals
+        val bucketVals =
+          (if (allFinals.exists(_._3)) names.map(n => Exprs.comp(zf(n)).as(s"__c__$n")) else Nil) ++
+            (if (allFinals.exists(!_._3)) names.map(n => sum(zf(n)).as(s"__s__$n")) else Nil)
+        val zb = zf.withColumn("__y", year(t)).withColumn("__m", month(t))
+          .withColumn("__q", quarter(t))
+        val sets: Seq[Seq[Column]] =
+          Seq(Seq(col("__y"), col("__m"))) ++
+            (if (full) Seq(Seq(col("__y"), col("__q")), Seq(col("__y"))) else Nil)
+        val keyed = zb.groupingSets(sets, col("__y"), col("__m"), col("__q"))
+          .agg(grouping_id().as("__gid"), bucketVals: _*)
+        def grainExprs(gid: Int,
+            finals: Seq[(String, Column => Column, Boolean)]): Seq[Column] =
+          names.flatMap(n => finals.map { case (k, f, compounded) =>
+            f(when(col("__gid") === gid,
+              keyed(if (compounded) s"__c__$n" else s"__s__$n"))).as(s"${k}__$n")
+          })
+        val aggExprs = grainExprs(1, monthlyFinals) ++
+          grainExprs(2, quarterlyFinals) ++ grainExprs(3, yearlyFinals)
+        keyed.agg(aggExprs.head, aggExprs.tail: _*).head()
+      }
+    }
+    // all three grain views read the SAME combined row (field names are
+    // disjoint across grains); basic mode never looks at yearly/quarterly
+    lazy val monthly = await(calendarRowF)
+    lazy val yearly = if (full) await(calendarRowF) else None
+    lazy val quarterly = if (full) await(calendarRowF) else None
 
     def gb(m: Option[Row], k: String, n: String): Any = m match {
       case None => "-"
@@ -518,7 +542,7 @@ object Reports {
     // basic mode) would otherwise still be running against an unpersisting
     // frame (correct but recomputes), and its failure would be swallowed
     Seq[scala.concurrent.Future[Any]](p1F, p2rowsF, episodeRowsF, streakRowsF,
-      monthlyF, yearlyF, quarterlyF, benchRowF).foreach(await)
+      calendarRowF, benchRowF).foreach(await)
     frame.unpersist()
     zf.unpersist()
     ddf.unpersist()
