@@ -43,6 +43,21 @@ object ExtQueries {
       name: String)(build: => T): T =
     artifactCache.getOrElseUpdate((spark, sfDir, name), build).asInstanceOf[T]
 
+  /** r13 note (optimization guide §2.5): the fixture tables are
+    * single-row-group parquet files, so every scan is ONE partition and a
+    * consumer's first stage runs single-threaded until its first exchange.
+    * A blanket round-robin repartition of these base caches to the session
+    * shuffle width was A/B-measured on the FULL suite and REJECTED:
+    * heavy first stages won big (q225 4.6→1.4 s, q102 −0.5 s) but ~30
+    * small events/docs queries each lost 0.3–0.6 s to 32-way task
+    * scheduling over tiny cached frames — suite total 137.5→150.5 s.
+    * Parallelism is instead injected at the specific heavy expansion
+    * points that need it (see [[sessionParallelism]] users, e.g. q225's
+    * candidate explode), where the per-stage work dwarfs task overhead.
+    */
+  private[queries] def sessionParallelism(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "documents")(
       spark.read.parquet(s"$sfDir/documents.parquet"))

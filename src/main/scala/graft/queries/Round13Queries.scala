@@ -191,9 +191,18 @@ object Round13Queries {
     val codes = e.select(col("vec_id"), Pq.encodeRounded(col("v"), cb).as("codes"))
     // materialized once (bounded: L × queries rows): the shortlist feeds
     // both the re-rank stage and the stage-1 recall audit — the ADC scan
-    // and its encode chain must not re-execute per consumer
-    val shortlist = Pq.adcTopK(codes, "vec_id", "codes", queries, cb, PqShortlist)
-      .localCheckpoint()
+    // and its encode chain must not re-execute per consumer.
+    // r13 (optimization guide §2.6): the two eager checkpoint builds here
+    // (ADC shortlist, exact-distance frame) are independent pipelines —
+    // submit both concurrently and pay the slower one, not the sum.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ckptEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val shortlistF = Future(blocking {
+      Pq.adcTopK(codes, "vec_id", "codes", queries, cb, PqShortlist)
+        .localCheckpoint()
+    })
     // exact distances through the SAME unrolled subspace chains: ground
     // truth for the audit AND the re-rank stage (at scale the re-rank
     // joins only the L shortlist rows back to their vectors; here the
@@ -210,15 +219,18 @@ object Round13Queries {
     val queryArr = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
     }: _*)
-    val exact = e
-      .select(col("vec_id").as("neighbor_id"), col("v"),
-        explode(queryArr).as("q"))
-      .select(col("q.qid").as("query_id"), col("neighbor_id"),
-        round((0 until PqM).map(s =>
-          Pq.subD2Cols(col("v"), col("q.qv"), s * PqSubDim, PqSubDim))
-          .reduce(_ + _), 4).as("d2"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .localCheckpoint()
+    val exactF = Future(blocking {
+      e.select(col("vec_id").as("neighbor_id"), col("v"),
+          explode(queryArr).as("q"))
+        .select(col("q.qid").as("query_id"), col("neighbor_id"),
+          round((0 until PqM).map(s =>
+            Pq.subD2Cols(col("v"), col("q.qv"), s * PqSubDim, PqSubDim))
+            .reduce(_ + _), 4).as("d2"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .localCheckpoint()
+    })
+    val shortlist = Await.result(shortlistF, Duration.Inf)
+    val exact = Await.result(exactF, Duration.Inf)
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= PqTopK)

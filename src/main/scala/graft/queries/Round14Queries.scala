@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Incremental, Layout, Similarity}
@@ -733,36 +734,66 @@ object Round14Queries {
     val eb = ev.join(broadcast(w), "t")
       .withColumn("bk", floor((col("v") - col("vmin")) / col("eps")).cast("long"))
 
-    val probe = eb.select(col("t"), col("id"), col("v"), col("eps"),
-      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("pb"))
-    val build = eb.select(col("t"), col("id").as("id2"), col("v").as("v2"),
-      col("bk").as("pb"))
+    // r13 (optimization guide §2.3): ONE-SIDED candidate generation — the
+    // probe explodes {bk, bk+1} instead of {bk−1, bk, bk+1}. A same-bucket
+    // unordered pair still appears twice (kept once by id < id2); a
+    // cross-bucket pair appears exactly once, as (lower-bucket probe,
+    // upper-bucket build), with NO id-order condition — the same unordered
+    // pair set the symmetric ±1 explode counted, at ~2/3 the candidate
+    // volume (measured 28M → 19M candidate rows at sf0.1) and 2n instead
+    // of 3n exploded probe rows through the exchange.
+    // r13 (guide §2.5): the probe is explicitly repartitioned to the
+    // session shuffle width BEFORE the explode — the single-row-group
+    // fixture file scans as ONE partition, and the 19M-row candidate
+    // expansion + band filter otherwise runs single-threaded inside the
+    // broadcast-join's scan stage (measured: the whole exact side on one
+    // core). One round-robin exchange of 100k narrow rows buys 32-way
+    // execution of the dominant stage; the width follows
+    // spark.sql.shuffle.partitions, nothing tuned to local[32].
+    val probe = eb
+      .repartition(ExtQueries.sessionParallelism(spark))
+      .select(col("t"), col("id"), col("v"), col("eps"),
+        col("bk"), explode(array(col("bk"), col("bk") + 1)).as("pb"))
+    // broadcast(build) pins the build side: left to estimates, the planner
+    // broadcasts the (repartitioned, exploded) probe instead and STREAMS
+    // the single-partition side — putting the 19M-row expansion back on
+    // one core. With the build side pinned, the probe streams through the
+    // hash join at the repartitioned width.
+    val build = broadcast(eb.select(col("t"), col("id").as("id2"),
+      col("v").as("v2"), col("bk").as("pb")))
     val exact = probe.join(build, Seq("t", "pb"))
-      .filter(col("id") < col("id2") && abs(col("v") - col("v2")) <= col("eps"))
+      .filter(
+        when(col("pb") === col("bk"), col("id") < col("id2")).otherwise(lit(true))
+          && abs(col("v") - col("v2")) <= col("eps"))
       .groupBy("t").agg(count(lit(1)).as("exact_pairs"))
 
+    // histogram estimate: the adjacent-bucket product term comes from a
+    // LAG window over the (t, hb)-keyed counts instead of a second hist
+    // aggregation + self-join (the r13 plan cut: 2 hist builds + 1 join →
+    // 1 build + 1 keyed window), and both terms reduce in ONE aggregation.
+    // Per-row ROUND(...·1e6) before the integer sums is unchanged, so the
+    // micro-unit totals stay bit-identical to the oracle's two-CTE form.
     val hist = eb.select(col("t"),
         least(floor((col("v") - col("vmin")) / col("wdt")).cast("long"), lit(99L))
           .as("hb"))
       .groupBy("t", "hb").agg(count(lit(1)).as("c"))
-    val same = hist.join(broadcast(w.select("t", "tt")), "t")
-      .groupBy("t").agg(sum(round(
-        (col("c") * (col("c") - lit(1L))).cast("double") * lit(0.5) *
-          (lit(2.0) * col("tt") - col("tt") * col("tt")) * lit(1e6), 0)
-        .cast("long")).as("m_same"))
-    val adj = hist.as("h1")
-      .join(hist.as("h2"),
-        col("h1.t") === col("h2.t") && col("h2.hb") === col("h1.hb") + 1)
-      .join(broadcast(w.select(col("t").as("wt"), col("tt"))),
-        col("h1.t") === col("wt"))
-      .groupBy(col("h1.t").as("t")).agg(sum(round(
-        (col("h1.c") * col("h2.c")).cast("double") *
-          (col("tt") * col("tt") * lit(0.5)) * lit(1e6), 0)
-        .cast("long")).as("m_adj"))
+    val wHist = Window.partitionBy("t").orderBy("hb")
+    val est = hist.join(broadcast(w.select("t", "tt")), "t")
+      .withColumn("prev_hb", lag(col("hb"), 1).over(wHist))
+      .withColumn("prev_c", lag(col("c"), 1).over(wHist))
+      .groupBy("t").agg(
+        sum(round(
+          (col("c") * (col("c") - lit(1L))).cast("double") * lit(0.5) *
+            (lit(2.0) * col("tt") - col("tt") * col("tt")) * lit(1e6), 0)
+          .cast("long")).as("m_same"),
+        sum(when(col("prev_hb") === col("hb") - 1, round(
+          (col("prev_c") * col("c")).cast("double") *
+            (col("tt") * col("tt") * lit(0.5)) * lit(1e6), 0)
+          .cast("long"))).as("m_adj"))
 
     w.select(col("t"), col("n"))
       .join(exact, "t")
-      .join(same, Seq("t"), "left").join(adj, Seq("t"), "left")
+      .join(est, Seq("t"), "left")
       .withColumn("micro",
         coalesce(col("m_same"), lit(0L)) + coalesce(col("m_adj"), lit(0L)))
       .select(col("t").as("event_type"), col("n"), col("exact_pairs"),

@@ -105,10 +105,35 @@ object Round17Queries {
     // (the SAME fused expression with an m=1, k=8, subDim=64 codebook —
     // a flat rounded-argmin over the coarse centroids). Bounded frame
     // (n x 16 ints + 1 int), materialized once for scan + ceiling audit.
-    val corpus = e.select(col("vec_id").as("neighbor_id"),
-      Pq.encodeRounded(col("v"), cb).as("codes"),
-      element_at(Pq.encodeRounded(col("v"), coarseCb), 1).as("list"))
-      .localCheckpoint()
+    // r13 (optimization guide §2.6): the corpus encode and the exact
+    // ground-truth frame (below) are independent eager checkpoints —
+    // submitted concurrently, the audit pays the slower build, not the sum.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ckptEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val corpusF = Future(blocking {
+      e.select(col("vec_id").as("neighbor_id"),
+        Pq.encodeRounded(col("v"), cb).as("codes"),
+        element_at(Pq.encodeRounded(col("v"), coarseCb), 1).as("list"))
+        .localCheckpoint()
+    })
+
+    // exact audit frame (ground truth + re-rank distances): the q216
+    // query-batch-as-data shape — one corpus pass, grouped-subspace chains
+    val queryArr = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
+    }: _*)
+    val exactF = Future(blocking {
+      e.select(col("vec_id").as("neighbor_id"), col("v"), explode(queryArr).as("q"))
+        .select(col("q.qid").as("query_id"), col("neighbor_id"),
+          round((0 until Round13Queries.PqM).map(s =>
+            Pq.subD2Cols(col("v"), col("q.qv"), s * Round13Queries.PqSubDim,
+              Round13Queries.PqSubDim)).reduce(_ + _), 4).as("d2"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .localCheckpoint()
+    })
+    val corpus = Await.result(corpusF, Duration.Inf)
     val nCorpus = corpus.count()
 
     // the pruned scan: probed-list candidates only, each paying exactly
@@ -131,20 +156,7 @@ object Round17Queries {
         IvfShortlist).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__e"))
       .select(col("query_id"), col("__e.id").as("neighbor_id"))
-
-    // exact audit frame (ground truth + re-rank distances): the q216
-    // query-batch-as-data shape — one corpus pass, grouped-subspace chains
-    val queryArr = array(queries.map { case (qid, qv) =>
-      struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
-    }: _*)
-    val exact = e
-      .select(col("vec_id").as("neighbor_id"), col("v"), explode(queryArr).as("q"))
-      .select(col("q.qid").as("query_id"), col("neighbor_id"),
-        round((0 until Round13Queries.PqM).map(s =>
-          Pq.subD2Cols(col("v"), col("q.qv"), s * Round13Queries.PqSubDim,
-            Round13Queries.PqSubDim)).reduce(_ + _), 4).as("d2"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .localCheckpoint()
+    val exact = Await.result(exactF, Duration.Inf)
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= Round13Queries.PqTopK)
