@@ -77,8 +77,15 @@ object Round14Queries {
     val qd = Layout.quantize(col("d"), lit(dlo), lit(dhi), ZLevels)
     // materialized once: all four layout ranks re-read these 7 columns, and
     // the Hilbert walk (an interpreted bindOnce chain — HOFs don't codegen)
-    // must not re-evaluate per layout × per min-of-2 pass
-    val base = o0.select(col("k"), col("c"), col("d"),
+    // must not re-evaluate per layout × per min-of-2 pass.
+    // r13 (guide §2.5): repartition to the session shuffle width BEFORE the
+    // curve projections — the single-row-group orders file scans as one
+    // partition, so the interpreted 12-level Hilbert walk otherwise runs
+    // single-threaded into the checkpoint; one narrow-row exchange buys a
+    // parallel encode. Row order is irrelevant: every downstream consumer
+    // keys on the (unique) packed curve values.
+    val base = o0.repartition(graft.queries.ExtQueries.sessionParallelism(spark))
+      .select(col("k"), col("c"), col("d"),
       col("k").as("nk"),
       (col("d") * pack + col("k")).as("dk"),
       (Layout.zValue(qc, qd, ZBits) * pack + col("k")).as("zk"),
