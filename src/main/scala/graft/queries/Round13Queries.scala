@@ -229,8 +229,12 @@ object Round13Queries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .localCheckpoint()
     })
-    val shortlist = Await.result(shortlistF, Duration.Inf)
-    val exact = Await.result(exactF, Duration.Inf)
+    // r14 (round-13 advice): join both futures through Future.sequence (the
+    // q218 pattern) — sequential Await.result(shortlistF) then (exactF)
+    // meant a shortlist failure left the exact build's eager checkpoint job
+    // running unobserved and its own error unreported.
+    val Seq(shortlist, exact) =
+      Await.result(Future.sequence(Seq(shortlistF, exactF)), Duration.Inf)
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= PqTopK)

@@ -749,25 +749,26 @@ object Round14Queries {
     // pair set the symmetric ±1 explode counted, at ~2/3 the candidate
     // volume (measured 28M → 19M candidate rows at sf0.1) and 2n instead
     // of 3n exploded probe rows through the exchange.
-    // r13 (guide §2.5): the probe is explicitly repartitioned to the
-    // session shuffle width BEFORE the explode — the single-row-group
-    // fixture file scans as ONE partition, and the 19M-row candidate
-    // expansion + band filter otherwise runs single-threaded inside the
-    // broadcast-join's scan stage (measured: the whole exact side on one
-    // core). One round-robin exchange of 100k narrow rows buys 32-way
-    // execution of the dominant stage; the width follows
-    // spark.sql.shuffle.partitions, nothing tuned to local[32].
+    // r14 (guide §3, round-13 verdict item 1): the exact band join is a
+    // SHUFFLE-HASH join on the (t, pb) equi-keys. The r13 shape pinned the
+    // build side with an unconditional broadcast(eb) — right at fixture
+    // scale (it stopped the planner broadcasting the exploded probe and
+    // serializing the 19M-row expansion onto one core), but a hint bypasses
+    // autoBroadcastJoinThreshold and eb is the FULL events-scaled frame: at
+    // 100 TB that broadcast OOMs the driver. Both sides here are
+    // events-scaled, so neither may be broadcast; the SHUFFLE_HASH hint
+    // shuffles both by (t, pb) — ε-bucket keys, so the 19M-candidate
+    // expansion and band filter run at the shuffle width (the explode
+    // itself is a cheap 2× row fan-out on the narrow pre-join rows), and
+    // the r13 probe-side repartition becomes a redundant exchange and is
+    // dropped. Hash (not sort-merge): the per-(t,pb) build groups are
+    // ε-locality-bounded, and AQE skew-join can still split an oversized
+    // bucket at runtime.
     val probe = eb
-      .repartition(ExtQueries.sessionParallelism(spark))
       .select(col("t"), col("id"), col("v"), col("eps"),
         col("bk"), explode(array(col("bk"), col("bk") + 1)).as("pb"))
-    // broadcast(build) pins the build side: left to estimates, the planner
-    // broadcasts the (repartitioned, exploded) probe instead and STREAMS
-    // the single-partition side — putting the 19M-row expansion back on
-    // one core. With the build side pinned, the probe streams through the
-    // hash join at the repartitioned width.
-    val build = broadcast(eb.select(col("t"), col("id").as("id2"),
-      col("v").as("v2"), col("bk").as("pb")))
+    val build = eb.select(col("t"), col("id").as("id2"),
+      col("v").as("v2"), col("bk").as("pb")).hint("shuffle_hash")
     val exact = probe.join(build, Seq("t", "pb"))
       .filter(
         when(col("pb") === col("bk"), col("id") < col("id2")).otherwise(lit(true))

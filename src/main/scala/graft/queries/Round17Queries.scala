@@ -133,7 +133,21 @@ object Round17Queries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .localCheckpoint()
     })
-    val corpus = Await.result(corpusF, Duration.Inf)
+    // r14 (round-13 advice): if the corpus build fails, JOIN the sibling
+    // exact-frame future before rethrowing — a lone Await.result(corpusF)
+    // that throws would leave exactF's eager localCheckpoint job running
+    // unobserved on the cluster. Await.ready joins it (success or failure)
+    // without discarding the primary error; the success path keeps the
+    // r13 overlap (exactF is awaited only after the cand/shortlist work
+    // that does not depend on it is submitted).
+    val corpus =
+      try Await.result(corpusF, Duration.Inf)
+      catch {
+        case t: Throwable =>
+          try Await.ready(exactF, Duration.Inf)
+          catch { case _: InterruptedException => () }
+          throw t
+      }
     val nCorpus = corpus.count()
 
     // the pruned scan: probed-list candidates only, each paying exactly
