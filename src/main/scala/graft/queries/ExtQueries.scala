@@ -3719,8 +3719,15 @@ object ExtQueries {
         .groupBy(col("o"))
         .agg(sort_array(collect_set(col("p_brand"))).as("bs")))
     val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    // r14 (guide §2.3): localCheckpoint — the per-brand counts are joined
+    // TWICE below (as n_a and as n_b), and Spark does not share the
+    // duplicated subtree: the before-plan ran the basket explode + brand
+    // aggregation (InMemoryTableScan → Generate → partial/final agg +
+    // exchange) twice per pass. Pinning the ≤|brands| (~25) row frame runs
+    // that pass once.
     val per = baskets.select(explode(col("bs")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("n_brand"))
+      .localCheckpoint()
     val pairArr = graft.core.Exprs.bindOnce(col("bs"), bs =>
       flatten(transform(bs, (a, i) =>
         transform(slice(bs, i + lit(2), size(bs)),

@@ -909,8 +909,25 @@ object Round10Queries {
             col("n").cast("double")).cast("long"), lit(10L)).as(s"b_$c"))
     }
     val bx = buckets("x")
-    val by = buckets("y")
-    val cells = li.join(broadcast(bx), "x").join(by, "y")
+    // r14 (optimization guide §2.3/§3): y (revenue cents) is NEAR-UNIQUE, so
+    // the old per-value bucket lookup `li ⋈ by ON y` was a fact-sized
+    // sort-merge join (both sides ~|lineitem| rows shuffled and sorted) just
+    // to attach a decile id. The decile is MONOTONE in y (cumulative counts
+    // never decrease), so the ≤10 per-bucket max values are exact bucket
+    // boundaries: v belongs to bucket b iff hi(prev b) < v ≤ hi(b) — every
+    // y value appears in the scan, earlier buckets hold strictly smaller
+    // values, hence exactly one range matches each row. Attaching b_y is
+    // then a ≤10-row broadcast range join (codegen'd nested-loop probe, ~10
+    // comparisons/row) instead of a fact-fact shuffle; bucket ids, cells,
+    // and every downstream count are bit-identical. The global lag window
+    // is bounded: ≤10 rows (decile count), never row-scaled.
+    val thrY = buckets("y").groupBy(col("b_y")).agg(max(col("y")).as("hi"))
+      .withColumn("lo",
+        lag(col("hi"), 1).over(Window.partitionBy(lit(0)).orderBy("b_y")))
+    val cells = li.join(broadcast(bx), "x")
+      .join(broadcast(thrY),
+        col("y") <= col("hi") &&
+          col("y") > coalesce(col("lo"), lit(Long.MinValue)))
       .groupBy(col("b_x"), col("b_y")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // ≤100 rows; reused by 4 aggregates below
     val a = cells.select(col("b_x").as("i1"), col("b_y").as("j1"), col("c").as("c1"))
