@@ -147,9 +147,10 @@ object Layout {
     * n is a lit the caller supplies (one count, reused across layouts).
     */
   def fileAssign(df: DataFrame, orderKey: String, n: Long, files: Int,
-      fileCol: String): DataFrame = {
+      fileCol: String, numPartitions: Int = 0): DataFrame = {
     val ranked = withGlobalOffset(
-      df.withColumn("__one", lit(1L)), orderKey, "__one", "__rank")
+      df.withColumn("__one", lit(1L)), orderKey, "__one", "__rank",
+      numPartitions)
     ranked
       .withColumn(fileCol, idiv(col("__rank") * files, lit(n)))
       .drop("__one", "__rank")

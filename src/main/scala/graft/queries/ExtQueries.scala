@@ -58,6 +58,20 @@ object ExtQueries {
   private[queries] def sessionParallelism(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
+  /** r14 (optimization guide §2.2, round-13 verdict item 4): size-gate an
+    * injected parallelism width. A fixed `sessionParallelism` repartition
+    * over a small frame buys pure task-scheduling overhead (q218 measured
+    * SLOWER at 32 cores than at 8 in r13: scaling ratio 0.75); deriving the
+    * width from the frame's known row count caps the task count so the
+    * fixture pays a handful of tasks while a cluster-scale input saturates
+    * the session width. `estRows` must be a cheap, already-known bound
+    * (e.g. q218's collected `n`) — never a new driver job.
+    */
+  private[queries] def boundedParallelism(spark: SparkSession, estRows: Long,
+      targetRowsPerTask: Long): Int =
+    math.max(1L, math.min(sessionParallelism(spark).toLong,
+      estRows / targetRowsPerTask)).toInt
+
   private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "documents")(
       spark.read.parquet(s"$sfDir/documents.parquet"))

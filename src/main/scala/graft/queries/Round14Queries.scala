@@ -84,7 +84,16 @@ object Round14Queries {
     // single-threaded into the checkpoint; one narrow-row exchange buys a
     // parallel encode. Row order is irrelevant: every downstream consumer
     // keys on the (unique) packed curve values.
-    val base = o0.repartition(graft.queries.ExtQueries.sessionParallelism(spark))
+    // r14 (guide §2.2, verdict item 4): widths are SIZE-GATED from the
+    // already-collected row count n instead of pinned at the session width —
+    // at sf0.1 (n≈150k) the fixed 32-way encode + four concurrent 32-wide
+    // range shuffles made q218 slower at 32 cores than at 8 (scaling 0.75);
+    // A/B at 32c (min-of-2 warm): {ew=32,rw=32}=2.52 s, {16,8}=1.74 s,
+    // {8,4}=1.87 s. Targets: ~8k rows/task for the interpreted Hilbert
+    // encode (heavy per row), ~16k rows/task for the narrow-row rank
+    // shuffles; a cluster-scale n saturates sessionParallelism via the min.
+    val ew = ExtQueries.boundedParallelism(spark, n, 8192)
+    val base = o0.repartition(ew)
       .select(col("k"), col("c"), col("d"),
       col("k").as("nk"),
       (col("d") * pack + col("k")).as("dk"),
@@ -92,8 +101,9 @@ object Round14Queries {
       (Layout.hilbertValue(qc, qd, ZBits) * pack + col("k")).as("hk"))
       .localCheckpoint()
 
+    val rw = ExtQueries.boundedParallelism(spark, n, 16384)
     def zm(key: String, name: String): DataFrame =
-      Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f"), "f",
+      Layout.zoneMap(Layout.fileAssign(base, key, n, ZFiles, "f", rw), "f",
           Seq("c", "d"))
         .withColumn("layout", lit(name))
     // the four layout ranks are independent eager pipelines (fileAssign's
