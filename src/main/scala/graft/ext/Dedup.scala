@@ -464,14 +464,16 @@ object Dedup {
     *      a boilerplate k-gram present in 10⁶ docs would emit ~10¹² pair
     *      rows; a capped k-gram can only interrupt (never extend) a shared
     *      run, so reported runs are conservative on hyper-common text and
-    *      exact everywhere else. Band check AND pairing share ONE
-    *      aggregation: positions group by `h` (the df band is a size test
-    *      on the group's distinct ids — groups past `maxDf` distinct ids
-    *      are discarded whole, so the buffered list is `maxDf`-bounded
-    *      per doc), replacing the former keep-aggregate + two-sided
-    *      self-join, which shuffled the position table three times
-    *      (optimization guide §2.3/§2.4 — r13: 3 position-table
-    *      exchanges → 1, sf0.1 bench 2.1 s → measured after);
+    *      exact everywhere else. Band check AND pairing share ONE exchange:
+    *      positions shuffle once keyed by `h`; the band test runs as
+    *      spillable (h)-keyed windows BEFORE any aggregation buffering
+    *      (r14 — a hyper-common k-gram streams through the test and is
+    *      discarded, never collected), and only banded groups are
+    *      collected, so the buffered list is bounded by `maxDf` docs ×
+    *      per-doc occurrences. This replaced the former keep-aggregate +
+    *      two-sided self-join, which shuffled the position table three
+    *      times (optimization guide §2.3/§2.4 — r13: 3 position-table
+    *      exchanges → 1, sf0.1 bench 2.1 s → 1.56 s);
     *   3. row-local pair expansion within each banded group (two chained
     *      generators, `id_a < id_b`) → matched positions
     *      `(id_a, id_b, pa, pb)` — fan-out per position ≤ maxDf, exactly
@@ -495,17 +497,27 @@ object Dedup {
     val pos = df.select(col(idCol).as("id"),
       posexplode(shingleHashesFromTokenHashes(tokenHashes(col(textCol)), k))
         .as(Seq("pos", "h")))
-    // band filter + pairing in ONE shuffle: group positions by hash, test
-    // the df band on the group (distinct ids), and expand pairs row-locally.
-    // The former shape (keep-aggregate, then kept ⋈ keep, then kept ⋈ kept
-    // self-join) shuffled `pos` three times and re-executed its
-    // tokenize+shingle subtree on both self-join sides; this one shuffles
-    // it once. Group size is bounded by maxDf docs × their occurrences of
-    // one k-gram — the same volume the self-join's per-key fan-out carried.
-    val grouped = pos.groupBy("h")
+    // band filter + pairing in ONE shuffle: positions exchange once keyed by
+    // hash; the df band is applied through a pair of (h)-keyed WINDOWS
+    // (distinct-id index via dense_rank over id, group doc-count as its
+    // partition max) BEFORE anything is buffered in an aggregation row —
+    // WindowExec spills its per-group buffer to disk, so a hyper-common
+    // k-gram (the 10⁶-doc boilerplate case above) streams through the band
+    // test and is discarded without ever being collected (r14, round-13
+    // advice: the r13 shape collect_list'ed the whole group FIRST and
+    // band-tested after, an unspillable aggregation-buffer OOM at scale).
+    // Only banded groups reach collect_list, whose buffered list is then
+    // genuinely bounded: ≤ maxDf docs × per-doc occurrences of one k-gram.
+    // The windows reuse the single hash(h) exchange (dense_rank sorts
+    // (h, id); the partition-max window and the groupBy(h) both reuse that
+    // clustering), so the r13 one-shuffle shape is preserved.
+    val wDr = Window.partitionBy("h").orderBy("id")
+    val banded = pos
+      .withColumn("__dr", dense_rank().over(wDr))
+      .withColumn("__ndoc", max(col("__dr")).over(Window.partitionBy("h")))
+      .filter(col("__ndoc").between(2, maxDf))
+    val grouped = banded.groupBy("h")
       .agg(collect_list(struct(col("id"), col("pos"))).as("__items"))
-      .filter(size(array_distinct(transform(col("__items"),
-        x => x.getField("id")))).between(2, maxDf))
     val m = grouped
       .select(col("__items"), explode(col("__items")).as("a"))
       .select(col("a"), explode(col("__items")).as("b"))
