@@ -808,7 +808,14 @@ object Round10Queries {
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
     val o = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-    val lagged = li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    // r14 (guide §3.1): no join hint — the r13 shuffle_hash hint FORCED a
+    // fact exchange of both sides even when the dimension side fits the
+    // broadcast threshold. Size-based planning now broadcasts orders at
+    // small SFs (plan: 2 fact exchanges → 0 before the tiny (flag,lag)
+    // aggregate exchange — the partial agg reduces ~600k rows to ~600
+    // map-side) and degrades to the spill-safe sort-merge join beyond
+    // autoBroadcastJoinThreshold at cluster scale.
+    val lagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_returnflag"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
     // localCheckpoint: the counts frame feeds BOTH the median derivation and
@@ -1009,7 +1016,16 @@ object Round10Queries {
     // group per input row — as a streaming sort-based aggregate; a hash join
     // would force a 60M-entry hash aggregate that spills (measured 10 s SMJ
     // vs 27 s SHJ at sf10)
-    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // r14 (guide §2.4): the fact side is hash(orderkey)-partitioned ONCE
+    // up front. Below the broadcast threshold the planner picks BHJ, whose
+    // output keeps the probe's partitioning — without this, the r13 plan
+    // paid TWO post-join fact exchanges (groupBy(ok,sk) then groupBy(ok));
+    // hash(ok) satisfies both clusterings, so both aggregations now run
+    // exchange-free (plan: 3 fact exchanges → 1). At cluster scale the
+    // join is SMJ on ok and REQUIRES this exact exchange, so the explicit
+    // repartition is the join's own shuffle, not an extra one.
+    val perSupp = li.repartition(col("l_orderkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
