@@ -72,6 +72,16 @@ object ExtQueries {
     math.max(1L, math.min(sessionParallelism(spark).toLong,
       estRows / targetRowsPerTask)).toInt
 
+  /** A/B toggle (tools/AbOverlap, round-13 verdict item 9): when the
+    * session conf `graft.queries.sequentialCheckpoints` is "true", the
+    * queries that normally submit independent eager checkpoint builds from
+    * a thread pool (q216/q218/q240) run them inline instead, so the
+    * overlap's worth is measurable on demand. Defaults to concurrent.
+    */
+  private[queries] def sequentialCheckpoints(spark: SparkSession): Boolean =
+    try spark.conf.get("graft.queries.sequentialCheckpoints", "false") == "true"
+    catch { case _: Exception => false }
+
   private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "documents")(
       spark.read.parquet(s"$sfDir/documents.parquet"))

@@ -192,17 +192,18 @@ object Round13Queries {
     // materialized once (bounded: L × queries rows): the shortlist feeds
     // both the re-rank stage and the stage-1 recall audit — the ADC scan
     // and its encode chain must not re-execute per consumer.
-    // r13 (optimization guide §2.6): the two eager checkpoint builds here
-    // (ADC shortlist, exact-distance frame) are independent pipelines —
-    // submit both concurrently and pay the slower one, not the sum.
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.duration.Duration
-    implicit val ckptEc: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val shortlistF = Future(blocking {
+    // r14 (round-13 verdict item 9): the r13 concurrent submission of the
+    // two eager checkpoint builds (ADC shortlist, exact-distance frame) was
+    // A/B-measured SLOWER here and REMOVED — tools/AbOverlap, min-of-3
+    // warm at sf0.1: concurrent 1.37 s vs sequential 1.10 s (r13 same-box
+    // saw the same direction, 1.54 → 1.80 s). Both builds are full scans
+    // of the same cached embeddings frame, so overlapping them just makes
+    // the two scans contend for the same cores; q218/q240 keep their
+    // overlap (A/B-measured faster there). Builds run inline, which also
+    // retires the round-13 advice's orphaned-sibling failure mode.
+    val shortlist =
       Pq.adcTopK(codes, "vec_id", "codes", queries, cb, PqShortlist)
         .localCheckpoint()
-    })
     // exact distances through the SAME unrolled subspace chains: ground
     // truth for the audit AND the re-rank stage (at scale the re-rank
     // joins only the L shortlist rows back to their vectors; here the
@@ -219,7 +220,7 @@ object Round13Queries {
     val queryArr = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
     }: _*)
-    val exactF = Future(blocking {
+    val exact =
       e.select(col("vec_id").as("neighbor_id"), col("v"),
           explode(queryArr).as("q"))
         .select(col("q.qid").as("query_id"), col("neighbor_id"),
@@ -228,13 +229,6 @@ object Round13Queries {
             .reduce(_ + _), 4).as("d2"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .localCheckpoint()
-    })
-    // r14 (round-13 advice): join both futures through Future.sequence (the
-    // q218 pattern) — sequential Await.result(shortlistF) then (exactF)
-    // meant a shortlist failure left the exact build's eager checkpoint job
-    // running unobserved and its own error unreported.
-    val Seq(shortlist, exact) =
-      Await.result(Future.sequence(Seq(shortlistF, exactF)), Duration.Inf)
     val we = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     val exactTop = exact.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= PqTopK)

@@ -118,7 +118,9 @@ object Round14Queries {
       scala.concurrent.ExecutionContext.global
     val zmF = Seq(("nk", "nat"), ("dk", "date"), ("zk", "z"), ("hk", "hilbert"))
       .map { case (k, nm) =>
-        Future(scala.concurrent.blocking { zm(k, nm) })
+        if (ExtQueries.sequentialCheckpoints(spark)) // AbOverlap toggle
+          Future.successful(zm(k, nm))
+        else Future(scala.concurrent.blocking { zm(k, nm) })
       }
     val zms = Await.result(Future.sequence(zmF), Duration.Inf)
       .reduce(_.unionByName(_))

@@ -112,19 +112,23 @@ object Round17Queries {
     import scala.concurrent.duration.Duration
     implicit val ckptEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val corpusF = Future(blocking {
+    // AbOverlap toggle: inline (sequential) eager builds when requested
+    def eagerly[T](body: => T): Future[T] =
+      if (ExtQueries.sequentialCheckpoints(spark)) Future.successful(body)
+      else Future(blocking(body))
+    val corpusF = eagerly {
       e.select(col("vec_id").as("neighbor_id"),
         Pq.encodeRounded(col("v"), cb).as("codes"),
         element_at(Pq.encodeRounded(col("v"), coarseCb), 1).as("list"))
         .localCheckpoint()
-    })
+    }
 
     // exact audit frame (ground truth + re-rank distances): the q216
     // query-batch-as-data shape — one corpus pass, grouped-subspace chains
     val queryArr = array(queries.map { case (qid, qv) =>
       struct(lit(qid).as("qid"), typedLit(qv).as("qv"))
     }: _*)
-    val exactF = Future(blocking {
+    val exactF = eagerly {
       e.select(col("vec_id").as("neighbor_id"), col("v"), explode(queryArr).as("q"))
         .select(col("q.qid").as("query_id"), col("neighbor_id"),
           round((0 until Round13Queries.PqM).map(s =>
@@ -132,7 +136,7 @@ object Round17Queries {
               Round13Queries.PqSubDim)).reduce(_ + _), 4).as("d2"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .localCheckpoint()
-    })
+    }
     // r14 (round-13 advice): if the corpus build fails, JOIN the sibling
     // exact-frame future before rethrowing — a lone Await.result(corpusF)
     // that throws would leave exactF's eager localCheckpoint job running
