@@ -28,6 +28,35 @@ object Exprs {
   def bindOnce(value: Column, body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
+  /** Bit-exact, allocation-free replacement for `round(x, 0).cast("long")`
+    * on a DoubleType column with |x| < 2^51 and finite (the exact-cents
+    * quantization idiom of the fact queries).
+    *
+    * Spark's Round on doubles evaluates
+    * `BigDecimal(Double.toString(x)).setScale(0, HALF_UP)` — a BigDecimal
+    * plus a String allocation PER ROW even inside whole-stage codegen;
+    * tools/ScanFloor measures it at ~0.5 s per 600k rows on one core, which
+    * dominates the single-row-group fact scans at fixture scale. For scale
+    * 0 the identical value is `floor(|x| + 0.5)` with one carry correction:
+    * when |x| lies within half an ulp BELOW a k.5 boundary, the FP addition
+    * rounds up across it (floor then yields k+1 where HALF_UP yields k).
+    * The overshoot is detected by `(t − 0.5) > |x|`: t is an integer
+    * < 2^52, so t − 0.5 is exactly representable and the comparison is
+    * exact (a `t − |x| > 0.5` form is NOT — the subtraction re-rounds just
+    * outside the Sterbenz range, e.g. at |x| = nextDown(0.5)). The
+    * shortest-repr subtlety of Double.toString cannot flip a boundary:
+    * every k.5 with k < 2^51 is exactly representable, so a double
+    * strictly below it prints strictly below it. HALF_UP rounds negatives
+    * away from zero, hence the sign peel. Equality to `round(x, 0)` is
+    * property-tested on boundary and random vectors (ExprsRoundSpec).
+    */
+  def roundHalfUpLong(x: Column): Column = {
+    val a = abs(x)
+    val t = floor(a + lit(0.5)) // LongType
+    val m = when(t.cast("double") - lit(0.5) > a, t - lit(1L)).otherwise(t)
+    when(x < 0, -m).otherwise(m)
+  }
+
   /** IEEE-style division matching Polars float semantics regardless of the
     * session's ANSI setting: x/0 → ±Inf, 0/0 → NaN, null propagates.
     */

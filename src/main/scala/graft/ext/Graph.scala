@@ -163,6 +163,15 @@ object Graph {
     val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
     val deg = e0.select(col("a").as("n")).union(e0.select(col("b")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+    // r14: the per-corner counting was a 3-way UNION of the triangle frame,
+    // so the whole wedge-join subtree (with the oriented edge list and its
+    // degree joins, themselves referenced 3× as e1/e2/e3) compiled and ran
+    // three times — the q96 before-plan repeated the oriented subtree 12×
+    // (a 474 KB plan). One explode over the (u,v,w) corners keeps a single
+    // copy of the join tree (q96: 1.5 → ~1.1 s at sf0.1). An eager
+    // localCheckpoint of `o` was A/B-measured WORSE (1.9 s — the
+    // materialization jobs cost more than recomputing the cheap joins over
+    // the caller's cached edge frame) and rejected.
     val o = e0
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -177,9 +186,7 @@ object Graph {
     val tri = wedges.join(o.as("e3"),
       col("u") === col("e3.src") && col("w") === col("e3.dst"))
       .select(col("u"), col("v"), col("w"))
-    tri.select(col("u").as("node"))
-      .union(tri.select(col("v")))
-      .union(tri.select(col("w")))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 }

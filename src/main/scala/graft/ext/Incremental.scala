@@ -30,7 +30,7 @@ object Incremental {
     * aggregation; this is the frame a store would persist.
     */
   def state(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
-    df.withColumn("__micros", round(col(valueCol) * 1e6, 0).cast("long"))
+    df.withColumn("__micros", graft.core.Exprs.roundHalfUpLong(col(valueCol) * 1e6))
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),

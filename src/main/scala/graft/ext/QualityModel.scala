@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
 object QualityModel {
 
   /** Row-local nano-unit quantization: exact-integer summand. */
-  def qNano(c: Column): Column = round(c * 1e9, 0).cast("long")
+  def qNano(c: Column): Column = graft.core.Exprs.roundHalfUpLong(c * 1e9)
 
   /** HALF_UP 9-dp rounding of the driver-side update — the same decision
     * Spark's/DuckDB's ROUND(x, 9) makes on the exact binary double. */

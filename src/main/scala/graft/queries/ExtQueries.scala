@@ -4149,7 +4149,7 @@ object ExtQueries {
     val ranked = cached(spark, sfDir, "revenue_rank") {
       val ord = spark.read.parquet(s"$sfDir/orders.parquet")
       val rev = ord.groupBy(col("o_custkey").as("c"))
-        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .agg(sum(graft.core.Exprs.roundHalfUpLong(col("o_totalprice") * 100)).as("cents"))
         .withColumn("key", struct(col("cents"), col("c")))
         .withColumn("one", lit(1L))
       graft.ext.Curation.withGlobalOffset(rev, "key", "one", "i0")
@@ -4221,7 +4221,7 @@ object ExtQueries {
     * difference between replicas moves the pair with probability ≈ 1-2⁻⁶⁰.
     */
   def q110TableChecksums(spark: SparkSession, sfDir: String): DataFrame = {
-    def cents(c: Column): Column = round(c * 100, 0).cast("long")
+    def cents(c: Column): Column = graft.core.Exprs.roundHalfUpLong(c * 100)
     def fp(name: String, canon: DataFrame => Column): DataFrame = {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       val h = conv(substring(md5(canon(df).cast("binary")), 1, 15), 16, 10)
@@ -4299,7 +4299,7 @@ object ExtQueries {
     import spark.implicits._
     val exp = benford.toDF("digit", "benford_p")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+      .select(substring(graft.core.Exprs.roundHalfUpLong(col("o_totalprice") * 100)
         .cast("string"), 1, 1).cast("int").as("digit"))
     val counts = ord.groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val tot = counts.agg(sum(col("n_obs")).as("n"))
@@ -4426,8 +4426,8 @@ object ExtQueries {
   def q113WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
       col("l_returnflag").as("flag"),
-      round(col("l_discount") * 100, 0).cast("long").as("vc"),
-      round(col("l_quantity") * 100, 0).cast("long").as("wc"))
+      graft.core.Exprs.roundHalfUpLong(col("l_discount") * 100).as("vc"),
+      graft.core.Exprs.roundHalfUpLong(col("l_quantity") * 100).as("wc"))
     val g = li.groupBy("flag", "vc").agg(sum(col("wc")).as("wsum"))
     val tot = g.groupBy("flag").agg(sum(col("wsum")).as("wtot"),
       count(lit(1)).as("n_values"))
@@ -4522,8 +4522,7 @@ object ExtQueries {
     */
   def q115RocAuc(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir).select(col("label"),
-      round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
-        .cast("long").as("bin"))
+      graft.core.Exprs.roundHalfUpLong(element_at(col("embedding"), 1).cast("double") * 1000).as("bin"))
     val binTot = e.groupBy("bin").agg(count(lit(1)).as("tot_b"))
     val posLB = e.groupBy("label", "bin").agg(count(lit(1)).as("pos_b"))
     val labTot = e.groupBy("label").agg(count(lit(1)).as("n_pos"))
@@ -4659,7 +4658,7 @@ object ExtQueries {
     val daily = events(spark, sfDir)
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("vc"))
       .groupBy("event_type", "d").agg(sum(col("vc")).as("xc"))
     val cur = daily.select(col("event_type"), col("d"), col("xc"))
     val past = daily.select(col("event_type").as("event_type2"),

@@ -60,8 +60,9 @@ object Queries {
   /** (d, b): whole-market daily returns (benchmark). The lag window here is
     * deliberately unpartitioned: it runs AFTER the group-by-day aggregation,
     * on one row per calendar day — a bounded (~10³ rows/decade) single
-    * ordered sequence regardless of input scale, not a scale hazard. This is
-    * the only unpartitioned window left in the query suite.
+    * ordered sequence regardless of input scale, not a scale hazard. (Every
+    * other unpartitioned window in the suite is likewise bounded — the r14
+    * audit table in OPTIMIZATION_r14.md lists each site with its row bound.)
     */
   def marketReturns(spark: SparkSession, sfDir: String): DataFrame =
     mktCache.getOrElseUpdate((spark, sfDir), {
@@ -973,8 +974,8 @@ object Queries {
     // SUM is order-independent — a double sum over ~50k rows per group sits
     // close enough to a 2-dp rounding boundary to flip between engines
     // (observed at sf0.1: 244228519.30 vs .31)
-    val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
-      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val revE4 = graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * 100) *
+      (lit(100L) - graft.core.Exprs.roundHalfUpLong(col("l_discount") * 100))
     l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -1023,8 +1024,8 @@ object Queries {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
     val nat = spark.read.parquet(s"$sfDir/nation.parquet")
-    val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
-      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val revE4 = graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * 100) *
+      (lit(100L) - graft.core.Exprs.roundHalfUpLong(col("l_discount") * 100))
     val wr = Window.partitionBy(lit(0))
       .orderBy(col("revenue").desc, col("nation"))
     val liN = l.join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),

@@ -105,8 +105,7 @@ object Round10Queries {
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("ship_year"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -147,7 +146,7 @@ object Round10Queries {
     val part = tbl(spark, sfDir, "part")
       .filter(col("p_name").contains("red"))
       .select(col("p_partkey"),
-        round(col("p_retailprice") * 100, 0).cast("long").as("retailc"))
+        graft.core.Exprs.roundHalfUpLong(col("p_retailprice") * 100).as("retailc"))
     val supp = tbl(spark, sfDir, "supplier")
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -155,8 +154,7 @@ object Round10Queries {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("ship_year"),
         col("l_quantity").cast("long").as("qty"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .withColumn("profitc", col("revc") - col("retailc") * col("qty"))
@@ -197,8 +195,7 @@ object Round10Queries {
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_suppkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     val perNation = li
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("supp_nation"))
@@ -246,8 +243,7 @@ object Round10Queries {
   def q188LargeVolumeCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val perOrder = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("qty")).as("oqty"), sum(col("revc")).as("orevc"))
     val orders = tbl(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -334,7 +330,7 @@ object Round10Queries {
     cached(spark, sfDir, "hourly_revenue_grid") {
       val ev = events(spark, sfDir).select(col("event_type"),
         floor(col("ts").cast("long") / 3600).cast("long").as("h"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
+        graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("cents"))
       val agg = ev.groupBy(col("event_type"), col("h"))
         .agg(sum(col("cents")).as("xc"))
       val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -619,8 +615,7 @@ object Round10Queries {
     cached(spark, sfDir, "li_xy")(
       tbl(spark, sfDir, "lineitem")
         .select(col("l_quantity").cast("long").as("x"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-            .cast("long").as("y")))
+          graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("y")))
 
   /** (value, cnt, pre) exclusive-prefix rank scan over one liXY column. */
   private def liRankScan(spark: SparkSession, sfDir: String, c: String): DataFrame =
@@ -715,7 +710,7 @@ object Round10Queries {
   def q195KruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
       .select(col("event_type"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+        graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("vc"))
     val perV = ev.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
     val ranksV = graft.ext.Curation.withGlobalOffset(perV, "vc", "cnt", "pre")
       .select(col("vc"), col("cnt"),
@@ -1075,8 +1070,7 @@ object Round10Queries {
   def q199TopSupplierPerYear(spark: SparkSession, sfDir: String): DataFrame = {
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_suppkey"), year(col("l_shipdate")).as("ship_year"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     val perSY = li.groupBy(col("ship_year"), col("l_suppkey"))
       .agg(sum(col("revc")).as("revc"), count(lit(1)).as("n_items"))
     val wy = Window.partitionBy(col("ship_year"))
@@ -1120,8 +1114,7 @@ object Round10Queries {
   def q200PoissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
     val perOrder = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
       .groupBy(col("l_orderkey")).agg(sum(col("revc")).as("orevc"))
     val point = perOrder.agg(count(lit(1)).as("n_orders"), sum(col("orevc")).as("total"))
     val expanded = perOrder
@@ -1206,8 +1199,7 @@ object Round10Queries {
       .select(col("s_suppkey"), col("n_name"))
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     val perNation = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("revc")).as("rj"), sum(col("qty")).as("qj"))
@@ -1475,9 +1467,8 @@ object Round10Queries {
   def q204MultipleRegression(spark: SparkSession, sfDir: String): DataFrame = {
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_quantity").cast("long").as("q"),
-        round(col("l_discount") * 100, 0).cast("long").as("d"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("y"))
+        graft.core.Exprs.roundHalfUpLong(col("l_discount") * 100).as("d"),
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("y"))
     val m = li.agg(
       count(lit(1)).as("n"),
       sum(col("q")).as("sq"), sum(col("d")).as("sd"), sum(col("y")).as("sy"),
@@ -1591,7 +1582,7 @@ object Round10Queries {
   def q205ForecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir).select(col("event_type"),
       to_date(col("ts")).as("d"),
-      round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("cents"))
     val agg = ev.groupBy(col("event_type"), col("d")).agg(sum(col("cents")).as("xc"))
     val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val grid = ev.select(col("event_type")).distinct()
@@ -1665,9 +1656,9 @@ object Round10Queries {
     val perUser = ev.crossJoin(broadcast(bounds))
       .select(col("user_id"),
         when(to_date(col("ts")) < date_add(col("d0"), 15),
-          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L)).as("pre"),
+          graft.core.Exprs.roundHalfUpLong(col("value") * 100)).otherwise(lit(0L)).as("pre"),
         when(to_date(col("ts")) >= date_add(col("d0"), 15),
-          round(col("value") * 100, 0).cast("long")).otherwise(lit(0L)).as("post"))
+          graft.core.Exprs.roundHalfUpLong(col("value") * 100)).otherwise(lit(0L)).as("post"))
       .groupBy(col("user_id"))
       .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
       .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))

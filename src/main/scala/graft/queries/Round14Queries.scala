@@ -525,8 +525,7 @@ object Round14Queries {
       oc.filter(col("o_orderdate") >= col("cut")))
     val (lB, lD) = (lc.filter(col("l_shipdate") < col("cut")),
       lc.filter(col("l_shipdate") >= col("cut")))
-    val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-      .cast("long")
+    val cents = graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
     // shuffled-hash hints: all five audit joins shuffle on the order key
     // regardless; SHJ (orders side builds) skips sort-merge's sort of the
     // lineitem side in each term — the audit's dominant cost at sf10
@@ -802,14 +801,12 @@ object Round14Queries {
       .withColumn("prev_hb", lag(col("hb"), 1).over(wHist))
       .withColumn("prev_c", lag(col("c"), 1).over(wHist))
       .groupBy("t").agg(
-        sum(round(
+        sum(graft.core.Exprs.roundHalfUpLong(
           (col("c") * (col("c") - lit(1L))).cast("double") * lit(0.5) *
-            (lit(2.0) * col("tt") - col("tt") * col("tt")) * lit(1e6), 0)
-          .cast("long")).as("m_same"),
-        sum(when(col("prev_hb") === col("hb") - 1, round(
+            (lit(2.0) * col("tt") - col("tt") * col("tt")) * lit(1e6))).as("m_same"),
+        sum(when(col("prev_hb") === col("hb") - 1, graft.core.Exprs.roundHalfUpLong(
           (col("prev_c") * col("c")).cast("double") *
-            (col("tt") * col("tt") * lit(0.5)) * lit(1e6), 0)
-          .cast("long"))).as("m_adj"))
+            (col("tt") * col("tt") * lit(0.5)) * lit(1e6)))).as("m_adj"))
 
     w.select(col("t"), col("n"))
       .join(exact, "t")

@@ -1248,6 +1248,8 @@ object Round8Queries {
         sort_array(collect_list(struct(col("rn"), col("event_type").as("t")))),
         e => e.getField("t")), ">").as("journey"))
     val counts = journeys.groupBy("journey").agg(count(lit(1)).as("n_sessions"))
+    // unpartitioned rank window over the journey-count frame — bounded by
+    // the journey DOMAIN (≤ |event_types|³ = 125 3-step paths), never rows
     val rw = Window.orderBy(col("n_sessions").desc, col("journey"))
     counts.withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= 5)

@@ -91,8 +91,7 @@ object Round9Queries {
     // rounding under different partition fold orders
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
@@ -147,8 +146,7 @@ object Round9Queries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
@@ -196,8 +194,7 @@ object Round9Queries {
     val li = tbl(spark, sfDir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -230,8 +227,7 @@ object Round9Queries {
       .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
       .select(col("l_partkey"),
         date_format(to_date(col("l_shipdate")), "yyyy-MM").as("ship_month"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
-          .cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).as("revc"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_month"))
       .agg(count(lit(1)).as("n_items"),
@@ -272,7 +268,7 @@ object Round9Queries {
     // magnitude flipped 6-dp rounding boundaries between engines at sf0.1)
     val li = tbl(spark, sfDir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("pricec"))
+        graft.core.Exprs.roundHalfUpLong(col("l_extendedprice") * 100).as("pricec"))
     val partAvg = li.groupBy("l_partkey")
       .agg(avg(col("l_quantity")).as("avg_qty"))
       .withColumnRenamed("l_partkey", "pk")
@@ -348,10 +344,14 @@ object Round9Queries {
   def q173MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = ExtQueries.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
-      .select(round(col("value") * 100, 0).cast("long").as("vc"),
+      .select(graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("vc"),
         dayofweek(col("ts")).isin(1, 7).cast("long").as("is_we"))
     val perV = ev.groupBy("vc").agg(
       count(lit(1)).as("cnt"), sum(col("is_we")).as("w_cnt"))
+    // unpartitioned prefix window over DISTINCT purchase cents — bounded by
+    // the value DOMAIN (cents of a bounded price range), not by row count;
+    // past ~1e7 distinct values re-key to Curation.withGlobalOffset (the
+    // q194/q195 distributed rank scan)
     val ord = Window.orderBy(col("vc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = perV
@@ -426,6 +426,8 @@ object Round9Queries {
       .select(col("q"), (col("lang") === "en").cast("long").as("is_en"))
     val perQ = d.groupBy("q").agg(
       sum(col("is_en")).as("en_c"), sum(lit(1L) - col("is_en")).as("rest_c"))
+    // unpartitioned ECDF windows over DISTINCT quality scores — bounded by
+    // the score domain (quantized grid), not by row count
     val ord = Window.orderBy(col("q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = perQ.agg(sum(col("en_c")).as("n_en"), sum(col("rest_c")).as("n_rest"))
@@ -487,7 +489,7 @@ object Round9Queries {
     */
   def q175DecileDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = ExtQueries.events(spark, sfDir)
-      .select(round(col("value") * 100, 0).cast("long").as("vc"),
+      .select(graft.core.Exprs.roundHalfUpLong(col("value") * 100).as("vc"),
         (to_date(col("ts")) <= lit("2024-01-15")).as("early"))
     // the exact `percentile` aggregate (same interpolating function the
     // q05 family pins against DuckDB's quantile_cont)
@@ -646,7 +648,7 @@ object Round9Queries {
     val B = 512
     val daily = ExtQueries.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("revc"))
+      .agg(sum(graft.core.Exprs.roundHalfUpLong(col("value") * 100)).as("revc"))
     val ord = Window.partitionBy("event_type").orderBy("day")
     val blocked = daily
       .withColumn("rn", row_number().over(ord).cast("long"))
@@ -735,7 +737,7 @@ object Round9Queries {
   def q178NeymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docQuality(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        round(col("q") * 1000, 0).cast("long").as("m"))
+        graft.core.Exprs.roundHalfUpLong(col("q") * 1000).as("m"))
     val strata = d.groupBy("source").agg(
       count(lit(1)).as("nh"),
       sum(col("m")).as("sm"),
@@ -749,7 +751,7 @@ object Round9Queries {
     val alloc = strata
       .withColumn("wtot", sum(col("w")).over(pinned))
       .withColumn("alloc",
-        least(round(lit(100.0) * col("w") / col("wtot"), 0).cast("long"),
+        least(graft.core.Exprs.roundHalfUpLong(lit(100.0) * col("w") / col("wtot")),
           col("nh")))
     val picked = d
       .withColumn("rk", row_number().over(
@@ -977,7 +979,7 @@ object Round9Queries {
   def q181RevenueGini(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = tbl(spark, sfDir, "orders")
       .select(col("o_custkey"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("revc"))
+        graft.core.Exprs.roundHalfUpLong(col("o_totalprice") * 100).as("revc"))
       .groupBy("o_custkey").agg(sum(col("revc")).as("revc"))
     val cust = tbl(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -1082,13 +1084,13 @@ object Round9Queries {
     val cust = tbl(spark, sfDir, "customer")
     // cents-exact mean: Σcents/n is the same double in both engines
     val avgBal = cust.agg(
-      (sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") /
+      (sum(graft.core.Exprs.roundHalfUpLong(col("c_acctbal") * 100)).cast("double") /
         count(lit(1)).cast("double")).as("avg_balc"))
     val recentKeys = tbl(spark, sfDir, "orders")
       .filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
       .select(col("o_custkey")).distinct()
     cust.select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal") * 100, 0).cast("long").as("balc"))
+        graft.core.Exprs.roundHalfUpLong(col("c_acctbal") * 100).as("balc"))
       .crossJoin(broadcast(avgBal))
       .filter(col("balc").cast("double") > col("avg_balc"))
       .join(recentKeys, col("c_custkey") === col("o_custkey"), "left_anti")
